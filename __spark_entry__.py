@@ -1,38 +1,377 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is one operator from SURVEY.md §2 instantiated on
+the driver's testdata tables; ``oracle_sql()`` carries the equivalent DuckDB
+SQL. Column names + value rounding are aligned on both sides so the driver's
+order-insensitive value-hash matches (floats are rounded identically in the
+Spark plan and the SQL; money aggregates are summed as DECIMAL(18,4) on both
+sides then cast to double, which makes them bit-exact).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from rassengine_spark.operators import search as ops
+from rassengine_spark.operators import windows as W
+from rassengine_spark.functions import vector as V
+from rassengine_spark.session import load_tables
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Corpus specs over the driver tables (SURVEY §2.3 field groups, projected
+# onto the documents/events/customer testdata schemas).
+
+DOCS_SPEC = ops.CorpusSpec(
+    id_col="doc_id",
+    text_fields=["text"],
+    keyword_fields=["lang", "source"],
+    note_fields={"text": 3.0, "source": 2.0},
+    structured_fields=["text", "source"],
+    identity_fields={"source": 4.0, "lang": 3.0},
+    compare_fields={"text": 2.0, "lang": 1.0, "source": 1.0},
+    embedding_col="embedding",
+)
+
+EVENTS_SPEC = ops.CorpusSpec(
+    id_col="event_id",
+    text_fields=["event_type"],
+    keyword_fields=[],
+    date_fields=["ts"],
+    partition_col="user_id",
+)
+
+EMBED_DIM = 64
+NOW = "2024-01-15 00:00:00"      # pinned temporal anchor (SURVEY §7.3 risk 5)
+
+
+def _qvec(dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic unit query vector, rounded so the same literals appear
+    in the Spark plan and the oracle SQL."""
+    vals = [((i * 2654435761 + 40503) % 997) / 997.0 - 0.5 for i in range(dim)]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [round(v / n, 6) for v in vals]
+
+
+QVEC = _qvec()
+QVEC_SQL = "[" + ", ".join(f"{v!r}" for v in QVEC) + "]"
+
+
+def _docs_with_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents joined 1:1 to embeddings (vec_id == doc_id)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].join(
+        t["embeddings"].select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id")
+
+
+# DuckDB-side token helpers (mirror functions/text.py exactly)
+def _sql_tokens(col: str) -> str:
+    return ("list_filter(string_split_regex(lower(" + col + "), "
+            "'[^a-z0-9]+'), x -> len(x) > 0)")
+
+
+def _sql_fuzzy_term(col_tokens: str, term: str) -> str:
+    d = 0 if len(term) <= 2 else (1 if len(term) <= 5 else 2)
+    if d == 0:
+        return f"list_contains({col_tokens}, '{term}')"
+    return (f"len(list_filter({col_tokens}, "
+            f"x -> levenshtein(x, '{term}') <= {d})) > 0")
+
+
+def _sql_dot(expr: str, vec_sql: str) -> str:
+    return (f"list_dot_product(list_transform({expr}, "
+            f"x -> CAST(x AS DOUBLE)), {vec_sql})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Q3 HYBRID search (the reference's default route,
+    app/main.py:2871) over documents+embeddings at sf0.001."""
+    df = _docs_with_vecs(spark, SF0001)
+    out = ops.hybrid_search(df, DOCS_SPEC, "hash join stream", QVEC, k=10)
+    return out.select("doc_id", "lang", "source",
+                      F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational aggregation core (SURVEY §2.4 analog): pricing summary.
+    Money sums as DECIMAL(18,4) -> double for cross-engine bit-exactness."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    dec = "decimal(20,6)"
+    # round at 6dp: the products have at most 6 exact decimal digits, so no
+    # true value sits on a rounding boundary -> both engines agree bit-exactly
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    charge = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax")), 6)
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+                 F.sum(disc_price.cast(dec)).cast("double").alias("sum_disc_price"),
+                 F.sum(charge.cast(dec)).cast("double").alias("sum_charge"),
+                 F.round(F.sum(F.col("l_quantity").cast(dec)).cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_qty"),
+                 F.round(F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational join core: customer x orders x lineitem, top-10 revenue.
+    customer is small -> Spark broadcasts it (autoBroadcastJoinThreshold);
+    orders/lineitem join shuffles on orderkey, AQE-coalesced."""
+    t = load_tables(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter((F.col("o_orderdate") < F.lit("2000-03-15"))
+                    & (F.col("l_shipdate") > F.lit("2000-03-15")))
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+_SQL_TPCH_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate > TIMESTAMP '2000-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_q1_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 KEYWORD exact/phrase match (app/main.py:1480-1525)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = ops.exact_match_search(docs, DOCS_SPEC, "hash join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_SQL_Q1_KEYWORD = """
+WITH scored AS (
+  SELECT doc_id,
+         2.0 * (CASE WHEN contains(lower(text), 'hash join') THEN 1.0 ELSE 0.0 END)
+       + 1.0 * GREATEST(
+           CASE WHEN lower(lang) IN ('hash','join') OR contains(lower(lang), 'hash join') THEN 1.0 ELSE 0.0 END,
+           CASE WHEN lower(source) IN ('hash','join') OR contains(lower(source), 'hash join') THEN 1.0 ELSE 0.0 END)
+         AS score
+  FROM documents)
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 SEMANTIC exact kNN (app/main.py:1527-1560)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    spec = ops.CorpusSpec(id_col="vec_id", embedding_col="embedding")
+    scored = emb.withColumn(
+        "score", F.round(V.dot_literal(F.col("embedding"), QVEC), 6))
+    out = (scored.filter(F.col("score") > 0)
+           .orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10))
+    _ = spec
+    return out.select("vec_id", "score")
+
+
+_SQL_Q2_KNN = f"""
+WITH scored AS (
+  SELECT vec_id, round({_sql_dot('embedding', QVEC_SQL)}, 6) AS score
+  FROM embeddings)
+SELECT vec_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_q6_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 AGGREGATE terms-agg: top-5 counts per dim (app/main.py:1777-1808)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ops.aggregate_search(docs, DOCS_SPEC, ["lang", "source"], size=5)
+
+
+_SQL_Q6_TERMS = """
+(SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS key, COUNT(*) AS cnt
+ FROM documents WHERE lang IS NOT NULL
+ GROUP BY lang ORDER BY cnt DESC, key ASC LIMIT 5)
+UNION ALL
+(SELECT 'source' AS dim, CAST(source AS VARCHAR) AS key, COUNT(*) AS cnt
+ FROM documents WHERE source IS NOT NULL
+ GROUP BY source ORDER BY cnt DESC, key ASC LIMIT 5)
+"""
+
+
+def _q_q8_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 TEMPORAL: lexical match AND date-range, sort date desc
+    (app/main.py:1866-1918). `now` pinned to NOW."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = ops.temporal_search(ev, EVENTS_SPEC, "error", k=10, now=NOW)
+    return out.select("event_id", "ts", "event_type")
+
+
+_SQL_Q8_TEMPORAL = f"""
+WITH scored AS (
+  SELECT event_id, ts, event_type,
+         (CASE WHEN {_sql_fuzzy_term(_sql_tokens('event_type'), 'error')}
+               THEN 1.0 ELSE 0.0 END) AS score
+  FROM events)
+SELECT event_id, ts, event_type FROM scored
+WHERE score > 0
+  AND ts BETWEEN TIMESTAMP '{NOW}' - INTERVAL 12 MONTH AND TIMESTAMP '{NOW}'
+ORDER BY ts DESC, event_id ASC LIMIT 10
+"""
+
+
+def _q_q12_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/Q12 collapse: best event per user (row_number()=1 over key;
+    app/main.py:2137,2712)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = W_collapse = ops.collapse_best_per_key(ev, "user_id", "value",
+                                                 "event_id")
+    _ = W_collapse
+    return out.select("user_id", "event_id", "value").orderBy("user_id")
+
+
+_SQL_Q12_COLLAPSE = """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC) = 1
+ORDER BY user_id
+"""
+
+
+def _q_w2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 chat-history window: last 10 per key, chronological
+    (app/main.py:2786-2794) — events stand in for messages."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = W.last_n_per_key(ev, "user_id", "ts", "event_id", n=10)
+    return out.select("user_id", "event_id", "ts")
+
+
+_SQL_W2_HISTORY = """
+SELECT user_id, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) <= 10
+ORDER BY user_id, ts, event_id
+"""
+
+
+def _q_q13_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 name->id resolution, 3-tier score (app/main.py:2637-2744)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    return ops.resolve_ids_from_name(
+        cust, "c_name", "c_custkey", "Customer#000000042", k=3)
+
+
+_SQL_Q13_RESOLVE = f"""
+WITH scored AS (
+  SELECT c_custkey,
+         GREATEST(
+           3.0 * (CASE WHEN lower(c_name) = 'customer 000000042' THEN 1 ELSE 0 END),
+           2.0 * (CASE WHEN contains(lower(c_name), 'customer 000000042') THEN 1 ELSE 0 END),
+           1.0 * (CASE WHEN {_sql_fuzzy_term(_sql_tokens('c_name'), 'customer')}
+                        AND {_sql_fuzzy_term(_sql_tokens('c_name'), '000000042')}
+                  THEN 1 ELSE 0 END)) AS score
+  FROM customer)
+SELECT c_custkey, score FROM scored
+WHERE score > 0 ORDER BY score DESC, c_custkey ASC LIMIT 3
+"""
+
+
+def _q_q14_has_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 existence probe (app/main.py:1470-1478)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return spark.createDataFrame(
+        [(ops.has_any_data(li),)], "has_data boolean")
+
+
+_SQL_Q14_HAS_DATA = "SELECT COUNT(*) > 0 AS has_data FROM lineitem"
+
+
+def _q_s8_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 L2-normalize (app/main.py:1250-1251): ||v_out|| == 1."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    normed = V.l2_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm(normed), 6).alias("norm_out"),
+        F.round(F.element_at(normed, 1), 6).alias("first_component"))
+
+
+_SQL_S8_NORMALIZE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 1e-9 AS nrm
+  FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(v, x -> (x/nrm) * (x/nrm)))), 6) AS norm_out,
+       round(v[1] / nrm, 6) AS first_component
+FROM base
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing": _q_tpch_q1,
+        "tpch_q3_shipping": _q_tpch_q3,
+        "q1_keyword_phrase": _q_q1_keyword,
+        "q2_semantic_knn": _q_q2_knn,
+        "q6_terms_agg": _q_q6_terms_agg,
+        "q8_temporal": _q_q8_temporal,
+        "q12_collapse_best_per_key": _q_q12_collapse,
+        "w2_last_n_per_key": _q_w2_history,
+        "q13_name_resolution": _q_q13_resolve,
+        "q14_has_data": _q_q14_has_data,
+        "s8_l2_normalize": _q_s8_normalize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing": _SQL_TPCH_Q1,
+        "tpch_q3_shipping": _SQL_TPCH_Q3,
+        "q1_keyword_phrase": _SQL_Q1_KEYWORD,
+        "q2_semantic_knn": _SQL_Q2_KNN,
+        "q6_terms_agg": _SQL_Q6_TERMS,
+        "q8_temporal": _SQL_Q8_TEMPORAL,
+        "q12_collapse_best_per_key": _SQL_Q12_COLLAPSE,
+        "w2_last_n_per_key": _SQL_W2_HISTORY,
+        "q13_name_resolution": _SQL_Q13_RESOLVE,
+        "q14_has_data": _SQL_Q14_HAS_DATA,
+        "s8_l2_normalize": _SQL_S8_NORMALIZE,
+    }

@@ -1,0 +1,51 @@
+"""Vector expressions — dot product, L2 normalize, cosine similarity.
+
+The reference L2-normalizes embeddings at index and query time so cosine
+equals dot product (reference: app/main.py:1250-1251, 1536-1537). We keep the
+same invariant. All expressions are built-in array functions (zip_with /
+aggregate / transform) that run inside whole-stage codegen — a 100 TB kNN
+scan is a single projection + TakeOrderedAndProject, no Python in the loop.
+
+Summation is sequential over the array (F.aggregate folds left), which makes
+scores bit-reproducible across engines that fold in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_literal(col: Column, vec: list[float]) -> Column:
+    """Dot product against a constant query vector (broadcast as a literal).
+
+    The query vector is a plan literal — no join, no shuffle; the scan stays
+    a single codegen stage."""
+    lit_vec = F.array(*[F.lit(float(v)) for v in vec])
+    return dot(col, lit_vec)
+
+
+def l2_norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        col, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def l2_normalize(col: Column, eps: float = 1e-9) -> Column:
+    """emb / (||emb|| + eps), elementwise (reference app/main.py:1250-1251)."""
+    nrm = l2_norm(col) + F.lit(eps)
+    return F.transform(col, lambda x: x.cast("double") / nrm)
+
+
+def cosine(a: Column, b: Column, eps: float = 1e-9) -> Column:
+    """Cosine similarity for not-necessarily-normalized vectors."""
+    return dot(a, b) / ((l2_norm(a) * l2_norm(b)) + F.lit(eps))
