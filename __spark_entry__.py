@@ -89,6 +89,24 @@ def _sql_dot(expr: str, vec_sql: str) -> str:
             f"x -> CAST(x AS DOUBLE)), {vec_sql})")
 
 
+def _sql_fuzzy_count(tokens_expr: str, terms: list[str]) -> str:
+    parts = [f"(CASE WHEN {_sql_fuzzy_term(tokens_expr, t)} "
+             f"THEN 1.0 ELSE 0.0 END)" for t in terms]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_exact_count(tokens_expr: str, terms: list[str]) -> str:
+    parts = [f"(CASE WHEN list_contains({tokens_expr}, '{t}') "
+             f"THEN 1.0 ELSE 0.0 END)" for t in terms]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_prefix_and(tokens_expr: str, terms: list[str]) -> str:
+    parts = [f"(len(list_filter({tokens_expr}, "
+             f"x -> starts_with(x, '{t}'))) > 0)" for t in terms]
+    return "(CASE WHEN " + " AND ".join(parts) + " THEN 1.0 ELSE 0.0 END)"
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 
@@ -345,6 +363,240 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------- wave 2
+
+_TOK_TEXT = _sql_tokens("text")
+_TOK_LANG = _sql_tokens("lang")
+_TOK_SRC = _sql_tokens("source")
+
+
+def _q_q3_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 HYBRID — the reference's default route (app/main.py:1562-1615):
+    1.5*fuzzy text + 1.0*keyword + 2.0*kNN, should-sum."""
+    df = _docs_with_vecs(spark, sf_dir)
+    out = ops.hybrid_search(df, DOCS_SPEC, "hash join stream", QVEC,
+                            k=10, round_to=6)
+    return out.select("doc_id", "score")
+
+
+_T3 = ["hash", "join", "stream"]
+_SQL_Q3_HYBRID = f"""
+WITH joined AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+scored AS (
+  SELECT doc_id, round(
+      1.5 * {_sql_fuzzy_count(_TOK_TEXT, _T3)}
+    + 1.0 * GREATEST({_sql_exact_count(_TOK_LANG, _T3)},
+                     {_sql_exact_count(_TOK_SRC, _T3)})
+    + 2.0 * {_sql_dot('embedding', QVEC_SQL)}, 6) AS score
+  FROM joined)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q4_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 STRUCTURED: phrase_prefix multi_match, operator=and
+    (intended semantics of app/main.py:1617-1708; see SURVEY §7.3 risk 2)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = ops.structured_search(docs, DOCS_SPEC, "ha jo", k=10)
+    return out.select("doc_id", "score")
+
+
+_T4 = ["ha", "jo"]
+_SQL_Q4_STRUCTURED = f"""
+WITH scored AS (
+  SELECT doc_id,
+         GREATEST({_sql_prefix_and(_TOK_TEXT, _T4)},
+                  {_sql_prefix_and(_TOK_SRC, _T4)}) AS score
+  FROM documents)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q5_hybrid_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 HYBRID_STRUCTURED (app/main.py:1710-1775): prefix lex (1.5) + kNN
+    (2.0), where rows lacking an embedding contribute 0 to the kNN clause —
+    exercised here by joining only even vec_ids."""
+    t = load_tables(spark, sf_dir)
+    evens = (t["embeddings"].filter(F.col("vec_id") % 2 == 0)
+             .select(F.col("vec_id").alias("doc_id"), "embedding"))
+    df = t["documents"].join(evens, "doc_id", "left")
+    out = ops.hybrid_structured_search(df, DOCS_SPEC, "ha jo", QVEC,
+                                       k=10, round_to=6)
+    return out.select("doc_id", "score")
+
+
+_SQL_Q5_HYBRID_STRUCTURED = f"""
+WITH joined AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, e.embedding
+  FROM documents d
+  LEFT JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e
+         ON d.doc_id = e.vec_id),
+scored AS (
+  SELECT doc_id, round(
+      1.5 * GREATEST({_sql_prefix_and(_TOK_TEXT, _T4)},
+                     {_sql_prefix_and(_TOK_SRC, _T4)})
+    + (CASE WHEN embedding IS NOT NULL
+            THEN 2.0 * {_sql_dot('embedding', QVEC_SQL)} ELSE 0.0 END),
+    6) AS score
+  FROM joined)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q7_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 COMPARISON: fuzzy best_fields over boosted compare fields
+    (app/main.py:1810-1864)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = ops.comparison_search(docs, DOCS_SPEC, "spark stream join", k=10)
+    return out.select("doc_id", "score")
+
+
+_T7 = ["spark", "stream", "join"]
+_SQL_Q7_COMPARISON = f"""
+WITH scored AS (
+  SELECT doc_id,
+         GREATEST(2.0 * {_sql_fuzzy_count(_TOK_TEXT, _T7)},
+                  1.0 * {_sql_fuzzy_count(_TOK_LANG, _T7)},
+                  1.0 * {_sql_fuzzy_count(_TOK_SRC, _T7)}) AS score
+  FROM documents)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q9_explanatory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 EXPLANATORY: fuzzy best_fields over note fields with boosts 3/2
+    (app/main.py:1920-1967)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = ops.explanatory_search(docs, DOCS_SPEC, "merge sort window", k=10)
+    return out.select("doc_id", "score")
+
+
+_T9 = ["merge", "sort", "window"]
+_SQL_Q9_EXPLANATORY = f"""
+WITH scored AS (
+  SELECT doc_id,
+         GREATEST(3.0 * {_sql_fuzzy_count(_TOK_TEXT, _T9)},
+                  2.0 * {_sql_fuzzy_count(_TOK_SRC, _T9)}) AS score
+  FROM documents)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q10_multi_intent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 MULTI_INTENT (app/main.py:1969-2027): 1.0*text + 0.5*keyword +
+    1.5*kNN + 0.5*recency. Implements the intended per-field ranges, not the
+    reference's collapsed-dict quirk (SURVEY §7.3 risk 2). Documents are
+    enriched with a timestamp (from events) and embedding to exercise all
+    four clauses."""
+    t = load_tables(spark, sf_dir)
+    df = (_docs_with_vecs(spark, sf_dir)
+          .join(t["events"].select(F.col("event_id").alias("doc_id"), "ts"),
+                "doc_id"))
+    spec = ops.CorpusSpec(
+        id_col="doc_id", text_fields=["text"],
+        keyword_fields=["lang", "source"], date_fields=["ts"],
+        embedding_col="embedding")
+    out = ops.multi_intent_search(df, spec, "batch window", QVEC, k=10,
+                                  now=NOW, round_to=6)
+    return out.select("doc_id", "score")
+
+
+_T10 = ["batch", "window"]
+_SQL_Q10_MULTI = f"""
+WITH joined AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, e.embedding, ev.ts
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id
+  JOIN events ev ON d.doc_id = ev.event_id),
+scored AS (
+  SELECT doc_id, round(
+      1.0 * {_sql_fuzzy_count(_TOK_TEXT, _T10)}
+    + 0.5 * GREATEST({_sql_exact_count(_TOK_LANG, _T10)},
+                     {_sql_exact_count(_TOK_SRC, _T10)})
+    + 1.5 * {_sql_dot('embedding', QVEC_SQL)}
+    + 0.5 * (CASE WHEN ts BETWEEN TIMESTAMP '{NOW}' - INTERVAL 12 MONTH
+                               AND TIMESTAMP '{NOW}'
+             THEN 1.0 ELSE 0.0 END), 6) AS score
+  FROM joined)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_q11_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 ENTITY_SPECIFIC: boost-weighted phrase match over identity fields
+    (app/main.py:2029-2074)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = ops.entity_specific_search(docs, DOCS_SPEC, "src3", k=10)
+    return out.select("doc_id", "score")
+
+
+_SQL_Q11_ENTITY = """
+WITH scored AS (
+  SELECT doc_id,
+         GREATEST(
+           4.0 * (CASE WHEN contains(lower(source), 'src3') THEN 1.0 ELSE 0.0 END),
+           3.0 * (CASE WHEN contains(lower(lang), 'src3') THEN 1.0 ELSE 0.0 END))
+         AS score
+  FROM documents)
+SELECT doc_id, score FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _q_d1_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 context dedup/concat (app/main.py:2894-2915): per-key snippet
+    concatenation in deterministic (doc_id) order."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return W.dedup_concat_by_key(docs, "source", "text", "doc_id")
+
+
+_SQL_D1_CONTEXT = """
+SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS context
+FROM documents GROUP BY source
+"""
+
+
+def _q_d2_capped_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 capped per-key distinct sets (app/main.py:2811-2844)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return W.capped_set_per_key(ev, "user_id", "event_type", cap=5)
+
+
+_SQL_D2_CAPPED = """
+SELECT user_id,
+       (list_sort(list_distinct(list(event_type))))[1:5] AS items
+FROM events GROUP BY user_id
+"""
+
+
+def _q_s6_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 chunker: fixed 16-word windows, no overlap (semantics of
+    app/main.py:2160-2170 with CHUNK_SIZE scaled to the corpus)."""
+    from rassengine_spark.sources.chunker import chunk_table
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_table(docs, "text", ["doc_id"], chunk_size=16)
+
+
+_SQL_S6_CHUNKER = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS words
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(words[(i*16+1):(i*16+16)], ' ') AS chunk_text
+FROM w, UNNEST(generate_series(0, CAST(ceil(len(words)/16.0) AS INT) - 1)) AS t(i)
+WHERE len(words) > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": _q_tpch_q1,
@@ -358,6 +610,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_name_resolution": _q_q13_resolve,
         "q14_has_data": _q_q14_has_data,
         "s8_l2_normalize": _q_s8_normalize,
+        "q3_hybrid_search": _q_q3_hybrid,
+        "q4_structured_prefix": _q_q4_structured,
+        "q5_hybrid_structured": _q_q5_hybrid_structured,
+        "q7_comparison": _q_q7_comparison,
+        "q9_explanatory": _q_q9_explanatory,
+        "q10_multi_intent": _q_q10_multi_intent,
+        "q11_entity_specific": _q_q11_entity,
+        "d1_context_concat": _q_d1_context_concat,
+        "d2_capped_item_set": _q_d2_capped_set,
+        "s6_chunker": _q_s6_chunker,
     }
 
 
@@ -374,4 +636,14 @@ def oracle_sql() -> dict[str, str]:
         "q13_name_resolution": _SQL_Q13_RESOLVE,
         "q14_has_data": _SQL_Q14_HAS_DATA,
         "s8_l2_normalize": _SQL_S8_NORMALIZE,
+        "q3_hybrid_search": _SQL_Q3_HYBRID,
+        "q4_structured_prefix": _SQL_Q4_STRUCTURED,
+        "q5_hybrid_structured": _SQL_Q5_HYBRID_STRUCTURED,
+        "q7_comparison": _SQL_Q7_COMPARISON,
+        "q9_explanatory": _SQL_Q9_EXPLANATORY,
+        "q10_multi_intent": _SQL_Q10_MULTI,
+        "q11_entity_specific": _SQL_Q11_ENTITY,
+        "d1_context_concat": _SQL_D1_CONTEXT,
+        "d2_capped_item_set": _SQL_D2_CAPPED,
+        "s6_chunker": _SQL_S6_CHUNKER,
     }

@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+Per-query time = plan construction + execution + collect of the (small)
+result, measured after a session warm-up query so JVM startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "q1_keyword_phrase",
+    "q2_semantic_knn",
+    "q3_hybrid_search",
+    "q6_terms_agg",
+    "q8_temporal",
+    "q12_collapse_best_per_key",
+    "w2_last_n_per_key",
+    "q13_name_resolution",
+    "s6_chunker",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from rassengine_spark.session import get_spark, load_tables
+
+    spark = get_spark("bench")
+    # warm up: JVM + parquet footers, not billed to any query
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE]
+    timings = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = None
+    ok = {k: v for k, v in timings.items() if v is not None}
+    print(json.dumps({
+        "metric": "total wall-clock sec across engine queries",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,16 @@ class CorpusSpec:
     partition_col: str | None = None                        # patientId analog
 
 
-def _topk(df: DataFrame, spec: CorpusSpec, k: int) -> DataFrame:
-    """score>0, order by (score desc, id asc), limit k — deterministic."""
+def _topk(df: DataFrame, spec: CorpusSpec, k: int,
+          round_to: int | None = None) -> DataFrame:
+    """score>0, order by (score desc, id asc), limit k — deterministic.
+
+    `round_to` rounds the score BEFORE ordering: scores containing float
+    dot-products are only reproducible across engines up to rounding, so
+    ranking must happen on the rounded value (indicator/count scores are
+    exact dyadic rationals and need no rounding)."""
+    if round_to is not None:
+        df = df.withColumn("score", F.round(F.col("score"), round_to))
     return (df.filter(F.col("score") > 0)
               .orderBy(F.col("score").desc(), F.col(spec.id_col).asc())
               .limit(k))
@@ -78,14 +86,14 @@ def exact_match_search(df: DataFrame, spec: CorpusSpec, query: str, k: int = 3,
 # ---------------------------------------------------------------- Q2
 def semantic_search(df: DataFrame, spec: CorpusSpec, query_vec: list[float],
                     k: int = 3, filter_expr: Column | None = None,
-                    partition_key=None) -> DataFrame:
+                    partition_key=None, round_to: int | None = None) -> DataFrame:
     """Q2 SEMANTIC: exact kNN — dot product against the (normalized) query
     vector, top-k. (reference `semantic_search`, app/main.py:1527-1560.)
     Exact scan is O(n·d) but embarrassingly parallel; the approximate path
     for huge corpora is llmops/similarity.py (LSH-bucketed)."""
     score = V.dot_literal(F.col(spec.embedding_col), query_vec)
     df = _apply_filters(df, filter_expr, spec, partition_key)
-    return _topk(df.withColumn("score", score), spec, k)
+    return _topk(df.withColumn("score", score), spec, k, round_to)
 
 
 # ---------------------------------------------------------------- Q3
@@ -93,7 +101,8 @@ def hybrid_search(df: DataFrame, spec: CorpusSpec, query: str,
                   query_vec: list[float], k: int = 3,
                   filter_expr: Column | None = None, partition_key=None,
                   text_boost: float = 1.5, kw_boost: float = 1.0,
-                  knn_boost: float = 2.0) -> DataFrame:
+                  knn_boost: float = 2.0,
+                  round_to: int | None = None) -> DataFrame:
     """Q3 HYBRID: fuzzy best_fields text (1.5) + keyword best_fields (1.0)
     + kNN (2.0); score = sum of matched clauses.
     (reference `hybrid_search`, app/main.py:1562-1615 — the default route.)"""
@@ -103,7 +112,7 @@ def hybrid_search(df: DataFrame, spec: CorpusSpec, query: str,
            * F.lit(knn_boost)) if spec.embedding_col else F.lit(0.0)
     df = _apply_filters(df, filter_expr, spec, partition_key)
     return _topk(df.withColumn(
-        "score", S.should_sum(lex_text, lex_kw, knn)), spec, k)
+        "score", S.should_sum(lex_text, lex_kw, knn)), spec, k, round_to)
 
 
 # ---------------------------------------------------------------- Q4
@@ -127,7 +136,8 @@ def hybrid_structured_search(df: DataFrame, spec: CorpusSpec, query: str,
                              query_vec: list[float] | None, k: int = 3,
                              filter_expr: Column | None = None,
                              partition_key=None, lex_boost: float = 1.5,
-                             knn_boost: float = 2.0) -> DataFrame:
+                             knn_boost: float = 2.0,
+                             round_to: int | None = None) -> DataFrame:
     """Q5 HYBRID_STRUCTURED: phrase_prefix (op=and, boost 1.5) + kNN (2.0).
     (reference app/main.py:1710-1775). For rows without an embedding the kNN
     clause contributes 0 — matching the reference's effective behavior where
@@ -141,7 +151,8 @@ def hybrid_structured_search(df: DataFrame, spec: CorpusSpec, query: str,
     else:
         knn = F.lit(0.0)
     df = _apply_filters(df, filter_expr, spec, partition_key)
-    return _topk(df.withColumn("score", S.should_sum(lex, knn)), spec, k)
+    return _topk(df.withColumn("score", S.should_sum(lex, knn)), spec, k,
+                 round_to)
 
 
 # ---------------------------------------------------------------- Q6
@@ -229,8 +240,8 @@ def multi_intent_search(df: DataFrame, spec: CorpusSpec, query: str,
                         now: str | None = None, window_months: int = 12,
                         filter_expr: Column | None = None, partition_key=None,
                         text_boost: float = 1.0, kw_boost: float = 0.5,
-                        knn_boost: float = 1.5,
-                        recency_boost: float = 0.5) -> DataFrame:
+                        knn_boost: float = 1.5, recency_boost: float = 0.5,
+                        round_to: int | None = None) -> DataFrame:
     """Q10 MULTI_INTENT: should-sum of fuzzy text (1.0) + keyword (0.5) +
     kNN (1.5) + recency indicator (0.5).
 
@@ -251,7 +262,7 @@ def multi_intent_search(df: DataFrame, spec: CorpusSpec, query: str,
         knn,
         recent.cast("double") * F.lit(recency_boost))
     df = _apply_filters(df, filter_expr, spec, partition_key)
-    return _topk(df.withColumn("score", score), spec, k)
+    return _topk(df.withColumn("score", score), spec, k, round_to)
 
 
 # ---------------------------------------------------------------- Q11
