@@ -332,8 +332,9 @@ WHERE score > 0 ORDER BY score DESC, c_custkey ASC LIMIT 3
 def _q_q14_has_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 existence probe (app/main.py:1470-1478)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    return spark.createDataFrame(
-        [(ops.has_any_data(li),)], "has_data boolean")
+    # pure-DataFrame form of ops.has_any_data: limit(1) stops the scan at the
+    # first non-empty partition; no driver-side createDataFrame round-trip
+    return li.limit(1).agg((F.count(F.lit(1)) > 0).alias("has_data"))
 
 
 _SQL_Q14_HAS_DATA = "SELECT COUNT(*) > 0 AS has_data FROM lineitem"
@@ -597,6 +598,347 @@ WHERE len(words) > 0
 """
 
 
+# ---------------------------------------------------------------- wave 3
+# LLM-training-data pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal plumbing.
+
+from rassengine_spark.llmops import dedup as DD
+from rassengine_spark.llmops import similarity as SIM
+from rassengine_spark.llmops import text_analysis as TA
+from rassengine_spark.llmops import multimodal as MM
+from rassengine_spark.sources.chunker import words_of
+
+
+def _sql_hash60(expr: str, salt: int | None = None) -> str:
+    salted = f"({expr} || '#{salt}')" if salt is not None else expr
+    return f"CAST('0x' || substr(md5({salted}), 1, 15) AS BIGINT)"
+
+
+_SQL_WORDS = "list_filter(string_split_regex({col}, '\\s+'), x -> len(x) > 0)"
+
+
+def _sql_shingles(n: int) -> str:
+    """Distinct word n-gram shingles from a `words` list column (mirrors
+    dedup.word_shingles incl. the short-text fallback)."""
+    return (f"CASE WHEN len(words) >= {n} THEN "
+            f"list_distinct(list_transform(generate_series(0, len(words)-{n}), "
+            f"j -> array_to_string(words[(j+1):(j+{n})], ' '))) "
+            f"ELSE [array_to_string(words, ' ')] END")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy duplicate groups over events.props."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return DD.exact_dup_groups(ev, "props", "event_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(props) AS content_hash, COUNT(*) AS dup_count,
+       MIN(event_id) AS keeper_id
+FROM events GROUP BY props HAVING COUNT(*) > 1
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle->minhash->band->bucket-join->
+    exact-Jaccard verify). Input: documents plus a perturbed copy of every
+    10th doc (first two words dropped, id+1000000) so guaranteed near-dups
+    exercise the candidate path."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    w = words_of(F.col("text"))
+    pert = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.array_join(F.slice(w, 3, 1000000), " ").alias("text")))
+    return DD.minhash_lsh_pairs(docs.unionAll(pert), "text", "doc_id",
+                                shingle_n=3, num_hashes=16, bands=4,
+                                threshold=0.5)
+
+
+def _sql_dedup_minhash() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {_sql_hash60('s', i)})) AS s{i}"
+        for i in range(16))
+    band_selects = " UNION ALL ".join(
+        "SELECT id, sh, {b} AS band, md5(concat_ws(',', {parts})) AS key "
+        "FROM sig".format(
+            b=b, parts=", ".join(f"CAST(s{b*4+r} AS VARCHAR)"
+                                 for r in range(4)))
+        for b in range(4))
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, array_to_string(words[3:], ' ') AS text
+  FROM (SELECT doc_id, {words} AS words FROM documents WHERE doc_id % 10 = 0)),
+sh AS (
+  SELECT id, {_sql_shingles(3)} AS sh
+  FROM (SELECT id, {words} AS words FROM base)),
+sig AS (SELECT id, sh, {sig_cols} FROM sh),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+           AS jaccard
+  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.simhash_fingerprints(docs, "text", "doc_id")
+
+
+def _sql_dedup_simhash() -> str:
+    toks = "list_distinct(" + _SQL_WORDS.format(col="lower(text)") + ")"
+    toks = toks.replace("'\\s+'", "'[^a-z0-9]+'")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32))
+    return f"""
+WITH hs AS (
+  SELECT doc_id AS id,
+         list_transform({toks}, t -> {_sql_hash60('t')}) AS hs
+  FROM documents)
+SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs
+"""
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs inside language blocks."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                                  n=2, threshold=0.15)
+
+
+def _sql_dedup_ngram() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, lang, {_sql_shingles(2)} AS sh
+  FROM (SELECT doc_id, lang, {words} AS words FROM documents))
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.15
+"""
+
+
+_SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+            " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+            " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            " + 1e-9), 6)")
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar pairs within label
+    blocks."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return DD.embedding_near_pairs_topn(emb, "embedding", "vec_id", "label",
+                                        top_n=20)
+
+
+_SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+def _q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: 5 query vectors vs corpus."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                "qid", k=5)
+
+
+_SQL_SIM_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.id, {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+  FROM c CROSS JOIN q)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def _sql_sim_lsh() -> str:
+    planes = SIM.hyperplanes(EMBED_DIM, 4)
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in p) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, embedding AS v, bucket FROM b WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.id, {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+  FROM c JOIN q ON c.bucket = q.bucket)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane buckets prune the
+    candidate set (the 100 TB scale path for ANN)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.lsh_bucketed_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=3, bits=4, dim=EMBED_DIM)
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-profile argmax heuristic."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(F.col("doc_id").alias("id"),
+                       TA.lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _sql_text_langid() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    scores = {}
+    for lang, ws in sorted(TA.LANG_PROFILES.items()):
+        scores[lang] = " + ".join(
+            f"CAST(list_contains(toks, '{w}') AS INT)" for w in ws)
+    score_cols = ", ".join(f"({v}) AS s_{k}" for k, v in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{k}" for k in scores) + ")"
+    chain = " ".join(f"WHEN s_{k} = best THEN '{k}'" for k in sorted(scores))
+    return f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+s AS (SELECT id, {score_cols} FROM t),
+g AS (SELECT id, s_de, s_en, s_es, s_fr, {best} AS best FROM s)
+SELECT id, CASE WHEN best > 0 THEN (CASE {chain} ELSE 'und' END)
+           ELSE 'und' END AS lang_pred
+FROM g
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: token stats, punctuation/stopword ratios,
+    composite score."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.quality_features(docs, "text", "doc_id")
+
+
+def _sql_text_quality() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    stop_hits = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS INT)" for w in TA.STOPWORDS_EN)
+    return f"""
+WITH t AS (SELECT doc_id AS id, text, {toks} AS toks FROM documents),
+f AS (
+  SELECT id,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(text) > 0
+         THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(({stop_hits}) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stopword_ratio
+  FROM t)
+SELECT id, n_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM f
+"""
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pretokens."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.token_counts(docs, "text", "doc_id")
+
+
+_SQL_TEXT_TOKENS = f"""
+SELECT doc_id AS id,
+       len({_SQL_WORDS.format(col="text")}) AS ws_tokens,
+       len(regexp_extract_all(text, '{TA.BPE_ISH_RE}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over 8-char shingles (winnowing-style)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.fingerprints(docs, "text", "doc_id")
+
+
+def _sql_text_fingerprint() -> str:
+    h = _sql_hash60("substr(norm, CAST(i AS INT), 8)")
+    return f"""
+WITH n AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents)
+SELECT id,
+       CASE WHEN len(norm) >= 8
+            THEN list_min(list_transform(generate_series(1, len(norm) - 7),
+                                         i -> {h}))
+            ELSE {_sql_hash60('norm')} END AS fingerprint
+FROM n
+"""
+
+
+def _q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + typed metadata (decode
+    stubs run via mapInPandas in llmops.multimodal; metadata stays
+    expression-level so column pruning avoids fetching blobs)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = MM.to_media_table(docs, "doc_id", "text", media_type="image")
+    return media.select("media_id", "media_type", "n_bytes", "sha256")
+
+
+_SQL_MM_METADATA = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": _q_tpch_q1,
@@ -620,6 +962,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_context_concat": _q_d1_context_concat,
         "d2_capped_item_set": _q_d2_capped_set,
         "s6_chunker": _q_s6_chunker,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "sim_bruteforce_topk": _q_sim_bruteforce,
+        "sim_lsh_bucketed_topk": _q_sim_lsh,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "text_token_counts": _q_text_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "mm_binary_metadata": _q_mm_metadata,
     }
 
 
@@ -646,4 +1000,16 @@ def oracle_sql() -> dict[str, str]:
         "d1_context_concat": _SQL_D1_CONTEXT,
         "d2_capped_item_set": _SQL_D2_CAPPED,
         "s6_chunker": _SQL_S6_CHUNKER,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram(),
+        "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
+        "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
+        "sim_lsh_bucketed_topk": _sql_sim_lsh(),
+        "text_langid": _sql_text_langid(),
+        "text_quality": _sql_text_quality(),
+        "text_token_counts": _SQL_TEXT_TOKENS,
+        "text_fingerprint": _sql_text_fingerprint(),
+        "mm_binary_metadata": _SQL_MM_METADATA,
     }

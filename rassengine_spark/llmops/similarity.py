@@ -1,0 +1,87 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Two tiers behind one API (mirrors the reference's exact-kNN-vs-HNSW choice,
+app/main.py:563-572 — HNSW is a single-node in-memory structure; the
+Spark-native scale path is bucketed pruning):
+
+- brute-force top-k — exact: broadcast the (small) query set, one pass over
+  the corpus, per-query top-k via window rank. O(Q x N) but embarrassingly
+  parallel and shuffle-free until the final per-query k-heap.
+- LSH-bucketed     — random-hyperplane signatures bucket both sides; only
+  same-bucket pairs are scored. The hyperplanes are small integer-valued
+  literals (deterministic, engine-exact); recall is tuned by bits/tables.
+
+An IVF variant (k-means coarse quantizer via MLlib, probe nearest
+centroids) slots behind the same signature when corpus >> memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine, dot
+
+
+def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                     id_col: str, query_id_col: str, k: int = 5,
+                     metric: str = "cosine",
+                     round_to: int | None = 6) -> DataFrame:
+    """Exact top-k: corpus x broadcast(queries), score, per-query rank<=k.
+    Returns (query_id, id, score, rank)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    joined = c.crossJoin(F.broadcast(q))
+    score: Column = (cosine(F.col("v"), F.col("qv")) if metric == "cosine"
+                     else dot(F.col("v"), F.col("qv")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))
+
+
+def hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic integer-valued hyperplanes (exact in any engine)."""
+    return [[float(((i * 131 + j * 31 + 7) % 19) - 9) for j in range(dim)]
+            for i in range(bits)]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from the hyperplane projections."""
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(x) for x in p])
+        out = out + F.when(dot(vec, lit_p) > 0,
+                           F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                      id_col: str, query_id_col: str, k: int = 5,
+                      bits: int = 4, dim: int = 64,
+                      round_to: int | None = 6) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. The bucket join replaces the cross join — at 100 TB this is the
+    difference between O(Q x N) and O(Q x N / 2^bits) with a co-partitioned
+    equi-join on bucket id."""
+    planes = hyperplanes(dim, bits)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    joined = c.join(F.broadcast(q), "bucket")
+    score = cosine(F.col("v"), F.col("qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))

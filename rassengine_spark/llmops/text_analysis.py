@@ -1,0 +1,113 @@
+"""Text-analysis columns for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (regex + array built-ins): a 100 TB corpus gets
+these as one narrow projection stage fused into the scan — no shuffle, no
+Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from .dedup import hash60
+
+# Tiny per-language stopword profiles (n-gram heuristic stand-in; the
+# interface is what matters — swap in real profiles for production).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["a", "an", "on", "at", "it", "as"]
+
+
+def _profile_score(tokens: Column, words: list[str]) -> Column:
+    out = F.lit(0)
+    for wd in words:
+        out = out + F.coalesce(F.array_contains(tokens, wd),
+                               F.lit(False)).cast("int")
+    return out
+
+
+def lang_id_expr(text_col: Column) -> Column:
+    """argmax over language profiles of stopword hits; ties and no-hits
+    resolve to 'und' then alphabetical (deterministic)."""
+    toks = tokenize(text_col)
+    scores = [(lang, _profile_score(toks, ws))
+              for lang, ws in sorted(LANG_PROFILES.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first alphabetical language achieving the max wins
+    for lang, s in reversed(scores):
+        pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
+    return F.when(best_score > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str,
+                     round_to: int = 6) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1] (heuristics in the spirit of C4/Gopher quality rules)."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    avg_token_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+        .cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    punct_ratio = F.when(n_chars > 0,
+                         n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_hits = _profile_score(toks, STOPWORDS_EN)
+    stop_ratio = F.when(n_tokens > 0,
+                        stop_hits.cast("double") / n_tokens).otherwise(0.0)
+    # composite: long enough, words not too long/short, little punctuation
+    length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((avg_token_len >= 2.0) & (avg_token_len <= 12.0),
+                        1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    quality = (length_ok + wordlen_ok + punct_ok) / F.lit(3.0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, round_to).alias("avg_token_len"),
+        F.round(punct_ratio, round_to).alias("punct_ratio"),
+        F.round(stop_ratio, round_to).alias("stopword_ratio"),
+        F.round(quality, round_to).alias("quality"))
+
+
+# BPE-ish pretokenizer: letter runs, digit runs, or single non-space symbols
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count (regex runs)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0))
+    return df.select(F.col(id_col).alias("id"),
+                     ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def fingerprint_expr(text_col: Column, k: int = 8) -> Column:
+    """Document fingerprint: min 60-bit hash over all k-char shingles of the
+    normalized text (the min-sampling step of winnowing). Rolling-hash
+    equivalent but engine-exact via salted md5."""
+    norm = F.regexp_replace(F.lower(text_col), "\\s+", " ")
+    n = F.length(norm)
+    shingles = F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                           lambda i: norm.substr(i, F.lit(k)))
+    return F.when(n >= k,
+                  F.array_min(F.transform(shingles, lambda s: hash60(s)))) \
+            .otherwise(hash60(norm))
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str,
+                 k: int = 8) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     fingerprint_expr(F.col(text_col), k).alias("fingerprint"))

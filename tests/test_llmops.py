@@ -1,0 +1,122 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+text analysis / multimodal plumbing)."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops import dedup as DD
+from rassengine_spark.llmops import multimodal as MM
+from rassengine_spark.llmops import similarity as SIM
+from rassengine_spark.llmops import text_analysis as TA
+
+
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog again and again", "en"),      # near dup of 1
+        (4, "completely different words about spark shuffles and parquet files", "en"),
+        (5, "el zorro marron salta sobre el perro perezoso", "es"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string, lang string")
+
+
+def test_exact_dedup(spark):
+    d = docs(spark)
+    groups = DD.exact_dup_groups(d, "text", "id").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["keeper_id"] == 1
+    kept = DD.exact_dedup(d, "text", "id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = DD.minhash_lsh_pairs(docs(spark), "text", "id",
+                                 shingle_n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0            # exact dup -> jaccard 1
+    assert (1, 3) in got and got[(1, 3)] > 0.5
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_simhash_near_for_near_dups(spark):
+    fp = {r["id"]: r["simhash"]
+          for r in DD.simhash_fingerprints(docs(spark), "text", "id").collect()}
+    assert fp[1] == fp[2]                # identical text -> identical simhash
+    ham = bin(fp[1] ^ fp[3]).count("1")
+    assert ham <= 4                      # near dup -> small hamming
+    far = bin(fp[1] ^ fp[4]).count("1")
+    assert far > ham                     # unrelated text is farther
+
+
+def test_ngram_jaccard_blocks(spark):
+    pairs = DD.ngram_jaccard_pairs(docs(spark), "text", "id", "lang",
+                                   n=2, threshold=0.3).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys and (1, 3) in keys
+    # doc 5 is in another block -> never compared
+    assert all(5 not in k for k in keys)
+
+
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0], 1),
+        (4, [0.95, 0.05, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, v array<double>, label int")
+
+
+def test_brute_force_topk(spark):
+    e = vecs(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v")
+    out = SIM.brute_force_topk(e.filter(F.col("vec_id") > 0), q,
+                               "v", "vec_id", "qid", k=2).collect()
+    assert [(r["id"], r["rank"]) for r in out] == [(4, 1), (1, 2)]
+
+
+def test_lsh_bucket_recall_on_close_vectors(spark):
+    e = vecs(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v")
+    out = SIM.lsh_bucketed_topk(e.filter(F.col("vec_id") > 0), q, "v",
+                                "vec_id", "qid", k=2, bits=2, dim=3).collect()
+    ids = [r["id"] for r in out]
+    assert 4 in ids or 1 in ids          # close vectors share the bucket
+    assert 3 not in ids                  # opposite vector lands elsewhere
+
+
+def test_embedding_near_pairs(spark):
+    out = DD.embedding_near_pairs_topn(vecs(spark), "v", "vec_id", "label",
+                                       top_n=2).collect()
+    assert (out[0]["id_a"], out[0]["id_b"]) == (0, 1)  # most similar in block
+
+
+def test_text_analysis_columns(spark):
+    d = docs(spark)
+    lang = {r["id"]: r["lang_pred"] for r in d.select(
+        F.col("id"), TA.lang_id_expr(F.col("text")).alias("lang_pred")).collect()}
+    assert lang[1] == "en" and lang[5] == "es"
+
+    q = {r["id"]: r for r in TA.quality_features(d, "text", "id").collect()}
+    assert q[1]["n_tokens"] == 12
+    assert q[1]["quality"] == 1.0
+    tc = {r["id"]: r for r in TA.token_counts(d, "text", "id").collect()}
+    assert tc[1]["ws_tokens"] == 12
+    fp = {r["id"]: r["fingerprint"]
+          for r in TA.fingerprints(d, "text", "id").collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+
+
+def test_multimodal_plumbing(spark):
+    media = MM.to_media_table(docs(spark), "id", "text")
+    feats = MM.decode_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id["1"]["n_bytes"] == by_id["2"]["n_bytes"]
+    # deterministic fake decode: same bytes -> same features
+    assert (by_id["1"]["width"], by_id["1"]["height"]) == \
+           (by_id["2"]["width"], by_id["2"]["height"])
+    assert all(r["width"] >= 16 for r in feats)
