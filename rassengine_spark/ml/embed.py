@@ -1,0 +1,87 @@
+"""S7/S8/M5: embedding generation — pluggable, Arrow-batched, deterministic
+by default.
+
+Reference: per-text HTTP calls to Ollama ``/embeddings`` batched 64 with
+concurrency 5 (app/main.py:225-263); empty text -> zero vector
+(app/main.py:227-228); L2-normalize before indexing and querying
+(app/main.py:1250-1251, 1536-1537) so cosine == dot.
+
+Spark-first: ``mapInPandas`` Arrow batches replace the manual batching and
+semaphore — parallelism comes from partitions, batch size from
+``spark.sql.execution.arrow.maxRecordsPerBatch``. The default embedder is a
+seeded hash n-gram projection (pure numpy, no services): deterministic across
+engines, so vector top-k is oracle-checkable; a real model (Ollama/HF) drops
+in by passing ``embed_fn`` with the same ``list[str] -> np.ndarray``
+contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EmbedFn = Callable[[list[str]], "np.ndarray"]   # (n texts) -> (n, dim)
+
+
+def hash_ngram_embedder(dim: int = 64, seed: int = 42,
+                        ngram: int = 3) -> EmbedFn:
+    """Deterministic stand-in for a text-embedding model: character n-grams
+    hashed (sha1, engine-independent) into `dim` buckets with +/-1 signs,
+    L2-normalized. Similar texts share n-grams -> high cosine, so near-dup
+    and topk semantics behave like a real embedding space."""
+
+    def embed(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for row, text in enumerate(texts):
+            t = (text or "").lower()
+            if not t.strip():
+                continue                     # zero vector (app/main.py:227)
+            padded = f" {t} "
+            for i in range(len(padded) - ngram + 1):
+                g = padded[i:i + ngram]
+                h = hashlib.sha1(f"{seed}:{g}".encode()).digest()
+                bucket = int.from_bytes(h[:4], "big") % dim
+                sign = 1.0 if h[4] & 1 else -1.0
+                out[row, bucket] += sign
+            n = float(np.linalg.norm(out[row]))
+            if n > 0:
+                out[row] /= (n + 1e-9)       # S8 (app/main.py:1250-1251)
+        return out
+
+    return embed
+
+
+def embed_query(text: str, embed_fn: EmbedFn | None = None,
+                dim: int = 64) -> list[float]:
+    """M5 single-query embedding (app/main.py:266-274)."""
+    fn = embed_fn or hash_ngram_embedder(dim)
+    return [float(x) for x in fn([text])[0]]
+
+
+def with_embeddings(df: DataFrame, text_col: str,
+                    embed_fn: EmbedFn | None = None, dim: int = 64,
+                    out_col: str = "embedding") -> DataFrame:
+    """Attach an embedding column via mapInPandas (Arrow batches).
+
+    The embed closure is shipped once per executor; each Arrow batch embeds
+    vectorized. At 100 TB this is the one place Python touches the corpus —
+    everything downstream (normalize, dot, topk) is JVM expressions.
+    """
+    fn = embed_fn or hash_ngram_embedder(dim)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, `{out_col}` array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = fn(pdf[text_col].fillna("").tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = [v.tolist() for v in vecs]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,92 @@
+"""Batch ingestion job (SURVEY.md §3.3): files -> parse -> chunk -> embed ->
+partitioned write.
+
+Reference lifecycle (POST /upload_data, app/embedding_gen.py:1256-1408):
+validate -> parse (.json FHIR / .md / .txt) -> chunk -> embed (Ollama,
+batch 64, concurrency 5) -> L2 normalize -> bulk index with
+``_id=doc_id`` (idempotent upsert) and ``_routing=patientId``.
+
+Spark mapping: one declarative job. The per-request concurrency knobs
+disappear into partition parallelism; the idempotent-upsert becomes
+overwrite-by-key (anti-join + union append on plain parquet; MERGE on
+Delta). Writes partition by ``user_id`` — the per-user-index analog
+(app/main.py:346-347) — so every per-user query prunes to one partition;
+``patientId`` stays a sort-within-partition key, the ``_routing`` analog
+(app/main.py:1230).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.embed import EmbedFn, with_embeddings
+from ..sources.fhir import parse_fhir
+from ..sources.textfiles import (list_ingest_paths, read_text_files,
+                                 text_chunk_documents)
+
+
+def ingest_directory(spark: SparkSession, root: str, user_id: str,
+                     chunk_size: int = 512, embed_fn: EmbedFn | None = None,
+                     dim: int = 64) -> tuple[DataFrame, DataFrame]:
+    """S5 + S1-S8: directory -> (documents, chunks-with-embeddings)."""
+    paths = list_ingest_paths(root)
+    docs = chunks = None
+    if paths["json"]:
+        raw = (spark.read.text(paths["json"], wholetext=True)
+               .select(F.lit(user_id).alias("user_id"),
+                       F.input_file_name().alias("file_path"),
+                       F.col("value").alias("content")))
+        docs, chunks = parse_fhir(raw, chunk_size)
+    if paths["text"]:
+        tchunks = text_chunk_documents(
+            read_text_files(spark, paths["text"], user_id), chunk_size)
+        chunks = tchunks if chunks is None else chunks.unionByName(tchunks)
+    if docs is None:
+        from ..schemas import DOCUMENTS_SCHEMA
+        docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    if chunks is None:
+        from ..schemas import CHUNKS_SCHEMA
+        chunks = spark.createDataFrame(
+            [], CHUNKS_SCHEMA).drop("embedding")
+    chunks = with_embeddings(chunks, "unstructuredText", embed_fn, dim)
+    return docs, chunks
+
+
+def upsert_parquet(df: DataFrame, path: str, key_col: str = "doc_id",
+                   partition_col: str | None = "user_id") -> None:
+    """S9 idempotent write: new rows replace same-key rows (the reference's
+    ``_id=doc_id`` index semantics, app/main.py:1228). Plain-parquet
+    implementation: anti-join existing data against incoming keys, union,
+    rewrite. On Delta this is a single MERGE; the API is the seam."""
+    spark = df.sparkSession
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(df.select(key_col).distinct(), key_col,
+                             "left_anti")
+        # materialize before overwrite — the plan must not lazily re-read
+        # the very path it is about to truncate
+        df = keep.unionByName(df, allowMissingColumns=True).localCheckpoint()
+    writer = df.write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+
+
+def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,
+               chunk_size: int = 512, embed_fn: EmbedFn | None = None,
+               dim: int = 64) -> dict[str, int]:
+    """Full S1-S10 job; returns row counts per table."""
+    docs, chunks = ingest_directory(spark, root, user_id, chunk_size,
+                                    embed_fn, dim)
+    upsert_parquet(docs, os.path.join(out_dir, "documents"))
+    upsert_parquet(chunks, os.path.join(out_dir, "chunks"))
+    out = {
+        "documents": spark.read.parquet(
+            os.path.join(out_dir, "documents")).count(),
+        "chunks": spark.read.parquet(
+            os.path.join(out_dir, "chunks")).count(),
+    }
+    return out

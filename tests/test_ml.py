@@ -1,0 +1,117 @@
+"""Tests for ml/: deterministic embedder (S7/S8), intent router (M1),
+NER + filter compilation (M2/P2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rassengine_spark.ml.embed import (embed_query, hash_ngram_embedder,
+                                       with_embeddings)
+from rassengine_spark.ml.intent import INTENT_CATEGORIES, classify_intent
+from rassengine_spark.ml.ner import entities_to_filter, ner_filter, tag_entities
+
+
+# ------------------------------------------------------------ embedder
+def test_embedder_deterministic_and_normalized():
+    fn = hash_ngram_embedder(dim=32)
+    a = fn(["hypertension treatment", "hypertension treatment", ""])
+    assert np.allclose(a[0], a[1])
+    assert abs(float(np.linalg.norm(a[0])) - 1.0) < 1e-3
+    assert np.all(a[2] == 0)            # empty -> zero vector (S7)
+
+
+def test_embedder_similarity_ordering():
+    fn = hash_ngram_embedder(dim=64)
+    v = fn(["the patient has severe hypertension",
+            "the patient has severe hypotension",
+            "quarterly revenue grew nine percent"])
+    near = float(np.dot(v[0], v[1]))
+    far = float(np.dot(v[0], v[2]))
+    assert near > far                   # shared n-grams -> higher cosine
+
+
+def test_with_embeddings_mapinpandas(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", None)], "id string, txt string")
+    out = with_embeddings(df, "txt", dim=16).collect()
+    by_id = {r.id: r.embedding for r in out}
+    assert len(by_id["a"]) == 16
+    assert all(x == 0.0 for x in by_id["b"])   # null -> zero vector
+    # matches the driver-side embedder exactly (oracle property)
+    assert by_id["a"] == pytest.approx(embed_query("hello world", dim=16))
+
+
+# ------------------------------------------------------------ intent (M1)
+@pytest.mark.parametrize("query,expected", [
+    # straight from the reference few-shot examples (app/main.py:2189-2230)
+    ("What are the symptoms of diabetes?", "EXPLANATORY"),
+    ("Fetch the medical records for patient John Doe.", "DOCUMENT_FETCH"),
+    ("How many patients have hypertension?", "AGGREGATE"),
+    ("Compare the outcomes of heart surgery vs. medication.", "COMPARISON"),
+    ("Show me trends in blood pressure for patient 123 over time.",
+     "TEMPORAL"),
+    ("Find patients with heart disease.", "HYBRID"),
+    ("Get details for patient Jane Smith.", "ENTITY_SPECIFIC"),
+    ("Search for diabetes treatment options.", "SEMANTIC"),
+    ("List all procedures with CPT code 99213.", "STRUCTURED"),
+    ("Look up ICD-10 code I21.", "KEYWORD"),
+    ("Explain the procedure for knee replacement and list patients who "
+     "had it.", "MULTI_INTENT"),
+])
+def test_intent_examples(query, expected):
+    assert classify_intent(query) == expected
+
+
+def test_intent_always_valid_label():
+    for q in ["", "xyzzy", "weather tomorrow?", "find stuff"]:
+        assert classify_intent(q) in INTENT_CATEGORIES
+
+
+# ------------------------------------------------------------ NER (M2/P2)
+def test_tag_entities_codes_and_person():
+    ents = {e.label: e.text for e in
+            tag_entities("Give me all patients with ICD-10 code E11 "
+                         "for Julian140 Stamm")}
+    assert ents["ICD10_CODE"] == "E11"
+    assert ents["PERSON"].startswith("Julian140")
+
+
+def test_tag_entities_condition_and_date():
+    ents = {e.label: e.text
+            for e in tag_entities("hypertension onset 2020-03-04 severe")}
+    assert ents["CONDITION"] == "hypertension"
+    assert ents["DATE"] == "2020-03-04"
+    assert ents["SEVERITY"] == "severe"
+
+
+def test_ner_filter_applies(spark):
+    df = spark.createDataFrame(
+        [("d1", "Hypertension", None), ("d2", "Diabetes", None),
+         ("d3", None, "Lisinopril")],
+        "doc_id string, conditionCodeText string, "
+        "medRequestMedicationDisplay string")
+    flt = ner_filter("patients with hypertension")
+    assert flt is not None
+    assert [r.doc_id for r in df.filter(flt).collect()] == ["d1"]
+    assert ner_filter("nothing recognizable here") is None
+
+
+def test_date_filter_over_mapped_fields(spark):
+    from rassengine_spark.ml.ner import Entity
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("d1", dt.datetime(2020, 3, 4, 10), None),
+         ("d2", None, dt.datetime(2020, 3, 4, 8)),
+         ("d3", dt.datetime(2021, 1, 1), None)],
+        "doc_id string, conditionOnsetDateTime timestamp, "
+        "encounterStart timestamp")
+    # only the two date fields present in this frame
+    flt = entities_to_filter([Entity("2020-03-04", "DATE")])
+    # filter references all 6 mapped fields; restrict frame accordingly
+    df = (df.withColumn("observationIssued", F.lit(None).cast("timestamp"))
+            .withColumn("medRequestAuthoredOn", F.lit(None).cast("timestamp"))
+            .withColumn("procedurePerformedDateTime",
+                        F.lit(None).cast("timestamp"))
+            .withColumn("allergyOnsetDateTime", F.lit(None).cast("timestamp")))
+    got = sorted(r.doc_id for r in df.filter(flt).collect())
+    assert got == ["d1", "d2"]

@@ -1,0 +1,173 @@
+"""End-to-end pipeline tests: text/markdown sources (S3/S4), batch ingest
+with idempotent upsert (S9), the /ask lifecycle (§3.1), streaming ingest."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rassengine_spark.pipeline.ask import AskPipeline
+from rassengine_spark.pipeline.ingest import run_ingest, upsert_parquet
+from rassengine_spark.sources.textfiles import (markdown_to_text,
+                                                patient_id_from_path,
+                                                read_text_files,
+                                                text_chunk_documents)
+from tests.test_fhir import BUNDLE
+
+
+# ------------------------------------------------------------ S3/S4
+def test_markdown_to_text(spark):
+    md = ("# Visit Note\n\n**Patient** has *severe* `hypertension`.\n\n"
+          "- item one\n- [link label](http://x)\n\n```\ncode here\n```\n")
+    out = (spark.range(1).select(markdown_to_text(F.lit(md)).alias("t"))
+           .first().t)
+    assert out == ("Visit Note Patient has severe hypertension. "
+                   "item one link label code here")
+
+
+def test_patient_id_from_path(spark):
+    df = spark.createDataFrame(
+        [("/up/patient_42_notes.txt",), ("/up/readme.txt",)], "p string")
+    got = [r[0] for r in
+           df.select(patient_id_from_path(F.col("p"))).collect()]
+    assert got == ["42", None]
+
+
+def test_text_chunk_documents(spark, tmp_path):
+    (tmp_path / "patient_7_note.txt").write_text(
+        " ".join(f"w{i}" for i in range(12)))
+    (tmp_path / "summary.md").write_text("# Title\n\nBody **text** here.")
+    files = read_text_files(spark, str(tmp_path), "u1")
+    chunks = text_chunk_documents(files, chunk_size=5).collect()
+    by_doc = {r.doc_id: r for r in chunks}
+    # 12 words / 5 -> 3 chunks for the txt file
+    txt = [r for r in chunks if r.file_type == "txt"]
+    assert len(txt) == 3 and txt[0].patientId == "7"
+    assert all(len(r.unstructuredText.split()) <= 5 for r in chunks)
+    md = [r for r in chunks if r.file_type == "markdown"]
+    assert md[0].unstructuredText == "Title Body text here."
+    assert md[0].patientId is None
+    assert "patient_7_note-0-unstructured" in by_doc
+
+
+# ------------------------------------------------------------ ingest job
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("uploads")
+    (root / "patient_1_bundle.json").write_text(json.dumps(BUNDLE))
+    (root / "patient_1_history.txt").write_text(
+        "Patient reports chronic headaches since 2019. "
+        "Treated with ibuprofen as needed.")
+    out = tmp_path_factory.mktemp("warehouse")
+    counts = run_ingest(spark, str(root), "u1", str(out), chunk_size=64,
+                        dim=16)
+    return root, out, counts
+
+
+def test_run_ingest_counts(spark, corpus_dir):
+    _, out, counts = corpus_dir
+    assert counts["documents"] == 9          # 9 handled resources
+    assert counts["chunks"] >= 3             # narratives + notes + txt file
+    chunks = spark.read.parquet(str(out / "chunks"))
+    row = chunks.filter(F.col("file_type") == "txt").first()
+    assert row.patientId == "1"              # filename inference
+    assert len(row.embedding) == 16
+    # user_id partition pruning survives the write
+    assert chunks.select("user_id").distinct().first()[0] == "u1"
+
+
+def test_upsert_is_idempotent(spark, corpus_dir):
+    root, out, counts = corpus_dir
+    # re-ingest the same directory: same keys -> same counts (S9 _id upsert)
+    again = run_ingest(spark, str(root), "u1", str(out), chunk_size=64,
+                       dim=16)
+    assert again == counts
+
+
+def test_upsert_replaces_same_key(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    upsert_parquet(df1, p, partition_col=None)
+    df2 = spark.createDataFrame([("b", 2), ("c", 2)], "doc_id string, v int")
+    upsert_parquet(df2, p, partition_col=None)
+    got = {r.doc_id: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2}
+
+
+# ------------------------------------------------------------ /ask (§3.1)
+@pytest.fixture(scope="module")
+def pipeline(spark, corpus_dir):
+    _, out, _ = corpus_dir
+    docs = spark.read.parquet(str(out / "documents"))
+    chunks = spark.read.parquet(str(out / "chunks"))
+    chats = spark.createDataFrame(
+        [("chat1", "u1", "t")], "id string, userId string, title string")
+    import datetime as dt
+    messages = spark.createDataFrame(
+        [("m1", "chat1", "user", "hi", dt.datetime(2024, 1, 1, 0, 0, 0)),
+         ("m2", "chat1", "assistant", "hello",
+          dt.datetime(2024, 1, 1, 0, 0, 1))],
+        "id string, chatId string, role string, content string, "
+        "createdAt timestamp")
+    return AskPipeline(docs, chunks, chats, messages, dim=16)
+
+
+def test_ask_aggregate(pipeline):
+    res = pipeline.ask("How many patients have hypertension?", "u1")
+    assert res.intent == "AGGREGATE"
+    assert ("Hypertension", 1) in res.aggregations["conditionCodeText"]
+    # the CONDITION entity filter (P2) restricts all three aggregations,
+    # matching the reference where filter_clause wraps the whole agg query
+    assert res.aggregations["resourceType"] == [("Condition", 1)]
+    assert res.aggregations["patientId"] == [("p1", 1)]
+
+
+def test_ask_entity_specific(pipeline):
+    res = pipeline.ask("Get details for patient Julian Q Stamm", "u1")
+    assert res.intent == "ENTITY_SPECIFIC"
+    rows = res.hits.collect()
+    assert rows and rows[0].patientName == "Julian Q Stamm"
+    assert "Julian" in res.answer            # context echoed by default LLM
+
+
+def test_ask_semantic_hits_chunks(pipeline):
+    res = pipeline.ask("Search for headache treatment options", "u1")
+    assert res.intent == "SEMANTIC"
+    assert res.hits.count() > 0
+    assert all(r.doc_type == "unstructured" for r in res.hits.collect())
+
+
+def test_ask_auth_and_validation(pipeline):
+    with pytest.raises(ValueError):
+        pipeline.ask("   ", "u1")
+    with pytest.raises(PermissionError):
+        pipeline.ask("anything goes", "intruder", chat_id="chat1")
+    # owner passes auth and sees history
+    assert pipeline.chat_history("chat1") == "user: hi\nassistant: hello"
+
+
+def test_ask_ner_filter_routes(pipeline):
+    # CONDITION entity restricts hits to hypertension docs (P2)
+    res = pipeline.ask("Find patients with hypertension", "u1")
+    assert res.intent == "HYBRID"
+    for r in res.hits.collect():
+        assert (r.conditionCodeText or "").lower() == "hypertension" \
+            or r.doc_type == "unstructured"
+
+
+# ------------------------------------------------------------ streaming
+def test_streaming_ingest(spark, tmp_path):
+    from rassengine_spark.streaming.ingest import stream_fhir_uploads
+    up = tmp_path / "uploads"
+    up.mkdir()
+    (up / "patient_1_bundle.json").write_text(json.dumps(BUNDLE))
+    out = tmp_path / "wh"
+    ckpt = tmp_path / "ckpt"
+    q = stream_fhir_uploads(spark, str(up), str(out), str(ckpt),
+                            chunk_size=64, dim=16)
+    q.awaitTermination(120)
+    docs = spark.read.parquet(str(out / "documents"))
+    assert docs.count() == 9
+    chunks = spark.read.parquet(str(out / "chunks"))
+    assert chunks.count() >= 2
+    assert len(chunks.first().embedding) == 16
