@@ -655,8 +655,13 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_minhash() -> str:
+    # Carter-Wegman family matching dedup.minhash_signature: one md5 per
+    # shingle split into two 48-bit halves, hash_i = (h1 + i*h2) mod 2^31-1
+    h1 = "CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)"
     sig_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> {_sql_hash60('s', i)})) AS s{i}"
+        f"list_min(list_transform(sh, s -> ({h1} + {i} * {h2}) % 2147483647))"
+        f" AS s{i}"
         for i in range(16))
     band_selects = " UNION ALL ".join(
         "SELECT id, sh, {b} AS band, md5(concat_ws(',', {parts})) AS key "

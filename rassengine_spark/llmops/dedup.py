@@ -66,18 +66,43 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------- minhash
-def _salted_hasher(i: int):
-    # single-parameter closure: a two-parameter lambda would make
-    # F.transform pass the ARRAY INDEX as the second argument
-    return lambda s: hash60(s, i)
+# Carter-Wegman family: one md5 per shingle split into two 48-bit halves
+# (h1, h2); hash_i = (h1 + i*h2) mod p. 16x fewer md5 evaluations than
+# salting per index — md5 inside a higher-order function is interpreted
+# (not codegen), so it dominates minhash cost. i*h2 < 16*2^48 stays far
+# under bigint overflow; p = 2^31-1 mixes the family.
+_MINHASH_P = 2147483647
+
+
+def _shingle_h12(shingles: Column) -> Column:
+    """array<struct<h1,h2>>: the two 48-bit md5 halves per shingle."""
+    def halves(s: Column) -> Column:
+        hx = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(hx, 1, 12), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(hx, 13, 12), 16, 10).cast("bigint").alias("h2"))
+    return F.transform(shingles, halves)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """K-wide minhash signature: sig[i] = min over shingles of the i-salted
-    60-bit hash. Per-row expression — zero shuffle at any scale."""
-    sigs = [F.array_min(F.transform(shingles, _salted_hasher(i)))
-            for i in range(num_hashes)]
-    return F.array(*sigs)
+    """K-wide minhash signature: sig[i] = min over shingles of
+    (h1 + i*h2) mod p. Per-row expression — zero shuffle at any scale.
+
+    Built as ONE aggregate pass with a K-wide accumulator: higher-order
+    lambdas are interpreted (not codegen), so per-invocation overhead
+    dominates — K separate array_min(transform(...)) passes cost K×|sh|
+    lambda invocations vs |sh| here."""
+    h12 = _shingle_h12(shingles)
+
+    def step(acc: Column, x: Column) -> Column:
+        vals = F.array(*[(x["h1"] + F.lit(i) * x["h2"]) % _MINHASH_P
+                         for i in range(num_hashes)])
+        return F.zip_with(acc, vals, lambda a, v: F.least(a, v))
+
+    return F.aggregate(
+        h12,
+        F.array_repeat(F.lit(_MINHASH_P).cast("bigint"), num_hashes),
+        step)
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -106,22 +131,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     and/or dropping buckets above a size cap (frequent-shingle stopwording).
     """
     rows = num_hashes // bands
-    base = (df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), shingle_n).alias("sh"))
-              .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-              .withColumn("bk", band_keys(F.col("sig"), bands, rows))
-              .select("id", "sh", F.posexplode("bk").alias("band", "key")))
-    left = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                       "band", "key")
-    right = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                        "band", "key")
-    cand = (left.join(right, ["band", "key"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", "sh_a", "sh_b")
-                .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn(
-                "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")),
-                                   round_to))
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), shingle_n).alias("sh")) \
+           .cache()
+    # materialize signatures before banding: Catalyst's projection collapse
+    # would otherwise inline the whole signature expression into every
+    # element_at(sig, ...) inside band_keys — a K× expression blowup,
+    # re-evaluated again on each side of the self-join
+    sig_df = (sh.withColumn("sig",
+                            minhash_signature(F.col("sh"), num_hashes))
+                .select("id", "sig")).cache()
+    # banding carries ONLY (id, band, key): the shingle arrays would
+    # otherwise ride through the shuffle twice and the pair-dedup once
+    banded = (sig_df.withColumn("bk", band_keys(F.col("sig"), bands, rows))
+                    .select("id", F.posexplode("bk").alias("band", "key")))
+    cand = (banded.join(banded.select(F.col("id").alias("id_b"),
+                                      "band", "key"), ["band", "key"])
+                  .filter(F.col("id") < F.col("id_b"))
+                  .select(F.col("id").alias("id_a"), "id_b")
+                  .distinct())
+    # verify: re-join the (small) candidate set to the shingle arrays
+    return (cand.join(sh.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+                .join(sh.select(F.col("id").alias("id_b"),
+                                F.col("sh").alias("sh_b")), "id_b")
+                .withColumn("jaccard",
+                            F.round(jaccard(F.col("sh_a"), F.col("sh_b")),
+                                    round_to))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
 
@@ -137,18 +173,23 @@ def simhash32(col: Column) -> Column:
     toks = F.array_distinct(
         F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""))
     hs = F.transform(toks, lambda t: hash60(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                hs, F.lit(0).cast("bigint"),
-                lambda acc, h: acc + F.when(
-                    h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
-            ) > 0, F.lit(1 << j)).otherwise(0)
-        for j in range(32)
-    ]
+
+    # single aggregate pass: the accumulator is the 32-vector of signed bit
+    # counts (one array traversal; 32 separate F.aggregate calls would
+    # re-walk the token array per bit, interpreted)
+    def add_bits(acc: Column, h: Column) -> Column:
+        contrib = F.array(*[
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for j in range(32)])
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    counts = F.aggregate(
+        hs, F.array_repeat(F.lit(0).cast("bigint"), 32), add_bits)
     out = F.lit(0).cast("bigint")
-    for b in bits:
-        out = out + b
+    for j in range(32):
+        out = out + F.when(F.element_at(counts, j + 1) > 0,
+                           F.lit(1 << j)).otherwise(0)
     return out
 
 
@@ -187,42 +228,89 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, n: int = 2, threshold: float = 0.2,
                         round_to: int = 6) -> DataFrame:
-    """Exact pairwise word-n-gram Jaccard within blocks (e.g. language).
-    Blocking bounds the quadratic pair space; at 100 TB the block must come
-    from LSH or metadata, never a full cross join."""
+    """Exact pairwise word-n-gram Jaccard within blocks (e.g. language),
+    via an inverted shingle index: explode shingles, self-join on
+    (block, shingle) to COUNT intersections, then derive Jaccard from
+    |A∩B| and the two set sizes. Pairs sharing zero shingles never
+    materialize (they cannot pass any threshold > 0).
+
+    Scale: the blocked pairwise plan evaluates |block|² array
+    intersections (interpreted, quadratic); this plan shuffles one row per
+    (pair, shared shingle) through a codegen hash-aggregate — linear in
+    the true overlap. Hot shingles (boilerplate) are the skew risk: AQE
+    splits them, and a frequency cap on the inverted index is the
+    standard mitigation when they dominate."""
     base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                      word_shingles(F.col(text_col), n).alias("sh"))
-    left = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                       "blk")
-    right = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                        "blk")
-    return (left.join(right, "blk")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .withColumn("jaccard",
-                            F.round(jaccard(F.col("sh_a"), F.col("sh_b")),
-                                    round_to))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    # inverted index cached once (the self-join would recompute the
+    # interpreted shingle transform on both sides); the join key is
+    # xxhash64(block, shingle) — codegen bigint compares instead of string
+    # compares; a 64-bit collision inflating a count is ~2^-64 per pair
+    inv = (base.select("id", "blk", F.explode("sh").alias("s"))
+               .select("id", F.xxhash64("blk", "s").alias("k"))).cache()
+    inter = (inv.join(inv.select(F.col("id").alias("id_b"), "k"), "k")
+                .filter(F.col("id") < F.col("id_b"))
+                .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
+                .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.join(sizes.select(F.col("id").alias("id_a"),
+                                    F.col("sz").alias("sz_a")), "id_a")
+                 .join(sizes.select(F.col("id").alias("id_b"),
+                                    F.col("sz").alias("sz_b")), "id_b")
+                 .withColumn(
+                     "jaccard",
+                     F.round(F.col("inter").cast("double")
+                             / (F.col("sz_a") + F.col("sz_b")
+                                - F.col("inter")).cast("double"), round_to))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------- embedding
 def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
                               block_col: str, top_n: int = 20,
                               round_to: int = 6) -> DataFrame:
-    """Top-N most-similar pairs by cosine (dot of normalized vectors is
-    assumed; we compute raw cosine) within blocks. Blocked self-join keeps
-    the pair space linear-ish; the global top-N is TakeOrderedAndProject."""
-    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-                     F.col(vec_col).alias("v"))
-    left = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                       "blk")
-    right = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                        "blk")
-    return (left.join(right, "blk")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .withColumn("cos", F.round(cosine(F.col("v_a"),
-                                                  F.col("v_b")), round_to))
-                .orderBy(F.col("cos").desc(), F.col("id_a").asc(),
-                         F.col("id_b").asc())
-                .limit(top_n)
-                .select("id_a", "id_b", "cos"))
+    """Top-N most-similar pairs by cosine within blocks.
+
+    Per-block pairwise cosine as a numpy gram matrix inside applyInPandas:
+    a blocked DataFrame self-join evaluates |block|² interpreted
+    zip_with/aggregate lambdas — the matrix multiply is ~100x faster and
+    Arrow moves each block's vectors into Python exactly once. Per-block
+    top-N candidates then reduce to the global top-N via
+    TakeOrderedAndProject. Scale: one shuffle on the block key (this IS the
+    IVF pattern — block = coarse quantizer cell); block skew is the risk,
+    handled upstream by choosing finer blocks."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids = pdf["_id"].to_numpy()
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        denom = np.outer(norms, norms) + 1e-9     # cosine eps (vector.cosine)
+        cos = np.round((m @ m.T) / denom, round_to)
+        iu, ju = np.triu_indices(n, k=1)
+        # id_a < id_b ordering regardless of input row order
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        out = pd.DataFrame({"id_a": a, "id_b": b, "cos": cos[iu, ju]})
+        # per-block cut uses the GLOBAL tiebreak (cos desc, id_a, id_b) so
+        # boundary ties survive to the final TakeOrdered exactly
+        return out.sort_values(["cos", "id_a", "id_b"],
+                               ascending=[False, True, True]).head(top_n)
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(block_col).alias("_blk"),
+                     F.col(vec_col).alias("_v"))
+    per_block_top = base.groupBy("_blk").applyInPandas(per_block, out_schema)
+    return (per_block_top
+            .orderBy(F.col("cos").desc(), F.col("id_a").asc(),
+                     F.col("id_b").asc())
+            .limit(top_n))
