@@ -944,6 +944,247 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- wave 5
+# Relational breadth (multi-join, semi-join, analytic windows) + batch-mode
+# streaming analytics (sessionization, tumbling windows) + reference
+# ingestion/serving ops as rows-only entries.
+
+from rassengine_spark.operators.windows import (running_total, session_stats,
+                                                tumbling_counts)
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: revenue per nation for one region — 6-table join.
+    region/nation/supplier/customer broadcast (small dims); orders-lineitem
+    shuffle on orderkey; the c_nationkey = s_nationkey predicate is the
+    classic local-supplier co-location filter."""
+    t = load_tables(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    nations = (t["nation"]
+               .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+                     F.col("n_regionkey") == F.col("r_regionkey")))
+    return (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev.cast("decimal(20,6)")).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def _q_j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: name->ids resolution then semi-join (the reference's two-step
+    patient-name flow, app/main.py:2775-2778 -> 2884). Resolved keys stay a
+    DataFrame — Catalyst turns the left_semi into a broadcast semi-join and
+    dynamic partition pruning would prune a partitioned fact at scale."""
+    t = load_tables(spark, sf_dir)
+    resolved = (t["customer"]
+                .filter(F.col("c_name").like("Customer#00000000%"))
+                .select("c_custkey"))
+    return (t["orders"]
+            .join(resolved, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .orderBy("o_orderstatus"))
+
+
+_SQL_J1_SEMI = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_name LIKE 'Customer#00000000%')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _q_j2_content_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: hit -> original content fetch by key (the reference re-reads the
+    uploaded file for each matched doc, app/main.py:2828-2844). Here: top
+    embeddings rows joined back to their documents' text metadata."""
+    t = load_tables(spark, sf_dir)
+    hits = t["embeddings"].filter(F.col("vec_id") % 100 == 0) \
+                          .select("vec_id", "label")
+    return (hits.join(t["documents"],
+                      F.col("vec_id") == F.col("doc_id"))
+                .select("doc_id", "label", "lang", "n_chars")
+                .orderBy("doc_id"))
+
+
+_SQL_J2_CONTENT = """
+SELECT doc_id, label, lang, n_chars
+FROM embeddings JOIN documents ON vec_id = doc_id
+WHERE vec_id % 100 = 0 ORDER BY doc_id
+"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events stream table —
+    Structured Streaming session_window semantics in batch."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return session_stats(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts per event type — the batch
+    twin of the streaming groupBy(window(ts, '1 hour'), type).count()."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return tumbling_counts(ev, "ts", "event_type", "1 hour")
+
+
+_SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit rows frame: per-customer running
+    order value, restricted to the first 100 customers to keep result size
+    bounded."""
+    orders = load_tables(spark, sf_dir)["orders"] \
+        .filter(F.col("o_custkey") < 100)
+    return (running_total(orders, "o_custkey", "o_orderdate", "o_orderkey",
+                          "o_totalprice")
+            .select("o_custkey", "o_orderkey", "running_total"))
+
+
+_SQL_ORDERS_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders WHERE o_custkey < 100
+"""
+
+
+# -- rows-only entries (non-SQL-expressible in DuckDB: RE2 has no pattern
+# backreferences for markdown emphasis; FHIR parse / intent rules / sha1
+# embedder are engine library code). The driver records count+schema.
+
+_FHIR_SAMPLE_USERS = 3
+
+
+def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
+    synthetic bundles derived from the documents table."""
+    import json as _json
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(_FHIR_SAMPLE_USERS)
+    rows = docs.select("doc_id", "text").collect()
+    bundles = [
+        ("u%d" % r["doc_id"], "bundle_%d.json" % r["doc_id"], _json.dumps({
+            "resourceType": "Bundle", "type": "collection", "entry": [
+                {"resource": {"resourceType": "Patient", "id": str(r["doc_id"]),
+                              "name": [{"family": "Doe", "given": ["P%d" % r["doc_id"]]}],
+                              "gender": "female",
+                              "text": {"status": "generated",
+                                       "div": f"<div>{r['text'][:120]}</div>"}}},
+                {"resource": {"resourceType": "Condition", "id": f"c{r['doc_id']}",
+                              "subject": {"reference": f"Patient/{r['doc_id']}"},
+                              "code": {"text": "Hypertension"},
+                              "note": [{"text": r["text"][:80]}]}},
+            ]}))
+        for r in rows]
+    from rassengine_spark.sources.fhir import parse_fhir
+    raw = spark.createDataFrame(
+        bundles, "user_id string, file_path string, content string")
+    sdocs, chunks = parse_fhir(raw, chunk_size=32)
+    return (sdocs.select("doc_id", "resourceType", "patientId",
+                         "patientName", "conditionCodeText")
+                 .orderBy("doc_id"))
+
+
+def _q_s3_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: markdown -> plaintext strip over markdown synthesized from the
+    documents table (headings/bold/code/links added deterministically)."""
+    from rassengine_spark.sources.textfiles import markdown_to_text
+    docs = load_tables(spark, sf_dir)["documents"]
+    md = F.concat(F.lit("# Doc\n\n**"),
+                  F.substring("text", 1, 60),
+                  F.lit("** with [a link](http://x) and `code`.\n"))
+    return (docs.select("doc_id", markdown_to_text(md).alias("plain"))
+                .orderBy("doc_id"))
+
+
+def _q_m1_intent_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: the rule-based intent router over a fixed query workload
+    (deterministic; mirrors the reference's 12 intent labels)."""
+    from rassengine_spark.ml.intent import classify_intent
+    workload = [
+        "What are the symptoms of diabetes?",
+        "Fetch the medical records for patient John Doe.",
+        "How many patients have hypertension?",
+        "Compare the outcomes of heart surgery vs. medication.",
+        "Show me trends in blood pressure for patient 123 over time.",
+        "Find patients with heart disease.",
+        "Get details for patient Jane Smith.",
+        "Search for diabetes treatment options.",
+        "List all procedures with CPT code 99213.",
+        "Look up ICD-10 code I21.",
+    ]
+    rows = [(q, classify_intent(q)) for q in workload]
+    return spark.createDataFrame(rows, "query string, intent string")
+
+
+def _q_s7_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8: deterministic hash-ngram embedder over mapInPandas (Arrow
+    batches), L2-normalized; returns per-doc norm and first component."""
+    from rassengine_spark.ml.embed import with_embeddings
+    from rassengine_spark.functions.vector import l2_norm
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    emb = with_embeddings(docs, "text", dim=16)
+    return (emb.select("doc_id",
+                       F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
+                       F.round(F.element_at("embedding", 1), 4).alias("e0"))
+               .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": _q_tpch_q1,
@@ -979,6 +1220,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "mm_binary_metadata": _q_mm_metadata,
+        "tpch_q5_region_revenue": _q_tpch_q5,
+        "j1_semi_join_resolved": _q_j1_semi_join,
+        "j2_content_join": _q_j2_content_join,
+        "events_sessionize": _q_events_sessionize,
+        "events_tumbling_counts": _q_events_tumbling,
+        "orders_running_total": _q_orders_running_total,
+        "s1_fhir_parse": _q_s1_fhir_parse,
+        "s3_markdown_strip": _q_s3_markdown_strip,
+        "m1_intent_route": _q_m1_intent_route,
+        "s7_embed_hash_ngram": _q_s7_embed,
     }
 
 
@@ -1017,4 +1268,15 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKENS,
         "text_fingerprint": _sql_text_fingerprint(),
         "mm_binary_metadata": _SQL_MM_METADATA,
+        "tpch_q5_region_revenue": _SQL_TPCH_Q5,
+        "j1_semi_join_resolved": _SQL_J1_SEMI,
+        "j2_content_join": _SQL_J2_CONTENT,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "events_tumbling_counts": _SQL_EVENTS_TUMBLING,
+        "orders_running_total": _SQL_ORDERS_RUNNING,
+        # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
+        # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
+        # backreferences for the markdown emphasis regexes, and the FHIR
+        # parser / intent rules / sha1-based embedder are engine library
+        # code with no SQL twin. The driver records count+schema for these.
     }

@@ -45,3 +45,66 @@ def capped_set_per_key(df: DataFrame, key_col: str, item_col: str,
     return (df.groupBy(key_col)
               .agg(F.slice(F.array_sort(F.collect_set(F.col(item_col))),
                            1, cap).alias("items")))
+
+
+def sessionize(df: DataFrame, key_col: str, time_col: str, id_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    key's previous event exceeds `gap_seconds` — Structured Streaming's
+    ``session_window`` semantics, computed in batch via lag + running sum.
+
+    Scale: one shuffle on the key; both windows share the same
+    (key, time, id) ordering so Spark evaluates them in a single Window
+    physical node — no second sort."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc())
+    prev = F.lag(F.col(time_col)).over(w)
+    # exact microsecond arithmetic: casting to seconds would truncate the
+    # fraction and flip borderline gap comparisons
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev))
+           > gap_seconds * 1_000_000), 1).otherwise(0)
+    sess_idx = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("session_idx", sess_idx)
+
+
+def session_stats(df: DataFrame, key_col: str, time_col: str, id_col: str,
+                  gap_seconds: int = 1800) -> DataFrame:
+    """Per-session aggregate over sessionize(): event count, start/end,
+    duration in seconds."""
+    s = sessionize(df, key_col, time_col, id_col, gap_seconds)
+    return (s.groupBy(key_col, "session_idx")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min(time_col).alias("session_start"),
+                  F.max(time_col).alias("session_end"),
+                  ((F.unix_micros(F.max(F.col(time_col)))
+                    - F.unix_micros(F.min(F.col(time_col))))
+                   / F.lit(1_000_000)).cast("bigint")
+                  .alias("duration_sec")))
+
+
+def tumbling_counts(df: DataFrame, time_col: str, group_col: str,
+                    width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts — the batch twin of
+    ``groupBy(window(ts, width), type).count()`` in Structured Streaming
+    (the same expression runs under readStream with a watermark)."""
+    return (df.groupBy(F.window(F.col(time_col), width).alias("w"),
+                       F.col(group_col))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("window_start"),
+                      group_col, "n"))
+
+
+def running_total(df: DataFrame, key_col: str, time_col: str, id_col: str,
+                  value_col: str, dec: str = "decimal(18,2)") -> DataFrame:
+    """Per-key running sum ordered by (time, id) — an analytic window with a
+    rows-unbounded-preceding frame. The value goes through DECIMAL so the
+    running sum is exact (and engine-independent) despite double inputs."""
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(time_col).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        "running_total",
+        F.sum(F.col(value_col).cast(dec)).over(w).cast("double"))
