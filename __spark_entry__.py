@@ -1110,6 +1110,59 @@ FROM orders WHERE o_custkey < 100
 _FHIR_SAMPLE_USERS = 3
 
 
+def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the skewed event_type key — exact
+    results (partials compose), hot keys spread over 16 sub-reducers."""
+    from rassengine_spark.operators.skew import salted_agg
+    ev = load_tables(spark, sf_dir)["events"]
+    return (ev.select(F.col("value").cast("decimal(18,6)").alias("value_dec"),
+                      "event_type", "event_id")
+            .transform(lambda d: salted_agg(
+                d, ["event_type"],
+                {"n": "count(*)", "total_value": "sum(value_dec)",
+                 "first_event": "min(event_id)"},
+                num_salts=16, salt_source="event_id"))
+            .withColumn("total_value", F.col("total_value").cast("double"))
+            .orderBy("event_type"))
+
+
+_SQL_SKEW_SALTED = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MIN(event_id) AS first_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_events_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day — Spark expands to a two-shuffle
+    distinct-agg plan (partial dedup on (day, user), then count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .orderBy("day"))
+
+
+_SQL_EVENTS_DISTINCT_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_m_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-parity synthetic labeled-query corpus (SURVEY §5): template x
+    md5-slot-fill generation as a data-parallel job, engine-reproducible."""
+    from rassengine_spark.ml.synth import intent_corpus
+    return intent_corpus(spark, n=500)
+
+
+def _sql_m_synth_corpus() -> str:
+    from rassengine_spark.ml.synth import intent_corpus_sql
+    return intent_corpus_sql(n=500)
+
+
 def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
     synthetic bundles derived from the documents table."""
@@ -1226,6 +1279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_tumbling_counts": _q_events_tumbling,
         "orders_running_total": _q_orders_running_total,
+        "skew_salted_agg": _q_skew_salted_agg,
+        "events_distinct_daily": _q_events_distinct_daily,
+        "m_synth_intent_corpus": _q_m_synth_corpus,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
         "m1_intent_route": _q_m1_intent_route,
@@ -1274,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "events_tumbling_counts": _SQL_EVENTS_TUMBLING,
         "orders_running_total": _SQL_ORDERS_RUNNING,
+        "skew_salted_agg": _SQL_SKEW_SALTED,
+        "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
+        "m_synth_intent_corpus": _sql_m_synth_corpus(),
         # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
         # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
         # backreferences for the markdown emphasis regexes, and the FHIR

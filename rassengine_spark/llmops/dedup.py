@@ -242,13 +242,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     standard mitigation when they dominate."""
     base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                      word_shingles(F.col(text_col), n).alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("sz"))
     # inverted index cached once (the self-join would recompute the
     # interpreted shingle transform on both sides); the join key is
     # xxhash64(block, shingle) — codegen bigint compares instead of string
     # compares; a 64-bit collision inflating a count is ~2^-64 per pair
     inv = (base.select("id", "blk", F.explode("sh").alias("s"))
                .select("id", F.xxhash64("blk", "s").alias("k"))).cache()
+    # |shingle set| per doc from the cache — shingles are distinct, so the
+    # exploded row count IS the set size (avoids re-running the transform)
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (inv.join(inv.select(F.col("id").alias("id_b"), "k"), "k")
                 .filter(F.col("id") < F.col("id_b"))
                 .groupBy(F.col("id").alias("id_a"), F.col("id_b"))

@@ -35,6 +35,19 @@ def hash_ngram_embedder(dim: int = 64, seed: int = 42,
     L2-normalized. Similar texts share n-grams -> high cosine, so near-dup
     and topk semantics behave like a real embedding space."""
 
+    # gram -> (bucket, sign) memo: natural text reuses a bounded n-gram
+    # vocabulary, so each distinct gram is hashed once per worker
+    memo: dict[str, tuple[int, float]] = {}
+
+    def gram_slot(g: str) -> tuple[int, float]:
+        slot = memo.get(g)
+        if slot is None:
+            h = hashlib.sha1(f"{seed}:{g}".encode()).digest()
+            slot = (int.from_bytes(h[:4], "big") % dim,
+                    1.0 if h[4] & 1 else -1.0)
+            memo[g] = slot
+        return slot
+
     def embed(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), dtype=np.float32)
         for row, text in enumerate(texts):
@@ -42,15 +55,13 @@ def hash_ngram_embedder(dim: int = 64, seed: int = 42,
             if not t.strip():
                 continue                     # zero vector (app/main.py:227)
             padded = f" {t} "
+            vec = out[row]
             for i in range(len(padded) - ngram + 1):
-                g = padded[i:i + ngram]
-                h = hashlib.sha1(f"{seed}:{g}".encode()).digest()
-                bucket = int.from_bytes(h[:4], "big") % dim
-                sign = 1.0 if h[4] & 1 else -1.0
-                out[row, bucket] += sign
-            n = float(np.linalg.norm(out[row]))
+                bucket, sign = gram_slot(padded[i:i + ngram])
+                vec[bucket] += sign
+            n = float(np.linalg.norm(vec))
             if n > 0:
-                out[row] /= (n + 1e-9)       # S8 (app/main.py:1250-1251)
+                out[row] = vec / (n + 1e-9)  # S8 (app/main.py:1250-1251)
         return out
 
     return embed

@@ -115,3 +115,13 @@ def test_date_filter_over_mapped_fields(spark):
             .withColumn("allergyOnsetDateTime", F.lit(None).cast("timestamp")))
     got = sorted(r.doc_id for r in df.filter(flt).collect())
     assert got == ["d1", "d2"]
+
+
+# ------------------------------------------------------------ M1 eval (§5)
+def test_intent_router_agrees_with_synth_corpus(spark):
+    """The trainer-eval analog: the rule router must classify the synthetic
+    labeled corpus (ml/synth.py, reference app/train_intent.py) correctly."""
+    from rassengine_spark.ml.synth import intent_corpus
+    rows = intent_corpus(spark, 300).collect()
+    hits = sum(1 for r in rows if classify_intent(r.query) == r.intent)
+    assert hits / len(rows) >= 0.98
