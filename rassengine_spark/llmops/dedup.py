@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import cosine
 from ..sources.chunker import words_of
+from ..util import spread
 
 # 60-bit hash from a salted md5 — bit-identical across engines
 def hash60(col: Column, salt: int | None = None) -> Column:
@@ -131,9 +132,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     and/or dropping buckets above a size cap (frequent-shingle stopwording).
     """
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), shingle_n).alias("sh")) \
-           .cache()
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh")).cache()
     # materialize signatures before banding: Catalyst's projection collapse
     # would otherwise inline the whole signature expression into every
     # element_at(sig, ...) inside band_keys — a K× expression blowup,
@@ -199,8 +200,8 @@ def hamming32(a: Column, b: Column) -> Column:
 
 def simhash_fingerprints(df: DataFrame, text_col: str,
                          id_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"),
-                     simhash32(F.col(text_col)).alias("simhash"))
+    return spread(df).select(F.col(id_col).alias("id"),
+                             simhash32(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -240,26 +241,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     the true overlap. Hot shingles (boilerplate) are the skew risk: AQE
     splits them, and a frequency cap on the inverted index is the
     standard mitigation when they dominate."""
-    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-                     word_shingles(F.col(text_col), n).alias("sh"))
+    base = spread(df).select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        word_shingles(F.col(text_col), n).alias("sh"))
     # inverted index cached once (the self-join would recompute the
     # interpreted shingle transform on both sides); the join key is
     # xxhash64(block, shingle) — codegen bigint compares instead of string
-    # compares; a 64-bit collision inflating a count is ~2^-64 per pair
-    inv = (base.select("id", "blk", F.explode("sh").alias("s"))
-               .select("id", F.xxhash64("blk", "s").alias("k"))).cache()
-    # |shingle set| per doc from the cache — shingles are distinct, so the
-    # exploded row count IS the set size (avoids re-running the transform)
-    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (inv.join(inv.select(F.col("id").alias("id_b"), "k"), "k")
+    # compares; a 64-bit collision inflating a count is ~2^-64 per pair.
+    # |sh| rides along (8 bytes/row) so the pair aggregation below emits
+    # both set sizes directly — NO join of the multi-million-row pair table
+    # back to a per-doc sizes table (that per-doc table scales with the
+    # corpus, so it is not broadcastable at 100 TB either)
+    inv = (base.select("id", "blk", F.size("sh").alias("sz"),
+                       F.explode("sh").alias("s"))
+               .select("id", "sz", F.xxhash64("blk", "s").alias("k"))).cache()
+    pairs = (inv.join(inv.select(F.col("id").alias("id_b"),
+                                 F.col("sz").alias("sz_b"), "k"), "k")
                 .filter(F.col("id") < F.col("id_b"))
                 .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
-                .agg(F.count(F.lit(1)).alias("inter")))
-    return (inter.join(sizes.select(F.col("id").alias("id_a"),
-                                    F.col("sz").alias("sz_a")), "id_a")
-                 .join(sizes.select(F.col("id").alias("id_b"),
-                                    F.col("sz").alias("sz_b")), "id_b")
-                 .withColumn(
+                .agg(F.count(F.lit(1)).alias("inter"),
+                     F.first("sz").alias("sz_a"),
+                     F.first("sz_b").alias("sz_b")))
+    return (pairs.withColumn(
                      "jaccard",
                      F.round(F.col("inter").cast("double")
                              / (F.col("sz_a") + F.col("sz_b")

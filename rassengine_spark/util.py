@@ -1,0 +1,29 @@
+"""Small shared plan-shaping helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input is narrower than the cluster's
+    parallelism — CPU-heavy per-row stages (interpreted higher-order
+    functions, Arrow-batched UDFs) otherwise run on a handful of tasks while
+    the rest of the cluster idles (a single small parquet file reads as ONE
+    split). No-op when the input is already wide enough, which is the common
+    case at scale (thousands of input splits); when it does fire it costs one
+    shuffle of the raw rows, which the downstream CPU win repays."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Narrowness probe via file listing, NOT df.rdd.getNumPartitions(): the
+    # RDD conversion physically plans (and codegens) the frame on the driver
+    # — measured ~6 s on a cold session — while inputFiles() is a metadata
+    # call. One file can still split into several partitions, so this can
+    # fire on a wide-but-single-file input; that costs one extra shuffle,
+    # acceptable next to a CPU-bound stage. Multi-thousand-file tables (the
+    # 100 TB case) correctly no-op.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
