@@ -1163,6 +1163,20 @@ def _sql_m_synth_corpus() -> str:
     return intent_corpus_sql(n=500)
 
 
+def _q_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-BM25 ranked retrieval (k1=1.2, b=0.75) over documents.text —
+    the reference's multi_match scoring semantic (SURVEY §2.3), as a
+    stats-pass + per-row-expression plan with no per-term shuffle."""
+    from rassengine_spark.functions.bm25 import bm25_topk
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk(docs, "text", "doc_id", "spark join query", k=15)
+
+
+def _sql_bm25_ranked() -> str:
+    from rassengine_spark.functions.bm25 import bm25_sql
+    return bm25_sql("documents", "text", "doc_id", "spark join query", k=15)
+
+
 def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
     synthetic bundles derived from the documents table."""
@@ -1282,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _q_skew_salted_agg,
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
+        "bm25_ranked": _q_bm25_ranked,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
         "m1_intent_route": _q_m1_intent_route,
@@ -1333,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _SQL_SKEW_SALTED,
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
+        "bm25_ranked": _sql_bm25_ranked(),
         # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
         # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
         # backreferences for the markdown emphasis regexes, and the FHIR

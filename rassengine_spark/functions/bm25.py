@@ -1,0 +1,117 @@
+"""BM25 ranked retrieval as a two-pass DataFrame pipeline.
+
+Reference scoring semantics: OpenSearch `multi_match` clauses score with
+Lucene BM25 (k1=1.2, b=0.75 — OpenSearch defaults, public docs); the
+reference treats the scores as opaque floats (app/main.py:1520-1522), so
+this module reproduces the *formula*, with ranking equivalence as the
+correctness bar (SURVEY §7.3 risk 1: per-shard idf makes Lucene scores
+unreproducible bit-for-bit; a single global idf is the principled choice).
+
+Lucene BM25 per (doc, term):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Spark-first plan shape — the query term set is small and fixed, so NO
+per-term explode/shuffle is needed anywhere:
+
+1. stats pass: ONE scan computing N, avgdl, and df per query term as a
+   single scalar row (`sum((tf_t > 0)::int)` per term). At 100 TB this is a
+   scan + partial-agg to one row; it can also be served from a precomputed
+   corpus-stats table.
+2. scoring pass: broadcast cross-join of that one stats row, then the BM25
+   sum is a pure per-row codegen expression (`size(filter(tokens, ...))`
+   per term) feeding `orderBy(desc).limit(k)` — TakeOrderedAndProject, no
+   full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import terms_of, tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def term_freq(tokens: Column, term: str) -> Column:
+    """tf of one term in a token array — per-row, codegen-friendly."""
+    return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
+
+
+def bm25_scored(df: DataFrame, text_col: str, query: str,
+                k1: float = K1, b: float = B,
+                score_col: str = "score") -> DataFrame:
+    """All input columns plus a BM25 `score_col` for `query` over
+    `text_col`. Rows with score 0 (no query term present) are kept —
+    compose with `.filter(F.col(score_col) > 0)` and top-k as needed."""
+    terms = terms_of(query)
+    if not terms:
+        return df.withColumn(score_col, F.lit(0.0))
+
+    toks = tokenize(F.col(text_col))
+    tf_cols = {t: term_freq(toks, t) for t in terms}
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("_avgdl"),
+        *[F.sum((tf_cols[t] > 0).cast("long")).alias(f"_df_{i}")
+          for i, t in enumerate(terms)])
+
+    scored = df.crossJoin(F.broadcast(stats))
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = tf_cols[t].cast("double")
+        dfreq = F.col(f"_df_{i}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5))
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / F.col("_avgdl")))
+    return (scored.withColumn(score_col, score)
+                  .drop("_n", "_avgdl",
+                        *[f"_df_{i}" for i in range(len(terms))]))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
+              k: int = 10, k1: float = K1, b: float = B,
+              round_to: int = 6) -> DataFrame:
+    """Top-k (id, score) by BM25, ties broken by id ascending so the cut is
+    deterministic and oracle-comparable."""
+    scored = bm25_scored(df, text_col, query, k1, b)
+    return (scored.filter(F.col("score") > 0)
+                  .select(F.col(id_col).alias("id"),
+                          F.round(F.col("score"), round_to).alias("score"))
+                  .orderBy(F.col("score").desc(), F.col("id").asc())
+                  .limit(k))
+
+
+def bm25_sql(table: str, text_col: str, id_col: str, query: str,
+             k: int = 10, k1: float = K1, b: float = B,
+             round_to: int = 6) -> str:
+    """DuckDB twin of `bm25_topk` — identical tokenizer, stats, and formula."""
+    terms = terms_of(query)
+    toks = (f"list_filter(string_split_regex(lower({text_col}), "
+            f"'[^a-z0-9]+'), x -> len(x) > 0)")
+    tf = ("len(list_filter(toks, x -> x = '{t}'))")
+    df_cols = ", ".join(
+        "SUM(CASE WHEN " + tf.format(t=t) + " > 0 THEN 1 ELSE 0 END)"
+        f" AS df_{i}" for i, t in enumerate(terms))
+    score_terms = " + ".join(
+        f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * {tf.format(t=t)} * {k1 + 1.0}"
+        f" / ({tf.format(t=t)} + {k1} * (1.0 - {b} + {b} * len(toks)"
+        f" / s.avgdl)))"
+        for i, t in enumerate(terms))
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+s AS (
+  SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl, {df_cols} FROM tok)
+SELECT id, round({score_terms}, {round_to}) AS score
+FROM tok, s
+WHERE ({score_terms}) > 0
+ORDER BY score DESC, id ASC LIMIT {k}
+"""

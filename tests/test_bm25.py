@@ -1,0 +1,57 @@
+"""BM25 ranked retrieval: formula properties and plan shape."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.functions.bm25 import bm25_scored, bm25_topk
+
+
+def _scores(spark, corpus, query):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    return {r.id: r.score for r in bm25_scored(df, "text", query).collect()}
+
+
+def test_bm25_matches_hand_formula(spark):
+    corpus = ["spark join", "spark spark spark", "filter scan"]
+    s = _scores(spark, corpus, "spark")
+    # hand computation: N=3, df=2, dl=[2,3,2], avgdl=7/3
+    n, dfreq, avgdl, k1, b = 3, 2, 7 / 3, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(s[0] - bm25(1, 2)) < 1e-9
+    assert abs(s[1] - bm25(3, 3)) < 1e-9
+    assert s[2] == 0.0
+
+
+def test_bm25_tf_saturation_and_idf(spark):
+    # more occurrences -> higher score, sublinearly (saturation)
+    s = _scores(spark, ["a x", "a a x", "a a a a a a x", "x y"], "a")
+    assert s[0] < s[1] < s[2]
+    assert (s[1] - s[0]) > (s[2] - s[1]) / 4   # diminishing returns
+    # rarer term scores higher at equal tf: 'rare' df=1 vs 'common' df=3
+    s2 = _scores(spark, ["rare common", "common q", "common w"],
+                 "rare common")
+    per_doc0 = s2[0]
+    assert per_doc0 > 2 * s2[1]                # idf(rare) >> idf(common)
+
+
+def test_bm25_topk_deterministic_cut(spark):
+    df = spark.createDataFrame(
+        [(i, "spark") for i in range(10)], "id long, text string")
+    got = [r.id for r in bm25_topk(df, "text", "id", "spark", k=3).collect()]
+    assert got == [0, 1, 2]                    # equal scores -> id asc
+
+
+def test_bm25_plan_no_pertermshuffle(spark):
+    """The scoring pass must be scan + broadcast-stats + TakeOrdered: no
+    explode and no per-term aggregate exchange in the plan."""
+    df = spark.createDataFrame([(1, "spark join")], "id long, text string")
+    plan = bm25_topk(df, "text", "id", "spark join", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan              # no explode anywhere
