@@ -1,0 +1,99 @@
+"""Physical-plan audits: the optimizations the engine depends on at 100 TB
+must actually appear in the executed plans (SURVEY §4's Catalyst mapping).
+
+Each test writes a small partitioned parquet corpus and asserts on
+`executedPlan` strings — if a regression un-broadcasts a dim join, breaks
+filter pushdown, or turns top-k into a global sort, these fail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rassengine_spark.operators.search import (CorpusSpec, collapse_best_per_key,
+                                               exact_match_search)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "docs")
+    rows = [(f"d{i}", f"p{i % 7}", f"u{i % 3}", f"text spark number {i}",
+             float(i % 11)) for i in range(200)]
+    (spark.createDataFrame(
+        rows, "doc_id string, patientId string, user_id string, "
+              "text string, score0 double")
+        .write.partitionBy("user_id").parquet(d))
+    return spark.read.parquet(d)
+
+
+SPEC = CorpusSpec(id_col="doc_id", text_fields=["text"],
+                  keyword_fields=["patientId"], partition_col="patientId")
+
+
+def test_partition_pruning_on_user_id(corpus):
+    """Tenant filter must prune partitions at scan time, not post-filter."""
+    plan = _plan(corpus.filter(F.col("user_id") == "u1").select("doc_id"))
+    assert "PartitionFilters: [isnotnull(user_id" in plan \
+        or "user_id#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_predicate_pushdown_reaches_scan(corpus):
+    """Non-partition predicates must appear in PushedFilters."""
+    plan = _plan(corpus.filter(F.col("patientId") == "p3").select("doc_id"))
+    assert "PushedFilters: [IsNotNull(patientId), EqualTo(patientId,p3)]" \
+        in plan
+
+
+def test_column_pruning_reaches_scan(corpus):
+    """A 2-column projection must not read the full schema."""
+    plan = _plan(corpus.select("doc_id", "patientId"))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "patientId" in read
+    assert "text" not in read and "score0" not in read
+
+
+def test_search_topk_is_take_ordered(corpus):
+    """Q1-Q11 top-k must be TakeOrderedAndProject (per-partition k-heaps),
+    never a global Sort + CollectLimit."""
+    plan = _plan(exact_match_search(corpus, SPEC, "spark", k=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_search_filter_pushes_through_score(corpus):
+    """The patient filter composes with scoring as a scan-level pushdown —
+    scoring is a projection, so Catalyst pushes the predicate below it."""
+    plan = _plan(exact_match_search(corpus, SPEC, "spark", k=3,
+                                    partition_key="p3"))
+    assert "EqualTo(patientId,p3)" in plan.split("PushedFilters")[1] \
+        .split("]")[0] + "]"
+
+
+def test_collapse_uses_window_group_limit(corpus):
+    """W1 collapse (best doc per patient) must hit the WindowGroupLimit
+    optimization (rank filter pushed into a per-partition group limit)."""
+    scored = corpus.withColumn("score", F.col("score0"))
+    plan = _plan(collapse_best_per_key(scored, "patientId", "score",
+                                      "doc_id"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_small_dim_join_broadcasts(spark, corpus):
+    """A resolved-ids semi-join (J1) must broadcast the small side — no
+    shuffle of the corpus."""
+    ids = spark.createDataFrame([("p1",), ("p2",)], "patientId string")
+    joined = corpus.join(ids, "patientId", "left_semi")
+    joined.collect()          # AQE decides join strategy from runtime stats
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_scoring_stays_in_codegen(corpus):
+    """Lexical scoring must sit inside a WholeStageCodegen span with the
+    scan — no interpreted projection barrier, no Python eval."""
+    plan = _plan(exact_match_search(corpus, SPEC, "spark", k=3))
+    assert "*(1)" in plan     # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
