@@ -825,6 +825,56 @@ def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "qid", k=3, bits=4, dim=EMBED_DIM)
 
 
+_IVF_CELLS, _IVF_PROBE, _IVF_K = 8, 2, 3
+
+
+def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: md5-sampled coarse-quantizer cells; queries
+    probe their 2 nearest of 8 cells (the inverted-file ANN scale path —
+    per-query work O(N * n_probe / n_cells))."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.ivf_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                        k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+
+
+def _sql_sim_ivf() -> str:
+    cos_cv = _SQL_COS.format(a="cv", b="v")
+    cos_cq = _SQL_COS.format(a="cv", b="qv")
+    cos_vq = _SQL_COS.format(a="v", b="qv")
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       WHERE vec_id >= 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}),
+cassign AS (
+  SELECT id, v, cell FROM (
+    SELECT c0.id, c0.v, cent.cell,
+           row_number() OVER (PARTITION BY c0.id
+                              ORDER BY {cos_cv} DESC, cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q0.query_id, q0.qv, cent.cell,
+           row_number() OVER (PARTITION BY q0.query_id
+                              ORDER BY {cos_cq} DESC, cent.cell ASC) AS rn
+    FROM q0 CROSS JOIN cent) WHERE rn <= {_IVF_PROBE}),
+scored AS (
+  SELECT qprobe.query_id, cassign.id, {cos_vq} AS score
+  FROM cassign JOIN qprobe USING (cell))
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {_IVF_K}
+"""
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: stopword-profile argmax heuristic."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1282,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
+        "sim_ivf_topk": _q_sim_ivf,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -1334,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
+        "sim_ivf_topk": _sql_sim_ivf(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,

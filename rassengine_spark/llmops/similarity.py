@@ -10,9 +10,12 @@ Spark-native scale path is bucketed pruning):
 - LSH-bucketed     — random-hyperplane signatures bucket both sides; only
   same-bucket pairs are scored. The hyperplanes are small integer-valued
   literals (deterministic, engine-exact); recall is tuned by bits/tables.
-
-An IVF variant (k-means coarse quantizer via MLlib, probe nearest
-centroids) slots behind the same signature when corpus >> memory.
+- IVF              — coarse-quantizer cells: every corpus vector is assigned
+  to its nearest centroid, queries probe their `n_probe` nearest cells, and
+  only probed cells are scored. The quantizer here is a deterministic
+  md5-ordered sample of corpus vectors (engine-exact, oracle-checkable);
+  an MLlib KMeans fit drops into `ivf_topk(..., centroids=...)` for better
+  cells when cross-engine determinism isn't required.
 """
 
 from __future__ import annotations
@@ -83,5 +86,58 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     score = cosine(F.col("v"), F.col("qv"))
     if round_to is not None:
         score = F.round(score, round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))
+
+
+def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str,
+                  n_cells: int) -> list[list[float]]:
+    """Deterministic coarse quantizer: the `n_cells` corpus vectors whose
+    md5(id) sorts lowest — a fixed pseudo-random sample, reproducible in
+    any engine. Cell index = rank in that md5 order. The collect is
+    n_cells x dim floats (the same driver-side footprint as a fitted
+    k-means model)."""
+    rows = (corpus
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_cells)
+            .select(F.col(vec_col).alias("v"))
+            .collect())
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def _cells_by_affinity(vec: Column, centroids: list[list[float]],
+                       round_to: int) -> Column:
+    """array<struct<ns,c>> sorted by (cosine desc, cell asc): element 0 is
+    the assignment cell; a prefix slice is the probe list. Scores are
+    rounded BEFORE the argmax so cell choice is engine-exact."""
+    elems = []
+    for i, cvec in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        s = F.round(cosine(vec, lit_c), round_to)
+        elems.append(F.struct((-s).alias("ns"), F.lit(i).alias("c")))
+    return F.array_sort(F.array(*elems))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+             id_col: str, query_id_col: str, k: int = 5,
+             n_cells: int = 8, n_probe: int = 2, round_to: int = 6,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: per-query work drops from O(N) to
+    O(N * n_probe / n_cells). Plan shape at 100 TB: the centroid list is a
+    plan literal (no join for assignment), so the corpus side is a single
+    codegen projection; the probe join broadcasts Q x n_probe rows; scoring
+    shuffles nothing beyond the final per-query k-heap."""
+    cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _cells_by_affinity(F.col(vec_col), cents, round_to)[0]["c"]
+        .alias("cell"))
+    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
+                     1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    joined = c.join(F.broadcast(q), "cell")
+    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
             .select("query_id", "id", "score", "rank"))

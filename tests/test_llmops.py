@@ -88,6 +88,33 @@ def test_lsh_bucket_recall_on_close_vectors(spark):
     assert 3 not in ids                  # opposite vector lands elsewhere
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF exhaustive — must equal brute force."""
+    e = vecs(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v")
+    c = e.filter(F.col("vec_id") > 0)
+    ivf = SIM.ivf_topk(c, q, "v", "vec_id", "qid", k=2,
+                       n_cells=2, n_probe=2).collect()
+    bf = SIM.brute_force_topk(c, q, "v", "vec_id", "qid", k=2).collect()
+    assert [(r["id"], r["rank"]) for r in ivf] == \
+           [(r["id"], r["rank"]) for r in bf]
+
+
+def test_ivf_probe_prunes_far_cells(spark):
+    """With 1 probe the opposite-direction vector's cell is never scored."""
+    e = vecs(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v")
+    c = e.filter(F.col("vec_id") > 0)
+    cents = [[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]]   # explicit quantizer
+    out = SIM.ivf_topk(c, q, "v", "vec_id", "qid", k=3,
+                       n_probe=1, centroids=cents).collect()
+    ids = [r["id"] for r in out]
+    assert set(ids) == {1, 2, 4}         # cell 0 members only
+    assert 3 not in ids                  # cell 1 pruned
+
+
 def test_embedding_near_pairs(spark):
     out = DD.embedding_near_pairs_topn(vecs(spark), "v", "vec_id", "label",
                                        top_n=2).collect()
