@@ -1153,6 +1153,207 @@ FROM orders WHERE o_custkey < 100
 """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event joined to the user's most
+    recent click at-or-before it. Union + running last(ignoreNulls) window —
+    one shuffle on user_id, linear at any scale (no pair blowup)."""
+    from rassengine_spark.operators.temporal_join import asof_join
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts",
+                    {"event_id": "click_event_id", "ts": "click_ts"})
+    gap = F.floor((F.unix_micros("ts") - F.unix_micros("click_ts"))
+                  / 1_000_000)
+    return out.select("event_id", "user_id", gap.alias("gap_sec"),
+                      "click_event_id").orderBy("event_id")
+
+
+_SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec,
+       c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def _q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks falling inside any same-user 1-day
+    error window [error.ts, error.ts + 1 day). Bucketized equi-join on
+    (user_id, time bucket) + residual range filter — no nested-loop join."""
+    from rassengine_spark.operators.temporal_join import interval_join
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("err_id"), "user_id",
+                    F.col("ts").alias("w_start"),
+                    (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end")))
+    pairs = interval_join(clicks, errs, ["user_id"], "ts",
+                          "w_start", "w_end", bucket_seconds=86400)
+    return (pairs.groupBy("err_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.min("event_id").alias("first_click"))
+            .orderBy("err_id"))
+
+
+_SQL_EVENTS_INTERVAL = """
+SELECT e.event_id AS err_id, COUNT(*) AS n_clicks,
+       MIN(c.event_id) AS first_click
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ AND c.ts < e.ts + INTERVAL 1 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup (hypertable continuous-aggregate shape): per-day
+    per-type counts + day subtotals + grand total in ONE pass via ROLLUP —
+    grouping_id disambiguates grain, no triple scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (ev.rollup(F.date_trunc("day", F.col("ts")).alias("day"),
+                      F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("total_value"),
+                 F.grouping_id().alias("gid"))
+            .orderBy("gid", "day", "event_type"))
+
+
+_SQL_EVENTS_ROLLUP = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       GROUPING(date_trunc('day', ts), event_type) AS gid
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
+def _q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation): quantity quartiles
+    per return flag. l_quantity is integral, so the interpolated values are
+    exact multiples of 0.25 — bit-identical across engines."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile(F.col("l_quantity"),
+                              F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                 .alias("qty_quartiles"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag"))
+
+
+_SQL_LINEITEM_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: single-table forecast-revenue agg. The whole plan is
+    scan + filter + partial/final agg; all three predicates push into the
+    parquet scan (PushedFilters), columns prune to 4."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 6)
+    return (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1998-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev.cast("decimal(20,6)")).cast("double")
+                 .alias("revenue")))
+
+
+_SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount, 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top-20 customers by returned-item revenue over one
+    quarter. lineitem-orders shuffles on orderkey; customer and nation
+    broadcast; final top-k is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (t["lineitem"].filter(F.col("l_returnflag") == "R")
+            .join(t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev.cast("decimal(20,6)")).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promo revenue share for one month — conditional
+    aggregation over a broadcast part join."""
+    t = load_tables(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6) \
+        .cast("decimal(20,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    return (t["lineitem"].filter(
+                (F.col("l_shipdate") >= F.lit("1997-03-01"))
+                & (F.col("l_shipdate") < F.lit("1997-04-01")))
+            .join(F.broadcast(t["part"]),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                         / F.sum(rev).cast("double"), 4)
+                 .alias("promo_revenue")))
+
+
+_SQL_TPCH_Q14 = """
+SELECT round(100.0 *
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount), 6)
+                                 AS DECIMAL(20,6))
+                       ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                       AS DECIMAL(20,6))) AS DOUBLE), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 # -- rows-only entries (non-SQL-expressible in DuckDB: RE2 has no pattern
 # backreferences for markdown emphasis; FHIR parse / intent rules / sha1
 # embedder are engine library code). The driver records count+schema.
@@ -1343,6 +1544,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_content_join": _q_j2_content_join,
         "events_sessionize": _q_events_sessionize,
         "events_tumbling_counts": _q_events_tumbling,
+        "events_asof_join": _q_events_asof,
+        "events_interval_join": _q_events_interval,
+        "events_rollup_multigrain": _q_events_rollup,
+        "lineitem_quantity_percentiles": _q_lineitem_percentiles,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q10_returned_items": _q_tpch_q10,
+        "tpch_q14_promo_revenue": _q_tpch_q14,
         "orders_running_total": _q_orders_running_total,
         "skew_salted_agg": _q_skew_salted_agg,
         "events_distinct_daily": _q_events_distinct_daily,
@@ -1396,6 +1604,13 @@ def oracle_sql() -> dict[str, str]:
         "j2_content_join": _SQL_J2_CONTENT,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "events_tumbling_counts": _SQL_EVENTS_TUMBLING,
+        "events_asof_join": _SQL_EVENTS_ASOF,
+        "events_interval_join": _SQL_EVENTS_INTERVAL,
+        "events_rollup_multigrain": _SQL_EVENTS_ROLLUP,
+        "lineitem_quantity_percentiles": _SQL_LINEITEM_PERCENTILES,
+        "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
+        "tpch_q10_returned_items": _SQL_TPCH_Q10,
+        "tpch_q14_promo_revenue": _SQL_TPCH_Q14,
         "orders_running_total": _SQL_ORDERS_RUNNING,
         "skew_salted_agg": _SQL_SKEW_SALTED,
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,

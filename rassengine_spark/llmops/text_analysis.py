@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..util import spread
 from .dedup import hash60
 
 # Tiny per-language stopword profiles (n-gram heuristic stand-in; the
@@ -133,6 +134,8 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
 
     id_type = df.schema[id_col].dataType.simpleString()
 
+    md5 = hashlib.md5
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fps = []
@@ -141,12 +144,23 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
                 # unicode \s would also eat U+3000 etc. — a mismatch
                 norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII)
                 if len(norm) >= k:
-                    m = min(hashlib.md5(norm[i:i + k].encode()).hexdigest()
-                            for i in range(len(norm) - k + 1))
+                    # min over raw digests == min over hexdigests: hex is a
+                    # per-byte monotone encoding, so byte order = hex order.
+                    # ASCII fast path slices the encoded bytes (char == byte)
+                    # instead of str-slice+encode per shingle.
+                    if norm.isascii():
+                        b = norm.encode()
+                        d = min(md5(b[i:i + k]).digest()
+                                for i in range(len(b) - k + 1))
+                    else:
+                        d = min(md5(norm[i:i + k].encode()).digest()
+                                for i in range(len(norm) - k + 1))
+                    # first 15 hex chars = top 60 bits of the digest
+                    fp = int.from_bytes(d[:8], "big") >> 4
                 else:
-                    m = hashlib.md5(norm.encode()).hexdigest()
-                fps.append(int(m[:15], 16))
+                    fp = int(md5(norm.encode()).hexdigest()[:15], 16)
+                fps.append(fp)
             yield pd.DataFrame({"id": pdf[id_col], "fingerprint": fps})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread(df.select(id_col, text_col)).mapInPandas(
         run, schema=f"id {id_type}, fingerprint bigint")

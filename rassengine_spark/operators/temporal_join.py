@@ -1,0 +1,91 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+interval (range) join.
+
+Neither exists in the reference (its "temporal" queries are date-range
+filters, app/main.py:1866-1918); both are table stakes for event-stream
+analytics over the same data, so they are implemented here as compositions
+of existing DataFrame ops — no UDFs, no pair blowup:
+
+- as-of join: the naive plan (equi-join on key + ts inequality + argmax)
+  materializes |probe| x |build-per-key| rows before pruning. This plan
+  UNIONs the two sides, sorts once per key partition, and carries the most
+  recent build row forward with a running `last(ignoreNulls)` window —
+  one shuffle on the key, linear in |probe| + |build| at any scale.
+- interval join: the naive plan is a broadcast-nested-loop on the range
+  predicate (quadratic). This plan buckets time into fixed-width buckets,
+  explodes each interval into the buckets it overlaps (bounded fan-out:
+  interval_width / bucket + 1), and equi-joins on (key, bucket) with the
+  exact range predicate as a residual filter. Shuffle keys are
+  (key, bucket), so skew is bounded by bucket width, and AQE handles the
+  rest. Each probe row lives in exactly one bucket, so no dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(probe: DataFrame, build: DataFrame, on: list[str],
+              probe_ts: str, build_ts: str,
+              build_cols: dict[str, str]) -> DataFrame:
+    """For each probe row, attach the most recent build row with
+    build_ts <= probe_ts and equal `on` keys (backward as-of, inclusive —
+    DuckDB `ASOF JOIN` semantics). Probe rows with no prior build row are
+    dropped (inner as-of).
+
+    build_cols maps build column -> output alias. Probe columns all pass
+    through. At equal timestamps the build row sorts first, so it is
+    visible to the probe row (inclusive match).
+    """
+    probe_cols = probe.columns
+    p = probe.withColumn("_t", F.col(probe_ts)) \
+             .withColumn("_side", F.lit(1)) \
+             .withColumn("_b", F.lit(None).cast(
+                 "struct<" + ",".join(
+                     f"{a}:{build.schema[c].dataType.simpleString()}"
+                     for c, a in build_cols.items()) + ">"))
+    b = build.select(
+        *on,
+        F.col(build_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).alias(a)
+                   for c, a in build_cols.items()]).alias("_b"))
+    for c in probe_cols:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    u = p.unionByName(b.select(p.columns))
+    w = (Window.partitionBy(*on).orderBy(F.col("_t").asc(),
+                                         F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn("_m", F.last("_b", ignorenulls=True).over(w))
+    return (matched.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+            .select(*probe_cols,
+                    *[F.col(f"_m.{a}").alias(a)
+                      for a in build_cols.values()]))
+
+
+def interval_join(probe: DataFrame, intervals: DataFrame, on: list[str],
+                  probe_ts: str, start_col: str, end_col: str,
+                  bucket_seconds: int) -> DataFrame:
+    """Pairs (probe row, interval row) where keys match and
+    start <= probe_ts < end (half-open). `bucket_seconds` should be on the
+    order of the typical interval width: fan-out per interval is
+    ceil(width / bucket) + 1 exploded rows.
+    """
+    bus = F.lit(int(bucket_seconds) * 1_000_000)
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / bus),
+            # end is exclusive: the last covered microsecond is end - 1
+            F.floor((F.unix_micros(F.col(end_col)) - 1) / bus))))
+    pr = probe.withColumn(
+        "_bk", F.floor(F.unix_micros(F.col(probe_ts)) / bus))
+    cond = [pr[k] == iv[k] for k in on] + [pr["_bk"] == iv["_bk"]]
+    joined = pr.join(iv, cond).where(
+        (pr[probe_ts] >= iv[start_col]) & (pr[probe_ts] < iv[end_col]))
+    out_cols = ([pr[c] for c in probe.columns]
+                + [iv[c] for c in intervals.columns if c not in on])
+    return joined.select(*out_cols)
