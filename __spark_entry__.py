@@ -20,6 +20,7 @@ from rassengine_spark.operators import search as ops
 from rassengine_spark.operators import windows as W
 from rassengine_spark.functions import vector as V
 from rassengine_spark.session import load_tables
+from rassengine_spark.util import micros
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -1164,7 +1165,7 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     out = asof_join(purchases, clicks, ["user_id"], "ts", "ts",
                     {"event_id": "click_event_id", "ts": "click_ts"})
-    gap = F.floor((F.unix_micros("ts") - F.unix_micros("click_ts"))
+    gap = F.floor((micros("ts") - micros("click_ts"))
                   / 1_000_000)
     return out.select("event_id", "user_id", gap.alias("gap_sec"),
                       "click_event_id").orderBy("event_id")

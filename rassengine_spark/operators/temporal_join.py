@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from rassengine_spark.util import micros
 
 
 def asof_join(probe: DataFrame, build: DataFrame, on: list[str],
@@ -78,11 +79,11 @@ def interval_join(probe: DataFrame, intervals: DataFrame, on: list[str],
     iv = intervals.withColumn(
         "_bk",
         F.explode(F.sequence(
-            F.floor(F.unix_micros(F.col(start_col)) / bus),
+            F.floor(micros(F.col(start_col)) / bus),
             # end is exclusive: the last covered microsecond is end - 1
-            F.floor((F.unix_micros(F.col(end_col)) - 1) / bus))))
+            F.floor((micros(F.col(end_col)) - 1) / bus))))
     pr = probe.withColumn(
-        "_bk", F.floor(F.unix_micros(F.col(probe_ts)) / bus))
+        "_bk", F.floor(micros(F.col(probe_ts)) / bus))
     cond = [pr[k] == iv[k] for k in on] + [pr["_bk"] == iv["_bk"]]
     joined = pr.join(iv, cond).where(
         (pr[probe_ts] >= iv[start_col]) & (pr[probe_ts] < iv[end_col]))

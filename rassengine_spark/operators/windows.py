@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from rassengine_spark.util import micros
 
 
 def last_n_per_key(df: DataFrame, key_col: str, time_col: str, id_col: str,
@@ -63,7 +64,7 @@ def sessionize(df: DataFrame, key_col: str, time_col: str, id_col: str,
     # fraction and flip borderline gap comparisons
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev))
+        | ((micros(F.col(time_col)) - micros(prev))
            > gap_seconds * 1_000_000), 1).otherwise(0)
     sess_idx = F.sum(is_new).over(
         w.rowsBetween(Window.unboundedPreceding, 0))
@@ -79,8 +80,8 @@ def session_stats(df: DataFrame, key_col: str, time_col: str, id_col: str,
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.min(time_col).alias("session_start"),
                   F.max(time_col).alias("session_end"),
-                  ((F.unix_micros(F.max(F.col(time_col)))
-                    - F.unix_micros(F.min(F.col(time_col))))
+                  ((micros(F.max(F.col(time_col)))
+                    - micros(F.min(F.col(time_col))))
                    / F.lit(1_000_000)).cast("bigint")
                   .alias("duration_sec")))
 

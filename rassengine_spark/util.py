@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def micros(col: str | Column) -> Column:
+    """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs.
+
+    Parquet written by pyarrow/DuckDB (e.g. the driver testdata) reads as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects. With the session timezone
+    pinned to UTC (session.py) the NTZ→TIMESTAMP cast is the exact
+    naive-as-UTC interpretation DuckDB's ``epoch_us`` uses, and for plain
+    TIMESTAMP inputs the cast is a no-op."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
