@@ -42,6 +42,16 @@ def main():
     # warm up: JVM + parquet footers, not billed to any query
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
+    # spawn + warm the Arrow Python workers (daemon fork pool, reused by
+    # every pandas-path query); one tiny batch per core
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(0, 64, 1, 32).toDF("id")
+          .mapInPandas(_noop, "id long").count())
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [

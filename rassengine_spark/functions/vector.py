@@ -30,8 +30,8 @@ def dot_literal(col: Column, vec: list[float]) -> Column:
 
     The query vector is a plan literal — no join, no shuffle; the scan stays
     a single codegen stage."""
-    lit_vec = F.array(*[F.lit(float(v)) for v in vec])
-    return dot(col, lit_vec)
+    from ..util import double_array_lit
+    return dot(col, double_array_lit(vec))
 
 
 def l2_norm(col: Column) -> Column:

@@ -244,24 +244,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     base = spread(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         word_shingles(F.col(text_col), n).alias("sh"))
-    # inverted index cached once (the self-join would recompute the
-    # interpreted shingle transform on both sides); the join key is
-    # xxhash64(block, shingle) — codegen bigint compares instead of string
-    # compares; a 64-bit collision inflating a count is ~2^-64 per pair.
-    # |sh| rides along (8 bytes/row) so the pair aggregation below emits
-    # both set sizes directly — NO join of the multi-million-row pair table
-    # back to a per-doc sizes table (that per-doc table scales with the
-    # corpus, so it is not broadcastable at 100 TB either)
+    # the join key is xxhash64(block, shingle) — codegen bigint compares
+    # instead of string compares; a 64-bit collision inflating a count is
+    # ~2^-64 per pair. |sh| rides along (8 bytes/row) so the pair
+    # aggregation below emits both set sizes directly — NO join of the
+    # multi-million-row pair table back to a per-doc sizes table (that
+    # per-doc table scales with the corpus, so it is not broadcastable at
+    # 100 TB either). Deliberately NOT cached: recomputing the shingle
+    # projection on both join branches is cheaper than a memory-store
+    # round-trip, and at 100 TB the index wouldn't fit in cache anyway.
     inv = (base.select("id", "blk", F.size("sh").alias("sz"),
                        F.explode("sh").alias("s"))
-               .select("id", "sz", F.xxhash64("blk", "s").alias("k"))).cache()
-    pairs = (inv.join(inv.select(F.col("id").alias("id_b"),
-                                 F.col("sz").alias("sz_b"), "k"), "k")
-                .filter(F.col("id") < F.col("id_b"))
-                .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
-                .agg(F.count(F.lit(1)).alias("inter"),
-                     F.first("sz").alias("sz_a"),
-                     F.first("sz_b").alias("sz_b")))
+               .select("id", "sz", F.xxhash64("blk", "s").alias("k")))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (a.join(b, F.col("a.k") == F.col("b.k"))
+              .filter(F.col("a.id") < F.col("b.id"))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter"),
+                   F.first(F.col("a.sz")).alias("sz_a"),
+                   F.first(F.col("b.sz")).alias("sz_b")))
     return (pairs.withColumn(
                      "jaccard",
                      F.round(F.col("inter").cast("double")

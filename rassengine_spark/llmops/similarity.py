@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine, dot
+from ..util import double_array_lit
 
 
 def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -62,7 +63,7 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from the hyperplane projections."""
     out = F.lit(0)
     for i, p in enumerate(planes):
-        lit_p = F.array(*[F.lit(x) for x in p])
+        lit_p = double_array_lit(p)
         out = out + F.when(dot(vec, lit_p) > 0,
                            F.lit(1 << i)).otherwise(F.lit(0))
     return out
@@ -112,7 +113,7 @@ def _cells_by_affinity(vec: Column, centroids: list[list[float]],
     rounded BEFORE the argmax so cell choice is engine-exact."""
     elems = []
     for i, cvec in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        lit_c = double_array_lit(cvec)
         s = F.round(cosine(vec, lit_c), round_to)
         elems.append(F.struct((-s).alias("ns"), F.lit(i).alias("c")))
     return F.array_sort(F.array(*elems))

@@ -6,6 +6,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def double_array_lit(vals: list[float]) -> Column:
+    """array<double> literal built from ONE parsed SQL string.
+
+    ``F.lit(list)`` / per-element ``F.lit`` cost one py4j round-trip per
+    element — ~100x slower to build for embedding-sized vectors. repr()
+    round-trips every finite double exactly, so the parsed literal is
+    bit-identical."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
 def micros(col: str | Column) -> Column:
     """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs.
 
