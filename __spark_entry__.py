@@ -605,6 +605,7 @@ WHERE len(words) > 0
 
 from rassengine_spark.llmops import dedup as DD
 from rassengine_spark.llmops import similarity as SIM
+from rassengine_spark.llmops import splits as SP
 from rassengine_spark.llmops import text_analysis as TA
 from rassengine_spark.llmops import multimodal as MM
 from rassengine_spark.sources.chunker import words_of
@@ -974,6 +975,114 @@ SELECT id,
                                          i -> {h}))
             ELSE {_sql_hash60('norm')} END AS fingerprint
 FROM n
+"""
+
+
+def _q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (word-bigram Jaccard
+    >= 0.1 inside language blocks) -> connected components -> (node, root,
+    cluster_size). The step after pair generation in any corpus dedup:
+    keeper policy 'min id survives' = rows where node == root."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                                   n=2, threshold=0.1)
+    return (DD.dup_clusters(pairs)
+              .orderBy("root", "node"))
+
+
+def _sql_dedup_cc() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, lang, {_sql_shingles(2)} AS sh
+  FROM (SELECT doc_id, lang, {words} AS words FROM documents)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.1),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS cluster_size FROM cc GROUP BY root)
+SELECT cc.node, cc.root, sizes.cluster_size
+FROM cc JOIN sizes USING (root)
+ORDER BY root, node
+"""
+
+
+# 0.75/0.125/0.125 sums exactly in binary floating point, so the cumulative
+# bin edges (0.75, 0.875) are identical literals in the Spark plan and SQL
+_SPLIT_WEIGHTS = {"train": 0.75, "val": 0.125, "test": 0.125}
+_HASH_SPACE_SQL = "1152921504606846976.0"  # 2^60 as double
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split counts per language:
+    split membership is a pure function of doc_id (stable across runs,
+    partitionings, engines)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (SP.with_split(docs, "doc_id", _SPLIT_WEIGHTS)
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "split"))
+
+
+def _sql_split_assign() -> str:
+    u = _sql_hash60("('split/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.75 THEN 'train'
+              WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT lang, split, COUNT(*) AS n_docs FROM s
+GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def _q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified take: 5 docs per language, chosen by salted
+    key-hash order (reproducible pseudo-random sample per stratum)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (SP.stratified_take(docs, "lang", "doc_id", 5)
+            .select("lang", "doc_id").orderBy("lang", "doc_id"))
+
+
+def _sql_split_stratified() -> str:
+    u = _sql_hash60("('strata/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {u} ASC, doc_id ASC)
+           AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
+def _q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% hash-sample of documents, summarized per language
+    (membership is a property of the key: nested samples, engine-exact)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (SP.hash_sample(docs, "doc_id", 0.25)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
+def _sql_split_sample() -> str:
+    u = _sql_hash60("('sample/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.25
+GROUP BY lang ORDER BY lang
 """
 
 
@@ -1539,6 +1648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
+        "dedup_cc_clusters": _q_dedup_cc_clusters,
+        "split_hash_assign": _q_split_assign,
+        "split_stratified_take": _q_split_stratified,
+        "split_hash_sample": _q_split_sample,
         "mm_binary_metadata": _q_mm_metadata,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
@@ -1599,6 +1712,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
         "text_fingerprint": _sql_text_fingerprint(),
+        "dedup_cc_clusters": _sql_dedup_cc(),
+        "split_hash_assign": _sql_split_assign(),
+        "split_stratified_take": _sql_split_stratified(),
+        "split_hash_sample": _sql_split_sample(),
         "mm_binary_metadata": _SQL_MM_METADATA,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,

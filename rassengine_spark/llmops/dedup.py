@@ -321,3 +321,56 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
             .orderBy(F.col("cos").desc(), F.col("id_a").asc(),
                      F.col("id_b").asc())
             .limit(top_n))
+
+
+# ------------------------------------------------- connected components
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(node, root) for every node in the pair graph: root = min node id of
+    its connected component. This is the cluster-resolution step after any
+    near-dup pair generator (minhash/simhash/cosine): pairs -> duplicate
+    CLUSTERS, so one keeper survives per cluster rather than per pair.
+
+    Algorithm: iterated min-label propagation (hash-to-min). Each round every
+    node adopts min(own label, neighbors' labels) — one join + one
+    hash-aggregate per round, i.e. one shuffle, no driver-side graph. Rounds
+    needed = graph diameter; near-dup graphs are overwhelmingly tiny cliques
+    and short chains, so 3-5 rounds converge. Convergence is checked with a
+    cheap count of changed labels (AQE-sized aggregate) and the loop exits
+    early; `max_iter` bounds the pathological chain. At 100 TB the same plan
+    holds: labels and edges co-shuffle on node id each round (alternate
+    large-star/small-star to cut long chains if the corpus has them).
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                .unionAll(edges.select(F.col(dst).alias("u"),
+                                       F.col(src).alias("v"))))
+    # initial label = own id
+    labels = (sym.select("u").distinct()
+                 .select(F.col("u").alias("node"), F.col("u").alias("root")))
+    for _ in range(max_iter):
+        # neighbor labels: edge (u,v) contributes label(v) to u
+        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+                  .groupBy(F.col("u").alias("node"))
+                  .agg(F.min("root").alias("nbr_root")))
+        new_labels = (labels.join(nbr, "node", "left")
+                            .select("node",
+                                    F.least("root", F.coalesce(
+                                        "nbr_root", "root")).alias("root")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.join(labels.withColumnRenamed("root", "old"),
+                                   "node")
+                             .filter(F.col("root") != F.col("old")).limit(1)
+                             .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Near-dup clusters from a pair list: (node, root, cluster_size).
+    Keeper policy 'min id survives' == rows where node == root."""
+    cc = connected_components(pairs, src, dst, max_iter)
+    sizes = cc.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "root").select("node", "root", "cluster_size")

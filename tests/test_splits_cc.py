@@ -1,0 +1,68 @@
+"""Connected-components cluster resolution + deterministic splits."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.dedup import connected_components, dup_clusters
+from rassengine_spark.llmops.splits import (hash_sample, stratified_take,
+                                            with_split)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (redundant edge)
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11),
+                           (20, 21), (21, 22), (20, 22)])
+    got = {r.node: r.root
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds
+    edges = _edges(spark, [(i, i + 1) for i in range(12)])
+    got = connected_components(edges).collect()
+    assert all(r.root == 0 for r in got) and len(got) == 13
+
+
+def test_dup_clusters_sizes_and_keepers(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = dup_clusters(edges).collect()
+    sizes = {r.node: r.cluster_size for r in rows}
+    assert sizes == {1: 3, 2: 3, 3: 3, 10: 2, 11: 2}
+    keepers = sorted(r.node for r in rows if r.node == r.root)
+    assert keepers == [1, 10]
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.range(2000).toDF("k")
+    out = with_split(df, "k", {"train": 0.75, "val": 0.125, "test": 0.125})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # roughly proportional (hash uniformity; generous bounds)
+    assert 0.65 < counts["train"] / 2000 < 0.85
+    # identical on recompute — pure function of the key
+    again = with_split(df, "k", {"train": 0.75, "val": 0.125, "test": 0.125})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_sample_nested(spark):
+    df = spark.range(1000).toDF("k")
+    small = set(r.k for r in hash_sample(df, "k", 0.1).collect())
+    big = set(r.k for r in hash_sample(df, "k", 0.3).collect())
+    assert small and small < big  # nested: same seed, larger fraction
+
+
+def test_stratified_take_exact_n(spark):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "k int, s string")
+    out = stratified_take(df, "s", "k", 7)
+    counts = {r.s: r.n for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 7, "b": 7}
+    assert out.exceptAll(stratified_take(df, "s", "k", 7)).count() == 0
