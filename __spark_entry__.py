@@ -1086,6 +1086,99 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: deterministically keep 25% of English
+    docs, all others whole; per-language counts summarize the new mix."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (SP.mixture_resample(docs, "lang", "doc_id", {"en": 0.25})
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
+def _sql_split_mixture() -> str:
+    u = _sql_hash60("('mix/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL}
+      < (CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: whitespace token counts -> cumulative-sum
+    pack assignment inside 8 hash shards, 2048-token budget."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.size(F.filter(
+        F.split(F.col("text"), "\\s+"), lambda x: x != ""))
+        .alias("n_tokens"))
+    return (SP.pack_sequences(toks, "doc_id", "n_tokens",
+                              budget=2048, shards=8)
+            .orderBy("shard", "key"))
+
+
+def _sql_pack_sequences() -> str:
+    words = _SQL_WORDS.format(col="text")
+    u = _sql_hash60("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id AS key, len({words}) AS n_tokens, {u} % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT key, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t)
+SELECT key, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id,
+       n_tokens
+FROM c ORDER BY shard, key
+"""
+
+
+def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant synthetic emails/phones/SSNs into a slice of the
+    corpus, then count + redact (typed placeholders) per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id")
+    suffix = F.concat_ws(
+        " ",
+        F.when(did % 5 == 0, F.concat(F.lit("user"), did.cast("string"),
+                                      F.lit("@example.com"))),
+        F.when(did % 7 == 0, F.lit("555-123-4567")),
+        F.when(did % 11 == 0, F.lit("123-45-6789")))
+    aug = docs.select("doc_id",
+                      F.concat(F.col("text"), F.lit(" "), suffix)
+                      .alias("text"))
+    return TA.pii_counts(aug, "text", "doc_id")
+
+
+def _sql_text_pii() -> str:
+    email = TA.PII_PATTERNS["email"]
+    phone = TA.PII_PATTERNS["phone"]
+    ssn = TA.PII_PATTERNS["ssn"]
+    return f"""
+WITH aug AS (
+  SELECT doc_id AS id,
+         text || ' ' || concat_ws(' ',
+           CASE WHEN doc_id % 5 = 0
+                THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+           CASE WHEN doc_id % 7 = 0 THEN '555-123-4567' END,
+           CASE WHEN doc_id % 11 = 0 THEN '123-45-6789' END) AS text
+  FROM documents)
+SELECT id,
+       len(regexp_extract_all(text, '{email}')) AS n_email,
+       len(regexp_extract_all(text, '{phone}')) AS n_phone,
+       len(regexp_extract_all(text, '{ssn}')) AS n_ssn,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '[EMAIL]', 'g'),
+           '{ssn}', '[SSN]', 'g'),
+           '{phone}', '[PHONE]', 'g') AS redacted
+FROM aug
+"""
+
+
 def _q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column + typed metadata (decode
     stubs run via mapInPandas in llmops.multimodal; metadata stays
@@ -1652,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_hash_assign": _q_split_assign,
         "split_stratified_take": _q_split_stratified,
         "split_hash_sample": _q_split_sample,
+        "split_mixture_resample": _q_split_mixture,
+        "pack_sequences": _q_pack_sequences,
+        "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
@@ -1716,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         "split_hash_assign": _sql_split_assign(),
         "split_stratified_take": _sql_split_stratified(),
         "split_hash_sample": _sql_split_sample(),
+        "split_mixture_resample": _sql_split_mixture(),
+        "pack_sequences": _sql_pack_sequences(),
+        "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,

@@ -71,3 +71,49 @@ def stratified_take(df: DataFrame, strata_col: str, key_col: str,
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= n_per_stratum).drop("_rn"))
+
+
+def mixture_resample(df: DataFrame, strata_col: str, key_col: str,
+                     fractions: dict[str, float],
+                     seed: str = "mix") -> DataFrame:
+    """Domain-mixture resampling: keep a deterministic hash-fraction of each
+    stratum (e.g. down-weight a dominant source to a target mixture).
+    Strata absent from `fractions` are kept whole. Pure per-row predicate —
+    fuses into the scan, no shuffle, reproducible on any engine."""
+    u = hash60(F.concat(F.lit(seed + "/"), F.col(key_col).cast("string")))
+    frac = u.cast("double") / F.lit(float(_HASH_SPACE))
+    thresh: Column = F.lit(1.0)
+    for name, f in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == name,
+                        F.lit(float(f))).otherwise(thresh)
+    return df.filter(frac < thresh)
+
+
+def pack_sequences(df: DataFrame, key_col: str, tokens_col: str,
+                   budget: int, shards: int = 32) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context-window packing
+    for LLM training), deterministically and in parallel.
+
+    Documents are sharded by key hash, ordered by key inside each shard,
+    and a running token total assigns pack ids: a document starts the next
+    pack when the running total before it crosses a budget boundary
+    (cumulative-sum packing — the scalable streaming-order variant of
+    first-fit; packs can overflow by at most one document, they are never
+    under-filled by fragmentation).
+
+    Output: (key, shard, pack_id, n_tokens). One shuffle on the shard key;
+    each shard's window is independent, so 1000 executors pack 1000+ shards
+    concurrently regardless of corpus size."""
+    from pyspark.sql.window import Window as _W
+
+    shard = F.pmod(hash60(F.col("key").cast("string")), F.lit(shards))
+    w = (_W.partitionBy("shard").orderBy(F.col("key").asc())
+         .rowsBetween(_W.unboundedPreceding, -1))
+    out = (df.select(F.col(key_col).alias("key"),
+                     F.col(tokens_col).alias("n_tokens"))
+             .withColumn("shard", shard)
+             .withColumn("_cum_before",
+                         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+             .withColumn("pack_id",
+                         F.floor(F.col("_cum_before") / F.lit(budget))))
+    return out.select("key", "shard", "pack_id", "n_tokens")

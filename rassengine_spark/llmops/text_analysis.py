@@ -164,3 +164,34 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
 
     return spread(df.select(id_col, text_col)).mapInPandas(
         run, schema=f"id {id_type}, fingerprint bigint")
+
+
+# ------------------------------------------------------------- PII scrub
+# Pattern dialect is the RE2/Java common subset (no lookaround, no \b
+# ambiguity differences for these shapes) so Spark and SQL oracles agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace each PII match with a typed placeholder ('[EMAIL]' etc.).
+    A chained regexp_replace projection — codegen, scan-fused, no shuffle;
+    order matters (SSNs would otherwise half-match the phone shape)."""
+    out = text_col
+    for name in ("email", "ssn", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name],
+                               f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII hit counts + the redacted text."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(f"n_{name}")
+          for name, p in PII_PATTERNS.items()],
+        pii_redact(t).alias("redacted"))

@@ -66,3 +66,51 @@ def test_stratified_take_exact_n(spark):
               out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 7, "b": 7}
     assert out.exceptAll(stratified_take(df, "s", "k", 7)).count() == 0
+
+
+def test_mixture_resample_keeps_other_strata_whole(spark):
+    from rassengine_spark.llmops.splits import mixture_resample
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "k int, lang string")
+    out = mixture_resample(df, "lang", "k", {"en": 0.3})
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 200            # untouched stratum
+    assert 30 < counts["en"] < 90         # ~30% of 200, hash-uniform
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from rassengine_spark.llmops.splits import pack_sequences
+    df = spark.createDataFrame([(i, 100) for i in range(60)],
+                               "k int, n int")
+    out = pack_sequences(df, "k", "n", budget=250, shards=4)
+    rows = out.collect()
+    assert len(rows) == 60
+    # within a shard, pack ids are non-decreasing in key order and every
+    # pack's token total before its last doc stays under budget
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.key)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // 250
+            cum += r.n_tokens
+    assert out.exceptAll(
+        pack_sequences(df, "k", "n", budget=250, shards=4)).count() == 0
+
+
+def test_pii_redact(spark):
+    from rassengine_spark.llmops.text_analysis import pii_counts
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@x.org or call 555-123-4567"),
+         (2, "ssn 123-45-6789 twice 123-45-6789"),
+         (3, "clean text")],
+        "id int, text string")
+    got = {r.id: r for r in pii_counts(df, "text", "id").collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ssn) == (1, 1, 0)
+    assert got[1].redacted == "mail me at [EMAIL] or call [PHONE]"
+    assert got[2].n_ssn == 2 and "[SSN]" in got[2].redacted
+    assert "123-45" not in got[2].redacted
+    assert got[3].redacted == "clean text"
