@@ -97,3 +97,38 @@ def test_scoring_stays_in_codegen(corpus):
     plan = _plan(exact_match_search(corpus, SPEC, "spark", k=3))
     assert "*(1)" in plan     # whole-stage-codegen stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_take_uses_window_group_limit(corpus):
+    """Per-stratum take must prune with WindowGroupLimit before the
+    shuffle, not rank every row post-shuffle."""
+    from rassengine_spark.llmops.splits import stratified_take
+    plan = _plan(stratified_take(corpus, "patientId", "doc_id", 3))
+    assert "WindowGroupLimit" in plan
+
+
+def test_split_predicates_fuse_into_scan(corpus):
+    """hash_sample / mixture_resample are scan-fused filters: single
+    codegen stage, no exchange."""
+    from rassengine_spark.llmops.splits import hash_sample, mixture_resample
+    for df in (hash_sample(corpus, "doc_id", 0.5),
+               mixture_resample(corpus, "patientId", "doc_id", {"p1": 0.5})):
+        plan = _plan(df.select("doc_id"))
+        assert "Exchange" not in plan
+        assert "*(1)" in plan  # whole-stage-codegen span markers
+
+
+def test_pack_sequences_single_shuffle(corpus):
+    """Packing = exactly one exchange (the shard key) feeding the window."""
+    from rassengine_spark.llmops.splits import pack_sequences
+    toks = corpus.select("doc_id", F.length("text").alias("n"))
+    plan = _plan(pack_sequences(toks, "doc_id", "n", budget=100, shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redact_stays_in_codegen(corpus):
+    """The redaction chain is a pure projection fused into the scan."""
+    from rassengine_spark.llmops.text_analysis import pii_counts
+    plan = _plan(pii_counts(corpus, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
