@@ -325,25 +325,61 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
 
 # ------------------------------------------------- connected components
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         driver_threshold: int = 10_000_000) -> DataFrame:
     """(node, root) for every node in the pair graph: root = min node id of
     its connected component. This is the cluster-resolution step after any
     near-dup pair generator (minhash/simhash/cosine): pairs -> duplicate
     CLUSTERS, so one keeper survives per cluster rather than per pair.
 
-    Algorithm: iterated min-label propagation (hash-to-min). Each round every
-    node adopts min(own label, neighbors' labels) — one join + one
-    hash-aggregate per round, i.e. one shuffle, no driver-side graph. Rounds
-    needed = graph diameter; near-dup graphs are overwhelmingly tiny cliques
-    and short chains, so 3-5 rounds converge. Convergence is checked with a
-    cheap count of changed labels (AQE-sized aggregate) and the loop exits
-    early; `max_iter` bounds the pathological chain. At 100 TB the same plan
-    holds: labels and edges co-shuffle on node id each round (alternate
-    large-star/small-star to cut long chains if the corpus has them).
+    Two tiers, chosen by the materialized edge count:
+
+    - edge list fits on the driver (<= `driver_threshold` edges): collect
+      and union-find. The pair graph is the OUTPUT of heavy distributed
+      filtering — at 100 TB of corpus it is typically millions of edges,
+      i.e. a few hundred MB; path-compressed union-find resolves it in
+      seconds. (This is what production corpus-dedup pipelines do.)
+    - larger: iterated min-label propagation with pointer doubling
+      (hash-to-min + shortcut). Each round every node adopts
+      min(own, neighbors', root's) label — two co-partitioned joins + one
+      hash-aggregate per round, no driver-side graph; shortcutting makes a
+      diameter-D component converge in O(log D) rounds. Convergence is
+      checked each round (cheap limit(1) on changed labels) with early
+      exit; `max_iter` bounds the pathological case.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .unionAll(edges.select(F.col(dst).alias("u"),
                                        F.col(src).alias("v"))))
+    # materialize the edge list ONCE: its lineage is typically an expensive
+    # pair-generation plan (LSH/Jaccard self-join), and the loop below would
+    # otherwise re-execute it on every round's join AND convergence check
+    sym = sym.localCheckpoint(eager=True)
+
+    if sym.count() <= 2 * driver_threshold:  # sym holds both directions
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:       # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in sym.filter(F.col("u") < F.col("v")).collect():
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:                 # union by min id -> root = min
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(n, find(n)) for n in parent]
+        out_schema = sym.select(F.col("u").alias("node"),
+                                F.col("u").alias("root")).schema
+        return spark.createDataFrame(rows, out_schema)
+
     # initial label = own id
     labels = (sym.select("u").distinct()
                  .select(F.col("u").alias("node"), F.col("u").alias("root")))
@@ -352,10 +388,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
                   .groupBy(F.col("u").alias("node"))
                   .agg(F.min("root").alias("nbr_root")))
-        new_labels = (labels.join(nbr, "node", "left")
-                            .select("node",
-                                    F.least("root", F.coalesce(
-                                        "nbr_root", "root")).alias("root")))
+        stepped = (labels.join(nbr, "node", "left")
+                         .select("node",
+                                 F.least("root", F.coalesce(
+                                     "nbr_root", "root")).alias("root")))
+        # pointer doubling (shortcut): root <- root's root. Propagation
+        # alone needs O(diameter) rounds; with shortcutting the covered
+        # distance doubles per round -> O(log diameter) rounds, the same
+        # trick as large-star/small-star but on the label table only
+        parent = stepped.select(F.col("node").alias("root"),
+                                F.col("root").alias("groot"))
+        new_labels = (stepped.join(parent, "root")
+                             .select("node",
+                                     F.col("groot").alias("root")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.join(labels.withColumnRenamed("root", "old"),
                                    "node")

@@ -28,6 +28,20 @@ def test_cc_long_chain_converges(spark):
     assert all(r.root == 0 for r in got) and len(got) == 13
 
 
+def test_cc_distributed_path_matches_driver_path(spark):
+    # force the iterative tier (driver_threshold=0) on a mixed graph and
+    # require identical output to the union-find tier
+    pairs = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102),
+                                               (102, 100), (200, 201)]
+    edges = _edges(spark, pairs)
+    dist = connected_components(edges, driver_threshold=0)
+    drv = connected_components(edges)
+    assert dist.exceptAll(drv).count() == 0
+    assert drv.exceptAll(dist).count() == 0
+    got = {r.node: r.root for r in drv.collect()}
+    assert got[29] == 0 and got[102] == 100 and got[201] == 200
+
+
 def test_dup_clusters_sizes_and_keepers(spark):
     edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
     rows = dup_clusters(edges).collect()
