@@ -1631,6 +1631,148 @@ def _sql_bm25_ranked() -> str:
     return bm25_sql("documents", "text", "doc_id", "spark join query", k=15)
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: priority counts of orders with at least one late
+    line (EXISTS -> left-semi join; the probe side never duplicates)."""
+    t = load_tables(spark, sf_dir)
+    late = (t["lineitem"]
+            .join(t["orders"],
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey").distinct())
+    return (t["orders"]
+            .join(late, F.col("o_orderkey") == F.col("l_orderkey"),
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: large-volume orders — HAVING on a grouped sum,
+    semi-joined back to orders+customer, top 100 by (totalprice desc)."""
+    t = load_tables(spark, sf_dir)
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+           .filter(F.col("total_qty") > 180))
+    return (t["orders"]
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["customer"],
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("o_date"),
+                    F.round(F.col("o_totalprice"), 2).alias("o_total"),
+                    "total_qty")
+            .orderBy(F.col("o_total").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       round(o_totalprice, 2) AS o_total, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(SUM(l_quantity), 6) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(SUM(l_quantity), 6) > 180) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_total DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: disjunctive brand/size/quantity predicate blocks
+    over lineitem x broadcast(part); Catalyst extracts the common
+    p_partkey join key and pushes the per-block residuals."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    block = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50))))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    return (j.filter(block)
+             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+_SQL_TPCH_Q19 = """
+SELECT round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily x event-type pivot: groupBy(day).pivot(type, <explicit list>)
+    — the explicit value list keeps the plan single-pass (no distinct-scan
+    job) and schema-stable at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    out = (ev.groupBy(day).pivot("event_type", _EVENT_TYPES).count())
+    return (out.select("day", *[F.coalesce(F.col(c), F.lit(0))
+                                .alias(f"n_{c}") for c in _EVENT_TYPES])
+               .orderBy("day"))
+
+
+def _sql_events_pivot() -> str:
+    cols = ",\n       ".join(
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS n_{t}" for t in _EVENT_TYPES)
+    return f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {cols}
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: per-day HyperLogLog++ distinct users and t-digest-style
+    approximate quantiles of `value` — the fixed-memory one-pass answers a
+    100 TB rollup actually uses (exact twins: events_distinct_daily,
+    lineitem_quantity_percentiles). No SQL oracle: sketch outputs are
+    algorithm-specific; error bounds are unit-tested instead
+    (tests/test_sketches.py)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return (ev.groupBy(day)
+              .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                   F.percentile_approx("value", [0.5, 0.95], 10000)
+                   .alias("value_q"))
+              .select("day", "approx_users",
+                      F.col("value_q")[0].alias("p50_approx"),
+                      F.col("value_q")[1].alias("p95_approx"))
+              .orderBy("day"))
+
+
 def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
     synthetic bundles derived from the documents table."""
@@ -1766,6 +1908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
         "bm25_ranked": _q_bm25_ranked,
+        "tpch_q4_late_orders": _q_tpch_q4,
+        "tpch_q18_big_orders": _q_tpch_q18,
+        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
+        "events_pivot_daily": _q_events_pivot,
+        "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
         "m1_intent_route": _q_m1_intent_route,
@@ -1833,6 +1980,10 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
         "bm25_ranked": _sql_bm25_ranked(),
+        "tpch_q4_late_orders": _SQL_TPCH_Q4,
+        "tpch_q18_big_orders": _SQL_TPCH_Q18,
+        "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
+        "events_pivot_daily": _sql_events_pivot(),
         # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
         # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
         # backreferences for the markdown emphasis regexes, and the FHIR
