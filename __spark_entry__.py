@@ -1773,6 +1773,61 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (day-of-week, event_type): all four grouping combinations
+    in one pass (map-side expansion, single shuffle), grouping_id
+    disambiguates null-as-total from null-as-value."""
+    ev = load_tables(spark, sf_dir)["events"]
+    dow = F.dayofweek(F.col("ts")).alias("dow")
+    return (ev.cube(dow, F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("sum_value"),
+                   F.grouping_id().alias("gid"))
+              .orderBy(F.col("gid"), F.col("dow").asc_nulls_first(),
+                       F.col("event_type").asc_nulls_first()))
+
+
+def _sql_events_cube() -> str:
+    # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7
+    return """
+SELECT dayofweek(ts) + 1 AS dow, event_type, COUNT(*) AS n,
+       round(SUM(value), 4) AS sum_value,
+       GROUPING(dayofweek(ts) + 1) * 2 + GROUPING(event_type) AS gid
+FROM events
+GROUP BY CUBE (dayofweek(ts) + 1, event_type)
+ORDER BY gid, dow ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily purchase value: explicit window frame
+    (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) over a daily pre-aggregate —
+    the shuffle is one hash-agg; the frame scan is per-partition."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy(F.date_trunc("day", F.col("ts")).cast("date")
+                        .alias("day"))
+               .agg(F.round(F.sum("value"), 4).alias("day_value")))
+    from pyspark.sql.window import Window as _W
+    w = _W.orderBy("day").rowsBetween(-6, 0)
+    return (daily.select("day", "day_value",
+                         F.round(F.avg("day_value").over(w), 4)
+                         .alias("ma7"))
+                 .orderBy("day"))
+
+
+_SQL_EVENTS_MOVING_AVG = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(SUM(value), 4) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT day, day_value,
+       round(AVG(day_value) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily ORDER BY day
+"""
+
+
 def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
     synthetic bundles derived from the documents table."""
@@ -1912,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         "events_pivot_daily": _q_events_pivot,
+        "events_cube_dow_type": _q_events_cube,
+        "events_moving_avg_7d": _q_events_moving_avg,
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
@@ -1984,6 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
         "events_pivot_daily": _sql_events_pivot(),
+        "events_cube_dow_type": _sql_events_cube(),
+        "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
         # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
         # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
         # backreferences for the markdown emphasis regexes, and the FHIR
