@@ -1870,6 +1870,38 @@ def _q_s3_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("doc_id"))
 
 
+def _sql_s3_markdown() -> str:
+    # the identical regexp chain (textfiles.markdown_to_text): RE2/Java
+    # common subset, DuckDB replacement syntax \1, 'g' flag
+    rules = [
+        (r"(?m)^```[^\n]*$", " "),
+        (r"!\[([^\]]*)\]\([^)]*\)", r"\1"),
+        (r"\[([^\]]*)\]\([^)]*\)", r"\1"),
+        (r"(?m)^#{1,6}\s+", ""),
+        (r"(?m)^\s*([-*+]|\d+\.)\s+", ""),
+        (r"(?m)^>\s?", ""),
+        (r"(?m)^([-*_]\s*){3,}$", " "),
+        (r"`([^`]*)`", r"\1"),
+        (r"\*\*(.*?)\*\*", r"\1"),
+        (r"__(.*?)__", r"\1"),
+        (r"\*([^*]*)\*", r"\1"),
+        (r"_([^_]*)_", r"\1"),
+    ]
+    expr = "c"
+    for pat, repl in rules:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
+    return f"""
+WITH md AS (
+  SELECT doc_id,
+         '# Doc' || chr(10) || chr(10) || '**' || substr(text, 1, 60)
+           || '** with [a link](http://x) and `code`.' || chr(10) AS c
+  FROM documents)
+SELECT doc_id, NULLIF(trim({expr}), '') AS plain
+FROM md ORDER BY doc_id
+"""
+
+
 def _q_m1_intent_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: the rule-based intent router over a fixed query workload
     (deterministic; mirrors the reference's 12 intent labels)."""
@@ -2043,6 +2075,24 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _sql_events_pivot(),
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
+        "s3_markdown_strip": _sql_s3_markdown(),
+        # golden oracle: the workload is fixed, so the expected routing is
+        # pinned literally — any regression in the rule router mismatches
+        "m1_intent_route": """
+SELECT * FROM (VALUES
+  ('What are the symptoms of diabetes?', 'EXPLANATORY'),
+  ('Fetch the medical records for patient John Doe.', 'DOCUMENT_FETCH'),
+  ('How many patients have hypertension?', 'AGGREGATE'),
+  ('Compare the outcomes of heart surgery vs. medication.', 'COMPARISON'),
+  ('Show me trends in blood pressure for patient 123 over time.',
+   'TEMPORAL'),
+  ('Find patients with heart disease.', 'HYBRID'),
+  ('Get details for patient Jane Smith.', 'ENTITY_SPECIFIC'),
+  ('Search for diabetes treatment options.', 'SEMANTIC'),
+  ('List all procedures with CPT code 99213.', 'STRUCTURED'),
+  ('Look up ICD-10 code I21.', 'KEYWORD'))
+  AS t(query, intent)
+""",
         # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
         # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
         # backreferences for the markdown emphasis regexes, and the FHIR

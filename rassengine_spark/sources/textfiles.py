@@ -42,6 +42,10 @@ def markdown_to_text(col: Column) -> Column:
     reference's HTML round-trip keeps it — we keep the inner text too but
     strip the fence markers), then links/images reduce to their labels,
     then emphasis/heading/blockquote/list markers strip.
+
+    Every pattern is in the RE2/Java common subset (no backreferences, no
+    lookaround) so a SQL engine can run the identical chain — the emphasis
+    rules are split per marker instead of back-referencing the opener.
     """
     c = F.regexp_replace(col, r"(?m)^```[^\n]*$", " ")          # fence lines
     c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", "$1")    # images
@@ -51,8 +55,10 @@ def markdown_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?m)^>\s?", "")                   # blockquote
     c = F.regexp_replace(c, r"(?m)^([-*_]\s*){3,}$", " ")       # hrule
     c = F.regexp_replace(c, r"`([^`]*)`", "$1")                 # inline code
-    c = F.regexp_replace(c, r"(\*\*|__)(.*?)\1", "$2")          # bold
-    c = F.regexp_replace(c, r"(\*|_)(.*?)\1", "$2")             # italics
+    c = F.regexp_replace(c, r"\*\*(.*?)\*\*", "$1")             # bold **
+    c = F.regexp_replace(c, r"__(.*?)__", "$1")                 # bold __
+    c = F.regexp_replace(c, r"\*([^*]*)\*", "$1")               # italics *
+    c = F.regexp_replace(c, r"_([^_]*)_", "$1")                 # italics _
     return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
 
 
