@@ -1833,7 +1833,8 @@ def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic bundles derived from the documents table."""
     import json as _json
 
-    docs = load_tables(spark, sf_dir)["documents"].limit(_FHIR_SAMPLE_USERS)
+    docs = (load_tables(spark, sf_dir)["documents"]
+            .filter(F.col("doc_id") < _FHIR_SAMPLE_USERS))  # deterministic
     rows = docs.select("doc_id", "text").collect()
     bundles = [
         ("u%d" % r["doc_id"], "bundle_%d.json" % r["doc_id"], _json.dumps({
@@ -2076,6 +2077,24 @@ def oracle_sql() -> dict[str, str]:
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
         "s3_markdown_strip": _sql_s3_markdown(),
+        # golden-by-construction oracle: the bundles are deterministic
+        # functions of (doc_id, text), so the expected parse output is
+        # derivable in SQL without a JSON parser — validates the whole
+        # from_json+explode+projection round-trip
+        "s1_fhir_parse": f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_FHIR_SAMPLE_USERS})
+SELECT * FROM (
+  SELECT 'Patient-' || doc_id || '-structured' AS doc_id,
+         'Patient' AS resourceType, CAST(doc_id AS VARCHAR) AS patientId,
+         'P' || doc_id || ' Doe' AS patientName,
+         CAST(NULL AS VARCHAR) AS conditionCodeText
+  FROM d
+  UNION ALL
+  SELECT 'Condition-c' || doc_id || '-structured', 'Condition',
+         CAST(doc_id AS VARCHAR), NULL, 'Hypertension'
+  FROM d)
+ORDER BY doc_id
+""",
         # golden oracle: the workload is fixed, so the expected routing is
         # pinned literally — any regression in the rule router mismatches
         "m1_intent_route": """
