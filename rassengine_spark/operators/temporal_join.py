@@ -30,16 +30,23 @@ from rassengine_spark.util import micros
 
 def asof_join(probe: DataFrame, build: DataFrame, on: list[str],
               probe_ts: str, build_ts: str,
-              build_cols: dict[str, str]) -> DataFrame:
-    """For each probe row, attach the most recent build row with
-    build_ts <= probe_ts and equal `on` keys (backward as-of, inclusive —
-    DuckDB `ASOF JOIN` semantics). Probe rows with no prior build row are
+              build_cols: dict[str, str],
+              direction: str = "backward",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """For each probe row, attach the nearest build row with equal `on`
+    keys at-or-before (`direction='backward'`, DuckDB `ASOF JOIN`
+    semantics) or at-or-after (`direction='forward'`) its timestamp —
+    optionally within `tolerance_seconds`. Probe rows with no match are
     dropped (inner as-of).
 
     build_cols maps build column -> output alias. Probe columns all pass
-    through. At equal timestamps the build row sorts first, so it is
-    visible to the probe row (inclusive match).
+    through. At equal timestamps the build row is visible to the probe row
+    (inclusive match). Same plan both directions: one shuffle on the key,
+    one sorted window pass, linear in |probe| + |build| (the forward pass
+    just flips the sort and carries the next build row backward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     probe_cols = probe.columns
     p = probe.withColumn("_t", F.col(probe_ts)) \
              .withColumn("_side", F.lit(1)) \
@@ -57,14 +64,26 @@ def asof_join(probe: DataFrame, build: DataFrame, on: list[str],
         if c not in b.columns:
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
     u = p.unionByName(b.select(p.columns))
-    w = (Window.partitionBy(*on).orderBy(F.col("_t").asc(),
-                                         F.col("_side").asc())
+    # backward: ascending time, build-before-probe on ties, carry last
+    # build struct forward. forward: descending time (same tie rule), so
+    # "last" is the nearest at-or-after build row.
+    order = (F.col("_t").asc() if direction == "backward"
+             else F.col("_t").desc())
+    w = (Window.partitionBy(*on).orderBy(order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = u.withColumn("_m", F.last("_b", ignorenulls=True).over(w))
-    return (matched.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
-            .select(*probe_cols,
-                    *[F.col(f"_m.{a}").alias(a)
-                      for a in build_cols.values()]))
+    matched = u.withColumn("_m", F.last("_b", ignorenulls=True).over(w)) \
+               .withColumn("_mt", F.last(F.when(F.col("_side") == 0,
+                                                F.col("_t")),
+                                         ignorenulls=True).over(w))
+    out = matched.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+    if tolerance_seconds is not None:
+        gap = (micros(F.col("_t")) - micros(F.col("_mt"))
+               if direction == "backward"
+               else micros(F.col("_mt")) - micros(F.col("_t")))
+        out = out.filter(gap <= int(tolerance_seconds) * 1_000_000)
+    return out.select(*probe_cols,
+                      *[F.col(f"_m.{a}").alias(a)
+                        for a in build_cols.values()])
 
 
 def interval_join(probe: DataFrame, intervals: DataFrame, on: list[str],

@@ -70,3 +70,55 @@ def test_interval_no_duplicate_pairs_wide_bucket(spark):
     out = interval_join(probe, ivs, ["user_id"], "ts",
                         "w_start", "w_end", bucket_seconds=3600)
     assert [(r.event_id, r.iv_id) for r in out.collect()] == [(1, 900)]
+
+
+def test_asof_forward_direction(spark):
+    import datetime as dt
+    T = dt.datetime
+    probe = spark.createDataFrame(
+        [(1, "a", T(2024, 1, 1, 10, 0)), (2, "a", T(2024, 1, 1, 12, 0)),
+         (3, "b", T(2024, 1, 1, 10, 0))],
+        "pid int, k string, ts timestamp")
+    build = spark.createDataFrame(
+        [(100, "a", T(2024, 1, 1, 10, 30)), (101, "a", T(2024, 1, 1, 11, 0)),
+         (102, "b", T(2024, 1, 1, 9, 0))],
+        "bid int, k string, bts timestamp")
+    from rassengine_spark.operators.temporal_join import asof_join
+    got = {r.pid: r.bid for r in asof_join(
+        probe, build, ["k"], "ts", "bts", {"bid": "bid"},
+        direction="forward").collect()}
+    # pid 1 -> next build at 10:30; pid 2 has none after 12:00 (dropped);
+    # pid 3 -> b's only build is before, none after -> dropped
+    assert got == {1: 100}
+
+
+def test_asof_tolerance(spark):
+    import datetime as dt
+    T = dt.datetime
+    probe = spark.createDataFrame(
+        [(1, "a", T(2024, 1, 1, 10, 0)), (2, "a", T(2024, 1, 1, 23, 0))],
+        "pid int, k string, ts timestamp")
+    build = spark.createDataFrame(
+        [(100, "a", T(2024, 1, 1, 9, 45))],
+        "bid int, k string, bts timestamp")
+    from rassengine_spark.operators.temporal_join import asof_join
+    within = asof_join(probe, build, ["k"], "ts", "bts", {"bid": "bid"},
+                       tolerance_seconds=3600)
+    # pid 1 is 15 min after the build row (inside 1h); pid 2 is 13h15m out
+    assert {r.pid for r in within.collect()} == {1}
+    no_tol = asof_join(probe, build, ["k"], "ts", "bts", {"bid": "bid"})
+    assert {r.pid for r in no_tol.collect()} == {1, 2}
+
+
+def test_asof_forward_inclusive_tie(spark):
+    import datetime as dt
+    T = dt.datetime
+    probe = spark.createDataFrame([(1, "a", T(2024, 1, 1, 10, 0))],
+                                  "pid int, k string, ts timestamp")
+    build = spark.createDataFrame([(100, "a", T(2024, 1, 1, 10, 0))],
+                                  "bid int, k string, bts timestamp")
+    from rassengine_spark.operators.temporal_join import asof_join
+    for d in ("backward", "forward"):
+        got = asof_join(probe, build, ["k"], "ts", "bts", {"bid": "bid"},
+                        direction=d).collect()
+        assert len(got) == 1 and got[0].bid == 100
