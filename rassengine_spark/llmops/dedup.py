@@ -122,14 +122,21 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_hashes: int = 16,
                       bands: int = 4, threshold: float = 0.5,
-                      round_to: int = 6) -> DataFrame:
+                      round_to: int = 6,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via minhash-LSH: candidates collide in >=1 band
     bucket, then exact shingle-Jaccard >= threshold verifies.
 
     Scale path: the only shuffle keys on (band_idx, band_key); identical
     pairs found in multiple bands are deduped with groupBy on (id_a, id_b).
     At 100 TB, bucket skew (boilerplate text) is handled by AQE skew-join
-    and/or dropping buckets above a size cap (frequent-shingle stopwording).
+    and, opt-in, `max_bucket_size`: buckets larger than the cap are dropped
+    before the self-join (a bucket of c docs yields c^2/2 candidate rows —
+    one boilerplate bucket of 10^6 docs is 5*10^11 pairs). The trade-off is
+    recall: a pair whose ONLY collision is in dropped buckets is missed;
+    real near-dups collide in several bands, so the loss concentrates on
+    boilerplate — exactly what corpus dedup wants to ignore. Off by
+    default so results stay exactly LSH-complete (and oracle-exact).
     """
     rows = num_hashes // bands
     sh = spread(df).select(
@@ -146,6 +153,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # otherwise ride through the shuffle twice and the pair-dedup once
     banded = (sig_df.withColumn("bk", band_keys(F.col("sig"), bands, rows))
                     .select("id", F.posexplode("bk").alias("band", "key")))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                        .filter(F.col("_bsz") <= max_bucket_size)
+                        .drop("_bsz"))
     cand = (banded.join(banded.select(F.col("id").alias("id_b"),
                                       "band", "key"), ["band", "key"])
                   .filter(F.col("id") < F.col("id_b"))

@@ -147,3 +147,24 @@ def test_multimodal_plumbing(spark):
     assert (by_id["1"]["width"], by_id["1"]["height"]) == \
            (by_id["2"]["width"], by_id["2"]["height"])
     assert all(r["width"] >= 16 for r in feats)
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    from rassengine_spark.llmops.dedup import minhash_lsh_pairs
+    # 8 identical boilerplate docs (collide in every band bucket) + one
+    # true near-dup pair of a distinct text
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    distinct = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau")
+    rows = [(i, boiler) for i in range(8)]
+    rows += [(100, distinct), (101, distinct + " extra")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    full = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3)
+    capped = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3,
+                               max_bucket_size=4)
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped finds all 28 boilerplate pairs + the true pair
+    assert (100, 101) in full_pairs and len(full_pairs) == 29
+    # cap drops the oversized boilerplate buckets, keeps the true pair
+    assert capped_pairs == {(100, 101)}
