@@ -78,3 +78,31 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
                                         watermark="1 hour"))
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Streaming windowed counts enriched with a static dimension: the
+    stream side shuffles on the state key; the static side broadcasts per
+    micro-batch (re-read each trigger, so dim updates are picked up)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _write_batch(str(src), "b1.json", [
+        {"user_id": "u1", "event_id": 1, "ts": "2024-01-01T10:05:00"},
+        {"user_id": "u2", "event_id": 2, "ts": "2024-01-01T10:10:00"},
+        {"user_id": "u1", "event_id": 3, "ts": "2024-01-01T13:00:00"},
+    ])
+    dim = spark.createDataFrame(
+        [("u1", "pro"), ("u2", "free")], "user_id string, tier string")
+
+    def build(ev):
+        counts = windowed_counts(ev, "ts", "user_id",
+                                 window="1 hour", watermark="1 hour")
+        return counts.join(F.broadcast(dim), "user_id")
+
+    rows = _run(spark, src, out, ckpt, build)
+    got = {(r.user_id, str(r.window_start)): r.tier for r in rows}
+    assert got[("u1", "2024-01-01 10:00:00")] == "pro"
+    assert got[("u2", "2024-01-01 10:00:00")] == "free"
