@@ -219,3 +219,31 @@ def test_chunks_narrative_and_notes(parsed):
     # chunk_size=6 respected everywhere
     for r in rows.values():
         assert len(r.unstructuredText.split()) <= 6
+
+
+def test_parse_fhir_malformed_inputs_do_not_throw(spark):
+    """PERMISSIVE parsing: garbage, truncated JSON, wrong shapes, and
+    unknown resource types must yield zero/partial rows, never an error."""
+    from rassengine_spark.sources.fhir import parse_fhir
+
+    bad = [
+        ("u1", "a.json", "not json at all"),
+        ("u1", "b.json", "{\"resourceType\": \"Bundle\""),       # truncated
+        ("u1", "c.json", "{}"),                                   # no entry
+        ("u1", "d.json", "{\"entry\": 42}"),                      # wrong type
+        ("u1", "e.json",
+         "{\"entry\": [{\"resource\": {\"resourceType\": \"Basic\","
+         " \"id\": \"x\"}}]}"),                                   # unknown rt
+        ("u1", "f.json",
+         "{\"entry\": [{\"resource\": {\"resourceType\": \"Patient\","
+         " \"id\": 7, \"name\": \"oops-not-a-list\"}}]}"),        # bad field
+        ("u1", "g.json", None),                                   # null row
+    ]
+    raw = spark.createDataFrame(
+        bad, "user_id string, file_path string, content string")
+    sdocs, chunks = parse_fhir(raw, chunk_size=16)
+    rows = sdocs.collect()          # must not raise
+    chunks.collect()                # must not raise
+    # only the malformed-Patient row survives the resourceType whitelist
+    assert [r.resourceType for r in rows] == ["Patient"]
+    assert rows[0].patientName is None     # bad nested shape -> null
