@@ -1285,8 +1285,7 @@ def _q_j2_content_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .select("vec_id", "label")
     return (hits.join(t["documents"],
                       F.col("vec_id") == F.col("doc_id"))
-                .select("doc_id", "label", "lang", "n_chars")
-                .orderBy("doc_id"))
+                .select("doc_id", "label", "lang", "n_chars"))
 
 
 _SQL_J2_CONTENT = """
@@ -1398,10 +1397,12 @@ def _q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end")))
     pairs = interval_join(clicks, errs, ["user_id"], "ts",
                           "w_start", "w_end", bucket_seconds=86400)
+    # no display sort: the contract compare is order-insensitive and the
+    # output is one row per error event — a global sort of it at 100 TB
+    # would be pure waste
     return (pairs.groupBy("err_id")
             .agg(F.count(F.lit(1)).alias("n_clicks"),
-                 F.min("event_id").alias("first_click"))
-            .orderBy("err_id"))
+                 F.min("event_id").alias("first_click")))
 
 
 _SQL_EVENTS_INTERVAL = """
@@ -1930,10 +1931,9 @@ def _q_s7_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rassengine_spark.functions.vector import l2_norm
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     emb = with_embeddings(docs, "text", dim=16)
-    return (emb.select("doc_id",
-                       F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
-                       F.round(F.element_at("embedding", 1), 4).alias("e0"))
-               .orderBy("doc_id"))
+    return emb.select("doc_id",
+                      F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
+                      F.round(F.element_at("embedding", 1), 4).alias("e0"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

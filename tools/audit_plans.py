@@ -1,0 +1,85 @@
+"""Physical-plan audit across the whole driver contract: build every
+`queries()` DataFrame at the given SF and scan its executed plan for
+antipatterns that would hurt at 100 TB. Complements tests/test_plans.py
+(which asserts specific shapes) by covering every query by default.
+
+Run:  python tools/audit_plans.py [sf_dir]    (default /root/testdata/sf0.001)
+
+Flags per query:
+- CARTESIAN: CartesianProduct in the plan (never acceptable — broadcast
+  cross joins show as BroadcastNestedLoopJoin and are whitelisted where
+  the small side is genuinely bounded).
+- PYTHON: ArrowEvalPython / BatchEvalPython / FlatMapsInPandas outside the
+  whitelist of deliberately-Arrow operators.
+- SORT_ALL: a global Sort with no limit anywhere (full-data sort).
+Exit code 1 if any non-whitelisted flag fires.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Arrow/pandas is the *point* of these operators:
+PYTHON_OK = {
+    "text_fingerprint", "dedup_simhash", "dedup_embedding_cosine",
+    "s7_embed_hash_ngram", "mm_binary_metadata",
+}
+# bounded driver-side collect feeding a literal/broadcast is fine:
+SORT_OK = {
+    # ORDER BY in the *result* of a small aggregate (rows ~ groups, driver
+    # display order) — not a full-data sort
+    "q6_terms_agg", "events_rollup_multigrain", "events_distinct_daily",
+    "events_pivot_daily", "events_cube_dow_type", "events_moving_avg_7d",
+    "lineitem_quantity_percentiles", "split_hash_assign",
+    "split_stratified_take", "split_hash_sample", "split_mixture_resample",
+    "pack_sequences", "tpch_q1_pricing", "tpch_q4_late_orders",
+    "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
+    "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
+    "dedup_cc_clusters", "events_asof_join", "orders_running_total",
+    # bounded few-group aggregates with display order:
+    "tpch_q5_region_revenue", "j1_semi_join_resolved",
+    "sketch_daily_rollup",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entry
+    from rassengine_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"build error: {e}"))
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if (any(k in plan for k in
+                ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas")) and name not in PYTHON_OK):
+            flags.append("PYTHON")
+        if ("Sort " in plan and "TakeOrdered" not in plan
+                and "Limit" not in plan and name not in SORT_OK):
+            flags.append("SORT_ALL")
+        n_ex = plan.count("Exchange hashpartitioning")
+        status = ",".join(flags) if flags else "ok"
+        print(f"{status:10s} exchanges={n_ex:2d}  {name}")
+        if flags:
+            failures.append((name, status))
+    if failures:
+        print(f"\n{len(failures)} flagged: {[f[0] for f in failures]}")
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
