@@ -641,22 +641,28 @@ FROM events GROUP BY props HAVING COUNT(*) > 1
 """
 
 
-def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (shingle->minhash->band->bucket-join->
-    exact-Jaccard verify). Input: documents plus a perturbed copy of every
-    10th doc (first two words dropped, id+1000000) so guaranteed near-dups
-    exercise the candidate path."""
+def _minhash_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a perturbed copy of every 10th doc (first two words
+    dropped, id+1000000) so guaranteed near-dups exercise the LSH path."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     w = words_of(F.col("text"))
     pert = (docs.filter(F.col("doc_id") % 10 == 0)
             .select((F.col("doc_id") + 1000000).alias("doc_id"),
                     F.array_join(F.slice(w, 3, 1000000), " ").alias("text")))
-    return DD.minhash_lsh_pairs(docs.unionAll(pert), "text", "doc_id",
-                                shingle_n=3, num_hashes=16, bands=4,
-                                threshold=0.5)
+    return docs.unionAll(pert)
 
 
-def _sql_dedup_minhash() -> str:
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle->minhash->band->bucket-join->
+    exact-Jaccard verify)."""
+    return DD.minhash_lsh_pairs(_minhash_input(spark, sf_dir), "text",
+                                "doc_id", shingle_n=3, num_hashes=16,
+                                bands=4, threshold=0.5)
+
+
+def _sql_minhash_ctes() -> str:
+    """CTE chain ending in `pairs` (unfiltered jaccard) — shared by the
+    minhash-pairs oracle and the LSH→connected-components oracle."""
     # Carter-Wegman family matching dedup.minhash_signature: one md5 per
     # shingle split into two 48-bit halves, hash_i = (h1 + i*h2) mod 2^31-1
     h1 = "CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)"
@@ -672,8 +678,7 @@ def _sql_dedup_minhash() -> str:
                                  for r in range(4)))
         for b in range(4))
     words = _SQL_WORDS.format(col="text")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS id, array_to_string(words[3:], ' ') AS text
@@ -693,9 +698,12 @@ pairs AS (
                / CAST(len(a.sh) + len(b.sh)
                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
            AS jaccard
-  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id)
-SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
-"""
+  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return (f"WITH {_sql_minhash_ctes()}\n"
+            "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5\n")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,32 +987,24 @@ FROM n
 
 
 def _q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: near-dup pairs (word-bigram Jaccard
-    >= 0.1 inside language blocks) -> connected components -> (node, root,
-    cluster_size). The step after pair generation in any corpus dedup:
-    keeper policy 'min id survives' = rows where node == root."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
-                                   n=2, threshold=0.1)
+    """Duplicate-cluster resolution — the canonical corpus-dedup pipeline:
+    MinHash-LSH near-dup pairs -> connected components -> (node, root,
+    cluster_size). Keeper policy 'min id survives' = rows where
+    node == root."""
+    pairs = DD.minhash_lsh_pairs(_minhash_input(spark, sf_dir), "text",
+                                 "doc_id", shingle_n=3, num_hashes=16,
+                                 bands=4, threshold=0.5)
     return (DD.dup_clusters(pairs)
               .orderBy("root", "node"))
 
 
 def _sql_dedup_cc() -> str:
-    words = _SQL_WORDS.format(col="text")
     return f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS id, lang, {_sql_shingles(2)} AS sh
-  FROM (SELECT doc_id, lang, {words} AS words FROM documents)),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
-  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / CAST(len(a.sh) + len(b.sh)
-                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.1),
+WITH RECURSIVE {_sql_minhash_ctes()},
+fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
 sym AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION SELECT id_b, id_a FROM pairs),
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs),
 reach(node, r) AS (
   SELECT DISTINCT u, u FROM sym
   UNION
