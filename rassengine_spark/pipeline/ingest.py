@@ -90,3 +90,36 @@ def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,
             os.path.join(out_dir, "chunks")).count(),
     }
     return out
+
+
+def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
+                 group_cols: list[str], agg_exprs: dict[str, str]) -> None:
+    """Incremental aggregate maintenance: fold a new micro-batch into a
+    persisted additive rollup, re-aggregating ONLY the groups the batch
+    touches — the 100 TB pattern for keeping serving rollups fresh without
+    rescanning history.
+
+    `agg_exprs` maps output column -> additive SQL aggregate over it (e.g.
+    {"n_events": "sum", "sum_value": "sum"}): the stored rollup row and the
+    batch partial combine by the same aggregate, which is exact for
+    sum/count/min/max (count is stored as a sum-able column). Plan: the
+    delta pre-aggregates map-side, joins nothing — the union touches only
+    existing rows for AFFECTED groups (semi-join pruned), so the rewrite
+    cost scales with the batch's group count, not the table.
+    """
+    partial = delta
+    if os.path.exists(rollup_path):
+        existing = spark.read.parquet(rollup_path)
+        touched = partial.select(group_cols).distinct()
+        affected = existing.join(touched, group_cols, "left_semi")
+        untouched = existing.join(touched, group_cols, "left_anti")
+        merged = (affected.unionByName(partial)
+                  .groupBy(group_cols)
+                  .agg(*[F.expr(f"{fn}({c})").alias(c)
+                         for c, fn in agg_exprs.items()]))
+        out = untouched.unionByName(merged).localCheckpoint()
+    else:
+        out = (partial.groupBy(group_cols)
+               .agg(*[F.expr(f"{fn}({c})").alias(c)
+                      for c, fn in agg_exprs.items()])).localCheckpoint()
+    out.write.mode("overwrite").parquet(rollup_path)

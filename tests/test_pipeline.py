@@ -171,3 +171,26 @@ def test_streaming_ingest(spark, tmp_path):
     chunks = spark.read.parquet(str(out / "chunks"))
     assert chunks.count() >= 2
     assert len(chunks.first().embedding) == 16
+
+
+def test_merge_rollup_incremental_equals_full(spark, tmp_path):
+    """Folding batches incrementally must equal a one-shot rollup."""
+    from rassengine_spark.pipeline.ingest import merge_rollup
+    path = str(tmp_path / "rollup")
+    b1 = spark.createDataFrame(
+        [("2024-01-01", "a", 1, 10.0), ("2024-01-01", "b", 1, 5.0),
+         ("2024-01-02", "a", 1, 2.0)],
+        "day string, k string, n_events long, sum_value double")
+    b2 = spark.createDataFrame(
+        [("2024-01-02", "a", 1, 3.0),   # touches an existing group
+         ("2024-01-03", "c", 1, 7.0)],  # new group
+        "day string, k string, n_events long, sum_value double")
+    aggs = {"n_events": "sum", "sum_value": "sum"}
+    merge_rollup(spark, path, b1, ["day", "k"], aggs)
+    merge_rollup(spark, path, b2, ["day", "k"], aggs)
+    got = {(r.day, r.k): (r.n_events, r.sum_value)
+           for r in spark.read.parquet(path).collect()}
+    full = b1.unionByName(b2).groupBy("day", "k") \
+             .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
+    expect = {(r.day, r.k): (r.n, r.s) for r in full.collect()}
+    assert got == expect
