@@ -77,3 +77,16 @@ def test_pack_sequences_matches_reference(spark, sizes, budget):
             expect.append((k, s, cum // budget))
             cum += n
     assert got == sorted(expect)
+
+
+@given(vals=st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                               width=64),
+                     min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_double_array_lit_roundtrips_exactly(spark, vals):
+    from rassengine_spark.util import double_array_lit
+    got = spark.range(1).select(
+        double_array_lit(vals).alias("v")).first().v
+    assert len(got) == len(vals)
+    for g, v in zip(got, vals):
+        assert g == v or (g != g and v != v)   # bit-exact (no NaN here)
