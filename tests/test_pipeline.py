@@ -194,3 +194,18 @@ def test_merge_rollup_incremental_equals_full(spark, tmp_path):
              .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
     expect = {(r.day, r.k): (r.n, r.s) for r in full.collect()}
     assert got == expect
+
+
+def test_persist_turn_appends_both_roles(spark, pipeline, tmp_path):
+    """C3 (app/main.py:2948-2963): one /ask turn appends a user and an
+    assistant message, queryable for the next turn's history window."""
+    path = str(tmp_path / "messages")
+    pipeline.persist_turn(spark, path, "chat9", "what is bp?", "an answer")
+    pipeline.persist_turn(spark, path, "chat9", "and now?", "another")
+    rows = spark.read.parquet(path).filter(F.col("chatId") == "chat9")
+    got = [(r.role, r.content) for r in
+           rows.orderBy("createdAt", "role").collect()]
+    assert len(got) == 4
+    assert {g[0] for g in got} == {"user", "assistant"}
+    assert ("user", "what is bp?") in got and ("assistant", "another") in got
+    assert rows.filter(F.col("createdAt").isNull()).count() == 0
