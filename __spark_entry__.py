@@ -1729,6 +1729,330 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def _money_sum(col, alias, nd=2):
+    """round-6 product cast decimal(20,6), summed, -> double round nd.
+    Decimal accumulation makes the sum order-independent, so Spark's
+    partial/final agg and DuckDB's single-node agg agree bit-exactly."""
+    return F.round(F.sum(col.cast("decimal(20,6)")).cast("double"), nd) \
+        .alias(alias)
+
+
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral shipping volume between two nations by
+    ship year. nation/supplier/customer are dims -> broadcast; the only
+    shuffle is lineitem x orders on orderkey (AQE-coalesced), then the
+    4-row-ish group-by is map-side-combined."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (t["lineitem"]
+            .filter(F.col("l_shipdate").between("1995-01-01", "1996-12-31"))
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(_money_sum(vol, "revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(SUM(CAST(volume AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         round(l_extendedprice * (1 - l_discount), 6) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: national market share — NATION_3's fraction of ASIA
+    ECONOMY-part revenue per order year. Seven-table join where every dim
+    is broadcast; the conditional-sum / total-sum division happens on the
+    two decimal aggregates so both engines round the same doubles."""
+    t = load_tables(spark, sf_dir)
+    asia_nk = (t["nation"]
+               .join(F.broadcast(t["region"]),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "ASIA")
+               .select(F.col("n_nationkey").alias("cust_nk")))
+    supp_n = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                                F.col("n_name").alias("supp_nation"))
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY") \
+                    .select("p_partkey")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6) \
+        .cast("decimal(20,6)")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol) \
+        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    grouped = (t["lineitem"]
+               .join(F.broadcast(econ),
+                     F.col("l_partkey") == F.col("p_partkey"))
+               .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+               .filter(F.col("o_orderdate")
+                       .between("1995-01-01", "1996-12-31"))
+               .join(F.broadcast(t["customer"]),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .join(F.broadcast(asia_nk),
+                     F.col("c_nationkey") == F.col("cust_nk"), "left_semi")
+               .join(F.broadcast(t["supplier"]),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .join(F.broadcast(supp_n),
+                     F.col("s_nationkey") == F.col("s_nk"))
+               .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+               .agg(F.sum(nat_vol).cast("double").alias("nat"),
+                    F.sum(vol).cast("double").alias("tot")))
+    return (grouped
+            .select("o_year",
+                    F.round(F.col("nat") / F.col("tot"), 6)
+                    .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+_SQL_TPCH_Q8 = """
+SELECT o_year,
+       round(CAST(SUM(nat) AS DOUBLE) / CAST(SUM(vol) AS DOUBLE), 6)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount), 6)
+              AS DECIMAL(20,6)) AS vol,
+         CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(round(l_extendedprice * (1 - l_discount), 6)
+                        AS DECIMAL(20,6))
+              ELSE CAST(0 AS DECIMAL(20,6)) END AS nat
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1996-12-31')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (adapted: testdata has no partsupp, so profit =
+    discounted revenue): product-line profit by supplier nation and order
+    year for parts named like '%bolt%'. part filter prunes before the
+    join; dims broadcast; one orderkey shuffle."""
+    t = load_tables(spark, sf_dir)
+    bolt = t["part"].filter(F.col("p_name").contains("bolt")) \
+                    .select("p_partkey")
+    amount = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (t["lineitem"]
+            .join(F.broadcast(bolt), F.col("l_partkey") == F.col("p_partkey"),
+                  "left_semi")
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(_money_sum(amount, "sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE contains(p_name, 'bolt'))
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: distribution of orders-per-customer. LEFT join so
+    zero-order customers count; two shuffles (custkey agg, then the tiny
+    count-of-counts agg which AQE collapses to a few partitions)."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (t["customer"]
+                .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"),
+                      "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: top supplier by quarterly revenue. The revenue
+    "view" is computed once and reused for both the max and the equality
+    filter (Spark dedups the shared subplan under AQE reuse); the 1-row
+    max side is a broadcast cross join, never a driver collect."""
+    t = load_tables(spark, sf_dir)
+    rev = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")), 6)
+                      .cast("decimal(20,6)")).alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("max_rev"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_revenue").cast("double"), 2)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+_SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                  AS DECIMAL(20,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape (adapted: p_type stands in for p_container):
+    revenue from small-quantity lines, threshold = 0.2 x per-part mean
+    quantity — the correlated scalar subquery written decorrelated: a
+    grouped-avg frame broadcast-joined back on partkey. The per-part avg
+    is derived from a decimal sum so the 6dp-rounded threshold is
+    engine-exact."""
+    t = load_tables(spark, sf_dir)
+    sel = t["part"].filter((F.col("p_brand") == "Brand#2")
+                           & (F.col("p_type") == "ECONOMY")) \
+                   .select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(sel),
+                            F.col("l_partkey") == F.col("p_partkey"),
+                            "left_semi")
+    thresh = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+              .agg(F.round(
+                  0.2 * (F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                         .cast("double") / F.count(F.lit(1))), 6)
+                  .alias("qty_thresh")))
+    return (li.join(F.broadcast(thresh),
+                    F.col("l_partkey") == F.col("t_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_thresh"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,4)")).cast("double") / 7.0,
+                         2).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+_SQL_TPCH_Q17 = """
+WITH sel AS (SELECT p_partkey FROM part
+             WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'),
+li AS (SELECT l.* FROM lineitem l
+       WHERE l_partkey IN (SELECT p_partkey FROM sel)),
+thresh AS (
+  SELECT l_partkey AS t_partkey,
+         round(0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                           AS DOUBLE) / COUNT(*)), 6) AS qty_thresh
+  FROM li GROUP BY l_partkey)
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li JOIN thresh ON l_partkey = t_partkey
+WHERE l_quantity < qty_thresh
+"""
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (adapted: country code = c_nationkey % 5, recency =
+    no orders since 2001): wealthy inactive customers per country code.
+    NOT EXISTS -> left_anti against the date-filtered order keys; the
+    global avg is a 1-row broadcast, not a collect."""
+    t = load_tables(spark, sf_dir)
+    code = (F.col("c_nationkey") % 5).cast("long")
+    avg_bal = (t["customer"].filter(F.col("c_acctbal") > 0)
+               .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                            .cast("double") / F.count(F.lit(1)), 6)
+                    .alias("avg_bal")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= "2001-01-01")
+              .select("o_custkey").distinct())
+    return (t["customer"]
+            .withColumn("cntrycode", code)
+            .filter(F.col("cntrycode").isin(0, 1, 2))
+            .crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+_SQL_TPCH_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE (c_nationkey % 5) IN (0, 1, 2)
+    AND c_acctbal > (SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                                       AS DOUBLE) / COUNT(*), 6)
+                     FROM customer WHERE c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01'))
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -1999,6 +2323,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
+        "tpch_q7_nation_volume": _q_tpch_q7,
+        "tpch_q8_market_share": _q_tpch_q8,
+        "tpch_q9_product_profit": _q_tpch_q9,
+        "tpch_q13_order_distribution": _q_tpch_q13,
+        "tpch_q15_top_supplier": _q_tpch_q15,
+        "tpch_q17_small_qty_revenue": _q_tpch_q17,
+        "tpch_q22_inactive_customers": _q_tpch_q22,
         "events_pivot_daily": _q_events_pivot,
         "events_cube_dow_type": _q_events_cube,
         "events_moving_avg_7d": _q_events_moving_avg,
@@ -2073,6 +2404,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
+        "tpch_q7_nation_volume": _SQL_TPCH_Q7,
+        "tpch_q8_market_share": _SQL_TPCH_Q8,
+        "tpch_q9_product_profit": _SQL_TPCH_Q9,
+        "tpch_q13_order_distribution": _SQL_TPCH_Q13,
+        "tpch_q15_top_supplier": _SQL_TPCH_Q15,
+        "tpch_q17_small_qty_revenue": _SQL_TPCH_Q17,
+        "tpch_q22_inactive_customers": _SQL_TPCH_Q22,
         "events_pivot_daily": _sql_events_pivot(),
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
