@@ -964,6 +964,57 @@ FROM documents
 """
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction, longest
+    same-word run (row-local codegen exprs) + top/dup bigram fractions
+    (explode -> two linear hash-aggregates)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.repetition_features(docs, "text", "doc_id", n=2).orderBy("id")
+
+
+def _sql_text_repetition() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH d AS (SELECT doc_id, {words} AS words FROM documents),
+base AS (
+  SELECT doc_id, len(words) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN 1 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               ELSE 0 END, 6) AS dup_word_frac
+  FROM d),
+pos AS (SELECT doc_id, unnest(words) AS word,
+               generate_subscripts(words, 1) AS pos FROM d),
+runs AS (
+  SELECT doc_id, COUNT(*) AS run_len
+  FROM (SELECT doc_id, word, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+                                        ORDER BY pos) AS grp
+        FROM pos)
+  GROUP BY doc_id, word, grp),
+maxrun AS (SELECT doc_id, MAX(run_len) AS max_word_run
+           FROM runs GROUP BY doc_id),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 2 THEN
+                  list_transform(generate_series(0, len(words) - 2),
+                                 j -> array_to_string(words[(j+1):(j+2)], ' '))
+                ELSE [] END) AS gram
+  FROM d),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+gs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot, COUNT(*) AS nd
+       FROM gc GROUP BY doc_id)
+SELECT b.doc_id AS id, b.n_words, b.dup_word_frac,
+       COALESCE(m.max_word_run, 0) AS max_word_run,
+       round(COALESCE(CAST(gs.mx AS DOUBLE) / gs.tot, 0), 6)
+         AS top_ngram_frac,
+       round(COALESCE(1 - CAST(gs.nd AS DOUBLE) / gs.tot, 0), 6)
+         AS dup_ngram_frac
+FROM base b LEFT JOIN maxrun m ON b.doc_id = m.doc_id
+            LEFT JOIN gs ON b.doc_id = gs.doc_id
+ORDER BY id
+"""
+
+
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over 8-char shingles (winnowing-style)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1045,6 +1096,49 @@ WITH s AS (
   FROM documents)
 SELECT lang, split, COUNT(*) AS n_docs FROM s
 GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: 90/10 hash-split of documents, then
+    flag eval docs whose distinct 5-gram overlap with the train corpus
+    is >= 0.8 (llmops/decontam.py; bigint gram-hash inverted join)."""
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    out = DC.flag_contaminated(
+        lab.filter(F.col("split") == "eval"),
+        lab.filter(F.col("split") == "train"),
+        "text", "doc_id", n=5, threshold=0.8)
+    return (out.select("doc_id", "n_grams", "n_matched",
+                       "overlap_frac", "contaminated")
+            .orderBy("doc_id"))
+
+
+def _sql_decontam_overlap() -> str:
+    u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH lab AS (
+  SELECT doc_id, {words} AS words,
+         CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+evg AS (
+  SELECT doc_id, unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'eval'),
+vocab AS (
+  SELECT DISTINCT unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'train')
+SELECT e.doc_id, COUNT(*) AS n_grams, COUNT(v.gram) AS n_matched,
+       round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac,
+       round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) >= 0.8
+         AS contaminated
+FROM evg e LEFT JOIN vocab v ON e.gram = v.gram
+GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
@@ -2295,7 +2389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
+        "decontam_ngram_overlap": _q_decontam_overlap,
         "split_hash_assign": _q_split_assign,
         "split_stratified_take": _q_split_stratified,
         "split_hash_sample": _q_split_sample,
@@ -2376,7 +2472,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
         "text_fingerprint": _sql_text_fingerprint(),
+        "text_repetition": _sql_text_repetition(),
         "dedup_cc_clusters": _sql_dedup_cc(),
+        "decontam_ngram_overlap": _sql_decontam_overlap(),
         "split_hash_assign": _sql_split_assign(),
         "split_stratified_take": _sql_split_stratified(),
         "split_hash_sample": _sql_split_sample(),

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..sources.chunker import words_of
 from ..util import spread
 from .dedup import hash60
 
@@ -93,6 +94,71 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0))
     return df.select(F.col(id_col).alias("id"),
                      ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def _ngram_list(w: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition metrics need multiplicity);
+    texts shorter than n words yield an empty list."""
+    grams = F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                        lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    return F.when(F.size(w) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 2, round_to: int = 6) -> DataFrame:
+    """Repetition signals in the spirit of the Gopher data-quality rules
+    (Rae et al. 2021 §A1.1, public paper): per doc
+
+    - ``dup_word_frac``   1 - distinct/total words (vocabulary collapse)
+    - ``max_word_run``    longest run of the same word repeated back-to-back
+    - ``top_ngram_frac``  occurrences of the most frequent word n-gram /
+                          total n-gram occurrences
+    - ``dup_ngram_frac``  fraction of n-gram occurrences that are repeats
+
+    Scale shape: dup_word_frac and max_word_run are row-local expressions
+    (whole-stage codegen, zero shuffle). The n-gram fractions need per-doc
+    gram counts, which an O(len^2) row-local expression would make
+    pathological on long docs — instead grams explode to (id, gram) rows
+    and two linear hash-aggregates (gram count, then per-doc max/sum/count)
+    produce the stats; AQE coalesces the small result."""
+    t = F.col(text_col)
+    w = words_of(t)
+    n_words = F.size(w)
+    dup_word_frac = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(w)).cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    max_run = F.aggregate(w, acc0, _step, lambda a: a["best"])
+    base = df.select(F.col(id_col).alias("id"), n_words.alias("n_words"),
+                     F.round(dup_word_frac, round_to).alias("dup_word_frac"),
+                     max_run.alias("max_word_run"),
+                     _ngram_list(w, n).alias("_grams"))
+    gram_counts = (base.select("id", F.explode("_grams").alias("gram"))
+                   .groupBy("id", "gram")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    gram_stats = (gram_counts.groupBy("id")
+                  .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"),
+                       F.count(F.lit(1)).alias("_nd")))
+    out = base.drop("_grams").join(gram_stats, "id", "left")
+    top_frac = F.when(F.col("_tot") > 0,
+                      F.col("_mx").cast("double") / F.col("_tot")) \
+        .otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("_tot") > 0,
+        1.0 - F.col("_nd").cast("double") / F.col("_tot")) \
+        .otherwise(F.lit(0.0))
+    return (out.withColumn("top_ngram_frac", F.round(top_frac, round_to))
+            .withColumn("dup_ngram_frac", F.round(dup_frac, round_to))
+            .drop("_mx", "_tot", "_nd"))
 
 
 def fingerprint_expr(text_col: Column, k: int = 8) -> Column:

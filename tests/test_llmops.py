@@ -168,3 +168,65 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert (100, 101) in full_pairs and len(full_pairs) == 29
     # cap drops the oversized boilerplate buckets, keeps the true pair
     assert capped_pairs == {(100, 101)}
+
+
+# ---------------------------------------------------------------- decontam
+def test_decontam_overlap_fractions(spark):
+    from rassengine_spark.llmops.decontam import flag_contaminated
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h"),           # grams of this text are "in train"
+         (2, "z y x w v u t s")],
+        "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [(10, "a b c d e f g h"),          # fully contained -> frac 1.0
+         (11, "a b c d q q q q"),          # 2 of 5 distinct trigrams match
+         (12, "m n o p q r s t")],         # nothing matches
+        "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           flag_contaminated(ev, train, "text", "doc_id",
+                             n=3, threshold=0.9).collect()}
+    assert got[10].n_grams == 6 and got[10].n_matched == 6
+    assert got[10].overlap_frac == 1.0 and got[10].contaminated
+    assert got[11].n_grams == 5 and got[11].n_matched == 2
+    assert not got[11].contaminated
+    assert got[12].n_matched == 0 and not got[12].contaminated
+
+
+def test_decontam_short_text_whole_shingle(spark):
+    from rassengine_spark.llmops.decontam import ngram_overlap
+    # texts shorter than n collapse to one whole-text shingle on both sides
+    train = spark.createDataFrame([(1, "tiny doc")], "doc_id int, text string")
+    ev = spark.createDataFrame([(10, "tiny doc"), (11, "other doc")],
+                               "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           ngram_overlap(ev, train, "text", "doc_id", n=8).collect()}
+    assert got[10].n_grams == 1 and got[10].n_matched == 1
+    assert got[11].n_grams == 1 and got[11].n_matched == 0
+
+
+# ---------------------------------------------------------------- repetition
+def test_repetition_features_hand_computed(spark):
+    from rassengine_spark.llmops.text_analysis import repetition_features
+    df = spark.createDataFrame(
+        [(1, "a a a b"),            # words 4, distinct 2; run 3
+         (2, "x y x y x y"),        # bigrams: xy,yx,xy,yx,xy -> top 3/5
+         (3, "unique words only here"),
+         (4, "solo")],              # < n words -> no grams
+        "doc_id int, text string")
+    got = {r.id: r for r in
+           repetition_features(df, "text", "doc_id", n=2).collect()}
+    r1 = got[1]
+    assert r1.n_words == 4 and r1.max_word_run == 3
+    assert r1.dup_word_frac == 0.5
+    # bigrams of doc1: "a a","a a","a b" -> top 2/3, distinct 2/3
+    assert r1.top_ngram_frac == round(2 / 3, 6)
+    assert r1.dup_ngram_frac == round(1 - 2 / 3, 6)
+    r2 = got[2]
+    assert r2.max_word_run == 1 and r2.top_ngram_frac == 0.6
+    assert r2.dup_ngram_frac == round(1 - 2 / 5, 6)
+    r3 = got[3]
+    assert r3.dup_word_frac == 0.0 and r3.max_word_run == 1
+    assert r3.top_ngram_frac == round(1 / 3, 6) and r3.dup_ngram_frac == 0.0
+    r4 = got[4]
+    assert r4.n_words == 1 and r4.max_word_run == 1
+    assert r4.top_ngram_frac == 0.0 and r4.dup_ngram_frac == 0.0
