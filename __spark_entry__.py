@@ -800,6 +800,25 @@ QUALIFY rank <= 5
 """
 
 
+def _q_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-HNSW ANN (llmops/hnsw.py): per-partition graphs built in
+    mapInPandas, per-query merge — the reference's per-shard HNSW +
+    coordinator-merge architecture (app/main.py:563-572) on Spark
+    partitions. Pinned to the exhaustive mode (ef >= partition size) so
+    the oracle can hash-match exact kNN; graph-path recall is unit-tested
+    in tests/test_hnsw.py."""
+    from rassengine_spark.llmops.hnsw import hnsw_topk
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return hnsw_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                     k=5, ef_search=10 ** 9, partitions=8)
+
+
+_SQL_SIM_HNSW = _SQL_SIM_BRUTEFORCE
+
+
 def _sql_sim_lsh() -> str:
     planes = SIM.hyperplanes(EMBED_DIM, 4)
     bucket_terms = []
@@ -2385,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
+        "sim_hnsw_topk": _q_sim_hnsw,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -2468,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
+        "sim_hnsw_topk": _SQL_SIM_HNSW,
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,

@@ -1,0 +1,226 @@
+"""Per-partition HNSW graph ANN — the sharded-HNSW tier behind the same
+(corpus, queries) -> (query_id, id, score, rank) signature as
+``similarity.brute_force_topk`` / ``lsh_bucketed_topk`` / ``ivf_topk``.
+
+This mirrors the reference's retrieval architecture exactly: OpenSearch
+builds one HNSW graph PER SHARD (nmslib, m=48, ef_construction=400 —
+reference app/main.py:563-572) and the coordinator merges per-shard top-k.
+Here the "shard" is a Spark partition: each partition builds an in-memory
+HNSW graph over its vectors inside one ``mapInPandas`` pass (Arrow-batched),
+searches every query against it, emits its local top-k, and a final
+per-query window rank merges the partition results — the coordinator step.
+
+Scale shape: graph build is O(n_part * ef_construction) distance ops, fully
+parallel across partitions, no shuffle; the merge handles only
+P x Q x k rows. Query fan-out is a driver-side literal (queries are small,
+like every other ANN tier here). At 100 TB, partition count follows data
+size so each graph stays in executor memory.
+
+Determinism: insertion follows Arrow batch order, node levels come from
+md5(id) (no RNG), and final candidate scores are recomputed with the same
+left-to-right float64 accumulation as ``functions.vector.cosine`` /
+DuckDB's ``list_dot_product`` — so when ``ef_search >= partition size``
+(beam covers the whole graph) results are bit-identical to exact kNN and
+oracle-checkable. Realistic ``ef_search`` trades recall for speed; the
+recall floor is unit-tested, matching the reference's treatment of HNSW
+as a recall/latency operating point rather than exact semantics.
+
+Pure-Python/numpy graph (no native ANN lib in the runtime); hnswlib can
+drop in per-partition behind the same signature when available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _per_query_topk
+
+
+def _level_of(key: str, m_l: float) -> int:
+    """Deterministic HNSW level: md5-uniform in (0,1] -> geometric."""
+    u = (int(hashlib.md5(key.encode()).hexdigest()[:15], 16) + 1) \
+        / float(1 << 60)
+    return int(-math.log(u) * m_l)
+
+
+def _cos_exact(a: list[float], b: list[float]) -> float:
+    """Cosine with left-to-right float64 accumulation — bit-identical to
+    functions.vector.cosine (Spark aggregate) and DuckDB list arithmetic."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb) + 1e-9)
+
+
+class _HNSW:
+    """Compact in-memory HNSW over normalized vectors (cosine == dot)."""
+
+    def __init__(self, m: int = 8, ef_construction: int = 64):
+        self.m = m
+        self.efc = ef_construction
+        self.m_l = 1.0 / math.log(max(m, 2))
+        self.vecs: list[np.ndarray] = []
+        self.adj: list[dict[int, list[int]]] = []
+        self.entry = -1
+        self.max_level = -1
+
+    def _sim(self, i: int, q: np.ndarray) -> float:
+        return float(np.dot(self.vecs[i], q))
+
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        """Beam search: returns [(sim, node)] best-first, len <= ef."""
+        visited = set(entries)
+        cand = [(-self._sim(e, q), e) for e in entries]
+        heapq.heapify(cand)
+        result = [(self._sim(e, q), e) for e in entries]
+        heapq.heapify(result)            # min-heap: worst of the best first
+        while cand:
+            neg_s, c = heapq.heappop(cand)
+            if len(result) >= ef and -neg_s < result[0][0]:
+                break                    # best candidate worse than beam tail
+            for nb in self.adj[c].get(layer, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = self._sim(nb, q)
+                if len(result) < ef or s > result[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(result, (s, nb))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return sorted(result, key=lambda t: (-t[0], t[1]))
+
+    def _select_neighbors(self, cands: list[tuple[float, int]],
+                          m: int) -> list[int]:
+        """Malkov's diversity heuristic (HNSW paper alg. 4): keep a
+        candidate only if it is closer to the query node than to any
+        already-chosen neighbor — this preserves bridges between clusters
+        that plain nearest-m pruning severs (and without it, recall
+        collapses on clustered data). Skipped candidates backfill if the
+        diverse set comes up short (keepPrunedConnections)."""
+        chosen: list[int] = []
+        for s, n in cands:
+            if all(float(np.dot(self.vecs[n], self.vecs[c])) <= s
+                   for c in chosen):
+                chosen.append(n)
+                if len(chosen) >= m:
+                    return chosen
+        for _, n in cands:
+            if n not in chosen:
+                chosen.append(n)
+                if len(chosen) >= m:
+                    break
+        return chosen
+
+    def add(self, vec: np.ndarray, key: str) -> None:
+        idx = len(self.vecs)
+        self.vecs.append(vec)
+        lvl = _level_of(key, self.m_l)
+        self.adj.append({})
+        if self.entry < 0:
+            self.entry, self.max_level = idx, lvl
+            return
+        cur = [self.entry]
+        for layer in range(self.max_level, lvl, -1):
+            cur = [self._search_layer(vec, cur, 1, layer)[0][1]]
+        for layer in range(min(lvl, self.max_level), -1, -1):
+            cands = self._search_layer(vec, cur, self.efc, layer)
+            m_max = self.m * 2 if layer == 0 else self.m
+            nbrs = self._select_neighbors(cands, self.m)
+            self.adj[idx][layer] = list(nbrs)
+            for n in nbrs:               # bidirectional, pruned to m_max
+                lst = self.adj[n].setdefault(layer, [])
+                lst.append(idx)
+                if len(lst) > m_max:
+                    ncands = sorted(
+                        ((float(np.dot(self.vecs[n], self.vecs[x])), x)
+                         for x in lst), key=lambda t: (-t[0], t[1]))
+                    self.adj[n][layer] = self._select_neighbors(
+                        ncands, m_max)
+            cur = [n for _, n in cands] or cur
+        if lvl > self.max_level:
+            self.entry, self.max_level = idx, lvl
+
+    def search(self, q: np.ndarray, ef: int) -> list[int]:
+        if self.entry < 0:
+            return []
+        cur = [self.entry]
+        for layer in range(self.max_level, 0, -1):
+            cur = [self._search_layer(q, cur, 1, layer)[0][1]]
+        return [n for _, n in self._search_layer(q, cur, ef, 0)]
+
+
+def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+              id_col: str, query_id_col: str, k: int = 5, m: int = 8,
+              ef_construction: int = 64, ef_search: int = 32,
+              partitions: int | None = None,
+              round_to: int | None = 6) -> DataFrame:
+    """Sharded-HNSW approximate top-k. ``ef_search >= partition size``
+    degenerates to an exact per-partition scan (same results as
+    brute_force_topk, bit-exact — the oracle mode); realistic ef_search
+    takes the graph path. Returns (query_id, id, score, rank)."""
+    q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
+    qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
+    c = corpus.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec_col).alias("v"))
+    if partitions:
+        c = c.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        raw: list[list[float]] = []
+        for pdf in batches:
+            ids.extend(int(i) for i in pdf["id"])
+            raw.extend([float(x) for x in v] for v in pdf["v"])
+        if not ids:
+            return
+        n = len(ids)
+        out_q: list[int] = []
+        out_i: list[int] = []
+        out_s: list[float] = []
+        if ef_search >= n:
+            # exhaustive degenerate mode: exact local scan
+            for qid, qv in qs:
+                top = sorted(((_cos_exact(v, qv), -i)
+                              for i, v in zip(ids, raw)),
+                             reverse=True)[:k]
+                for s, neg_i in top:
+                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        else:
+            mat = np.asarray(raw, dtype=np.float64)
+            normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            g = _HNSW(m=m, ef_construction=ef_construction)
+            for row, ident in zip(normed, ids):
+                g.add(row, str(ident))
+            for qid, qv in qs:
+                qn = np.asarray(qv, dtype=np.float64)
+                qn = qn / (np.linalg.norm(qn) + 1e-12)
+                cand = g.search(qn, max(ef_search, k))
+                # final scores via the engine-exact cosine on RAW vectors
+                top = sorted(((_cos_exact(raw[j], qv), -ids[j])
+                              for j in cand), reverse=True)[:k]
+                for s, neg_i in top:
+                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                            "id": pd.Series(out_i, dtype="int64"),
+                            "score": pd.Series(out_s, dtype="float64")})
+
+    res = c.mapInPandas(run, "query_id bigint, id bigint, score double")
+    if round_to is not None:
+        res = res.withColumn("score", F.round("score", round_to))
+    return _per_query_topk(res, k).select("query_id", "id", "score", "rank")

@@ -1,0 +1,84 @@
+"""Per-partition HNSW ANN: exactness of the degenerate mode, recall of the
+graph path, and the partition-merge plumbing."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.hnsw import hnsw_topk
+from rassengine_spark.llmops.similarity import brute_force_topk
+
+
+def _h(s, lo=-1.0, hi=1.0):
+    v = int(hashlib.md5(s.encode()).hexdigest()[:12], 16) / float(1 << 48)
+    return lo + (hi - lo) * v
+
+
+def _clustered(spark, n=240, dim=16, n_clusters=4):
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        center = [3.0 * _h(f"c{c}/{j}") for j in range(dim)]
+        vec = [center[j] + 0.15 * _h(f"p{i}/{j}") for j in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+
+def _queries(spark, dim=16, n_clusters=4):
+    rows = [(100 + c, [3.0 * _h(f"c{c}/{j}") for j in range(dim)])
+            for c in range(n_clusters)]
+    return spark.createDataFrame(rows, "qid bigint, v array<double>")
+
+
+def test_exhaustive_mode_equals_brute_force(spark):
+    corpus, qs = _clustered(spark), _queries(spark)
+    bf = brute_force_topk(corpus, qs, "v", "vec_id", "qid", k=5).collect()
+    hn = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=5,
+                   ef_search=10 ** 6, partitions=3).collect()
+    assert [(r.query_id, r.id, r.score, r.rank) for r in hn] == \
+           [(r.query_id, r.id, r.score, r.rank) for r in bf]
+
+
+def test_graph_path_recall(spark):
+    corpus, qs = _clustered(spark), _queries(spark)
+    k = 10
+    truth = {}
+    for r in brute_force_topk(corpus, qs, "v", "vec_id", "qid",
+                              k=k).collect():
+        truth.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=k, m=8,
+                       ef_construction=48, ef_search=32,
+                       partitions=2).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(truth[q] & got.get(q, set())) / k for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_partition_merge_shape(spark):
+    corpus, qs = _clustered(spark), _queries(spark)
+    out = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=3,
+                    ef_search=16, partitions=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    # exactly k results per query, ranks dense 1..k, scores sorted desc
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.score))
+    for pairs in by_q.values():
+        pairs.sort()
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_empty_partitions_ok(spark):
+    # more partitions than rows -> empty graph partitions must yield nothing
+    corpus = _clustered(spark, n=5)
+    qs = _queries(spark)
+    out = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=3,
+                    ef_search=2, partitions=8).collect()
+    assert len({r.query_id for r in out}) == 4
