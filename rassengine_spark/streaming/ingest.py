@@ -57,3 +57,40 @@ def stream_fhir_uploads(spark: SparkSession, upload_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bucketed_sink(table: str, path: str, bucket_col: str,
+                  num_buckets: int = 8):
+    """foreachBatch sink that appends micro-batches into a BUCKETED
+    datasource table.
+
+    Every batch's files carry the same bucket spec, so the accumulating
+    table keeps the co-located layout at all times: downstream joins and
+    aggregations on ``bucket_col`` read it with NO exchange (the buckets
+    ARE the shuffle — see tests/test_bucketing.py). At 100 TB this is the
+    streaming half of the bucketing strategy: pay a batch-local shuffle at
+    ingest time once, never re-shuffle the big table at query time.
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (batch_df.write.mode("append")
+         .bucketBy(num_buckets, bucket_col).sortBy(bucket_col)
+         .option("path", path)
+         .saveAsTable(table))
+    return sink
+
+
+def stream_to_bucketed(source_df: DataFrame, table: str, path: str,
+                       checkpoint_dir: str, bucket_col: str,
+                       num_buckets: int = 8, available_now: bool = True):
+    """Run a streaming source into a bucketed table via ``bucketed_sink``.
+    The checkpoint makes the file source exactly-once: re-running after
+    completion appends nothing."""
+    writer = (source_df.writeStream
+              .foreachBatch(bucketed_sink(table, path, bucket_col,
+                                          num_buckets))
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
