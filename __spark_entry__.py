@@ -1310,6 +1310,50 @@ FROM documents
 """
 
 
+def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub image resize over mapInPandas (llmops.multimodal.resize_images):
+    binary in → bounded binary out, one row per image. Blob column is
+    dropped from the contract output; the deterministic size math is the
+    oracle-checkable part."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = MM.to_media_table(docs, "doc_id", "text", media_type="image")
+    resized = MM.resize_images(media, out_w=64, out_h=64)
+    return resized.select("media_id", "out_w", "out_h", "n_bytes_out")
+
+
+_SQL_MM_RESIZE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       64 AS out_w, 64 AS out_h,
+       CAST(LEAST(octet_length(encode(text)), 64 * 64) AS BIGINT)
+         AS n_bytes_out
+FROM documents
+"""
+
+
+def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub video frame sampling: 1 row in → n frames out, fanned out inside
+    the Arrow batch (llmops.multimodal.sample_frames). Frame count/id/ts are
+    deterministic functions of (media_id, blob size) so the whole fan-out is
+    oracle-checked; frame_bytes (the non-SQL part) is excluded."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = MM.to_media_table(docs, "doc_id", "text", media_type="video")
+    frames = MM.sample_frames(media, frame_ms=40, max_frames=4)
+    return frames.select("media_id", "frame_idx", "ts_ms", "frame_sha")
+
+
+_SQL_MM_FRAMES = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(UNNEST(range(0, 1 + octet_length(encode(text)) % 4))
+              AS INTEGER) AS frame_idx
+  FROM documents)
+SELECT media_id, frame_idx,
+       CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       md5(media_id || ':' || frame_idx) AS frame_sha
+FROM f
+"""
+
+
 # ---------------------------------------------------------------- wave 5
 # Relational breadth (multi-join, semi-join, analytic windows) + batch-mode
 # streaming analytics (sessionization, tumbling windows) + reference
@@ -2419,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
+        "mm_resize_meta": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
         "j2_content_join": _q_j2_content_join,
@@ -2503,6 +2549,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(),
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,
+        "mm_resize_meta": _SQL_MM_RESIZE,
+        "mm_frame_sample": _SQL_MM_FRAMES,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,
         "j2_content_join": _SQL_J2_CONTENT,

@@ -84,3 +84,89 @@ def decode_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("media_type", StringType(), True),
+    StructField("out_w", IntegerType(), True),
+    StructField("out_h", IntegerType(), True),
+    StructField("n_bytes_out", LongType(), True),
+    StructField("content", BinaryType(), True),       # fake-resized blob
+])
+
+
+def resize_images(media: DataFrame, out_w: int = 64,
+                  out_h: int = 64) -> DataFrame:
+    """STUB resize (the real kernel would be PIL/`cv2.resize` inside the same
+    batch loop): deterministically truncate the blob to out_w*out_h bytes so
+    the pipeline shape — binary in, binary out, bounded output size — is
+    real. One output row per input row; blob stays executor-side.
+
+    Mirrors the reference's upload pipeline having a per-file transform step
+    (reference app/embedding_gen.py:1285-1369 stores originals; a media
+    variant would store thumbnails next to them). At 100 TB: mapInPandas
+    streams Arrow batches, so peak executor memory is one batch of blobs,
+    not one partition; cap `spark.sql.files.maxPartitionBytes` so a batch
+    of decoded frames fits."""
+    cap = out_w * out_h
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            blobs = [(c or b"")[:cap] for c in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "out_w": out_w,
+                "out_h": out_h,
+                "n_bytes_out": [len(b) for b in blobs],
+                "content": blobs,
+            })
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("frame_sha", StringType(), False),
+    StructField("frame_bytes", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, frame_ms: int = 40,
+                  max_frames: int = 4) -> DataFrame:
+    """STUB video frame sampler: fan out 1 row per sampled frame via
+    mapInPandas (a real decoder — pyav/ffmpeg — would yield the same shape).
+    Frame count is a deterministic function of blob size
+    (1 + n_bytes % max_frames), frame id = md5("{media_id}:{idx}"), and
+    frame_bytes is a strided slice of the blob, so everything except the
+    slice is SQL-reproducible for the oracle.
+
+    Row fan-out happens inside the Arrow batch (vectorized explode), not on
+    the driver; downstream per-frame work repartitions naturally on the
+    exploded rows."""
+    import hashlib
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            ids, idxs, tss, shas, fbs = [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = c or b""
+                n = 1 + len(blob) % max_frames
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * frame_ms)
+                    shas.append(hashlib.md5(
+                        f"{mid}:{i}".encode()).hexdigest())
+                    fbs.append(blob[i::n])
+            yield pd.DataFrame({
+                "media_id": ids, "frame_idx": idxs, "ts_ms": tss,
+                "frame_sha": shas, "frame_bytes": fbs,
+            })
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

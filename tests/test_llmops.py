@@ -149,6 +149,37 @@ def test_multimodal_plumbing(spark):
     assert all(r["width"] >= 16 for r in feats)
 
 
+def test_multimodal_resize_stub(spark):
+    media = MM.to_media_table(docs(spark), "id", "text")
+    out = {r["media_id"]: r
+           for r in MM.resize_images(media, out_w=8, out_h=8).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert (r["out_w"], r["out_h"]) == (8, 8)
+        assert r["n_bytes_out"] <= 64
+        assert len(r["content"]) == r["n_bytes_out"]
+
+
+def test_multimodal_frame_sample(spark):
+    import hashlib
+    media = MM.to_media_table(docs(spark), "id", "text", media_type="video")
+    sizes = {r["media_id"]: r["n_bytes"] for r in media.collect()}
+    frames = MM.sample_frames(media, frame_ms=40, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, fs in by_media.items():
+        n = 1 + sizes[mid] % 4
+        assert sorted(f["frame_idx"] for f in fs) == list(range(n))
+        for f in fs:
+            assert f["ts_ms"] == f["frame_idx"] * 40
+            assert f["frame_sha"] == hashlib.md5(
+                f"{mid}:{f['frame_idx']}".encode()).hexdigest()
+    # strided slices partition the blob: total frame bytes == blob bytes
+    for mid, fs in by_media.items():
+        assert sum(len(f["frame_bytes"]) for f in fs) == sizes[mid]
+
+
 def test_minhash_bucket_cap_drops_boilerplate(spark):
     from rassengine_spark.llmops.dedup import minhash_lsh_pairs
     # 8 identical boilerplate docs (collide in every band bucket) + one
