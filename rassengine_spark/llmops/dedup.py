@@ -119,6 +119,64 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter).cast("double")
 
 
+def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
+                          shingle_n: int, num_hashes: int,
+                          bands: int) -> DataFrame:
+    """Arrow-batched (id, shingles, band-keys) pass, bit-identical to
+    `word_shingles` + `minhash_signature` + `band_keys` (same Java-``\\s+``
+    tokenization, same md5-halves Carter-Wegman family, same band md5) but
+    numpy-vectorized instead of interpreted higher-order expressions —
+    the md5-inside-transform expressions profiled as the dominant cost of
+    the LSH pipeline. Signatures stay inside the batch; only what the
+    joins need (shingle set for verify, band keys for bucketing) leaves."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    rows = num_hashes // bands
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    src = spread(df).select(F.col(id_col).alias("id"),
+                            F.col(text_col).cast("string").alias("txt"))
+    schema = StructType([
+        StructField("id", src.schema["id"].dataType, False),
+        StructField("sh", ArrayType(StringType()), False),
+        StructField("bk", ArrayType(StringType()), False)])
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        idx = np.arange(num_hashes, dtype=np.int64)
+        for pdf in batches:
+            ids, shs, bks = [], [], []
+            for rid, txt in zip(pdf["id"], pdf["txt"]):
+                words = [w for w in ws_re.split(txt or "") if w]
+                if len(words) >= shingle_n:
+                    sh = list(dict.fromkeys(
+                        " ".join(words[j:j + shingle_n])
+                        for j in range(len(words) - shingle_n + 1)))
+                else:
+                    sh = [" ".join(words)]
+                hexes = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+                h1 = np.array([int(h[:12], 16) for h in hexes],
+                              dtype=np.int64)
+                h2 = np.array([int(h[12:24], 16) for h in hexes],
+                              dtype=np.int64)
+                # (|sh| x K) grid; i*h2 < 16*2^48 — no int64 overflow
+                sig = ((h1[:, None] + idx[None, :] * h2[:, None])
+                       % _MINHASH_P).min(axis=0)
+                bk = [hashlib.md5(
+                          ",".join(str(sig[b * rows + r])
+                                   for r in range(rows)).encode()
+                      ).hexdigest() for b in range(bands)]
+                ids.append(rid)
+                shs.append(sh)
+                bks.append(bk)
+            yield pd.DataFrame({"id": ids, "sh": shs, "bk": bks})
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_hashes: int = 16,
                       bands: int = 4, threshold: float = 0.5,
@@ -138,21 +196,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     boilerplate — exactly what corpus dedup wants to ignore. Off by
     default so results stay exactly LSH-complete (and oracle-exact).
     """
-    rows = num_hashes // bands
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh")).cache()
-    # materialize signatures before banding: Catalyst's projection collapse
-    # would otherwise inline the whole signature expression into every
-    # element_at(sig, ...) inside band_keys — a K× expression blowup,
-    # re-evaluated again on each side of the self-join
-    sig_df = (sh.withColumn("sig",
-                            minhash_signature(F.col("sh"), num_hashes))
-                .select("id", "sig")).cache()
+    # one cached pandas pass yields both what banding needs (bk) and what
+    # verification needs (sh); the expression twins (word_shingles +
+    # minhash_signature + band_keys) remain the reference semantics and
+    # stay exported for decontam/tests
+    mh = _minhash_index_pandas(df, text_col, id_col, shingle_n,
+                               num_hashes, bands).cache()
+    sh = mh.select("id", "sh")
     # banding carries ONLY (id, band, key): the shingle arrays would
     # otherwise ride through the shuffle twice and the pair-dedup once
-    banded = (sig_df.withColumn("bk", band_keys(F.col("sig"), bands, rows))
-                    .select("id", F.posexplode("bk").alias("band", "key")))
+    banded = mh.select("id", F.posexplode("bk").alias("band", "key"))
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "key")
         banded = (banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -276,6 +329,58 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------- n-gram Jaccard
+def _shingle_index_pandas(df: DataFrame, text_col: str, id_col: str,
+                          block_col: str, n: int) -> DataFrame:
+    """Arrow-batched inverted shingle index: one output row per (doc,
+    distinct word-n-gram), columns (id, sz=|distinct shingles|, k=64-bit
+    key of (block, shingle)).
+
+    Semantics mirror `word_shingles` exactly (Java ``\\s+`` split = the
+    explicit ASCII class below, distinct n-grams, whole-text fallback for
+    short texts) — but run as a single pandas pass instead of interpreted
+    transform/slice/array_join expressions, which profiled ~5x slower.
+    The key is md5-derived (engine-independent); it never leaves the plan,
+    so any consistent hash preserves pair-count exactness (collision odds
+    ~2^-64 per pair)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # Java \s (no UNICODE_CHARACTER_CLASS) is exactly this ASCII class;
+    # Python's \s is wider (unicode), so spell it out.
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    src = spread(df).select(F.col(id_col).alias("id"),
+                            F.col(block_col).cast("string").alias("blk"),
+                            F.col(text_col).cast("string").alias("txt"))
+    schema = StructType([StructField("id", src.schema["id"].dataType, False),
+                         StructField("sz", IntegerType(), False),
+                         StructField("k", LongType(), False)])
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, szs, ks = [], [], []
+            for rid, blk, txt in zip(pdf["id"], pdf["blk"], pdf["txt"]):
+                words = [w for w in ws_re.split(txt or "") if w]
+                if len(words) >= n:
+                    sh = {" ".join(words[j:j + n])
+                          for j in range(len(words) - n + 1)}
+                else:
+                    sh = {" ".join(words)}
+                sz = len(sh)
+                pre = ((blk or "") + "\x00").encode()
+                for s in sh:
+                    ids.append(rid)
+                    szs.append(sz)
+                    ks.append(int.from_bytes(
+                        hashlib.md5(pre + s.encode()).digest()[:8],
+                        "big", signed=True))
+            yield pd.DataFrame({"id": ids, "sz": szs, "k": ks})
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, n: int = 2, threshold: float = 0.2,
                         round_to: int = 6) -> DataFrame:
@@ -291,21 +396,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     the true overlap. Hot shingles (boilerplate) are the skew risk: AQE
     splits them, and a frequency cap on the inverted index is the
     standard mitigation when they dominate."""
-    base = spread(df).select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-        word_shingles(F.col(text_col), n).alias("sh"))
-    # the join key is xxhash64(block, shingle) — codegen bigint compares
-    # instead of string compares; a 64-bit collision inflating a count is
-    # ~2^-64 per pair. |sh| rides along (8 bytes/row) so the pair
-    # aggregation below emits both set sizes directly — NO join of the
-    # multi-million-row pair table back to a per-doc sizes table (that
-    # per-doc table scales with the corpus, so it is not broadcastable at
-    # 100 TB either). Deliberately NOT cached: recomputing the shingle
-    # projection on both join branches is cheaper than a memory-store
-    # round-trip, and at 100 TB the index wouldn't fit in cache anyway.
-    inv = (base.select("id", "blk", F.size("sh").alias("sz"),
-                       F.explode("sh").alias("s"))
-               .select("id", "sz", F.xxhash64("blk", "s").alias("k")))
+    # 64-bit join keys: codegen bigint compares instead of string compares;
+    # a collision inflating a count is ~2^-64 per pair. |sh| rides along
+    # (8 bytes/row) so the pair aggregation below emits both set sizes
+    # directly — NO join of the multi-million-row pair table back to a
+    # per-doc sizes table (that per-doc table scales with the corpus, so it
+    # is not broadcastable at 100 TB either). Deliberately NOT cached:
+    # recomputing the pandas shingle pass on both join branches is cheaper
+    # than a memory-store round-trip, and at 100 TB the index wouldn't fit
+    # in cache anyway.
+    inv = _shingle_index_pandas(df, text_col, id_col, block_col, n)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (a.join(b, F.col("a.k") == F.col("b.k"))
               .filter(F.col("a.id") < F.col("b.id"))
