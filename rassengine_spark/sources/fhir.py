@@ -88,7 +88,10 @@ def _ts(c: Column) -> Column:
 
 
 def _human_name(r: Column) -> Column:
-    """name[0]: text else 'given... family' (app/main.py:724-728)."""
+    """name[0] flattened as 'given... family' (app/main.py:724-728,
+    1047-1051). DELIBERATE extension: a `text` field on the name wins when
+    present (the reference ignores it and would emit '' for text-only
+    names); missing parts are skipped instead of leaving ''-gaps."""
     n = r["name"][0]
     return F.coalesce(
         n["text"],
@@ -97,7 +100,10 @@ def _human_name(r: Column) -> Column:
 
 
 def _address(r: Column) -> Column:
-    """address[0]: line + city + state + postalCode (app/main.py:731-738)."""
+    """address[0]: line + city + state + postalCode (app/main.py:731-738,
+    1060-1067). DELIBERATE cleanup: missing parts are skipped (concat_ws
+    drops nulls) where the reference's ' '.join keeps ''-gaps, producing
+    double spaces for partial addresses."""
     a = r["address"][0]
     return F.nullif(F.trim(F.concat_ws(
         " ", F.array_join(a["line"], " "), a["city"], a["state"],
@@ -105,10 +111,13 @@ def _address(r: Column) -> Column:
 
 
 def _telecom(r: Column) -> Column:
-    """'system: value' entries ' | '-joined (app/main.py:760-767)."""
+    """'use: value' entries ' | '-joined (app/main.py:760-767, 1072, 1099 —
+    the reference reads `use`, NOT `system`, and its f-string keeps the
+    ': ' separator even when use/value are absent)."""
     return F.nullif(F.array_join(F.transform(
         r["telecom"],
-        lambda t: F.concat_ws(": ", t["system"], t["value"])), " | "),
+        lambda t: F.concat_ws(": ", F.coalesce(t["use"], F.lit("")),
+                              F.coalesce(t["value"], F.lit("")))), " | "),
         F.lit(""))
 
 

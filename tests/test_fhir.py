@@ -27,7 +27,8 @@ BUNDLE = {
                          "state": "MA", "postalCode": "02101"}],
             "maritalStatus": {"coding": [{"code": "M", "display": "Married"}]},
             "multipleBirthBoolean": True,
-            "telecom": [{"system": "phone", "value": "555-1234"},
+            "telecom": [{"system": "phone", "use": "home",
+                         "value": "555-1234"},
                         {"system": "email", "value": "j@example.com"}],
             "communication": [{"language": {"text": "en"}}],
             "text": {"status": "generated",
@@ -150,7 +151,9 @@ def test_patient_flattening(parsed):
     assert p.patientAddress == "12 Main St Boston MA 02101"
     assert p.patientMaritalStatus == "Married"      # display over code
     assert p.patientMultipleBirth == 1              # bool -> int
-    assert p.patientTelecom == "phone: 555-1234 | email: j@example.com"
+    # reference f-string semantics (app/main.py:760-767): `use` (not
+    # `system`) labels the entry, and a missing use keeps the ': ' prefix
+    assert p.patientTelecom == "home: 555-1234 | : j@example.com"
     assert p.patientLanguage == "en"
     assert str(p.patientDOB) == "1980-04-02"
 
@@ -219,6 +222,32 @@ def test_chunks_narrative_and_notes(parsed):
     # chunk_size=6 respected everywhere
     for r in rows.values():
         assert len(r.unstructuredText.split()) <= 6
+
+
+def test_multi_valued_nested_shapes_first_element_wins(spark):
+    """Reference parity for multi-valued nested arrays (app/main.py:724-738,
+    1047-1067): only name[0]/address[0] feed the flattened fields; ALL
+    telecom entries join with ' | '."""
+    bundle = {"entry": [{"resource": {
+        "resourceType": "Patient", "id": "pm",
+        "name": [{"family": "Primary", "given": ["Ann"]},
+                 {"family": "Maiden", "given": ["Ann"]}],
+        "address": [
+            {"line": ["1 First Ave"], "city": "Boston", "state": "MA",
+             "postalCode": "02101"},
+            {"line": ["2 Second St"], "city": "Salem", "state": "MA",
+             "postalCode": "01970"}],
+        "telecom": [{"use": "home", "value": "1"},
+                    {"use": "work", "value": "2"},
+                    {"use": "mobile", "value": "3"}],
+    }}]}
+    raw = spark.createDataFrame(
+        [("u1", "m.json", json.dumps(bundle))],
+        "user_id string, file_path string, content string")
+    p = parse_fhir(raw)[0].collect()[0]
+    assert p.patientName == "Ann Primary"
+    assert p.patientAddress == "1 First Ave Boston MA 02101"
+    assert p.patientTelecom == "home: 1 | work: 2 | mobile: 3"
 
 
 def test_parse_fhir_malformed_inputs_do_not_throw(spark):
