@@ -30,8 +30,9 @@ FHIR_RESOURCE_DDL = f"""
 struct<
   resourceType:string, id:string,
   text:struct<status:string,div:string>,
-  name:array<struct<family:string,given:array<string>,text:string>>,
+  name:variant,
   gender:string, birthDate:string,
+  qualification:array<struct<code:{_CODEABLE}>>,
   address:array<struct<line:array<string>,city:string,state:string,postalCode:string,text:string>>,
   maritalStatus:{_CODEABLE},
   multipleBirthBoolean:boolean, multipleBirthInteger:int,
@@ -87,16 +88,34 @@ def _ts(c: Column) -> Column:
                       F.try_to_timestamp(c, F.lit("yyyy-MM-dd")))
 
 
+_NAME_ARR_DDL = "array<struct<family:string,given:array<string>,text:string>>"
+
+
+def _name_array(r: Column) -> Column:
+    """FHIR `name` is a HumanName ARRAY on Patient/Practitioner but a plain
+    STRING on Organization; the DDL types it `variant` (Spark 4) so both
+    shapes survive one parse. This casts the array shape (null for the
+    string shape)."""
+    return F.try_variant_get(r["name"], "$", _NAME_ARR_DDL)
+
+
 def _human_name(r: Column) -> Column:
     """name[0] flattened as 'given... family' (app/main.py:724-728,
     1047-1051). DELIBERATE extension: a `text` field on the name wins when
     present (the reference ignores it and would emit '' for text-only
     names); missing parts are skipped instead of leaving ''-gaps."""
-    n = r["name"][0]
+    n = _name_array(r)[0]
     return F.coalesce(
         n["text"],
         F.nullif(F.trim(F.concat_ws(
             " ", F.array_join(n["given"], " "), n["family"])), F.lit("")))
+
+
+def _org_name(r: Column) -> Column:
+    """Organization.name is a plain string (app/main.py:1080); array-shaped
+    names (non-standard) fall back to the flattened human name."""
+    return F.coalesce(_human_name(r),
+                      F.try_variant_get(r["name"], "$", "string"))
 
 
 def _address(r: Column) -> Column:
@@ -252,18 +271,17 @@ def structured_documents(resources: DataFrame) -> DataFrame:
         only("Practitioner", r["id"]).alias("practitionerId"),
         only("Practitioner", _human_name(r)).alias("practitionerName"),
         only("Practitioner", r["gender"]).alias("practitionerGender"),
-        only("Practitioner", F.lit(None).cast("string")).alias("practitionerSpecialty"),
+        only("Practitioner", code_text(r["qualification"][0]["code"])).alias("practitionerSpecialty"),
         only("Practitioner", _address(r)).alias("practitionerAddress"),
         only("Practitioner", _telecom(r)).alias("practitionerTelecom"),
         only("Organization", r["id"]).alias("organizationId"),
-        only("Organization", _human_name(r)).alias("organizationName"),
+        only("Organization", _org_name(r)).alias("organizationName"),
         only("Organization", code_text(r["type"][0])).alias("organizationType"),
         only("Organization", _address(r)).alias("organizationAddress"),
         only("Organization", _telecom(r)).alias("organizationTelecom"),
     )
     # Organization name lives in `name` as a plain string in FHIR; reuse of
-    # _human_name covers the array form — fall back to a string field is not
-    # needed for our permissive schema. Align column order with the schema.
+    # Align column order with the schema.
     return out.select([f.name for f in DOCUMENTS_SCHEMA.fields])
 
 

@@ -104,12 +104,16 @@ BUNDLE = {
             "resourceType": "Practitioner", "id": "dr1",
             "name": [{"family": "Wong", "given": ["Ada"]}],
             "gender": "female",
+            "qualification": [{"code": {"text": "Cardiology"}}],
             "address": [{"city": "Boston", "state": "MA"}],
             "telecom": [{"system": "phone", "value": "555-9999"}],
         }},
         {"resource": {
+            # Organization.name is a plain STRING in FHIR (vs the
+            # HumanName array on Patient/Practitioner) — the variant-typed
+            # schema must carry both shapes
             "resourceType": "Organization", "id": "org1",
-            "name": [{"text": "General Hospital"}],
+            "name": "General Hospital",
             "type": [{"text": "Healthcare Provider"}],
             "address": [{"city": "Boston"}],
         }},
@@ -203,6 +207,7 @@ def test_practitioner_organization(parsed):
     docs, _ = parsed
     dr = row_for(docs, "Practitioner")
     assert dr.practitionerName == "Ada Wong"
+    assert dr.practitionerSpecialty == "Cardiology"  # qualification[0].code
     org = row_for(docs, "Organization")
     assert org.organizationName == "General Hospital"
     assert org.organizationType == "Healthcare Provider"
