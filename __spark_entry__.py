@@ -988,7 +988,9 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-word run (row-local codegen exprs) + top/dup bigram fractions
     (explode -> two linear hash-aggregates)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return TA.repetition_features(docs, "text", "doc_id", n=2).orderBy("id")
+    # no display sort: per-row output scales with the corpus, and the
+    # driver compare is order-insensitive
+    return TA.repetition_features(docs, "text", "doc_id", n=2)
 
 
 def _sql_text_repetition() -> str:
@@ -1132,9 +1134,9 @@ def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab.filter(F.col("split") == "eval"),
         lab.filter(F.col("split") == "train"),
         "text", "doc_id", n=5, threshold=0.8)
-    return (out.select("doc_id", "n_grams", "n_matched",
-                       "overlap_frac", "contaminated")
-            .orderBy("doc_id"))
+    # no display sort: per-eval-doc output, order-insensitive compare
+    return out.select("doc_id", "n_grams", "n_matched",
+                      "overlap_frac", "contaminated")
 
 
 def _sql_decontam_overlap() -> str:

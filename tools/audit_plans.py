@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PYTHON_OK = {
     "text_fingerprint", "dedup_simhash", "dedup_embedding_cosine",
     "s7_embed_hash_ngram", "mm_binary_metadata",
+    # Arrow-batched shingle/minhash index passes (vectorized twins of the
+    # interpreted expression forms — deliberate, see llmops/dedup.py):
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    # per-partition graph build is the point:
+    "sim_hnsw_topk",
+    # stub decode kernels over mapInPandas — the plumbing under audit:
+    "mm_resize_meta", "mm_frame_sample",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
@@ -42,6 +49,10 @@ SORT_OK = {
     # bounded few-group aggregates with display order:
     "tpch_q5_region_revenue", "j1_semi_join_resolved",
     "sketch_daily_rollup",
+    # few-group aggregates (nation/year/cntrycode/c_count grains):
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier", "tpch_q22_inactive_customers",
 }
 
 
