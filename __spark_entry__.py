@@ -2212,6 +2212,283 @@ GROUP BY cntrycode ORDER BY cntrycode
 """
 
 
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (adapted: no partsupp, so supply cost = min observed
+    unit price in lineitem): min-cost EUROPE supplier per selected part.
+    The correlated MIN subquery is decorrelated as a window-min over the
+    already-partkey-clustered grouped frame (no extra wide shuffle); dims
+    broadcast."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+    sel = t["part"].filter((F.col("p_type") == "SMALL")
+                           & (F.col("p_size") % 5 == 0)) \
+                   .select("p_partkey")
+    eu_supp = (t["supplier"]
+               .join(F.broadcast(t["nation"]),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .join(F.broadcast(t["region"]),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "EUROPE")
+               .select("s_suppkey", "s_name", "s_acctbal",
+                       F.col("n_name").alias("nation")))
+    cost = (t["lineitem"]
+            .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"),
+                  "left_semi")
+            .join(F.broadcast(eu_supp.select("s_suppkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.round(F.col("l_extendedprice")
+                               / F.col("l_quantity"), 6)
+                       .cast("decimal(20,6)")).alias("cost")))
+    w = Window.partitionBy("l_partkey")
+    return (cost.withColumn("min_cost", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("min_cost"))
+            .join(F.broadcast(eu_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_acctbal"), F.col("s_name"), F.col("nation"),
+                    F.col("l_partkey").alias("p_partkey"),
+                    F.round(F.col("cost").cast("double"), 6).alias("cost"))
+            .orderBy(F.col("s_acctbal").desc(), "nation", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+_SQL_TPCH_Q2 = """
+WITH sel AS (SELECT p_partkey FROM part
+             WHERE p_type = 'SMALL' AND p_size % 5 = 0),
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+cost AS (SELECT l_partkey, l_suppkey,
+                MIN(CAST(round(l_extendedprice / l_quantity, 6)
+                         AS DECIMAL(20,6))) AS cost
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM sel)
+           AND l_suppkey IN (SELECT s_suppkey FROM eu)
+         GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, nation, l_partkey AS p_partkey,
+       round(CAST(cost AS DOUBLE), 6) AS cost
+FROM cost JOIN eu ON l_suppkey = s_suppkey
+WHERE cost = (SELECT MIN(c2.cost) FROM cost c2
+              WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (adapted: stock value = discounted lineitem revenue
+    of ASIA-region suppliers): per-part value HAVING > 2x the mean part
+    value. The scalar threshold subquery is a 1-row broadcast cross join
+    over the same grouped frame (subplan reused), never a driver collect;
+    2x-mean is scale-invariant where q11's fixed fraction is not."""
+    t = load_tables(spark, sf_dir)
+    asia_supp = (t["supplier"]
+                 .join(F.broadcast(t["nation"]),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(t["region"]),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                 .filter(F.col("r_name") == "ASIA")
+                 .select("s_suppkey"))
+    val = (t["lineitem"]
+           .join(F.broadcast(asia_supp),
+                 F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+           .groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")), 6)
+                      .cast("decimal(20,6)")).alias("value")))
+    thresh = val.agg((2.0 * F.sum("value").cast("double")
+                      / F.count(F.lit(1))).alias("thresh"))
+    return (val.crossJoin(F.broadcast(thresh))
+            .filter(F.col("value").cast("double") > F.col("thresh"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round(F.col("value").cast("double"), 2).alias("value"))
+            .orderBy(F.col("value").desc(), "p_partkey"))
+
+
+_SQL_TPCH_Q11 = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                  AS DECIMAL(20,6))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, round(CAST(value AS DOUBLE), 2) AS value
+FROM v
+WHERE CAST(value AS DOUBLE) >
+      (SELECT 2.0 * CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM v)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (adapted: l_returnflag stands in for l_shipmode,
+    late receipt = shipped >60 days after order date): priority mix of
+    late-shipped lines per flag. Single orderkey shuffle then a 3-group
+    map-side-combined conditional aggregation."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (t["lineitem"]
+            .filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy(F.col("l_returnflag").alias("ship_mode"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("ship_mode"))
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_returnflag AS ship_mode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY ship_mode
+"""
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (adapted: part-supplier pairs come from distinct
+    lineitem pairs; 'complaint' suppliers = negative balance): supplier
+    count per (brand, type, size) excluding NOT-IN suppliers. The NOT IN
+    is a broadcast left_anti; the distinct-pair pass shuffles once on
+    (partkey, suppkey) and the count-distinct reuses that clustering."""
+    t = load_tables(spark, sf_dir)
+    sel = t["part"].filter((F.col("p_brand") != "Brand#5")
+                           & (F.col("p_type") != "PROMO")
+                           & F.col("p_size").isin(1, 5, 10, 15, 20, 25,
+                                                  30, 35)) \
+                   .select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(bad),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+             .join(F.broadcast(sel),
+                   F.col("l_partkey") == F.col("p_partkey")))
+    return (pairs.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (adapted: availability threshold = shipped more
+    than 200 units of 'bolt' parts in 1997): the nested IN chain
+    (supplier IN (... part IN (...))) becomes semi-join -> grouped HAVING
+    -> semi-join; each probe side is broadcast-sized."""
+    t = load_tables(spark, sf_dir)
+    bolt = t["part"].filter(F.col("p_name").contains("bolt")) \
+                    .select("p_partkey")
+    heavy = (t["lineitem"]
+             .filter(F.year("l_shipdate") == 1997)
+             .join(F.broadcast(bolt),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                  .alias("qty"))
+             .filter(F.col("qty").cast("double") > 200.0)
+             .select("l_suppkey"))
+    return (t["supplier"]
+            .join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_name", F.round(F.col("s_acctbal").cast("double"), 2)
+                    .alias("s_acctbal"))
+            .orderBy("s_name"))
+
+
+_SQL_TPCH_Q20 = """
+SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE contains(p_name, 'bolt'))
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 200.0)
+ORDER BY s_name
+"""
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (adapted: late = shipped >90 days after order
+    date): suppliers who were the SOLE late supplier on a multi-supplier
+    finished order. The EXISTS / NOT EXISTS pair is decorrelated into one
+    per-order aggregate (distinct suppliers, distinct late suppliers) —
+    one orderkey shuffle instead of two correlated self-joins; late pairs
+    then join that small flags frame and the 10-row supplier dim is
+    broadcast."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS")
+    lo = (t["lineitem"]
+          .join(t["orders"].filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey", late.alias("is_late")))
+    flags = (lo.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                  F.countDistinct(F.when(F.col("is_late"),
+                                         F.col("l_suppkey")))
+                  .alias("n_late_supp"))
+             .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+             .select(F.col("l_orderkey").alias("f_orderkey")))
+    return (lo.filter(F.col("is_late"))
+            .select("l_orderkey", "l_suppkey").distinct()
+            .join(flags, F.col("l_orderkey") == F.col("f_orderkey"),
+                  "left_semi")
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.countDistinct("l_orderkey").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(10))
+
+
+_SQL_TPCH_Q21 = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -2494,6 +2771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": _q_tpch_q15,
         "tpch_q17_small_qty_revenue": _q_tpch_q17,
         "tpch_q22_inactive_customers": _q_tpch_q22,
+        "tpch_q2_min_cost_supplier": _q_tpch_q2,
+        "tpch_q11_important_parts": _q_tpch_q11,
+        "tpch_q12_priority_mix": _q_tpch_q12,
+        "tpch_q16_supplier_counts": _q_tpch_q16,
+        "tpch_q20_heavy_shippers": _q_tpch_q20,
+        "tpch_q21_waiting_orders": _q_tpch_q21,
         "events_pivot_daily": _q_events_pivot,
         "events_cube_dow_type": _q_events_cube,
         "events_moving_avg_7d": _q_events_moving_avg,
@@ -2580,6 +2863,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15_top_supplier": _SQL_TPCH_Q15,
         "tpch_q17_small_qty_revenue": _SQL_TPCH_Q17,
         "tpch_q22_inactive_customers": _SQL_TPCH_Q22,
+        "tpch_q2_min_cost_supplier": _SQL_TPCH_Q2,
+        "tpch_q11_important_parts": _SQL_TPCH_Q11,
+        "tpch_q12_priority_mix": _SQL_TPCH_Q12,
+        "tpch_q16_supplier_counts": _SQL_TPCH_Q16,
+        "tpch_q20_heavy_shippers": _SQL_TPCH_Q20,
+        "tpch_q21_waiting_orders": _SQL_TPCH_Q21,
         "events_pivot_daily": _sql_events_pivot(),
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,

@@ -53,6 +53,10 @@ SORT_OK = {
     "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q13_order_distribution",
     "tpch_q15_top_supplier", "tpch_q22_inactive_customers",
+    # bounded-aggregate display sorts: HAVING survivors / 3-flag mix /
+    # (brand,type,size) grains / <=|supplier| rows:
+    "tpch_q11_important_parts", "tpch_q12_priority_mix",
+    "tpch_q16_supplier_counts", "tpch_q20_heavy_shippers",
 }
 
 
