@@ -125,3 +125,37 @@ def test_intent_router_agrees_with_synth_corpus(spark):
     rows = intent_corpus(spark, 300).collect()
     hits = sum(1 for r in rows if classify_intent(r.query) == r.intent)
     assert hits / len(rows) >= 0.98
+
+
+# ------------------------------------------------------- optional plug-ins
+def test_hf_plugins_gate_cleanly_when_absent():
+    """The learned-model plug-ins (ml/plugins.py) must fail fast with an
+    actionable error when transformers/torch are missing (this container),
+    and report availability honestly — the deterministic defaults are the
+    tested path either way."""
+    from rassengine_spark.ml import plugins
+    if plugins.hf_available():   # pragma: no cover - not in this container
+        pytest.skip("transformers installed; gating path not exercised")
+    for ctor in (plugins.hf_embedder,
+                 plugins.hf_zero_shot_intent,
+                 lambda: plugins.hf_token_ner("any-model")):
+        with pytest.raises(RuntimeError, match="transformers"):
+            ctor()
+
+
+def test_plugin_contract_is_swappable(spark):
+    """A custom EmbedFn / intent fn with the plug-in signature drops into
+    the same seams the HF plug-ins target."""
+    def fake_embed(texts):
+        return np.stack([np.full(4, float(len(t or "")), dtype=np.float32)
+                         for t in texts])
+
+    df = spark.createDataFrame([("a", "hi"), ("b", "world")],
+                               "id string, text string")
+    out = {r.id: r.embedding for r in
+           with_embeddings(df, "text", embed_fn=fake_embed, dim=4).collect()}
+    assert out["a"] == [2.0] * 4 and out["b"] == [5.0] * 4
+
+    from rassengine_spark.ml.intent import classify_batch
+    got = classify_batch(["x", "y"], fn=lambda q: "KEYWORD")
+    assert got == ["KEYWORD", "KEYWORD"]
