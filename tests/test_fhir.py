@@ -281,3 +281,67 @@ def test_parse_fhir_malformed_inputs_do_not_throw(spark):
     # only the malformed-Patient row survives the resourceType whitelist
     assert [r.resourceType for r in rows] == ["Patient"]
     assert rows[0].patientName is None     # bad nested shape -> null
+
+
+# ------------------------------------------------------------- fuzz (§5)
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SCALAR = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20))
+_JSON = st.recursive(
+    _SCALAR,
+    lambda c: st.one_of(st.lists(c, max_size=3),
+                        st.dictionaries(st.text(max_size=8), c, max_size=4)),
+    max_leaves=12)
+_RTYPE = st.one_of(
+    st.sampled_from(["Patient", "Condition", "Observation", "Encounter",
+                     "MedicationRequest", "Procedure", "AllergyIntolerance",
+                     "Practitioner", "Organization", "Basic", "Bundle", ""]),
+    _SCALAR)
+_RESOURCE = st.fixed_dictionaries(
+    {"resourceType": _RTYPE},
+    optional={k: _JSON for k in
+              ["id", "name", "address", "telecom", "code", "subject",
+               "note", "text", "status", "birthDate", "gender", "clinicalStatus",
+               "valueQuantity", "effectiveDateTime", "period", "reasonCode"]})
+_ENTRY = st.one_of(
+    st.fixed_dictionaries({"resource": st.one_of(_RESOURCE, _JSON)}), _JSON)
+_BUNDLE = st.one_of(
+    st.fixed_dictionaries({"entry": st.one_of(st.lists(_ENTRY, max_size=4),
+                                              _JSON)}),
+    _JSON)
+_CONTENT = st.one_of(_BUNDLE.map(json.dumps), st.text(max_size=40), st.none())
+
+_NINE = {"Patient", "Condition", "Observation", "Encounter",
+         "MedicationRequest", "Procedure", "AllergyIntolerance",
+         "Practitioner", "Organization"}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(contents=st.lists(_CONTENT, min_size=1, max_size=6))
+def test_parse_fhir_fuzz_invariants(spark, contents):
+    """Property fuzz over arbitrary bundle-shaped JSON (NOTES idea 7): the
+    permissive parser must never raise, must only emit the 9 whitelisted
+    resource types with well-formed doc_ids, and must be deterministic."""
+    rows = [(f"u{i % 2}", f"f{i}.json", c) for i, c in enumerate(contents)]
+    raw = spark.createDataFrame(
+        rows, "user_id string, file_path string, content string")
+    sdocs, chunks = parse_fhir(raw, chunk_size=8)
+    s = sdocs.collect()
+    c = chunks.collect()
+    for r in s:
+        assert r.resourceType in _NINE
+        assert r.doc_type == "structured"
+        assert r.doc_id.endswith("-structured")
+    for r in c:
+        assert r.doc_type == "unstructured"
+        assert r.unstructuredText is not None
+    # determinism: a second parse of the same frame is identical
+    s2, c2 = parse_fhir(raw, chunk_size=8)
+    assert sorted(map(str, s2.collect())) == sorted(map(str, s))
+    assert sorted(map(str, c2.collect())) == sorted(map(str, c))
