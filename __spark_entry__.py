@@ -985,12 +985,14 @@ FROM documents
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-word fraction, longest
-    same-word run (row-local codegen exprs) + top/dup bigram fractions
-    (explode -> two linear hash-aggregates)."""
+    same-word run, top/dup bigram fractions. Arrow-batched integer-stats
+    pass (repetition_features_fast) — zero shuffles; the expression twin
+    (repetition_features: explode + two hash-aggregates) stays exported
+    and parity-tested."""
     docs = load_tables(spark, sf_dir)["documents"]
     # no display sort: per-row output scales with the corpus, and the
     # driver compare is order-insensitive
-    return TA.repetition_features(docs, "text", "doc_id", n=2)
+    return TA.repetition_features_fast(docs, "text", "doc_id", n=2)
 
 
 def _sql_text_repetition() -> str:

@@ -62,14 +62,74 @@ def ngram_overlap(eval_df: DataFrame, train_df: DataFrame,
         F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 6))
 
 
+def _gram_hash_pandas(df: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """Arrow-batched twin of explode(word_shingles) + hash60: one row per
+    (doc, distinct word-n-gram) with the SAME 60-bit md5 key bit-for-bit
+    (int(md5[:15 hex], 16)), so results stay oracle-identical while the
+    interpreted transform/slice/array_join + md5-expression chain (the
+    profiled hot spot, cf. dedup._shingle_index_pandas) becomes one pandas
+    pass fused over the scan."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Java \s (no UNICODE_CHARACTER_CLASS) is exactly this ASCII class.
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(text_col).cast("string").alias("txt"))
+    schema = StructType([StructField("id", src.schema["id"].dataType, False),
+                         StructField("gh", LongType(), False)])
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, ghs = [], []
+            for rid, txt in zip(pdf["id"].tolist(), pdf["txt"].tolist()):
+                ws = [w for w in ws_re.split(txt or "") if w != ""]
+                if len(ws) >= n:
+                    grams = {" ".join(ws[j:j + n])
+                             for j in range(len(ws) - n + 1)}
+                else:
+                    grams = {" ".join(ws)}      # whole-text fallback
+                for g in grams:
+                    ids.append(rid)
+                    ghs.append(int(hashlib.md5(g.encode("utf-8"))
+                                   .hexdigest()[:15], 16))
+            yield pd.DataFrame({"id": ids, "gh": ghs})
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def ngram_overlap_fast(eval_df: DataFrame, train_df: DataFrame,
+                       text_col: str, id_col: str, n: int = 8) -> DataFrame:
+    """Identical output to ``ngram_overlap`` via the Arrow gram-hash pass
+    on both sides (expression form stays exported + parity-tested)."""
+    ev = _gram_hash_pandas(eval_df, text_col, id_col, n) \
+        .withColumnRenamed("id", id_col)
+    vocab = (_gram_hash_pandas(train_df, text_col, id_col, n)
+             .select("gh").distinct().withColumn("hit", F.lit(1)))
+    per_doc = (ev.join(vocab, "gh", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.count("hit").alias("n_matched")))
+    return per_doc.withColumn(
+        "overlap_frac",
+        F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 6))
+
+
 def flag_contaminated(eval_df: DataFrame, train_df: DataFrame,
                       text_col: str, id_col: str, n: int = 8,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8, fast: bool = True) -> DataFrame:
     """ngram_overlap + boolean ``contaminated`` (overlap_frac >= threshold).
 
     Filter on the flag to drop tainted eval docs, or anti-join the flagged
     ids back onto the *train* side to scrub the training corpus instead.
+    ``fast`` picks the Arrow gram-hash pass (default); the expression form
+    is kept for oracle documentation and parity tests.
     """
-    return (ngram_overlap(eval_df, train_df, text_col, id_col, n)
+    fn = ngram_overlap_fast if fast else ngram_overlap
+    return (fn(eval_df, train_df, text_col, id_col, n)
             .withColumn("contaminated",
                         F.col("overlap_frac") >= F.lit(threshold)))

@@ -161,6 +161,88 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str,
             .drop("_mx", "_tot", "_nd"))
 
 
+def repetition_features_fast(df: DataFrame, text_col: str, id_col: str,
+                             n: int = 2, round_to: int = 6) -> DataFrame:
+    """Arrow-batched twin of ``repetition_features`` — identical output.
+
+    The expression form explodes every word n-gram to a row and pays two
+    hash-aggregate shuffles over the gram stream. Here one mapInPandas pass
+    computes the per-doc INTEGER stats (word/gram/run counts via np.unique
+    — exact, no float math in Python), and the fractions + rounding stay
+    JVM-side with the very same expressions as the expression form, so the
+    doubles are bit-identical and the DuckDB oracle keeps matching. Zero
+    shuffles, one Python stage fused over the scan."""
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # Java's default \s (ASCII-only), matching words_of / the RE2 oracle:
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            m = len(pdf)
+            n_words = np.zeros(m, dtype=object)   # None for null text (ANSI)
+            ndw = np.zeros(m, dtype=np.int64)
+            max_run = np.zeros(m, dtype=object)   # None for null text
+            mx = np.zeros(m, dtype=np.int64)
+            tot = np.zeros(m, dtype=np.int64)
+            nd = np.zeros(m, dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].tolist()):
+                if text is None:
+                    n_words[i] = None             # size(split(NULL)) is NULL
+                    max_run[i] = None
+                    continue
+                wlist = [w for w in ws_re.split(text) if w != ""]
+                n_words[i] = len(wlist)
+                if not wlist:
+                    max_run[i] = 0
+                    continue
+                arr = np.asarray(wlist, dtype=object)
+                codes, counts = np.unique(arr, return_inverse=True)[1], None
+                ndw[i] = int(codes.max()) + 1
+                # longest back-to-back run of one word, vectorized:
+                change = np.flatnonzero(np.diff(codes) != 0)
+                bounds = np.concatenate(([-1], change, [len(codes) - 1]))
+                max_run[i] = int(np.diff(bounds).max())
+                if len(wlist) >= n:
+                    grams = np.asarray(
+                        [" ".join(wlist[j:j + n])
+                         for j in range(len(wlist) - n + 1)], dtype=object)
+                    _, counts = np.unique(grams, return_counts=True)
+                    mx[i] = int(counts.max())
+                    tot[i] = len(grams)
+                    nd[i] = len(counts)
+            yield pd.DataFrame({
+                "id": pdf[id_col], "n_words": n_words, "_ndw": ndw,
+                "max_word_run": max_run, "_mx": mx, "_tot": tot, "_nd": nd})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    stats = df.mapInPandas(
+        run, schema=(f"id {id_type}, n_words int, _ndw long, "
+                     "max_word_run int, _mx long, _tot long, _nd long"))
+    # fractions + rounding: the SAME JVM expressions as repetition_features
+    dup_word_frac = F.when(
+        F.col("n_words") > 0,
+        1.0 - F.col("_ndw").cast("double") / F.col("n_words")) \
+        .otherwise(F.lit(0.0))
+    top_frac = F.when(F.col("_tot") > 0,
+                      F.col("_mx").cast("double") / F.col("_tot")) \
+        .otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("_tot") > 0,
+        1.0 - F.col("_nd").cast("double") / F.col("_tot")) \
+        .otherwise(F.lit(0.0))
+    return stats.select(
+        "id", "n_words",
+        F.round(dup_word_frac, round_to).alias("dup_word_frac"),
+        "max_word_run",
+        F.round(top_frac, round_to).alias("top_ngram_frac"),
+        F.round(dup_frac, round_to).alias("dup_ngram_frac"))
+
+
 def fingerprint_expr(text_col: Column, k: int = 8) -> Column:
     """Document fingerprint: min 60-bit hash over all k-char shingles of the
     normalized text (the min-sampling step of winnowing). Rolling-hash

@@ -261,3 +261,39 @@ def test_repetition_features_hand_computed(spark):
     r4 = got[4]
     assert r4.n_words == 1 and r4.max_word_run == 1
     assert r4.top_ngram_frac == 0.0 and r4.dup_ngram_frac == 0.0
+
+
+def test_repetition_fast_matches_expression_form(spark):
+    """The Arrow-batched integer-stats pass must be bit-identical to the
+    explode+aggregate expression form, including null/empty/short texts."""
+    from rassengine_spark.llmops.text_analysis import (
+        repetition_features, repetition_features_fast)
+    rows = [("1", "a a a b"), ("2", "x y x y x y"), ("3", "solo"),
+            ("4", ""), ("5", None), ("6", "  tab\tsep  words\nhere  "),
+            ("7", "w " * 50 + "w")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    slow = sorted(map(str, repetition_features(
+        df, "text", "doc_id", n=2).collect()))
+    fast = sorted(map(str, repetition_features_fast(
+        df, "text", "doc_id", n=2).collect()))
+    assert fast == slow
+
+
+def test_decontam_fast_matches_expression_form(spark):
+    """Arrow gram-hash pass == explode(word_shingles)+hash60 expression
+    form, including short-text whole-shingle fallback and empty text."""
+    from rassengine_spark.llmops.decontam import (ngram_overlap,
+                                                  ngram_overlap_fast)
+    ev = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta epsilon zeta"),
+         ("e2", "tiny"), ("e3", ""), ("e4", "alpha beta gamma new words x")],
+        "doc_id string, text string")
+    tr = spark.createDataFrame(
+        [("t1", "alpha beta gamma delta epsilon zeta eta theta"),
+         ("t2", "tiny")],
+        "doc_id string, text string")
+    slow = sorted(map(str, ngram_overlap(ev, tr, "text", "doc_id",
+                                         n=3).collect()))
+    fast = sorted(map(str, ngram_overlap_fast(ev, tr, "text", "doc_id",
+                                              n=3).collect()))
+    assert fast == slow

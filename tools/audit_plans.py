@@ -33,6 +33,9 @@ PYTHON_OK = {
     "sim_hnsw_topk",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
+    # Arrow-batched integer-stats / gram-hash passes (expression twins
+    # parity-tested):
+    "text_repetition", "decontam_ngram_overlap",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
