@@ -904,6 +904,87 @@ FROM scored QUALIFY rank <= {_IVF_K}
 """
 
 
+def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8-quantized corpus (4x narrower vector storage —
+    the scan-cost tier for 100 TB embedding columns); floor-based
+    quantization math is bit-identical in DuckDB."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.quantized_topk(corpus, queries_df, "embedding", "vec_id",
+                              "qid", k=5)
+
+
+_SQL_SIM_QUANTIZED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+c0 AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       FROM embeddings WHERE vec_id >= 5),
+cs AS (SELECT id, v0,
+              CASE WHEN list_max(list_transform(v0, x -> abs(x))) = 0
+                   THEN 1.0
+                   ELSE list_max(list_transform(v0, x -> abs(x))) / 127.0
+              END AS s
+       FROM c0),
+c AS (SELECT id,
+             list_transform(
+               list_transform(v0, x -> CAST(floor(x / s + 0.5) AS INT)),
+               qq -> CAST(qq AS DOUBLE) * s) AS v
+      FROM cs),
+scored AS (
+  SELECT q.query_id, c.id, {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+  FROM c CROSS JOIN q)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def _q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval: per-query recall@k of the IVF tier against exact
+    brute force on the same queries — the measurement loop that tunes
+    n_cells/n_probe at scale."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = SIM.ivf_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                          k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=_IVF_K)
+    return SIM.recall_at_k(approx, exact)
+
+
+def _sql_sim_ivf_recall() -> str:
+    cos_vq = _SQL_COS.format(a="v", b="qv")
+    exact_sql = f"""
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 5),
+  c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        WHERE vec_id >= 5),
+  scored AS (
+    SELECT q.query_id, c.id, {cos_vq} AS score
+    FROM c CROSS JOIN q)
+  SELECT query_id, id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, id ASC) <= {_IVF_K}"""
+    return f"""
+WITH approx AS ({_sql_sim_ivf()}),
+exact AS ({exact_sql})
+SELECT exact.query_id,
+       count(*) AS n_exact,
+       count(approx.id) AS n_matched,
+       round(CAST(count(approx.id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id AND exact.id = approx.id
+GROUP BY exact.query_id
+"""
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: stopword-profile argmax heuristic."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -2730,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_hnsw_topk": _q_sim_hnsw,
+        "sim_quantized_topk": _q_sim_quantized,
+        "sim_ivf_recall": _q_sim_ivf_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -2822,6 +2905,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
+        "sim_quantized_topk": _SQL_SIM_QUANTIZED,
+        "sim_ivf_recall": _sql_sim_ivf_recall(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,

@@ -383,7 +383,8 @@ def _shingle_index_pandas(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, n: int = 2, threshold: float = 0.2,
-                        round_to: int = 6) -> DataFrame:
+                        round_to: int = 6,
+                        max_postings: int | None = None) -> DataFrame:
     """Exact pairwise word-n-gram Jaccard within blocks (e.g. language),
     via an inverted shingle index: explode shingles, self-join on
     (block, shingle) to COUNT intersections, then derive Jaccard from
@@ -394,8 +395,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     intersections (interpreted, quadratic); this plan shuffles one row per
     (pair, shared shingle) through a codegen hash-aggregate — linear in
     the true overlap. Hot shingles (boilerplate) are the skew risk: AQE
-    splits them, and a frequency cap on the inverted index is the
-    standard mitigation when they dominate."""
+    splits them, and `max_postings` is the standard stopwording
+    mitigation when they dominate: shingles occurring in more than
+    `max_postings` docs of a block are dropped from the index BEFORE the
+    self-join (a posting list of c docs contributes c²/2 intersection
+    rows — one boilerplate shingle across 10^6 docs is 5·10^11 rows).
+    Trade-off: intersections through dropped shingles are undercounted,
+    so Jaccard becomes a lower bound and borderline pairs can be missed;
+    the loss concentrates on pairs whose ONLY overlap is boilerplate.
+    Off by default so results stay exact (and oracle-checkable)."""
     # 64-bit join keys: codegen bigint compares instead of string compares;
     # a collision inflating a count is ~2^-64 per pair. |sh| rides along
     # (8 bytes/row) so the pair aggregation below emits both set sizes
@@ -406,6 +414,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # than a memory-store round-trip, and at 100 TB the index wouldn't fit
     # in cache anyway.
     inv = _shingle_index_pandas(df, text_col, id_col, block_col, n)
+    if max_postings is not None:
+        # posting-list length per key; keys over the cap leave the index.
+        # sz (the per-doc DISTINCT-shingle count) is deliberately NOT
+        # adjusted: the denominator stays exact, only the intersection
+        # count can shrink — Jaccard degrades to a lower bound.
+        w = Window.partitionBy("k")
+        inv = (inv.withColumn("_pl", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_pl") <= max_postings)
+                  .drop("_pl"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (a.join(b, F.col("a.k") == F.col("b.k"))
               .filter(F.col("a.id") < F.col("b.id"))

@@ -115,6 +115,49 @@ def test_ivf_probe_prunes_far_cells(spark):
     assert 3 not in ids                  # cell 1 pruned
 
 
+def test_int8_quantization_roundtrip_bound(spark):
+    from rassengine_spark.functions.vector import (dequantize, quantize_int8,
+                                                   quantize_scale)
+    df = (spark.createDataFrame(
+            [(0, [0.5, -1.5, 3.0]), (1, [0.0, 0.0, 0.0])],
+            "id int, v array<double>")
+          .withColumn("qs", quantize_scale(F.col("v"))))
+    df = df.withColumn("q8", quantize_int8(F.col("v"), F.col("qs"))) \
+           .withColumn("back", dequantize(F.col("q8"), F.col("qs")))
+    rows = {r["id"]: r for r in df.collect()}
+    # all quantized values in [-127, 127]; max|x| maps to exactly +-127
+    assert all(-127 <= q <= 127 for q in rows[0]["q8"])
+    assert rows[0]["q8"][2] == 127
+    # reconstruction error bounded by scale/2 per element
+    for orig, back in zip([0.5, -1.5, 3.0], rows[0]["back"]):
+        assert abs(orig - back) <= rows[0]["qs"] / 2 + 1e-12
+    # zero vector: scale 1.0, stays exactly zero
+    assert rows[1]["qs"] == 1.0 and rows[1]["back"] == [0.0, 0.0, 0.0]
+
+
+def test_quantized_topk_matches_bruteforce_ranking(spark):
+    v = vecs(spark)
+    queries = v.filter(F.col("vec_id") == 0) \
+               .select(F.col("vec_id").alias("qid"), F.col("v"))
+    corpus = v.filter(F.col("vec_id") > 0)
+    exact = SIM.brute_force_topk(corpus, queries, "v", "vec_id", "qid", k=3)
+    quant = SIM.quantized_topk(corpus, queries, "v", "vec_id", "qid", k=3)
+    # well-separated vectors: int8 preserves the exact ranking
+    assert [r["id"] for r in exact.orderBy("rank").collect()] == \
+           [r["id"] for r in quant.orderBy("rank").collect()]
+    rec = SIM.recall_at_k(quant, exact).collect()
+    assert len(rec) == 1 and rec[0]["recall"] == 1.0
+
+
+def test_recall_at_k_counts_misses(spark):
+    exact = spark.createDataFrame(
+        [(0, i) for i in range(5)], "query_id int, id int")
+    approx = spark.createDataFrame(           # missing id=4, has stray id=9
+        [(0, 0), (0, 1), (0, 2), (0, 3), (0, 9)], "query_id int, id int")
+    r = SIM.recall_at_k(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_matched"], r["recall"]) == (5, 4, 0.8)
+
+
 def test_embedding_near_pairs(spark):
     out = DD.embedding_near_pairs_topn(vecs(spark), "v", "vec_id", "label",
                                        top_n=2).collect()
@@ -199,6 +242,32 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert (100, 101) in full_pairs and len(full_pairs) == 29
     # cap drops the oversized boilerplate buckets, keeps the true pair
     assert capped_pairs == {(100, 101)}
+
+
+def test_ngram_posting_cap_bounds_boilerplate_work(spark):
+    # 6 docs sharing one boilerplate bigram everywhere + a true near-dup
+    # pair with private overlap; cap = 4 drops the boilerplate postings
+    boiler = "terms apply " * 5            # every bigram occurs in 6 docs
+    rows = [(i, boiler + f"unique{i} filler{i}") for i in range(6)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    df = (spark.createDataFrame(rows, "id int, text string")
+               .withColumn("lang", F.lit("en")))
+    full = DD.ngram_jaccard_pairs(df, "text", "id", "lang",
+                                  n=2, threshold=0.1)
+    capped = DD.ngram_jaccard_pairs(df, "text", "id", "lang",
+                                    n=2, threshold=0.1, max_postings=4)
+    full_pairs = {(r.id_a, r.id_b): r.jaccard for r in full.collect()}
+    capped_pairs = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # uncapped sees every boilerplate pair and the true pair
+    assert (100, 101) in full_pairs
+    assert sum(1 for a, b in full_pairs if a < 100) == 15
+    # capped keeps the true pair at its exact jaccard, drops boilerplate
+    assert (100, 101) in capped_pairs
+    assert capped_pairs[(100, 101)] == full_pairs[(100, 101)]
+    assert all(a >= 100 for a, b in capped_pairs)
+    # capped jaccards are lower bounds of the exact values
+    assert all(capped_pairs[k] <= full_pairs[k] for k in capped_pairs)
 
 
 # ---------------------------------------------------------------- decontam
