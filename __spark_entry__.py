@@ -2671,6 +2671,53 @@ SELECT day, day_value,
 FROM daily ORDER BY day
 """
 
+# Z-order layout code: 12-bit grid per dimension (4096 cells), fixed bounds
+# so codes are stable across scale factors and ingest batches.
+_Z_BITS = 12
+_Z_U_LO, _Z_U_HI = 0, 16384                     # user_id bound (clamped)
+_Z_T_LO = 1704067200                            # epoch 2024-01-01T00:00:00Z
+_Z_T_HI = 1709251200                            # epoch 2024-03-01T00:00:00Z
+
+
+def _q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering code over (user_id, ts): the layout key
+    `operators/layout.py::zorder_layout` range-partitions + sorts by, so
+    parquet min/max stats prune BOTH a user slice and a time slice. Emitted
+    per event with its grid cells so the whole curve is oracle-checkable;
+    pure shift/AND codegen projection, zero shuffle."""
+    from rassengine_spark.operators import layout as LAYOUT
+    ev = load_tables(spark, sf_dir)["events"]
+    ep = F.unix_timestamp(F.col("ts"))            # epoch seconds, truncated
+    # (session tz is pinned UTC, so NTZ wall-clock == DuckDB epoch())
+    cu = LAYOUT.grid_cell(F.col("user_id"), _Z_U_LO, _Z_U_HI, _Z_BITS)
+    ct = LAYOUT.grid_cell(ep, _Z_T_LO, _Z_T_HI, _Z_BITS)
+    return ev.select(
+        "event_id", cu.alias("cell_u"), ct.alias("cell_t"),
+        LAYOUT.morton_interleave(cu, ct, _Z_BITS).alias("z"))
+
+
+def _sql_events_zorder() -> str:
+    n = 1 << _Z_BITS
+
+    def cell(expr: str, lo: int, hi: int) -> str:
+        return (f"least({n - 1}, greatest(0, CAST(floor("
+                f"(CAST({expr} AS DOUBLE) - {float(lo)}) * {float(n)}"
+                f" / {float(hi - lo)}) AS BIGINT)))")
+
+    interleave = " + ".join(
+        f"((cell_u >> {j}) & 1) * {1 << (2 * j)}"
+        f" + ((cell_t >> {j}) & 1) * {1 << (2 * j + 1)}"
+        for j in range(_Z_BITS))
+    return f"""
+WITH cells AS (
+  SELECT event_id,
+         {cell('user_id', _Z_U_LO, _Z_U_HI)} AS cell_u,
+         {cell('floor(epoch(ts))', _Z_T_LO, _Z_T_HI)} AS cell_t
+  FROM events)
+SELECT event_id, cell_u, cell_t, {interleave} AS z
+FROM cells
+"""
+
 
 def _q_s1_fhir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: FHIR bundle parse (from_json + explode + 9-type projection) on
@@ -2865,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": _q_events_pivot,
         "events_cube_dow_type": _q_events_cube,
         "events_moving_avg_7d": _q_events_moving_avg,
+        "events_zorder_code": _q_events_zorder,
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
@@ -2959,6 +3007,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _sql_events_pivot(),
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
+        "events_zorder_code": _sql_events_zorder(),
         "s3_markdown_strip": _sql_s3_markdown(),
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
