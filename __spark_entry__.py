@@ -1064,6 +1064,143 @@ FROM documents
 """
 
 
+def _q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card: one ROLLUP pass over (lang, source) — doc counts,
+    global exact-dup membership, token volume, length means at every
+    grain from a single shuffle (llmops/datacard.py)."""
+    from rassengine_spark.llmops.datacard import datacard
+    docs = load_tables(spark, sf_dir)["documents"]
+    return datacard(docs, "text", ["lang", "source"])
+
+
+_SQL_TEXT_DATACARD = f"""
+WITH per_row AS (
+  SELECT lang, source,
+         len({_SQL_WORDS.format(col="text")}) AS toks,
+         length(text) AS chars,
+         CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM documents)
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS INT) AS gid,
+       COUNT(*) AS n_docs,
+       SUM(dup) AS n_dup_docs,
+       SUM(toks) AS tot_tokens,
+       round(AVG(toks), 4) AS avg_tokens,
+       round(AVG(chars), 4) AS avg_chars
+FROM per_row
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+def _q_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-corpus prep pipeline (llmops/prep.py): exact dedup ->
+    MinHash-LSH near-dup clusters -> eval decontamination -> quality
+    filter -> split assignment, composed end-to-end. Eval set = every
+    97th doc; output = surviving (doc_id, split). Every stage is also
+    oracle-checked on its own elsewhere in this contract; this entry pins
+    the COMPOSITION (stage order + anti-join semantics)."""
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    out, _ = prepare_training_corpus(
+        train, ev, text_col="text", id_col="doc_id",
+        split_weights=_SPLIT_WEIGHTS, count_stages=False)
+    return out.select("doc_id", "split")
+
+
+def _sql_prep_corpus() -> str:
+    words = _SQL_WORDS.format(col="text")
+    h1 = "CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> ({h1} + {i} * {h2}) % 2147483647))"
+        f" AS s{i}"
+        for i in range(16))
+    band_selects = " UNION ALL ".join(
+        "SELECT id, sh, {b} AS band, md5(concat_ws(',', {parts})) AS key "
+        "FROM psig".format(
+            b=b, parts=", ".join(f"CAST(s{b*4+r} AS VARCHAR)"
+                                 for r in range(4)))
+        for b in range(4))
+    qtoks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    stop_hits = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS INT)" for w in TA.STOPWORDS_EN)
+    u = _sql_hash60("('split/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+d1 AS (SELECT doc_id, text FROM d0
+       QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1),
+psh AS (SELECT doc_id AS id, {_sql_shingles(3)} AS sh
+        FROM (SELECT doc_id, {words} AS words FROM d1)),
+psig AS (SELECT id, sh, {sig_cols} FROM psh),
+pbanded AS ({band_selects}),
+pcand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM pbanded l JOIN pbanded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id),
+fpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM pcand c JOIN psh a ON c.id_a = a.id JOIN psh b ON c.id_b = b.id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+        >= 0.5),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+d2 AS (SELECT doc_id, text FROM d1
+       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> root)),
+tg AS (SELECT doc_id, unnest({_sql_shingles(8)}) AS gram
+       FROM (SELECT doc_id, {words} AS words FROM d2)),
+vocab AS (SELECT DISTINCT unnest({_sql_shingles(8)}) AS gram
+          FROM (SELECT {words} AS words FROM ev)),
+ovl AS (SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(v.gram) AS n_matched
+        FROM tg t LEFT JOIN vocab v ON t.gram = v.gram
+        GROUP BY t.doc_id),
+d3 AS (SELECT doc_id, text FROM d2
+       WHERE doc_id NOT IN (
+         SELECT doc_id FROM ovl
+         WHERE round(CAST(n_matched AS DOUBLE) / n_grams, 6) >= 0.8)),
+q AS (SELECT doc_id, text, {qtoks} AS toks FROM d3),
+qf AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+              / len(toks)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(text) > 0
+         THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                   AS DOUBLE) / len(text)
+         ELSE 0.0 END AS punct_ratio
+  FROM q),
+d4 AS (
+  SELECT doc_id FROM qf
+  WHERE round(((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                     THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                     THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END))
+            / 3.0, 6) >= 0.66)
+SELECT doc_id,
+       CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.75 THEN 'train'
+            WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM d4
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-word fraction, longest
     same-word run, top/dup bigram fractions. Arrow-batched integer-stats
@@ -2865,6 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "text_datacard": _q_text_datacard,
+        "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "split_hash_assign": _q_split_assign,
@@ -2960,6 +3099,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKENS,
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
+        "text_datacard": _SQL_TEXT_DATACARD,
+        "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "split_hash_assign": _sql_split_assign(),

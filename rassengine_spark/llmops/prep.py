@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+pretraining data job actually runs, built from the operators in this
+package — each stage is individually oracle-checked by the driver contract;
+this module owns only the composition and the stage accounting.
+
+    raw docs
+      1. exact dedup            (dedup.exact_dedup — hash shuffle)
+      2. near-dup clusters      (dedup.minhash_lsh_pairs -> dup_clusters;
+                                 one keeper per cluster survives)
+      3. eval decontamination   (decontam vocabulary join, train side
+                                 scrubbed of docs overlapping the eval set)
+      4. quality filter         (text_analysis.quality_features composite)
+      5. PII redaction          (text_analysis.pii_redact projection)
+      6. split assignment       (splits.with_split deterministic hash bins)
+    -> training corpus + per-stage row counts
+
+Scale notes: stages 1-3 are the shuffle-bearing ones (content-hash agg, LSH
+band join + connected components, gram-vocabulary join); 4-6 are scan-fused
+projections/filters. The stage report forces one count job per stage —
+pass ``count_stages=False`` to fuse the whole pipeline into the final
+write when accounting isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import ngram_overlap_fast
+from .dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
+from .splits import with_split
+from .text_analysis import pii_redact, quality_features
+
+
+def prepare_training_corpus(
+        docs: DataFrame, eval_df: DataFrame | None = None, *,
+        text_col: str = "text", id_col: str = "doc_id",
+        near_dup_threshold: float = 0.5,
+        decontam_n: int = 8, decontam_threshold: float = 0.8,
+        min_quality: float = 0.66,
+        redact: bool = True,
+        split_weights: dict[str, float] | None = None,
+        count_stages: bool = True,
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Run the full prep pipeline; returns (corpus, stage_report) where
+    stage_report = [(stage_name, rows_after), ...] (empty when
+    ``count_stages=False``)."""
+    report: list[tuple[str, int]] = []
+
+    def mark(stage: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            report.append((stage, df.count()))
+        return df
+
+    df = mark("input", docs)
+
+    # 1. exact dedup — keep min-id per byte-identical text
+    df = mark("exact_dedup", exact_dedup(df, text_col, id_col))
+
+    # 2. near-dup clusters — min-id keeper per MinHash-LSH cluster.
+    # dup_clusters lists every clustered node; non-keepers (node != root)
+    # are anti-joined away. Docs in no cluster survive untouched.
+    pairs = minhash_lsh_pairs(df, text_col, id_col,
+                              threshold=near_dup_threshold)
+    losers = (dup_clusters(pairs)
+              .filter(F.col("node") != F.col("root"))
+              .select(F.col("node").alias(id_col)))
+    df = mark("near_dedup", df.join(losers, id_col, "left_anti"))
+
+    # 3. decontamination — scrub TRAIN docs that overlap the eval set:
+    # per-train-doc n-gram overlap against the eval vocabulary (roles of
+    # ngram_overlap swapped relative to eval-side flagging), drop docs at
+    # or above the threshold.
+    if eval_df is not None:
+        overlap = ngram_overlap_fast(df, eval_df, text_col, id_col,
+                                     n=decontam_n)
+        tainted = (overlap
+                   .filter(F.col("overlap_frac") >= decontam_threshold)
+                   .select(id_col))
+        df = mark("decontam", df.join(tainted, id_col, "left_anti"))
+
+    # 4. quality filter — composite heuristic score threshold
+    quality = (quality_features(df, text_col, id_col)
+               .filter(F.col("quality") >= min_quality)
+               .select(F.col("id").alias(id_col)))
+    df = mark("quality", df.join(quality, id_col, "left_semi"))
+
+    # 5. PII redaction — in-place projection on the text column
+    if redact:
+        df = df.withColumn(text_col, pii_redact(F.col(text_col)))
+
+    # 6. split assignment — deterministic hash bins on the id
+    df = mark("split", with_split(df, id_col, split_weights))
+    return df, report

@@ -270,6 +270,28 @@ def test_ngram_posting_cap_bounds_boilerplate_work(spark):
     assert all(capped_pairs[k] <= full_pairs[k] for k in capped_pairs)
 
 
+def test_datacard_rollup_grains_and_dup_rate(spark):
+    from rassengine_spark.llmops.datacard import datacard
+    rows = [(1, "a b c", "en", "s1"), (2, "a b c", "en", "s2"),
+            (3, "x y", "en", "s1"), (4, "p q r s", "es", "s1")]
+    df = spark.createDataFrame(rows, "id int, text string, lang string, "
+                                     "source string")
+    out = {(r["lang"], r["source"]): r
+           for r in datacard(df, "text", ["lang", "source"]).collect()}
+    # finest grain: (en, s1) has 2 docs, 1 of them a global exact dup
+    assert out[("en", "s1")]["n_docs"] == 2
+    assert out[("en", "s1")]["n_dup_docs"] == 1
+    assert out[("en", "s1")]["tot_tokens"] == 5
+    # lang margin: en = 3 docs, 2 dup members, 8 tokens
+    en = out[("en", None)]
+    assert (en["gid"], en["n_docs"], en["n_dup_docs"],
+            en["tot_tokens"]) == (1, 3, 2, 8)
+    # corpus total
+    tot = out[(None, None)]
+    assert (tot["gid"], tot["n_docs"], tot["tot_tokens"]) == (3, 4, 12)
+    assert tot["avg_tokens"] == 3.0
+
+
 # ---------------------------------------------------------------- decontam
 def test_decontam_overlap_fractions(spark):
     from rassengine_spark.llmops.decontam import flag_contaminated

@@ -1,0 +1,53 @@
+"""End-to-end training-corpus prep pipeline (llmops/prep.py): each stage
+removes exactly the rows it should, and the stage report tracks them."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.prep import prepare_training_corpus
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby")
+NEAR = ("a quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby")
+EVAL = ("evaluation benchmark question about spark shuffle partitions "
+        "and adaptive execution behavior under skew")
+
+
+def corpus(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),                                   # exact dup of 1
+        (3, NEAR),                                   # near dup of 1
+        (4, EVAL),                                   # contaminated vs eval
+        (5, "x" * 400),                              # unsplittable junk -> low quality
+        (6, "contact me at alice@example.com for the quick brown "
+            "results of the fox study we discussed earlier today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_prep_pipeline_stages(spark):
+    eval_df = spark.createDataFrame([(100, EVAL)], "doc_id int, text string")
+    out, report = prepare_training_corpus(
+        corpus(spark), eval_df, near_dup_threshold=0.5,
+        decontam_threshold=0.8, min_quality=0.66)
+    stages = dict(report)
+    assert stages["input"] == 6
+    assert stages["exact_dedup"] == 5        # doc 2 dropped
+    assert stages["near_dedup"] == 4         # doc 3 clustered under 1
+    assert stages["decontam"] == 3           # doc 4 overlaps the eval set
+    assert stages["quality"] == 2            # doc 5 fails the composite
+    assert stages["split"] == 2
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 6}
+    # PII redacted in place; split column assigned
+    assert "[EMAIL]" in rows[6]["text"]
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_prep_no_eval_no_counts(spark):
+    out, report = prepare_training_corpus(
+        corpus(spark), None, count_stages=False)
+    assert report == []
+    # no eval set -> no decontam stage, doc 4 survives
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 4, 6}
