@@ -41,10 +41,19 @@ def prepare_training_corpus(
         redact: bool = True,
         split_weights: dict[str, float] | None = None,
         count_stages: bool = True,
+        materialize: bool = False,
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Run the full prep pipeline; returns (corpus, stage_report) where
     stage_report = [(stage_name, rows_after), ...] (empty when
-    ``count_stages=False``)."""
+    ``count_stages=False``).
+
+    ``materialize=True`` localCheckpoints the corpus after the dedup
+    stages: the deduped frame feeds FOUR consumers (LSH pairs, the
+    anti-join probe side, the decontam gram pass, the quality filter), so
+    without it the exact-dedup window re-executes once per consumer.
+    Storing one corpus copy on executors to save three corpus recomputes
+    is the right trade whenever the upstream scan+window isn't trivially
+    cheap; left off by default so callers opt into the storage cost."""
     report: list[tuple[str, int]] = []
 
     def mark(stage: str, df: DataFrame) -> DataFrame:
@@ -52,10 +61,13 @@ def prepare_training_corpus(
             report.append((stage, df.count()))
         return df
 
+    def pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if materialize else df
+
     df = mark("input", docs)
 
     # 1. exact dedup — keep min-id per byte-identical text
-    df = mark("exact_dedup", exact_dedup(df, text_col, id_col))
+    df = mark("exact_dedup", pin(exact_dedup(df, text_col, id_col)))
 
     # 2. near-dup clusters — min-id keeper per MinHash-LSH cluster.
     # dup_clusters lists every clustered node; non-keepers (node != root)
@@ -65,7 +77,7 @@ def prepare_training_corpus(
     losers = (dup_clusters(pairs)
               .filter(F.col("node") != F.col("root"))
               .select(F.col("node").alias(id_col)))
-    df = mark("near_dedup", df.join(losers, id_col, "left_anti"))
+    df = mark("near_dedup", pin(df.join(losers, id_col, "left_anti")))
 
     # 3. decontamination — scrub TRAIN docs that overlap the eval set:
     # per-train-doc n-gram overlap against the eval vocabulary (roles of

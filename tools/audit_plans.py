@@ -36,6 +36,9 @@ PYTHON_OK = {
     # Arrow-batched integer-stats / gram-hash passes (expression twins
     # parity-tested):
     "text_repetition", "decontam_ngram_overlap",
+    # composed prep pipeline: its LSH + decontam stages are the same
+    # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
+    "prep_training_corpus",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
@@ -60,6 +63,9 @@ SORT_OK = {
     # (brand,type,size) grains / <=|supplier| rows:
     "tpch_q11_important_parts", "tpch_q12_priority_mix",
     "tpch_q16_supplier_counts", "tpch_q20_heavy_shippers",
+    # window COUNT over md5(text) partitions (the dup flag): the Sort is
+    # partition-local on the window key, not a global order-by:
+    "text_datacard",
 }
 
 
