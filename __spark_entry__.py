@@ -2011,6 +2011,53 @@ def _sql_bm25_ranked() -> str:
     return bm25_sql("documents", "text", "doc_id", "spark join query", k=15)
 
 
+_BM25_BATCH_QUERIES = {"q_join": "spark join query",
+                       "q_scan": "table scan filter",
+                       "q_window": "window sort merge"}
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three queries ranked in ONE corpus pass (union-term
+    stats row + array-of-structs explode of only the score>0 pairs) —
+    identical scores to scoring each query alone."""
+    from rassengine_spark.functions.bm25 import bm25_batch_topk
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_batch_topk(docs, "text", "doc_id", _BM25_BATCH_QUERIES,
+                           k=10)
+
+
+def _sql_bm25_batch() -> str:
+    # per-query replica of the single-query formula: each term's df/n/avgdl
+    # is a corpus-global stat, so per-query stats == batch union stats
+    from rassengine_spark.functions.bm25 import K1, B
+    from rassengine_spark.functions.text import terms_of
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> len(x) > 0)")
+    parts = []
+    for qid, q in sorted(_BM25_BATCH_QUERIES.items()):
+        terms = terms_of(q)
+        tf = "len(list_filter(toks, x -> x = '{t}'))"
+        df_cols = ", ".join(
+            "SUM(CASE WHEN " + tf.format(t=t) + " > 0 THEN 1 ELSE 0 END)"
+            f" AS df_{i}" for i, t in enumerate(terms))
+        score = " + ".join(
+            f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+            f" * {tf.format(t=t)} * {K1 + 1.0}"
+            f" / ({tf.format(t=t)} + {K1} * (1.0 - {B} + {B} * len(toks)"
+            f" / s.avgdl)))"
+            for i, t in enumerate(terms))
+        parts.append(f"""
+SELECT query_id, id, score, rank FROM (
+  WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+  s AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl, {df_cols} FROM tok)
+  SELECT '{qid}' AS query_id, id, round({score}, 6) AS score,
+         CAST(row_number() OVER (ORDER BY round({score}, 6) DESC, id ASC)
+              AS INT) AS rank
+  FROM tok, s WHERE ({score}) > 0)
+WHERE rank <= 10""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q4 shape: priority counts of orders with at least one late
     line (EXISTS -> left-semi join; the probe side never duplicates)."""
@@ -3032,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
         "bm25_ranked": _q_bm25_ranked,
+        "bm25_batch_ranked": _q_bm25_batch,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -3129,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
         "bm25_ranked": _sql_bm25_ranked(),
+        "bm25_batch_ranked": _sql_bm25_batch(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,

@@ -115,3 +115,63 @@ FROM tok, s
 WHERE ({score_terms}) > 0
 ORDER BY score DESC, id ASC LIMIT {k}
 """
+
+
+def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
+                    queries: dict[str, str], k: int = 10,
+                    k1: float = K1, b: float = B,
+                    round_to: int = 6) -> DataFrame:
+    """Per-query BM25 top-k for a BATCH of queries in ONE corpus pass:
+    (query_id, id, score, rank).
+
+    The serving-batch shape: scoring Q queries one at a time costs Q corpus
+    scans; here the stats pass aggregates df for the UNION of all query
+    terms into one scalar row, and the scoring pass emits each doc's
+    per-query scores as an array-of-structs that explodes to only the
+    (doc, query) pairs with score > 0 — so the shuffle into the per-query
+    top-k window carries candidates, not the cross product. Two scans
+    total, independent of Q; idf/tf math is identical to `bm25_topk`
+    (a query scored alone or in a batch ranks the same)."""
+    per_q = {qid: terms_of(q) for qid, q in queries.items()}
+    uniq = sorted({t for ts in per_q.values() for t in ts})
+    if not uniq:
+        raise ValueError("no tokenizable terms in any query")
+
+    toks = tokenize(F.col(text_col))
+    tf_cols = {t: term_freq(toks, t) for t in uniq}
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("_avgdl"),
+        *[F.sum((tf_cols[t] > 0).cast("long")).alias(f"_df_{i}")
+          for i, t in enumerate(uniq)])
+    ti = {t: i for i, t in enumerate(uniq)}
+
+    dl = F.size(toks).cast("double")
+
+    def qscore(terms: list[str]) -> Column:
+        s = F.lit(0.0)
+        for t in terms:
+            tf = tf_cols[t].cast("double")
+            dfreq = F.col(f"_df_{ti[t]}").cast("double")
+            idf = F.log(F.lit(1.0)
+                        + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5))
+            s = s + idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / F.col("_avgdl")))
+        return s
+
+    pairs = F.array(*[
+        F.struct(F.lit(qid).alias("query_id"),
+                 F.round(qscore(ts), round_to).alias("score"))
+        for qid, ts in sorted(per_q.items())])
+    exploded = (df.crossJoin(F.broadcast(stats))
+                  .select(F.col(id_col).alias("id"),
+                          F.explode(F.filter(pairs,
+                                             lambda p: p["score"] > 0))
+                          .alias("qs"))
+                  .select("id", "qs.query_id", "qs.score"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (exploded.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("query_id", "id", "score", "rank"))

@@ -55,3 +55,20 @@ def test_bm25_plan_no_pertermshuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan              # no explode anywhere
+
+
+def test_bm25_batch_matches_single_query(spark):
+    from rassengine_spark.functions.bm25 import bm25_batch_topk
+    rows = [(1, "spark join shuffle"), (2, "spark spark window"),
+            (3, "join order by"), (4, "unrelated words here"),
+            (5, "spark join join")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    queries = {"qa": "spark join", "qb": "window order"}
+    batch = bm25_batch_topk(df, "text", "id", queries, k=3)
+    got = {(r.query_id, r.rank): (r.id, r.score) for r in batch.collect()}
+    for qid, q in queries.items():
+        solo = bm25_topk(df, "text", "id", q, k=3).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (r.id, r.score)
+    # every emitted row has score > 0 (zero-score pairs never explode)
+    assert all(v[1] > 0 for v in got.values())
