@@ -74,8 +74,21 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str):
     return df
 
 
+# (app_id, sf_dir) -> {name: DataFrame}. DataFrames are immutable logical
+# plans, so handing the same objects to every caller is safe; rebuilding
+# them costs ~0.7 s per call (10x spark.read analysis + pyarrow footer
+# reads for the ns-timestamp probe) — pure fixed overhead when a workload
+# runs many queries against the same tables, as bench.py and the driver do.
+_TABLE_CACHE: dict[tuple[str, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
-    """Load the driver's parquet tables as DataFrames keyed by name."""
+    """Load the driver's parquet tables as DataFrames keyed by name
+    (memoized per Spark application + directory)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     names = ["region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"]
     out = {}
@@ -83,4 +96,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
             out[n] = _read_parquet_ns_safe(spark, path)
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
