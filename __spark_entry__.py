@@ -1106,7 +1106,8 @@ def _q_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     out, _ = prepare_training_corpus(
         train, ev, text_col="text", id_col="doc_id",
-        split_weights=_SPLIT_WEIGHTS, count_stages=False)
+        split_weights=_SPLIT_WEIGHTS, count_stages=False,
+        materialize=True)   # dedup output feeds 4 consumers — pin it
     return out.select("doc_id", "split")
 
 
