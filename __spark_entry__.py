@@ -2856,6 +2856,32 @@ SELECT day, day_value,
 FROM daily ORDER BY day
 """
 
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: typed `from_json` extraction of the
+    events.props payload feeding a grouped aggregate — the JSON parse is a
+    codegen projection fused into the scan (schema declared, no sampling
+    pass), so at scale the payload column never materializes as text
+    beyond the scan stage."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("k").alias("sum_k"),
+                   F.round(F.avg("k"), 4).alias("avg_k"),
+                   F.countDistinct("k").alias("n_distinct_k")))
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+       round(AVG(k), 4) AS avg_k, COUNT(DISTINCT k) AS n_distinct_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 # Z-order layout code: 12-bit grid per dimension (4096 cells), fixed bounds
 # so codes are stable across scale factors and ingest batches.
 _Z_BITS = 12
@@ -3101,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_dow_type": _q_events_cube,
         "events_moving_avg_7d": _q_events_moving_avg,
         "events_zorder_code": _q_events_zorder,
+        "events_json_extract": _q_events_json,
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
@@ -3199,6 +3226,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
         "events_zorder_code": _sql_events_zorder(),
+        "events_json_extract": _SQL_EVENTS_JSON,
         "s3_markdown_strip": _sql_s3_markdown(),
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
