@@ -2802,6 +2802,47 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with NON-hierarchical sets — (event_type)
+    and (dow) margins only, no cross grain, no grand total — the case
+    ROLLUP/CUBE can't express; still one shuffle via map-side expansion."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.createOrReplaceTempView("_ev_gs")
+    return spark.sql("""
+        SELECT event_type, dayofweek(ts) AS dow,
+               COUNT(*) AS n, round(SUM(value), 4) AS sum_value,
+               grouping_id() AS gid
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (dayofweek(ts)))
+    """)
+
+
+_SQL_EVENTS_GROUPING_SETS = """
+SELECT event_type, dayofweek(ts) + 1 AS dow,
+       COUNT(*) AS n, round(SUM(value), 4) AS sum_value,
+       CAST(GROUPING(event_type, dayofweek(ts) + 1) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type), (dayofweek(ts) + 1))
+"""
+
+
+def _q_events_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: users who clicked but never purchased. EXCEPT
+    compiles to a distinct + anti-join shape; at scale both sides pre-agg
+    to distinct user ids before the join, so payloads never shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)     # EXCEPT (distinct) semantics
+
+
+_SQL_EVENTS_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (day-of-week, event_type): all four grouping combinations
     in one pass (map-side expansion, single shuffle), grouping_id
@@ -3128,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg_7d": _q_events_moving_avg,
         "events_zorder_code": _q_events_zorder,
         "events_json_extract": _q_events_json,
+        "events_grouping_sets": _q_events_grouping_sets,
+        "events_except_buyers": _q_events_except,
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
@@ -3227,6 +3270,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
         "events_zorder_code": _sql_events_zorder(),
         "events_json_extract": _SQL_EVENTS_JSON,
+        "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
+        "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
