@@ -2059,6 +2059,45 @@ WHERE rank <= 10""")
     return " UNION ALL ".join(parts)
 
 
+def _q_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 scans the corpus for 20 candidates, the
+    second stage re-scores ONLY those by query-term Jaccard and keeps 5 —
+    the retrieve-then-rerank shape (ml/rerank.py) with the deterministic
+    scorer; a cross-encoder RerankFn drops in without changing the plan."""
+    from rassengine_spark.functions.bm25 import bm25_topk
+    from rassengine_spark.ml.rerank import rerank_topk
+    docs = load_tables(spark, sf_dir)["documents"]
+    stage1 = bm25_topk(docs, "text", "doc_id", "spark join query", k=20)
+    cands = stage1.join(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id")
+    return (rerank_topk(cands, "spark join query", "text", "id", k=5)
+            .select("id", "score", "rerank_score"))
+
+
+def _sql_rerank_lexical() -> str:
+    from rassengine_spark.functions.bm25 import bm25_sql
+    stage1 = bm25_sql("documents", "text", "doc_id", "spark join query",
+                      k=20)
+    qlist = "['join', 'query', 'spark']"
+    toks = ("list_distinct(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> len(x) > 0))")
+    return f"""
+WITH stage1 AS ({stage1}),
+cand AS (
+  SELECT s.id, s.score, {toks} AS toks
+  FROM stage1 s JOIN documents d ON d.doc_id = s.id),
+scored AS (
+  SELECT id, score,
+         round(CAST(len(list_intersect(toks, {qlist})) AS DOUBLE)
+               / greatest(len(toks) + 3
+                          - len(list_intersect(toks, {qlist})), 1.0), 6)
+           AS rerank_score
+  FROM cand)
+SELECT id, score, rerank_score FROM scored
+ORDER BY rerank_score DESC, id ASC LIMIT 5
+"""
+
+
 def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q4 shape: priority counts of orders with at least one late
     line (EXISTS -> left-semi join; the probe side never duplicates)."""
@@ -3148,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_synth_intent_corpus": _q_m_synth_corpus,
         "bm25_ranked": _q_bm25_ranked,
         "bm25_batch_ranked": _q_bm25_batch,
+        "rerank_lexical": _q_rerank_lexical,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -3249,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
         "bm25_ranked": _sql_bm25_ranked(),
         "bm25_batch_ranked": _sql_bm25_batch(),
+        "rerank_lexical": _sql_rerank_lexical(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,

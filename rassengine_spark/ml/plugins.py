@@ -135,3 +135,36 @@ def hf_token_ner(model_name: str,
                 for h in pipe(query) if h["score"] >= threshold]
 
     return tag
+
+
+def hf_cross_encoder(model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
+                     ) -> Callable[[str, list[str]], list[float]]:
+    """RerankFn plug-in: cross-encoder relevance scoring of (query, text)
+    pairs — the second-stage scorer `ml.rerank.rerank_topk` accepts. Same
+    (query, texts) -> scores contract as the deterministic term-Jaccard
+    default, so first-stage retrieval and the ask pipeline are unchanged
+    when the model swaps in. Scores each candidate batch in one forward
+    pass; the candidate set is first-stage top-k, so inference cost is
+    O(k) texts per query regardless of corpus size."""
+    _require_hf("hf_cross_encoder")
+
+    def score(query: str, texts: list[str]) -> list[float]:
+        if not texts:
+            return []
+        key = ("rerank", model_name)
+        if key not in _MODEL_CACHE:
+            from transformers import (AutoModelForSequenceClassification,
+                                      AutoTokenizer)
+            tok = AutoTokenizer.from_pretrained(model_name)
+            mdl = AutoModelForSequenceClassification.from_pretrained(
+                model_name)
+            mdl.eval()
+            _MODEL_CACHE[key] = (tok, mdl)
+        tok, mdl = _MODEL_CACHE[key]
+        import torch
+        with torch.no_grad():
+            enc = tok([query] * len(texts), texts, padding=True,
+                      truncation=True, return_tensors="pt")
+            return mdl(**enc).logits.squeeze(-1).tolist()
+
+    return score

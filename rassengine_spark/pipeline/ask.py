@@ -120,7 +120,9 @@ class AskPipeline:
                  config: EngineConfig = DEFAULT,
                  spec: CorpusSpec = FHIR_SPEC,
                  embed_fn: EmbedFn | None = None, dim: int = 64,
-                 generate_fn: GenerateFn = _echo_generate):
+                 generate_fn: GenerateFn = _echo_generate,
+                 rerank: bool | object = False,
+                 rerank_depth: int = 4):
         self.documents = documents
         self.chunks = chunks
         self.chats = chats
@@ -130,6 +132,11 @@ class AskPipeline:
         self.embed_fn = embed_fn
         self.dim = dim
         self.generate_fn = generate_fn
+        # optional second-stage rerank (ml/rerank.py): True = deterministic
+        # term-Jaccard; a RerankFn (e.g. plugins.hf_cross_encoder) = model
+        # scoring. First stage over-fetches k*rerank_depth candidates.
+        self.rerank = rerank
+        self.rerank_depth = rerank_depth
         # union view: the reference queries ONE index holding both kinds
         self.corpus = documents.unionByName(
             chunks, allowMissingColumns=True)
@@ -246,6 +253,15 @@ class AskPipeline:
             hits = ops.document_fetch_search(
                 self.corpus.withColumn("score", F.lit(1.0)), self.spec,
                 pids, "score", k, self.cfg.max_files_per_patient)
+        elif self.rerank:
+            # over-fetch, then second-stage re-score of only those rows
+            from ..ml.rerank import rerank_topk
+            first = self.dispatch(intent, query, qvec,
+                                  k * self.rerank_depth, filter_expr,
+                                  pids[0] if pids else None)
+            fn = None if self.rerank is True else self.rerank
+            hits = rerank_topk(first, query, "unstructuredText",
+                               self.spec.id_col, k=k, rerank_fn=fn)
         else:
             hits = self.dispatch(intent, query, qvec, k, filter_expr,
                                  pids[0] if pids else None)
