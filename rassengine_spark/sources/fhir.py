@@ -324,3 +324,39 @@ def parse_fhir(raw: DataFrame, chunk_size: int = 512
     (ml/embed.py), mirroring the reference's parse-then-embed split."""
     resources = parse_bundles(raw)
     return structured_documents(resources), chunk_documents(resources, chunk_size)
+
+
+def parse_resource_lines(raw: DataFrame, content_col: str = "content",
+                         user_col: str = "user_id",
+                         path_col: str = "file_path") -> DataFrame:
+    """Bulk-FHIR NDJSON rows -> exploded resource rows with parse context.
+
+    Bulk Data Access (the FHIR bulk-export standard) ships one resource
+    JSON per LINE instead of a Bundle wrapper. Feed this either whole-file
+    rows (content = the full NDJSON text, split here) or line-per-row
+    frames from `spark.read.text` (then each `content` is already one
+    resource and the split is a no-op)."""
+    lines = (raw.select(F.col(user_col).alias("user_id"),
+                        F.col(path_col).alias("file_path"),
+                        F.explode(F.split(F.col(content_col), "\r?\n"))
+                        .alias("_line"))
+                .filter(F.trim(F.col("_line")) != ""))
+    return (lines.select("user_id", "file_path",
+                         F.from_json(F.col("_line"), FHIR_RESOURCE_DDL)
+                         .alias("r"))
+                 .filter(F.col("r.resourceType").isin(RESOURCE_TYPES)))
+
+
+def parse_fhir_ndjson(raw: DataFrame, chunk_size: int = 512
+                      ) -> tuple[DataFrame, DataFrame]:
+    """S1 over Bulk-FHIR NDJSON: same (structured, chunks) outputs as
+    `parse_fhir`, same per-type projections — only the envelope differs.
+
+    Scale note: this is the PREFERRED bulk-ingest envelope. Bundle files
+    must be read `wholetext` (one task per file, unsplittable — a 10 GB
+    bundle is one task); NDJSON splits on line boundaries, so
+    `spark.read.text` fans a 10 GB export across partitions and the
+    per-resource projections stay a narrow codegen stage."""
+    resources = parse_resource_lines(raw)
+    return (structured_documents(resources),
+            chunk_documents(resources, chunk_size))

@@ -345,3 +345,35 @@ def test_parse_fhir_fuzz_invariants(spark, contents):
     s2, c2 = parse_fhir(raw, chunk_size=8)
     assert sorted(map(str, s2.collect())) == sorted(map(str, s))
     assert sorted(map(str, c2.collect())) == sorted(map(str, c))
+
+
+def test_ndjson_parse_matches_bundle_parse(spark, parsed):
+    """Bulk-FHIR NDJSON envelope yields byte-identical outputs to the
+    Bundle envelope over the same resources."""
+    from rassengine_spark.sources.fhir import parse_fhir_ndjson
+    ndjson = "\n".join(json.dumps(e["resource"]) for e in BUNDLE["entry"])
+    raw = spark.createDataFrame(
+        [("u1", "patient_1_bundle.json", ndjson)],
+        "user_id string, file_path string, content string")
+    nd_docs, nd_chunks = parse_fhir_ndjson(raw, chunk_size=6)
+    docs, chunks = parsed
+
+    def key(df):
+        return {tuple("" if v is None else str(v) for v in r)
+                for r in df.collect()}
+
+    assert key(nd_docs) == key(docs)
+    assert key(nd_chunks.drop("embedding")) == key(chunks.drop("embedding")) \
+        if "embedding" in chunks.columns else key(nd_chunks) == key(chunks)
+
+
+def test_ndjson_line_per_row_input(spark):
+    """spark.read.text-style (one resource per row) also works — the
+    line-split is a no-op then."""
+    from rassengine_spark.sources.fhir import parse_resource_lines
+    rows = [("u1", "f.ndjson", json.dumps(e["resource"]))
+            for e in BUNDLE["entry"]]
+    raw = spark.createDataFrame(
+        rows, "user_id string, file_path string, content string")
+    res = parse_resource_lines(raw)
+    assert res.count() == 9                  # CarePlan filtered out
