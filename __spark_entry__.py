@@ -599,6 +599,32 @@ WHERE len(words) > 0
 """
 
 
+def _q_s6_chunker_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunker (16-word windows, 4 shared): the retrieval/
+    pretraining extension of S6 — stride 12, boundary sentences covered
+    whole; same zero-shuffle generator plan."""
+    from rassengine_spark.sources.chunker import chunk_expr_overlap
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (docs.select(
+                "doc_id",
+                F.posexplode(chunk_expr_overlap(F.col("text"), 16, 4))
+                .alias("chunk_idx", "chunk_text"))
+                .withColumn("chunk_idx", F.col("chunk_idx").cast("long")))
+
+
+_SQL_S6_CHUNKER_OVERLAP = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS words
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(words[(i*12+1):(i*12+16)], ' ') AS chunk_text
+FROM w, UNNEST(generate_series(
+    0, CAST(ceil(greatest(len(words) - 16, 0) / 12.0) AS INT))) AS t(i)
+WHERE len(words) > 0
+"""
+
+
 # ---------------------------------------------------------------- wave 3
 # LLM-training-data pipeline operators (BASELINE.json north star): dedup,
 # similarity search, text analysis, multimodal plumbing.
@@ -3140,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_context_concat": _q_d1_context_concat,
         "d2_capped_item_set": _q_d2_capped_set,
         "s6_chunker": _q_s6_chunker,
+        "s6_chunker_overlap": _q_s6_chunker_overlap,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -3242,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         "d1_context_concat": _SQL_D1_CONTEXT,
         "d2_capped_item_set": _SQL_D2_CAPPED,
         "s6_chunker": _SQL_S6_CHUNKER,
+        "s6_chunker_overlap": _SQL_S6_CHUNKER_OVERLAP,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),

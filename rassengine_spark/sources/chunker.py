@@ -42,3 +42,33 @@ def chunk_table(df: DataFrame, text_col: str, id_cols: list[str],
     return (df.select(*id_cols, F.posexplode(chunks)
                       .alias("chunk_idx", "chunk_text"))
               .withColumn("chunk_idx", F.col("chunk_idx").cast("long")))
+
+
+def chunk_expr_overlap(col: Column | str, chunk_size: int,
+                       overlap: int) -> Column:
+    """array<string> of word windows with `overlap` words shared between
+    consecutive chunks (stride = chunk_size - overlap).
+
+    The reference chunker is strictly non-overlapping (app/main.py:
+    2160-2170); overlap is the standard retrieval/pretraining extension —
+    boundary-spanning sentences appear whole in at least one chunk at the
+    cost of ~size/(size-overlap)x stored tokens. Same plan shape: a pure
+    per-row generator expression, zero shuffle at any corpus size.
+
+    Windows: starts 0, stride, 2*stride, ... covering every word; a final
+    short window is emitted only if it adds new words (mirrors the
+    non-overlap variant's tail behavior)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    w = words_of(col)
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(0, n - chunk_size) / stride)
+    extra = F.greatest(n - F.lit(chunk_size), F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(extra / F.lit(stride))).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.when(n > 0, F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(w, i * stride + 1, chunk_size), " "),
+    )).otherwise(F.array().cast("array<string>"))

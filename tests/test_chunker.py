@@ -39,3 +39,44 @@ def test_chunker_properties(spark):
 def test_chunker_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id int, text string")
     assert chunk_table(df, "text", ["doc_id"], chunk_size=4).count() == 0
+
+
+def test_overlap_chunks_share_boundary_words(spark):
+    from rassengine_spark.sources.chunker import chunk_expr_overlap
+    df = spark.createDataFrame([(" ".join(f"w{i}" for i in range(10)),)],
+                               "text string")
+    out = df.select(chunk_expr_overlap(F.col("text"), 4, 2).alias("c")) \
+            .first()["c"]
+    # stride 2: windows start at 0,2,4,6 -> last covers w6..w9
+    assert out[0] == "w0 w1 w2 w3"
+    assert out[1] == "w2 w3 w4 w5"
+    assert out[-1] == "w6 w7 w8 w9"
+    # every consecutive pair shares exactly `overlap` words
+    for a, b in zip(out, out[1:]):
+        assert a.split()[-2:] == b.split()[:2]
+    # coverage: concatenating de-overlapped windows reproduces the text
+    merged = out[0].split()
+    for c in out[1:]:
+        merged += c.split()[2:]
+    assert merged == [f"w{i}" for i in range(10)]
+
+
+def test_overlap_zero_equals_plain_chunker(spark):
+    from rassengine_spark.sources.chunker import (chunk_expr,
+                                                  chunk_expr_overlap)
+    df = spark.createDataFrame([(" ".join(f"w{i}" for i in range(23)),)],
+                               "text string")
+    plain = df.select(chunk_expr(F.col("text"), 5).alias("c")).first()["c"]
+    zero = df.select(chunk_expr_overlap(F.col("text"), 5, 0).alias("c")) \
+             .first()["c"]
+    assert plain == zero
+
+
+def test_overlap_short_text_single_window(spark):
+    from rassengine_spark.sources.chunker import chunk_expr_overlap
+    df = spark.createDataFrame([("a b",), ("",)], "text string")
+    rows = [r["c"] for r in
+            df.select(chunk_expr_overlap(F.col("text"), 4, 2)
+                      .alias("c")).collect()]
+    assert rows[0] == ["a b"]
+    assert rows[1] == []
