@@ -90,3 +90,57 @@ def test_double_array_lit_roundtrips_exactly(spark, vals):
     assert len(got) == len(vals)
     for g, v in zip(got, vals):
         assert g == v or (g != g and v != v)   # bit-exact (no NaN here)
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=1, max_size=8),
+    min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_int8_quantization_properties(spark, vecs):
+    """For any vector: q in [-127,127]; |x - deq(q)| <= scale/2; the
+    max-|x| element hits +-127 exactly (when nonzero)."""
+    from rassengine_spark.functions.vector import (dequantize, quantize_int8,
+                                                   quantize_scale)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "id int, v array<double>")
+    rows = (df.withColumn("qs", quantize_scale(F.col("v")))
+              .withColumn("q8", quantize_int8(F.col("v"), F.col("qs")))
+              .withColumn("back", dequantize(F.col("q8"), F.col("qs")))
+              .collect())
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["q8"])
+        for orig, back in zip(r["v"], r["back"]):
+            assert abs(orig - back) <= r["qs"] / 2 + 1e-9
+        amax = max(abs(x) for x in r["v"])
+        if amax > 0:
+            assert 127 in [abs(q) for q in r["q8"]]
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                      min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_morton_interleave_matches_reference(spark, pairs):
+    """Spark bit-interleave == plain-Python reference; codes are unique
+    per distinct (a, b) and bounded by 4^bits."""
+    from rassengine_spark.operators.layout import morton_interleave
+    from pyspark.sql import functions as F
+
+    def ref(a, b, bits=8):
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    df = spark.createDataFrame([(a, b) for a, b in pairs],
+                               "a bigint, b bigint")
+    got = [r["z"] for r in
+           df.select(morton_interleave(F.col("a"), F.col("b"), 8)
+                     .alias("z")).collect()]
+    assert got == [ref(a, b) for a, b in pairs]
+    assert all(0 <= z < 4 ** 8 for z in got)
+    assert len(set(got)) == len({(a, b) for a, b in pairs})
