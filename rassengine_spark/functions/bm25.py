@@ -117,6 +117,44 @@ ORDER BY score DESC, id ASC LIMIT {k}
 """
 
 
+def _tf_index_pandas(df: DataFrame, text_col: str, id_col: str,
+                     terms: list[str]) -> DataFrame:
+    """Arrow-batched (id, dl, tf_0..tf_n) pass: document length + term
+    frequency for each query term, tokenized exactly like `tokenize`
+    (lower + split on the ASCII class [^a-z0-9]+ — identical in Java and
+    Python regex for this explicit class). The interpreted
+    size(filter(tokens, ...)) expression per term per pass profiled as the
+    batch scorer's dominant cost; one Counter per doc replaces
+    2x|terms| interpreted array traversals. Counts are integers, so
+    downstream score math is bit-identical."""
+    import re
+    from collections import Counter
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"id {id_type}, dl int, "
+              + ", ".join(f"tf_{i} int" for i in range(len(terms))))
+    split = re.compile(r"[^a-z0-9]+").split
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"id": pdf["id"], "dl": []}
+            cols = [[] for _ in terms]
+            for txt in pdf["txt"]:
+                toks = [t for t in split((txt or "").lower()) if t]
+                out["dl"].append(len(toks))
+                c = Counter(toks)
+                for i, t in enumerate(terms):
+                    cols[i].append(c.get(t, 0))
+            for i in range(len(terms)):
+                out[f"tf_{i}"] = cols[i]
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).cast("string").alias("txt")) \
+             .mapInPandas(run, schema=schema)
+
+
 def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
                     queries: dict[str, str], k: int = 10,
                     k1: float = K1, b: float = B,
@@ -125,33 +163,35 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
     (query_id, id, score, rank).
 
     The serving-batch shape: scoring Q queries one at a time costs Q corpus
-    scans; here the stats pass aggregates df for the UNION of all query
-    terms into one scalar row, and the scoring pass emits each doc's
-    per-query scores as an array-of-structs that explodes to only the
-    (doc, query) pairs with score > 0 — so the shuffle into the per-query
-    top-k window carries candidates, not the cross product. Two scans
-    total, independent of Q; idf/tf math is identical to `bm25_topk`
-    (a query scored alone or in a batch ranks the same)."""
+    scans; here one Arrow tf-index pass computes (dl, tf per union term)
+    per doc, the stats row aggregates df for the UNION of all query terms,
+    and the scoring pass emits each doc's per-query scores as an
+    array-of-structs that explodes to only the (doc, query) pairs with
+    score > 0 — so the shuffle into the per-query top-k window carries
+    candidates, not the cross product. Two scans total, independent of Q;
+    idf/tf math is identical to `bm25_topk` (a query scored alone or in a
+    batch ranks the same — parity-tested)."""
     per_q = {qid: terms_of(q) for qid, q in queries.items()}
     uniq = sorted({t for ts in per_q.values() for t in ts})
     if not uniq:
         raise ValueError("no tokenizable terms in any query")
 
-    toks = tokenize(F.col(text_col))
-    tf_cols = {t: term_freq(toks, t) for t in uniq}
-    stats = df.agg(
+    # cached: the Arrow pass feeds both the stats row and the scoring scan,
+    # and its output is narrow (id + small ints), unlike the corpus text
+    tf_idx = _tf_index_pandas(df, text_col, id_col, uniq).cache()
+    stats = tf_idx.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size(tokenize(F.col(text_col)))).alias("_avgdl"),
-        *[F.sum((tf_cols[t] > 0).cast("long")).alias(f"_df_{i}")
-          for i, t in enumerate(uniq)])
+        F.avg(F.col("dl")).alias("_avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+          for i in range(len(uniq))])
     ti = {t: i for i, t in enumerate(uniq)}
 
-    dl = F.size(toks).cast("double")
+    dl = F.col("dl").cast("double")
 
     def qscore(terms: list[str]) -> Column:
         s = F.lit(0.0)
         for t in terms:
-            tf = tf_cols[t].cast("double")
+            tf = F.col(f"tf_{ti[t]}").cast("double")
             dfreq = F.col(f"_df_{ti[t]}").cast("double")
             idf = F.log(F.lit(1.0)
                         + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5))
@@ -163,12 +203,12 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
         F.struct(F.lit(qid).alias("query_id"),
                  F.round(qscore(ts), round_to).alias("score"))
         for qid, ts in sorted(per_q.items())])
-    exploded = (df.crossJoin(F.broadcast(stats))
-                  .select(F.col(id_col).alias("id"),
-                          F.explode(F.filter(pairs,
-                                             lambda p: p["score"] > 0))
-                          .alias("qs"))
-                  .select("id", "qs.query_id", "qs.score"))
+    exploded = (tf_idx.crossJoin(F.broadcast(stats))
+                      .select(F.col("id"),
+                              F.explode(F.filter(pairs,
+                                                 lambda p: p["score"] > 0))
+                              .alias("qs"))
+                      .select("id", "qs.query_id", "qs.score"))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc())
