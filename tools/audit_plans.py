@@ -39,6 +39,9 @@ PYTHON_OK = {
     # composed prep pipeline: its LSH + decontam stages are the same
     # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
     "prep_training_corpus",
+    # Arrow tf-index pass (vectorized twin of the interpreted per-term
+    # expressions; batch==solo parity-tested):
+    "bm25_batch_ranked",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
