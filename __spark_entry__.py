@@ -1040,9 +1040,10 @@ FROM g
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: token stats, punctuation/stopword ratios,
-    composite score."""
+    composite score. Arrow integer-stats pass (quality_features_fast);
+    the expression twin stays exported and parity-tested."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return TA.quality_features(docs, "text", "doc_id")
+    return TA.quality_features_fast(docs, "text", "doc_id")
 
 
 def _sql_text_quality() -> str:

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .decontam import ngram_overlap_fast
 from .dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
 from .splits import with_split
-from .text_analysis import pii_redact, quality_features
+from .text_analysis import pii_redact, quality_features_fast
 
 
 def prepare_training_corpus(
@@ -91,8 +91,9 @@ def prepare_training_corpus(
                    .select(id_col))
         df = mark("decontam", df.join(tainted, id_col, "left_anti"))
 
-    # 4. quality filter — composite heuristic score threshold
-    quality = (quality_features(df, text_col, id_col)
+    # 4. quality filter — composite heuristic score threshold (Arrow
+    # stats pass; bit-identical to the expression form)
+    quality = (quality_features_fast(df, text_col, id_col)
                .filter(F.col("quality") >= min_quality)
                .select(F.col("id").alias(id_col)))
     df = mark("quality", df.join(quality, id_col, "left_semi"))

@@ -388,3 +388,21 @@ def test_decontam_fast_matches_expression_form(spark):
     fast = sorted(map(str, ngram_overlap_fast(ev, tr, "text", "doc_id",
                                               n=3).collect()))
     assert fast == slow
+
+
+def test_quality_fast_matches_expression_form(spark):
+    rows = [(1, "The quick brown fox, it is on the mat!!!"),
+            (2, ""),
+            (3, None),
+            (4, "x"),
+            (5, "word " * 30),
+            (6, "!!! ??? ;;; :::"),
+            (7, "Tab\tand\nnewline   spacing a an it as on at")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    slow = {r["id"]: r for r in
+            TA.quality_features(df, "text", "doc_id").collect()}
+    fast = {r["id"]: r for r in
+            TA.quality_features_fast(df, "text", "doc_id").collect()}
+    assert set(slow) == set(fast)
+    for k in slow:
+        assert tuple(slow[k]) == tuple(fast[k]), (k, slow[k], fast[k])

@@ -35,7 +35,7 @@ PYTHON_OK = {
     "mm_resize_meta", "mm_frame_sample",
     # Arrow-batched integer-stats / gram-hash passes (expression twins
     # parity-tested):
-    "text_repetition", "decontam_ngram_overlap",
+    "text_repetition", "decontam_ngram_overlap", "text_quality",
     # composed prep pipeline: its LSH + decontam stages are the same
     # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
     "prep_training_corpus",
