@@ -2868,6 +2868,93 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user, the
+    first view, the first click AFTER that view, the first purchase after
+    that click; counts per stage reached. One hash-aggregate per user
+    (conditional min-timestamps), no self-joins — the standard funnel
+    shape at event-warehouse scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("t_view")))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", F.col("ts").alias("c_ts"))
+    t_click = (per_user.join(clicks, "user_id", "left")
+               .groupBy("user_id", "t_view")
+               .agg(F.min(F.when(F.col("c_ts") >= F.col("t_view"),
+                                 F.col("c_ts"))).alias("t_click")))
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select("user_id", F.col("ts").alias("p_ts"))
+    funnel = (t_click.join(buys, "user_id", "left")
+              .groupBy("user_id", "t_view", "t_click")
+              .agg(F.min(F.when(F.col("p_ts") >= F.col("t_click"),
+                                F.col("p_ts"))).alias("t_buy")))
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_buy").alias("n_bought_after_click"))
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT v.user_id, v.t_view,
+         MIN(CASE WHEN e.ts >= v.t_view THEN e.ts END) AS t_click
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+  GROUP BY v.user_id, v.t_view),
+p AS (
+  SELECT c.user_id, c.t_view, c.t_click,
+         MIN(CASE WHEN e.ts >= c.t_click THEN e.ts END) AS t_buy
+  FROM c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+  GROUP BY c.user_id, c.t_view, c.t_click)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_viewed,
+       COUNT(t_click) AS n_clicked_after_view,
+       COUNT(t_buy) AS n_bought_after_click
+FROM p
+"""
+
+
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-active day, counted by
+    day-offset of later activity — (cohort_day, day_offset, n_users).
+    Two shuffles total: the first-day aggregate and the cohort rollup;
+    the activity-day set is deduped BEFORE the join so the join carries
+    (user, day) pairs, not raw events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    days = (ev.select("user_id",
+                      F.date_trunc("day", F.col("ts")).cast("date")
+                      .alias("day"))
+              .distinct())
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (days.join(first, "user_id")
+                .groupBy("cohort_day",
+                         F.datediff(F.col("day"), F.col("cohort_day"))
+                         .alias("day_offset"))
+                .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+_SQL_EVENTS_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, d.day) AS INT) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with NON-hierarchical sets — (event_type)
     and (dow) margins only, no cross grain, no grand total — the case
@@ -3238,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_code": _q_events_zorder,
         "events_json_extract": _q_events_json,
         "events_grouping_sets": _q_events_grouping_sets,
+        "events_funnel": _q_events_funnel,
+        "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
@@ -3341,6 +3430,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_code": _sql_events_zorder(),
         "events_json_extract": _SQL_EVENTS_JSON,
         "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
+        "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
         # golden-by-construction oracle: the bundles are deterministic
