@@ -2204,13 +2204,13 @@ def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(20,6)")
     return (j.filter(block)
-             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
                   F.count(F.lit(1)).alias("n_lines")))
 
 
 _SQL_TPCH_Q19 = """
-SELECT round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue,
+SELECT CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2226,7 +2226,7 @@ def _money_sum(col, alias, nd=2):
     """round-6 product cast decimal(20,6), summed, -> double round nd.
     Decimal accumulation makes the sum order-independent, so Spark's
     partial/final agg and DuckDB's single-node agg agree bit-exactly."""
-    return F.round(F.sum(col.cast("decimal(20,6)")).cast("double"), nd) \
+    return F.round(F.sum(col.cast("decimal(20,6)")), nd).cast("double") \
         .alias(alias)
 
 
@@ -2263,7 +2263,7 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       round(CAST(SUM(CAST(volume AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+       CAST(round(SUM(CAST(volume AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -2377,8 +2377,8 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q9 = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
-                           AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_profit
+       CAST(round(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2432,7 +2432,7 @@ def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(t["supplier"]),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
-                    F.round(F.col("total_revenue").cast("double"), 2)
+                    F.round(F.col("total_revenue"), 2).cast("double")
                     .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
@@ -2447,7 +2447,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
 SELECT s_suppkey, s_name,
-       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -2523,14 +2523,14 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "left_anti")
             .groupBy("cntrycode")
             .agg(F.count(F.lit(1)).alias("numcust"),
-                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
-                         .cast("double"), 2).alias("totacctbal"))
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+                 .cast("double").alias("totacctbal"))
             .orderBy("cntrycode"))
 
 
 _SQL_TPCH_Q22 = """
 SELECT cntrycode, COUNT(*) AS numcust,
-       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS totacctbal
 FROM (
   SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
@@ -2581,7 +2581,7 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select(F.col("s_acctbal"), F.col("s_name"), F.col("nation"),
                     F.col("l_partkey").alias("p_partkey"),
-                    F.round(F.col("cost").cast("double"), 6).alias("cost"))
+                    F.round(F.col("cost"), 6).cast("double").alias("cost"))
             .orderBy(F.col("s_acctbal").desc(), "nation", "s_name",
                      "p_partkey")
             .limit(100))
@@ -2601,7 +2601,7 @@ cost AS (SELECT l_partkey, l_suppkey,
            AND l_suppkey IN (SELECT s_suppkey FROM eu)
          GROUP BY l_partkey, l_suppkey)
 SELECT s_acctbal, s_name, nation, l_partkey AS p_partkey,
-       round(CAST(cost AS DOUBLE), 6) AS cost
+       CAST(round(cost, 6) AS DOUBLE) AS cost
 FROM cost JOIN eu ON l_suppkey = s_suppkey
 WHERE cost = (SELECT MIN(c2.cost) FROM cost c2
               WHERE c2.l_partkey = cost.l_partkey)
@@ -2636,7 +2636,7 @@ def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (val.crossJoin(F.broadcast(thresh))
             .filter(F.col("value").cast("double") > F.col("thresh"))
             .select(F.col("l_partkey").alias("p_partkey"),
-                    F.round(F.col("value").cast("double"), 2).alias("value"))
+                    F.round(F.col("value"), 2).cast("double").alias("value"))
             .orderBy(F.col("value").desc(), "p_partkey"))
 
 
@@ -2651,7 +2651,7 @@ WITH v AS (
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
   GROUP BY l_partkey)
-SELECT l_partkey AS p_partkey, round(CAST(value AS DOUBLE), 2) AS value
+SELECT l_partkey AS p_partkey, CAST(round(value, 2) AS DOUBLE) AS value
 FROM v
 WHERE CAST(value AS DOUBLE) >
       (SELECT 2.0 * CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM v)
