@@ -1,0 +1,44 @@
+"""Partition-invariance: contract queries must return identical result
+SETS when the shuffle partition count changes — the property that makes
+results reproducible when a job moves from 32 cores to a 1000-executor
+cluster. Exercises the entries whose plans lean on hashing, windows,
+Arrow passes, and decimal aggregation."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# a representative slice: hash-split assignment, LSH banding, sequence
+# packing, window collapse, decimal money sums, rollup, Arrow tf-index
+QUERIES = [
+    "split_hash_assign",
+    "dedup_minhash_lsh",
+    "pack_sequences",
+    "q12_collapse_best_per_key",
+    "tpch_q1_pricing",
+    "text_datacard",
+    "bm25_batch_ranked",
+    "events_funnel",
+]
+
+
+def _rows(df):
+    return sorted(
+        tuple("" if v is None else str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_set_invariant_under_shuffle_partitions(spark, name):
+    q = entry.queries()[name]
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        base = _rows(q(spark, SF))
+        spark.conf.set(key, "5")
+        alt = _rows(q(spark, SF))
+    finally:
+        spark.conf.set(key, old)
+    assert base == alt
