@@ -2039,6 +2039,20 @@ def _sql_bm25_ranked() -> str:
     return bm25_sql("documents", "text", "doc_id", "spark join query", k=15)
 
 
+def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the inverted-index TABLES (postings/doclens/stats,
+    operators/inverted_index.py) — the corpus text is never scanned at
+    query time; same oracle as the scan-based bm25_ranked because the
+    scores are bit-identical (SURVEY §4 O5: the postings materialized
+    view is Spark's analog of the reference's Lucene index)."""
+    from rassengine_spark.operators.inverted_index import (
+        bm25_topk_from_index, build_term_index)
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, doclens, stats = build_term_index(docs, "text", "doc_id")
+    return bm25_topk_from_index(postings, doclens, stats,
+                                "spark join query", k=15)
+
+
 _BM25_BATCH_QUERIES = {"q_join": "spark join query",
                        "q_scan": "table scan filter",
                        "q_window": "window sort merge"}
@@ -3303,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranked": _q_bm25_ranked,
         "bm25_batch_ranked": _q_bm25_batch,
         "rerank_lexical": _q_rerank_lexical,
+        "bm25_index_ranked": _q_bm25_index,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -3408,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_ranked": _sql_bm25_ranked(),
         "bm25_batch_ranked": _sql_bm25_batch(),
         "rerank_lexical": _sql_rerank_lexical(),
+        "bm25_index_ranked": _sql_bm25_ranked(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,

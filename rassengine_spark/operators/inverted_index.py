@@ -1,0 +1,101 @@
+"""Inverted-index (postings table) lexical search: the materialized-view
+analog of the reference's Lucene inverted index (SURVEY §4 O5 — OpenSearch
+gets sublinear lexical search from its index; Spark's equivalent is a
+precomputed postings TABLE, not a custom Catalyst structure).
+
+Build once per corpus version:
+
+    postings  (term, id, tf)   — one row per distinct (doc, term)
+    doclens   (id, dl)         — document token counts
+    stats     (n_docs, avgdl)  — one row
+
+Query time: the query's terms (a tiny literal list) semi-select the
+postings — at 100 TB, write `postings` partitioned/bucketed by `term` and
+the scan PRUNES to the query's terms instead of reading the corpus; only
+docs containing >=1 query term ("candidates") are ever scored. BM25 scores
+are computed from (tf, df, dl) alone, bit-compatible with the scan-based
+`functions.bm25.bm25_topk`: per-term contributions fold in a DETERMINISTIC
+term order (array_sort before aggregate), not shuffle arrival order, so
+index-served and scan-served scores round identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import B, K1
+from ..functions.text import terms_of, tokenize
+
+
+def build_term_index(df: DataFrame, text_col: str, id_col: str
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doclens, stats) for a corpus. One explode + one
+    hash-aggregate on (term, id); doclens/stats are map-side cheap.
+    Persist postings with .write.partitionBy('term') or bucketBy for
+    term-pruned lookups at scale."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokenize(F.col(text_col)).alias("_toks"))
+    postings = (toks.select("id", F.explode("_toks").alias("term"))
+                    .groupBy("term", "id")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+    doclens = toks.select("id", F.size("_toks").alias("dl"))
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    return postings, doclens, stats
+
+
+def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
+                         stats: DataFrame, query: str, k: int = 10,
+                         k1: float = K1, b: float = B,
+                         round_to: int = 6) -> DataFrame:
+    """Top-k (id, score) by BM25 served ENTIRELY from the index tables —
+    the corpus text is never touched. Identical scores to
+    `bm25_topk(corpus, ...)` for the same corpus/query (parity-tested):
+    same idf/tf/dl math, and the per-term sum folds in query-term order
+    exactly like the scan form's left-to-right expression."""
+    terms = terms_of(query)
+    if not terms:
+        raise ValueError("no tokenizable terms in query")
+    order = {}            # first-occurrence order == expression fold order
+    for t in terms:
+        order.setdefault(t, len(order))
+    qterms = F.array(*[F.lit(t) for t in order])
+
+    p = postings.filter(F.col("term").isin(*list(order)))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ti = F.create_map(*[x for t, i in order.items()
+                        for x in (F.lit(t), F.lit(i))])
+
+    contrib = (p.join(F.broadcast(dfreq), "term")
+                .join(doclens, "id")
+                .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    c = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl
+                                            / F.col("avgdl")))
+    per_term = contrib.select(
+        "id", F.struct(ti[F.col("term")].alias("i"),
+                       c.alias("c")).alias("tc"))
+    # deterministic fold: sort contributions by query-term index, then
+    # accumulate left-to-right — the same double-addition order as the
+    # scan-based expression sum, so rounding matches bit-for-bit. A terms
+    # repeated in the query contributes once per distinct term, exactly
+    # like term_freq over a distinct tf (the scan form also folds each
+    # DISTINCT term once per occurrence in terms_of — mirrored by
+    # repeating the contribution below).
+    reps = [order[t] for t in terms]
+    mult = F.create_map(*[x for i in set(reps)
+                          for x in (F.lit(i), F.lit(float(reps.count(i))))])
+    score = F.aggregate(
+        F.array_sort(F.collect_list("tc")),
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"] * mult[x["i"]])
+    del qterms
+    return (per_term.groupBy("id")
+            .agg(F.round(score, round_to).alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))
