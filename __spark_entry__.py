@@ -2882,6 +2882,45 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each day's event count z-scored against
+    the TRAILING 7 days (frame excludes the current row — no leakage);
+    anomalous = |z| > 2. One daily pre-aggregate + one ordered window
+    over the tiny day-grain frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date")
+                        .alias("day"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql.window import Window as _W
+    w = _W.orderBy("day").rowsBetween(-7, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd)
+    return (daily.select(
+        "day", "n",
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("anomalous"))
+        .orderBy("day"))
+
+
+_SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT day, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS sd
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT day, n,
+       round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 4) AS z,
+       COALESCE(abs(CASE WHEN sd > 0 THEN (n - mu) / sd END) > 2.0,
+                FALSE) AS anomalous
+FROM s ORDER BY day
+"""
+
+
 def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: per user, the
     first view, the first click AFTER that view, the first purchase after
@@ -3341,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json,
         "events_grouping_sets": _q_events_grouping_sets,
         "events_funnel": _q_events_funnel,
+        "events_volume_anomaly": _q_events_anomaly,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
         "sketch_daily_rollup": _q_sketch_daily,
@@ -3447,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _SQL_EVENTS_JSON,
         "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
         "events_funnel": _SQL_EVENTS_FUNNEL,
+        "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
