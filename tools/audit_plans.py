@@ -49,6 +49,7 @@ SORT_OK = {
     # display order) — not a full-data sort
     "q6_terms_agg", "events_rollup_multigrain", "events_distinct_daily",
     "events_pivot_daily", "events_cube_dow_type", "events_moving_avg_7d",
+    "events_volume_anomaly",
     "lineitem_quantity_percentiles", "split_hash_assign",
     "split_stratified_take", "split_hash_sample", "split_mixture_resample",
     "pack_sequences", "tpch_q1_pricing", "tpch_q4_late_orders",
