@@ -1012,10 +1012,10 @@ GROUP BY exact.query_id
 
 
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID: stopword-profile argmax heuristic."""
+    """Language ID: stopword-profile argmax heuristic (Arrow twin;
+    expression form stays exported and parity-tested)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(F.col("doc_id").alias("id"),
-                       TA.lang_id_expr(F.col("text")).alias("lang_pred"))
+    return TA.lang_id_fast(docs, "text", "doc_id")
 
 
 def _sql_text_langid() -> str:

@@ -83,6 +83,45 @@ def quality_features(df: DataFrame, text_col: str, id_col: str,
         F.round(quality, round_to).alias("quality"))
 
 
+def lang_id_fast(df: DataFrame, text_col: str, id_col: str,
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Arrow-batched twin of ``lang_id_expr`` — identical output (id,
+    lang_pred). The argmax over stopword-presence counts is pure integer
+    logic, so the Python form reproduces the expression form exactly:
+    best>0 required, ties resolve to the alphabetically-first language.
+    The expression form pays |profiles|x|stopwords| interpreted
+    array_contains per row; here it is one token-set per doc."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    split = re.compile(r"[^a-z0-9]+").split
+    profiles = sorted(LANG_PROFILES.items())
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            preds = []
+            for txt in pdf["txt"].tolist():
+                if txt is None:
+                    preds.append("und")   # all counts null -> und branch
+                    continue
+                tset = {t for t in split(txt.lower()) if t}
+                counts = [(lang, sum(1 for w in ws if w in tset))
+                          for lang, ws in profiles]
+                best = max(c for _, c in counts)
+                if best <= 0:
+                    preds.append("und")
+                else:
+                    preds.append(next(l for l, c in counts if c == best))
+            yield pd.DataFrame({"id": pdf["id"], out_col: preds})
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).cast("string").alias("txt")) \
+             .mapInPandas(run, schema=f"id {id_type}, {out_col} string")
+
+
 def quality_features_fast(df: DataFrame, text_col: str, id_col: str,
                           round_to: int = 6) -> DataFrame:
     """Arrow-batched twin of ``quality_features`` — identical output.

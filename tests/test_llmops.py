@@ -406,3 +406,21 @@ def test_quality_fast_matches_expression_form(spark):
     assert set(slow) == set(fast)
     for k in slow:
         assert tuple(slow[k]) == tuple(fast[k]), (k, slow[k], fast[k])
+
+
+def test_langid_fast_matches_expression_form(spark):
+    rows = [(1, "the quick brown fox and the dog"),
+            (2, "el zorro y el perro en la casa"),
+            (3, "der hund und die katze ist da"),
+            (4, "le chat et les chiens en ville"),
+            (5, "xyzzy qwerty plugh"),
+            (6, None),
+            (7, ""),
+            (8, "de la the und el le")]       # cross-language tie material
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    slow = {r["id"]: r["lang_pred"] for r in df.select(
+        F.col("doc_id").alias("id"),
+        TA.lang_id_expr(F.col("text")).alias("lang_pred")).collect()}
+    fast = {r["id"]: r["lang_pred"]
+            for r in TA.lang_id_fast(df, "text", "doc_id").collect()}
+    assert slow == fast
