@@ -1,0 +1,47 @@
+"""CLI surface: ingest -> ask -> prep flows through python -m
+rassengine_spark's main(), end to end on a tiny corpus."""
+
+import json
+import os
+
+from rassengine_spark.__main__ import main
+
+
+def test_cli_ingest_then_ask(spark, tmp_path, capsys):
+    from tests.test_fhir import BUNDLE
+    src = tmp_path / "uploads"
+    src.mkdir()
+    with open(src / "patient_1_bundle.json", "w") as f:
+        json.dump(BUNDLE, f)
+    wh = str(tmp_path / "wh")
+
+    assert main(["ingest", "--src", str(src), "--warehouse", wh]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["documents"] == 9 and out["chunks"] > 0
+
+    assert main(["ask", "How many patients have hypertension?",
+                 "--warehouse", wh]) == 0
+    text = capsys.readouterr().out
+    assert "intent: AGGREGATE" in text
+    assert "Hypertension" in text
+
+    assert main(["ask", "Explain the bp recheck note",
+                 "--warehouse", wh, "--rerank"]) == 0
+    text = capsys.readouterr().out
+    assert "intent: EXPLANATORY" in text and "hit:" in text
+
+
+def test_cli_prep(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    rows = [(i, f"some sufficiently long document text number {i} with "
+                f"several words in it") for i in range(20)]
+    rows += [(100, rows[0][1])]                 # exact dup
+    spark.createDataFrame(rows, "doc_id int, text string") \
+         .write.parquet(src)
+    out_dir = str(tmp_path / "clean")
+    assert main(["prep", "--src", src, "--out", out_dir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = dict(rep["stages"])
+    assert stages["input"] == 21 and stages["exact_dedup"] == 20
+    assert rep["rows"] == stages["split"]
+    assert os.path.isdir(out_dir)
