@@ -170,3 +170,153 @@ def sample_frames(media: DataFrame, frame_ms: int = 40,
             })
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------ REAL
+# kernels for formats decodable with numpy alone (no image/audio libs):
+# 16-bit PCM audio and binary PPM (P6) images. Compressed formats (JPEG/
+# MP3/H.264) still need the library-backed kernels stubbed above — these
+# prove the pipeline end-to-end with genuine decode math. Undecodable
+# payloads yield null features + a decode_error string (batch jobs want
+# quarantinable rows, not a poisoned task).
+
+AUDIO_FEATURE_SCHEMA = ("media_id string, n_samples long, duration_ms long, "
+                        "rms double, peak int, zero_crossings long, "
+                        "decode_error string")
+
+
+def audio_features_pcm16(media: DataFrame,
+                         sample_rate: int = 16000) -> DataFrame:
+    """REAL audio decode for 16-bit little-endian PCM payloads: per clip
+    (n_samples, duration_ms, rms, peak, zero_crossings). One Arrow batch
+    pass; blobs never leave the executor."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_samples", "duration_ms",
+                                    "rms", "peak", "zero_crossings",
+                                    "decode_error")}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(mid)
+                blob = bytes(c) if c is not None else b""
+                if len(blob) == 0 or len(blob) % 2 != 0:
+                    for k in ("n_samples", "duration_ms", "rms", "peak",
+                              "zero_crossings"):
+                        rows[k].append(None)
+                    rows["decode_error"].append("not 16-bit PCM")
+                    continue
+                x = np.frombuffer(blob, dtype="<i2").astype(np.float64)
+                n = len(x)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(int(n * 1000 // sample_rate))
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                rows["peak"].append(int(np.max(np.abs(x))))
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(x[1:])
+                                         != np.signbit(x[:-1]))))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def _decode_ppm(blob: bytes):
+    """P6 PPM parser: returns (h, w, 3) uint8 array or raises ValueError."""
+    import numpy as np
+    if not blob.startswith(b"P6"):
+        raise ValueError("not P6")
+    parts, i = [], 2
+    while len(parts) < 3:
+        while i < len(blob) and blob[i:i + 1].isspace():
+            i += 1
+        if blob[i:i + 1] == b"#":          # comment to end-of-line
+            while i < len(blob) and blob[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j:j + 1].isspace():
+            j += 1
+        parts.append(int(blob[i:j]))
+        i = j
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255")
+    i += 1                                  # single whitespace after header
+    pix = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pix.reshape(h, w, 3)
+
+
+def _encode_ppm(arr) -> bytes:
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+IMAGE_FEATURE_SCHEMA = ("media_id string, width int, height int, "
+                        "mean_r double, mean_g double, mean_b double, "
+                        "decode_error string")
+
+
+def image_features_ppm(media: DataFrame) -> DataFrame:
+    """REAL image decode for P6 PPM payloads: (width, height, per-channel
+    means). Swap the parser for PIL and every other line stays."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "width", "height", "mean_r",
+                                    "mean_g", "mean_b", "decode_error")}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(mid)
+                try:
+                    arr = _decode_ppm(bytes(c) if c is not None else b"")
+                    rows["width"].append(int(arr.shape[1]))
+                    rows["height"].append(int(arr.shape[0]))
+                    m = arr.reshape(-1, 3).mean(axis=0)
+                    rows["mean_r"].append(float(m[0]))
+                    rows["mean_g"].append(float(m[1]))
+                    rows["mean_b"].append(float(m[2]))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as exc:
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(exc))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images_ppm(media: DataFrame, out_w: int = 64,
+                      out_h: int = 64) -> DataFrame:
+    """REAL nearest-neighbor resize for P6 PPM payloads: binary in, binary
+    out (re-encoded P6), same RESIZED_SCHEMA as the stub resize so
+    downstream plumbing is shared. Undecodable rows pass through with
+    null content."""
+    import numpy as np
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            blobs, nbytes = [], []
+            for c in pdf["content"]:
+                try:
+                    arr = _decode_ppm(bytes(c) if c is not None else b"")
+                    ys = (np.arange(out_h) * arr.shape[0]) // out_h
+                    xs = (np.arange(out_w) * arr.shape[1]) // out_w
+                    out = _encode_ppm(np.ascontiguousarray(
+                        arr[ys][:, xs]))
+                    blobs.append(out)
+                    nbytes.append(len(out))
+                except (ValueError, IndexError):
+                    blobs.append(None)
+                    nbytes.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "out_w": out_w, "out_h": out_h,
+                "n_bytes_out": nbytes, "content": blobs,
+            })
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -424,3 +424,58 @@ def test_langid_fast_matches_expression_form(spark):
     fast = {r["id"]: r["lang_pred"]
             for r in TA.lang_id_fast(df, "text", "doc_id").collect()}
     assert slow == fast
+
+
+def test_audio_features_pcm16_real_decode(spark):
+    import math
+    import struct
+    sr = 16000
+    # 100 Hz sine, amplitude 10000, 0.1 s -> rms ~ 10000/sqrt(2)
+    n = sr // 10
+    samples = [int(10000 * math.sin(2 * math.pi * 100 * i / sr))
+               for i in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(pcm), len(pcm), "x"),
+         ("a2", "audio", bytearray(b"odd"), 3, "y")],
+        "media_id string, media_type string, content binary, "
+        "n_bytes long, sha256 string")
+    rows = {r["media_id"]: r
+            for r in MM.audio_features_pcm16(media, sr).collect()}
+    a1 = rows["a1"]
+    assert a1["n_samples"] == n and a1["duration_ms"] == 100
+    assert abs(a1["rms"] - 10000 / math.sqrt(2)) < 60
+    assert a1["peak"] <= 10000
+    # 100 Hz for 0.1 s -> ~20 zero crossings
+    assert 18 <= a1["zero_crossings"] <= 22
+    assert a1["decode_error"] is None
+    assert rows["a2"]["decode_error"] == "not 16-bit PCM"
+    assert rows["a2"]["rms"] is None
+
+
+def _ppm(w, h, rgb):
+    header = b"P6\n%d %d\n255\n" % (w, h)
+    return header + bytes(rgb) * (w * h)
+
+
+def test_image_features_and_resize_ppm(spark):
+    blob = _ppm(8, 4, (10, 20, 30))
+    media = spark.createDataFrame(
+        [("i1", "image", bytearray(blob), len(blob), "x"),
+         ("i2", "image", bytearray(b"JPEGnope"), 8, "y")],
+        "media_id string, media_type string, content binary, "
+        "n_bytes long, sha256 string")
+    feats = {r["media_id"]: r
+             for r in MM.image_features_ppm(media).collect()}
+    assert (feats["i1"]["width"], feats["i1"]["height"]) == (8, 4)
+    assert (feats["i1"]["mean_r"], feats["i1"]["mean_g"],
+            feats["i1"]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert feats["i2"]["decode_error"] == "not P6"
+
+    resized = {r["media_id"]: r
+               for r in MM.resize_images_ppm(media, 4, 2).collect()}
+    out = bytes(resized["i1"]["content"])
+    assert out.startswith(b"P6\n4 2\n255\n")
+    # uniform image stays uniform after nearest-neighbor resize
+    assert out[len(b"P6\n4 2\n255\n"):] == bytes((10, 20, 30)) * 8
+    assert resized["i2"]["content"] is None
