@@ -69,7 +69,8 @@ def bm25_scored(df: DataFrame, text_col: str, query: str,
         idf = F.log(F.lit(1.0)
                     + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5))
         score = score + idf * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * dl / F.col("_avgdl")))
+            tf + k1 * (1.0 - b + b * dl
+                      / F.greatest(F.col("_avgdl"), F.lit(1e-12))))
     return (scored.withColumn(score_col, score)
                   .drop("_n", "_avgdl",
                         *[f"_df_{i}" for i in range(len(terms))]))
@@ -196,7 +197,8 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
             idf = F.log(F.lit(1.0)
                         + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5))
             s = s + idf * tf * (k1 + 1.0) / (
-                tf + k1 * (1.0 - b + b * dl / F.col("_avgdl")))
+                tf + k1 * (1.0 - b + b * dl
+                      / F.greatest(F.col("_avgdl"), F.lit(1e-12))))
         return s
 
     pairs = F.array(*[

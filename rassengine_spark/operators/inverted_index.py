@@ -75,7 +75,7 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     c = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl
-                                            / F.col("avgdl")))
+                                            / F.greatest(F.col("avgdl"), F.lit(1e-12))))
     per_term = contrib.select(
         "id", F.struct(ti[F.col("term")].alias("i"),
                        c.alias("c")).alias("tc"))

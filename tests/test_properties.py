@@ -144,3 +144,42 @@ def test_morton_interleave_matches_reference(spark, pairs):
     assert got == [ref(a, b) for a, b in pairs]
     assert all(0 <= z < 4 ** 8 for z in got)
     assert len(set(got)) == len({(a, b) for a, b in pairs})
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["spark", "join", "scan", "sort", "x", "y"]),
+             min_size=0, max_size=8),
+    min_size=1, max_size=8),
+    qterms=st.lists(st.sampled_from(["spark", "join", "scan"]),
+                    min_size=1, max_size=2, unique=True))
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, docs, qterms):
+    """Engine BM25 == a from-scratch Python implementation of the Lucene
+    formula (k1=1.2, b=0.75), on randomized tiny corpora."""
+    import math
+
+    from rassengine_spark.functions.bm25 import bm25_topk
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.score
+           for r in bm25_topk(df, "text", "id", " ".join(qterms),
+                              k=len(docs)).collect()}
+
+    n = len(docs)
+    # engine guard: all-empty corpus (avgdl 0) scores nothing
+    avgdl = max(sum(len(ws) for ws in docs) / n, 1e-12)
+    expect = {}
+    for i, ws in enumerate(docs):
+        s = 0.0
+        for t in qterms:
+            tf = ws.count(t)
+            dfreq = sum(1 for w2 in docs if t in w2)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75
+                                               + 0.75 * len(ws) / avgdl))
+        if s > 0:
+            expect[i] = s
+    assert set(got) == set(expect)
+    for i in got:
+        assert abs(got[i] - expect[i]) < 1e-6
