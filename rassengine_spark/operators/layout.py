@@ -38,6 +38,8 @@ def grid_cell(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
     Double math is exact here while (x - lo) * 2^bits stays under 2^53;
     with bits=16 that allows spans up to ~1.4e11 — epoch-second ranges
     included."""
+    if hi <= lo:
+        raise ValueError("grid_cell needs hi > lo")
     n_cells = 1 << bits
     cell = F.floor((col.cast("double") - F.lit(float(lo)))
                    * F.lit(float(n_cells)) / F.lit(float(hi - lo)))

@@ -183,3 +183,38 @@ def test_bm25_matches_python_reference(spark, docs, qterms):
     assert set(got) == set(expect)
     for i in got:
         assert abs(got[i] - expect[i]) < 1e-6
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=10)
+      .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_minhash_lsh_soundness(spark, texts):
+    """LSH may MISS pairs (probabilistic recall) but must never lie:
+    every emitted pair's jaccard is the exact shingle jaccard and passes
+    the threshold, and byte-identical texts are ALWAYS found (identical
+    signatures collide in every band)."""
+    from rassengine_spark.llmops.dedup import minhash_lsh_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(df, "text", "id", shingle_n=2,
+                                      threshold=0.4).collect()}
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) >= 2:
+            return {" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)}
+        return {" ".join(ws)}
+
+    for (a, b), j in got.items():
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(j - exact) < 1e-6       # no fabricated similarities
+        assert j >= 0.4
+    for i, ta in enumerate(texts):         # exact dups never missed
+        for j2 in range(i + 1, len(texts)):
+            if texts[j2] == ta:
+                assert (i, j2) in got and got[(i, j2)] == 1.0
