@@ -15,6 +15,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "rassengine-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # An existing session is returned AS IS: builder.getOrCreate() would
+    # otherwise silently re-apply this factory's configs to it (Spark
+    # copies builder options onto the active session), clobbering whatever
+    # shuffle/broadcast tuning the host application chose.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
