@@ -1318,6 +1318,41 @@ def _q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("root", "node"))
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: near-duplicate documents hash to the SAME split
+    by keying the assignment on their duplicate-cluster root (the
+    eval-leakage guard a naive per-doc split lacks). Same corpus + LSH
+    parameters as dedup_cc_clusters, so the cluster map is shared."""
+    from rassengine_spark.llmops.splits import with_split_leakage_safe
+    out = with_split_leakage_safe(
+        _minhash_input(spark, sf_dir), "doc_id", "text",
+        weights=_SPLIT_WEIGHTS, near_dup_threshold=0.5)
+    return out.select("doc_id", "split")
+
+
+def _sql_split_leakage_safe() -> str:
+    u = _sql_hash60("('split/' || CAST(COALESCE(cc.root, b.doc_id)"
+                    " AS VARCHAR))")
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+b AS (SELECT id AS doc_id FROM base)
+SELECT b.doc_id,
+       CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.75 THEN 'train'
+            WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM b LEFT JOIN cc ON cc.node = b.doc_id
+"""
+
+
 def _sql_dedup_cc() -> str:
     return f"""
 WITH RECURSIVE {_sql_minhash_ctes()},
@@ -3329,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "split_hash_assign": _q_split_assign,
+        "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
         "split_hash_sample": _q_split_sample,
         "split_mixture_resample": _q_split_mixture,
@@ -3436,6 +3472,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cc_clusters": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "split_hash_assign": _sql_split_assign(),
+        "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),
         "split_hash_sample": _sql_split_sample(),
         "split_mixture_resample": _sql_split_mixture(),

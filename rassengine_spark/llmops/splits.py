@@ -117,3 +117,38 @@ def pack_sequences(df: DataFrame, key_col: str, tokens_col: str,
              .withColumn("pack_id",
                          F.floor(F.col("_cum_before") / F.lit(budget))))
     return out.select("key", "shard", "pack_id", "n_tokens")
+
+
+def with_split_leakage_safe(df: DataFrame, key_col: str, text_col: str,
+                            weights: dict[str, float] | None = None,
+                            seed: str = "split",
+                            near_dup_threshold: float = 0.5) -> DataFrame:
+    """`with_split`, but near-duplicate documents ALWAYS land in the same
+    split: the hash key is the duplicate-CLUSTER root (min id of the
+    MinHash-LSH connected component), falling back to the doc's own id
+    for unclustered docs.
+
+    Why: hashing raw doc ids puts two near-identical documents in train
+    and test with probability 2·p·(1-p) each — the classic eval-leakage
+    bug that inflates benchmark scores. Keying the split on the cluster
+    root removes it by construction; dedup can then keep or drop
+    non-keepers independently of the split decision.
+
+    Cost: the LSH pair pass + component resolution (the same machinery
+    `dedup.dup_clusters` runs) + one join of the (small) cluster map back
+    onto the corpus."""
+    from .dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, text_col, key_col,
+                              threshold=near_dup_threshold)
+    roots = (dup_clusters(pairs)
+             .select(F.col("node").alias(key_col),
+                     F.col("root").alias("_root")))
+    keyed = (df.join(roots, key_col, "left")
+               .withColumn("_skey", F.coalesce(F.col("_root"),
+                                               F.col(key_col))))
+    out = keyed.withColumn(
+        "split", split_assign(F.col("_skey"),
+                              weights or {"train": 0.98, "val": 0.01,
+                                          "test": 0.01}, seed))
+    return out.drop("_root", "_skey")

@@ -128,3 +128,25 @@ def test_pii_redact(spark):
     assert got[2].n_ssn == 2 and "[SSN]" in got[2].redacted
     assert "123-45" not in got[2].redacted
     assert got[3].redacted == "clean text"
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    from rassengine_spark.llmops.splits import (with_split,
+                                                with_split_leakage_safe)
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet dark forest tonight")
+    rows = [(i, base + f" tail{i%3}") for i in range(30)]        # near dups
+    rows += [(100 + i, f"unique document number {i} about topic {i} "
+                       f"with distinct content entirely") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    safe = with_split_leakage_safe(df, "doc_id", "text", weights=w)
+    got = {r["doc_id"]: r["split"] for r in safe.collect()}
+    # every near-dup of the base text shares ONE split
+    assert len({got[i] for i in range(30)}) == 1
+    # schema: original columns + split
+    assert set(safe.columns) == {"doc_id", "text", "split"}
+    # naive id-hash split DOES scatter the same cluster (the bug)
+    naive = {r["doc_id"]: r["split"]
+             for r in with_split(df, "doc_id", weights=w).collect()}
+    assert len({naive[i] for i in range(30)}) > 1
