@@ -71,6 +71,10 @@ SORT_OK = {
     # window COUNT over md5(text) partitions (the dup flag): the Sort is
     # partition-local on the window key, not a global order-by:
     "text_datacard",
+    # SortMergeJoin's per-partition sorts on the cluster-map join (the map
+    # comes from driver union-find -> createDataFrame, so no stats for a
+    # broadcast decision); not a global result sort:
+    "split_leakage_safe",
 }
 
 
