@@ -1229,6 +1229,59 @@ FROM d4
 """
 
 
+def _q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (llmops/lm_score.py): model fitted on
+    doc_id %% 5 != 0, every 5th doc scored by avg log-probability — the
+    CCNet-style reference-distribution filter. Per-doc sums fold in
+    position order on both engines, so scores hash-match exactly."""
+    from rassengine_spark.llmops.lm_score import (bigram_lm_score,
+                                                  fit_bigram_lm)
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, unigrams, vocab = fit_bigram_lm(train, "text", "doc_id")
+    return bigram_lm_score(score, bigrams, unigrams, vocab,
+                           "text", "doc_id")
+
+
+def _sql_text_lm_score() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH tr AS (SELECT doc_id, {words} AS words FROM documents
+            WHERE doc_id % 5 <> 0),
+sc AS (SELECT doc_id, {words} AS words FROM documents
+       WHERE doc_id % 5 = 0),
+tb AS (
+  SELECT words[i+1] AS w1, words[i+2] AS w2
+  FROM tr, UNNEST(generate_series(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(words) AS w FROM tr)),
+sb AS (
+  SELECT doc_id AS id, i AS pos, words[i+1] AS w1, words[i+2] AS w2
+  FROM sc, UNNEST(generate_series(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 2),
+j AS (
+  SELECT sb.id, sb.pos,
+         ln((COALESCE(bc.c2, 0) + 1.0)
+            / (COALESCE(uc.c1, 0) + 1.0 * v.vocab)) AS lp
+  FROM sb
+  LEFT JOIN bc ON sb.w1 = bc.w1 AND sb.w2 = bc.w2
+  LEFT JOIN uc ON sb.w1 = uc.w1
+  CROSS JOIN v),
+agg AS (
+  SELECT id, COUNT(*) AS n_bigrams,
+         round(SUM(lp ORDER BY pos) / COUNT(*), 6) AS avg_logp
+  FROM j GROUP BY id)
+SELECT id, n_bigrams, avg_logp FROM agg
+UNION ALL
+SELECT doc_id AS id, 0 AS n_bigrams, NULL AS avg_logp
+FROM sc WHERE len(words) < 2
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-word fraction, longest
     same-word run, top/dup bigram fractions. Arrow-batched integer-stats
@@ -3360,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_datacard": _q_text_datacard,
+        "text_lm_score": _q_text_lm_score,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "decontam_ngram_overlap": _q_decontam_overlap,
@@ -3468,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
         "text_datacard": _SQL_TEXT_DATACARD,
+        "text_lm_score": _sql_text_lm_score(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),

@@ -1,0 +1,92 @@
+"""Statistical language-model quality scoring: a Laplace-smoothed bigram
+LM estimated from a reference corpus, scoring documents by average
+log-probability — the CCNet-style "does this text look like the reference
+distribution" filter (public methodology), built as pure DataFrame ops.
+
+    P(w2 | w1) = (count(w1 w2) + a) / (count(w1) + a * V)
+    score(doc) = mean over bigram positions of ln P(w2 | w1)
+
+Shapes at 100 TB:
+
+- the MODEL is two count tables (bigrams, unigrams) + a vocab size — the
+  output of one explode + hash-aggregate over the reference corpus;
+  persist and reuse across scoring runs like any materialized view.
+- SCORING explodes each doc's bigrams and joins the count tables on the
+  bigram/unigram keys (hash joins; the model tables are vocab-bounded,
+  far smaller than any corpus), then one per-doc aggregate.
+- the per-doc sum folds in POSITION order on both engines (array_sort +
+  sequential fold in Spark; ORDER BY inside the aggregate in DuckDB), so
+  scores are bit-reproducible and oracle-checkable despite floating-point
+  addition being order-sensitive.
+
+Low score = unlike the reference corpus (gibberish, boilerplate, wrong
+language); threshold or quantile-trim downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.chunker import words_of
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, w1, w2) — one row per bigram position."""
+    w = words_of(F.col(text_col))
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.struct(
+                        F.element_at(w, i + 1).alias("w1"),
+                        F.element_at(w, i + 2).alias("w2")))
+    ).otherwise(F.array().cast(
+        "array<struct<w1:string,w2:string>>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(pairs).alias("pos", "bg"))
+              .select("id", "pos", F.col("bg.w1").alias("w1"),
+                      F.col("bg.w2").alias("w2")))
+
+
+def fit_bigram_lm(train: DataFrame, text_col: str,
+                  id_col: str) -> tuple[DataFrame, DataFrame, int]:
+    """(bigram_counts(w1,w2,c2), unigram_counts(w1,c1), vocab_size) from a
+    reference corpus. Unigram counts use the w1 positions (each bigram's
+    history), which is exactly the denominator the conditional needs."""
+    bg = _doc_bigrams(train, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (train.select(F.explode(words_of(F.col(text_col)))
+                          .alias("w")).distinct().count())
+    return bigrams, unigrams, int(vocab)
+
+
+def bigram_lm_score(docs: DataFrame, bigrams: DataFrame,
+                    unigrams: DataFrame, vocab: int, text_col: str,
+                    id_col: str, alpha: float = 1.0,
+                    round_to: int = 6) -> DataFrame:
+    """(id, n_bigrams, avg_logp) per doc; docs under 2 words score null
+    with n_bigrams = 0."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    joined = (bg.join(bigrams, ["w1", "w2"], "left")
+                .join(unigrams, "w1", "left"))
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+           + alpha * float(vocab)))
+    per_pos = joined.select(
+        "id", F.struct(F.col("pos").alias("p"), logp.alias("lp"))
+        .alias("plp"))
+    total = F.aggregate(F.array_sort(F.collect_list("plp")),
+                        F.lit(0.0), lambda acc, x: acc + x["lp"])
+    scored = (per_pos.groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(total / F.count(F.lit(1)), round_to)
+                   .alias("avg_logp")))
+    # docs with no bigrams (0 or 1 word) re-enter with null score
+    short = (docs.select(F.col(id_col).alias("id"),
+                         F.size(words_of(F.col(text_col))).alias("_nw"))
+             .filter(F.col("_nw") < 2)
+             .select("id", F.lit(0).alias("n_bigrams"),
+                     F.lit(None).cast("double").alias("avg_logp")))
+    return scored.unionByName(short)
