@@ -2970,6 +2970,43 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: a generated day spine (min..max event
+    day) LEFT-joins per-type daily counts so silent days materialize as
+    zeros — the shape dashboards and anomaly jobs need (a missing day is
+    data, not absence). The spine is sequence() over one aggregated
+    min/max row crossed with the distinct type list — rows ~ days x
+    types, never events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = (bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+                   .crossJoin(ev.select("event_type").distinct()))
+    daily = (ev.groupBy(day.alias("day"), "event_type")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    return (spine.join(daily, ["day", "event_type"], "left")
+                 .select("day", "event_type",
+                         F.coalesce(F.col("cnt"), F.lit(0)).alias("n")))
+
+
+_SQL_EVENTS_GAPFILL = """
+WITH b AS (
+  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
+  FROM events),
+spine AS (
+  SELECT CAST(d AS DATE) AS day, t.event_type
+  FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS s(d)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT spine.day, spine.event_type, COALESCE(daily.cnt, 0) AS n
+FROM spine LEFT JOIN daily USING (day, event_type)
+"""
+
+
 def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: each day's event count z-scored against
     the TRAILING 7 days (frame excludes the current row — no leakage);
@@ -3471,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": _q_events_grouping_sets,
         "events_funnel": _q_events_funnel,
         "events_volume_anomaly": _q_events_anomaly,
+        "events_daily_gapfill": _q_events_gapfill,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
         "sketch_daily_rollup": _q_sketch_daily,
@@ -3580,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
+        "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
