@@ -209,3 +209,12 @@ def test_persist_turn_appends_both_roles(spark, pipeline, tmp_path):
     assert {g[0] for g in got} == {"user", "assistant"}
     assert ("user", "what is bp?") in got and ("assistant", "another") in got
     assert rows.filter(F.col("createdAt").isNull()).count() == 0
+
+
+def test_check_user_exists(spark):
+    from rassengine_spark.pipeline.ask import check_user_exists
+    users = spark.createDataFrame(
+        [("u1", "a@x.io", "A", "pw")],
+        "id string, email string, name string, password string")
+    assert check_user_exists(users, "u1") is True
+    assert check_user_exists(users, "nope") is False
