@@ -62,7 +62,6 @@ def test_pack_sequences_matches_reference(spark, sizes, budget):
                   pack_sequences(df, "k", "n", budget=budget,
                                  shards=4).collect()))
     # reference: group keys by shard (same hash), order by key, cumsum
-    from rassengine_spark.llmops.dedup import hash60  # noqa: F401
     import hashlib
     def shard_of(k):
         h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)

@@ -47,7 +47,7 @@ def test_pluggable_rerank_fn(spark):
 
 def test_ask_pipeline_with_rerank(spark):
     from rassengine_spark.pipeline.ask import AskPipeline
-    from rassengine_spark.schemas import CHUNKS_SCHEMA, DOCUMENTS_SCHEMA
+    from rassengine_spark.schemas import DOCUMENTS_SCHEMA
     docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
     chunk_rows = [
         ("c1", "unstructured", "p1", "headache treatment with rest",
