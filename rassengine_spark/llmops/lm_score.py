@@ -32,20 +32,35 @@ from ..sources.chunker import words_of
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, w1, w2) — one row per bigram position."""
-    w = words_of(F.col(text_col))
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.struct(
-                        F.element_at(w, i + 1).alias("w1"),
-                        F.element_at(w, i + 2).alias("w2")))
-    ).otherwise(F.array().cast(
-        "array<struct<w1:string,w2:string>>"))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.posexplode(pairs).alias("pos", "bg"))
-              .select("id", "pos", F.col("bg.w1").alias("w1"),
-                      F.col("bg.w2").alias("w2")))
+    """(id, pos, w1, w2) — one row per bigram position. Arrow-batched
+    (the interpreted transform/struct expression form profiled as the
+    dominant cost on both the fit and score sides); tokenization is the
+    same Java-``\\s+`` ASCII split as `words_of`, and outputs are strings
+    + ints, so results are bit-identical to the expression form."""
+    import re
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, poss, w1s, w2s = [], [], [], []
+            for rid, txt in zip(pdf["id"], pdf["txt"]):
+                ws = [w for w in ws_re.split(txt or "") if w]
+                for j in range(len(ws) - 1):
+                    ids.append(rid)
+                    poss.append(j)
+                    w1s.append(ws[j])
+                    w2s.append(ws[j + 1])
+            yield pd.DataFrame({"id": ids, "pos": poss,
+                                "w1": w1s, "w2": w2s})
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).cast("string").alias("txt")) \
+             .mapInPandas(run,
+                          schema=f"id {id_type}, pos int, "
+                                 "w1 string, w2 string")
 
 
 def fit_bigram_lm(train: DataFrame, text_col: str,
@@ -55,7 +70,10 @@ def fit_bigram_lm(train: DataFrame, text_col: str,
     history), which is exactly the denominator the conditional needs."""
     bg = _doc_bigrams(train, text_col, id_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # history counts are a marginal of the bigram table (c1 = sum of c2
+    # over w2) — derived from the aggregated counts, NOT a second explode
+    # pass over the corpus
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (train.select(F.explode(words_of(F.col(text_col)))
                           .alias("w")).distinct().count())
     return bigrams, unigrams, int(vocab)

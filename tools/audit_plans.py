@@ -36,7 +36,7 @@ PYTHON_OK = {
     # Arrow-batched integer-stats / gram-hash passes (expression twins
     # parity-tested):
     "text_repetition", "decontam_ngram_overlap", "text_quality",
-    "text_langid",
+    "text_langid", "text_lm_score",
     # composed prep pipeline: its LSH + decontam stages are the same
     # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
     "prep_training_corpus",
