@@ -479,3 +479,29 @@ def test_image_features_and_resize_ppm(spark):
     # uniform image stays uniform after nearest-neighbor resize
     assert out[len(b"P6\n4 2\n255\n"):] == bytes((10, 20, 30)) * 8
     assert resized["i2"]["content"] is None
+
+
+def test_audio_features_wav_container(spark):
+    import math
+    import struct
+    sr, n = 8000, 800
+    samples = [int(9000 * math.sin(2 * math.pi * 50 * i / sr))
+               for i in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    media = spark.createDataFrame(
+        [("w1", "audio", bytearray(wav), len(wav), "x"),
+         ("w2", "audio", bytearray(b"RIFFxxxxNOPE"), 12, "y")],
+        "media_id string, media_type string, content binary, "
+        "n_bytes long, sha256 string")
+    rows = {r["media_id"]: r
+            for r in MM.audio_features_wav(media).collect()}
+    w1 = rows["w1"]
+    assert w1["n_samples"] == n
+    assert w1["duration_ms"] == 100           # 800 samples @ 8 kHz
+    assert abs(w1["rms"] - 9000 / math.sqrt(2)) < 60
+    assert w1["decode_error"] is None
+    assert rows["w2"]["decode_error"] == "not RIFF/WAVE"
