@@ -21,6 +21,11 @@ QUERIES = [
     "text_datacard",
     "bm25_batch_ranked",
     "events_funnel",
+    # ordered-fold scores and cluster-keyed splits must also be
+    # partitioning-independent:
+    "text_lm_score",
+    "bm25_index_ranked",
+    "split_leakage_safe",
 ]
 
 
