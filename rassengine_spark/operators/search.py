@@ -299,8 +299,13 @@ def document_fetch_search(df: DataFrame, spec: CorpusSpec, partition_keys,
     doc per key (reference app/main.py:2120-2150), cap at `max_per_key`
     files per key downstream (app/main.py:108)."""
     df = df.filter(F.col(spec.partition_col).isin(list(partition_keys)))
-    return collapse_best_per_key(
-        df, spec.partition_col, score_col, spec.id_col).limit(k)
+    best = collapse_best_per_key(df, spec.partition_col, score_col,
+                                 spec.id_col)
+    # deterministic size-k cut (the reference's `size: k` keeps the k
+    # highest-scoring collapsed hits): a bare limit() would keep an
+    # arbitrary, partitioning-dependent subset of the keys
+    return (best.orderBy(F.col(score_col).desc(), F.col(spec.id_col).asc())
+                .limit(k))
 
 
 # ---------------------------------------------------------------- Q13
