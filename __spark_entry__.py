@@ -2970,6 +2970,104 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in one
+    order, ranked by lift = P(a,b)/(P(a)P(b)). The pair self-join keys on
+    l_orderkey, so the blowup is bounded by items-per-order² (a handful),
+    never corpus²; supports count >= 3 prunes noise before the lift
+    math. Top-20 by lift."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("pa"),
+                      F.col("b.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= 3))
+    out = (pairs
+           .join(part_n.select(F.col("l_partkey").alias("pa"),
+                               F.col("n_p").alias("n_a")), "pa")
+           .join(part_n.select(F.col("l_partkey").alias("pb"),
+                               F.col("n_p").alias("n_b")), "pb")
+           .withColumn(
+               "lift",
+               F.round(F.col("n_ab").cast("double") * F.lit(float(n_orders))
+                       / (F.col("n_a") * F.col("n_b")), 4)))
+    return (out.select("pa", "pb", "n_ab", "lift")
+               .orderBy(F.col("lift").desc(), "pa", "pb").limit(20))
+
+
+_SQL_BASKET_LIFT = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pn AS (SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT pa, pb, n_ab,
+       round(CAST(n_ab AS DOUBLE) * n.n_orders
+             / (na.n_p * nb.n_p), 4) AS lift
+FROM pairs
+JOIN pn na ON na.l_partkey = pa
+JOIN pn nb ON nb.l_partkey = pb
+CROSS JOIN n
+ORDER BY lift DESC, pa, pb LIMIT 20
+"""
+
+
+def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order),
+    frequency (orders), monetary (total price) — each quartile-binned
+    with ntile(4) — plus the combined segment code. One aggregate + three
+    window ntiles over the (small) per-customer frame."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (o.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("last_order"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(20,6)")), 2)
+                  .cast("double").alias("monetary")))
+    from pyspark.sql.window import Window as _W
+    # ties broken on custkey so bin edges are engine-deterministic
+    r = F.ntile(4).over(_W.orderBy(F.col("last_order").desc(),
+                                   F.col("o_custkey").asc()))
+    f_ = F.ntile(4).over(_W.orderBy(F.col("frequency").desc(),
+                                    F.col("o_custkey").asc()))
+    m = F.ntile(4).over(_W.orderBy(F.col("monetary").desc(),
+                                   F.col("o_custkey").asc()))
+    return per.select(
+        "o_custkey", "frequency", "monetary",
+        r.alias("r_bin"), f_.alias("f_bin"), m.alias("m_bin"),
+        (r * 100 + f_ * 10 + m).alias("rfm"))
+
+
+_SQL_CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2)
+              AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT)
+         AS r_bin,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+         AS f_bin,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+         AS m_bin,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) * 100
+            + ntile(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+            + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+         AS rfm
+FROM per
+"""
+
+
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling: a generated day spine (min..max event
     day) LEFT-joins per-type daily counts so silent days materialize as
@@ -3509,6 +3607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_volume_anomaly": _q_events_anomaly,
         "events_daily_gapfill": _q_events_gapfill,
+        "basket_part_lift": _q_basket_lift,
+        "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
         "sketch_daily_rollup": _q_sketch_daily,
@@ -3619,6 +3719,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
+        "basket_part_lift": _SQL_BASKET_LIFT,
+        "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
