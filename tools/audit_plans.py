@@ -75,6 +75,9 @@ SORT_OK = {
     # comes from driver union-find -> createDataFrame, so no stats for a
     # broadcast decision); not a global result sort:
     "split_leakage_safe",
+    # global ntile over the per-customer aggregate: the sorted frame is
+    # customer-count rows (already reduced), not the orders fact table:
+    "customer_rfm_segments",
 }
 
 
