@@ -2970,6 +2970,34 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bucket =
+    floor(value/width) clamped to [0, nbins-1] — engine-exact integer
+    bucketing (no width_bucket dialect differences), one hash-aggregate.
+    The distribution profile that sizes downstream binning/clipping."""
+    ev = load_tables(spark, sf_dir)["events"]
+    width, nbins = 10.0, 12
+    bucket = F.least(F.lit(nbins - 1),
+                     F.greatest(F.lit(0),
+                                F.floor(F.col("value") / F.lit(width))
+                                .cast("int")))
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.min("value"), 4).alias("lo"),
+                   F.round(F.max("value"), 4).alias("hi")))
+
+
+_SQL_EVENTS_HISTOGRAM = """
+SELECT event_type,
+       least(11, greatest(0, CAST(floor(value / 10.0) AS INT))) AS bucket,
+       COUNT(*) AS n,
+       round(MIN(value), 4) AS lo,
+       round(MAX(value), 4) AS hi
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought together in one
     order, ranked by lift = P(a,b)/(P(a)P(b)). The pair self-join keys on
@@ -3608,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_volume_anomaly": _q_events_anomaly,
         "events_daily_gapfill": _q_events_gapfill,
         "basket_part_lift": _q_basket_lift,
+        "events_value_histogram": _q_events_histogram,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -3720,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "basket_part_lift": _SQL_BASKET_LIFT,
+        "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
