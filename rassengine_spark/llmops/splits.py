@@ -152,3 +152,31 @@ def with_split_leakage_safe(df: DataFrame, key_col: str, text_col: str,
                               weights or {"train": 0.98, "val": 0.01,
                                           "test": 0.01}, seed))
     return out.drop("_root", "_skey")
+
+
+def temperature_fractions(df: DataFrame, strata_col: str,
+                          alpha: float = 0.3,
+                          max_fraction: float = 1.0) -> dict[str, float]:
+    """Per-stratum keep-fractions that rebalance the observed mixture
+    toward p_i^alpha / sum(p_j^alpha) — the standard temperature-sampling
+    rule for multilingual/multi-domain corpora (alpha=1 keeps the natural
+    mixture, alpha->0 approaches uniform). Feed the result straight into
+    `mixture_resample`.
+
+    Fractions are scaled so the LARGEST required up-weight hits
+    `max_fraction` (hash-fraction sampling can only keep <= 100% of a
+    stratum — true up-sampling needs repetition, which is an epochs
+    decision, not an engine one); every other stratum keeps
+    proportionally less. One count job over the stratum column."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    target = {s: (c / total) ** alpha for s, c in counts.items()}
+    tsum = sum(target.values())
+    # keep_i proportional to target share / observed share
+    raw = {s: (target[s] / tsum) / (counts[s] / total) for s in counts}
+    peak = max(raw.values())
+    return {s: min(max_fraction, max_fraction * r / peak)
+            for s, r in sorted(raw.items())}

@@ -150,3 +150,26 @@ def test_leakage_safe_split_groups_near_dups(spark):
     naive = {r["doc_id"]: r["split"]
              for r in with_split(df, "doc_id", weights=w).collect()}
     assert len({naive[i] for i in range(30)}) > 1
+
+
+def test_temperature_fractions_rebalance(spark):
+    from rassengine_spark.llmops.splits import (mixture_resample,
+                                                temperature_fractions)
+    rows = [(i, "en") for i in range(800)] + \
+           [(1000 + i, "sw") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    fr = temperature_fractions(df, "lang", alpha=0.3)
+    # the rare stratum keeps everything; the dominant one is cut hard
+    assert fr["sw"] == 1.0
+    assert 0 < fr["en"] < 0.5
+    out = mixture_resample(df, "lang", "doc_id", fr)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["sw"] == 40                    # kept whole
+    # post-mixture en share should approach the alpha-tempered target
+    # (p_en^.3/(p_en^.3+p_sw^.3) ~ 0.71) from the natural 0.95
+    share = got["en"] / (got["en"] + got["sw"])
+    assert 0.55 < share < 0.85
+    # alpha=1 keeps the natural mixture: every fraction == 1
+    assert all(v == 1.0 for v in
+               temperature_fractions(df, "lang", alpha=1.0).values())
