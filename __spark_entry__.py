@@ -567,14 +567,19 @@ FROM documents GROUP BY source
 
 
 def _q_d2_capped_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 capped per-key distinct sets (app/main.py:2811-2844)."""
+    """D2 capped per-key distinct sets (app/main.py:2811-2844). The contract
+    entry joins the array to a '|' string: the driver's canonicalizer sorts
+    pandas columns, and array cells are unhashable there."""
     ev = load_tables(spark, sf_dir)["events"]
-    return W.capped_set_per_key(ev, "user_id", "event_type", cap=5)
+    return (W.capped_set_per_key(ev, "user_id", "event_type", cap=5)
+            .select("user_id",
+                    F.array_join(F.col("items"), "|").alias("items")))
 
 
 _SQL_D2_CAPPED = """
 SELECT user_id,
-       (list_sort(list_distinct(list(event_type))))[1:5] AS items
+       array_to_string((list_sort(list_distinct(list(event_type))))[1:5],
+                       '|') AS items
 FROM events GROUP BY user_id
 """
 
@@ -1111,10 +1116,12 @@ WITH per_row AS (
 SELECT lang, source,
        CAST(GROUPING(lang, source) AS INT) AS gid,
        COUNT(*) AS n_docs,
-       SUM(dup) AS n_dup_docs,
-       SUM(toks) AS tot_tokens,
-       round(AVG(toks), 4) AS avg_tokens,
-       round(AVG(chars), 4) AS avg_chars
+       CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(toks) AS BIGINT) AS tot_tokens,
+       ((CAST(SUM(toks) AS BIGINT) * 20000 + COUNT(*)) // (2 * COUNT(*)))
+         / 10000.0 AS avg_tokens,
+       ((CAST(SUM(chars) AS BIGINT) * 20000 + COUNT(*)) // (2 * COUNT(*)))
+         / 10000.0 AS avg_chars
 FROM per_row
 GROUP BY ROLLUP (lang, source)
 """
@@ -3006,7 +3013,9 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     math. Top-20 by lift."""
     li = (load_tables(spark, sf_dir)["lineitem"]
           .select("l_orderkey", "l_partkey").distinct())
-    n_orders = li.select("l_orderkey").distinct().count()
+    # 1-row broadcast cross-join (like the SQL twin's CROSS JOIN n), not an
+    # eager .count() at construction time — no extra job per plan build
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -3020,9 +3029,11 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n_p").alias("n_a")), "pa")
            .join(part_n.select(F.col("l_partkey").alias("pb"),
                                F.col("n_p").alias("n_b")), "pb")
+           .crossJoin(F.broadcast(n_orders))
            .withColumn(
                "lift",
-               F.round(F.col("n_ab").cast("double") * F.lit(float(n_orders))
+               F.round(F.col("n_ab").cast("double")
+                       * F.col("n_orders").cast("double")
                        / (F.col("n_a") * F.col("n_b")), 4)))
     return (out.select("pa", "pb", "n_ab", "lift")
                .orderBy(F.col("lift").desc(), "pa", "pb").limit(20))

@@ -34,6 +34,12 @@ def datacard(df: DataFrame, text_col: str, slice_cols: list[str],
                       number exact dedup would remove plus the keepers)
     - tot_tokens    — whitespace tokens (the pretraining budget number)
     - avg_tokens / avg_chars — rounded means
+
+    The means are derived from the exact integer sums, not F.avg: a double
+    AVG accumulates in partition order, so the 4th decimal can differ per
+    engine/partitioning. round_half_up(s/n, d) == (2*s*10^d + n) div (2n)
+    scaled back down — pure integer arithmetic, then ONE double division by
+    10^d, identical on every engine.
     """
     w = Window.partitionBy(F.md5(F.col(text_col)))
     per_row = df.select(
@@ -42,10 +48,19 @@ def datacard(df: DataFrame, text_col: str, slice_cols: list[str],
         F.length(F.col(text_col)).alias("_chars"),
         (F.count(F.lit(1)).over(w) > 1).cast("int").alias("_dup"))
     gcols = [F.col(c) for c in slice_cols]
-    return (per_row.rollup(*gcols)
-            .agg(F.grouping_id().alias("gid"),
-                 F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("_dup").alias("n_dup_docs"),
-                 F.sum("_toks").alias("tot_tokens"),
-                 F.round(F.avg("_toks"), round_to).alias("avg_tokens"),
-                 F.round(F.avg("_chars"), round_to).alias("avg_chars")))
+    agg = (per_row.rollup(*gcols)
+           .agg(F.grouping_id().alias("gid"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_dup").alias("n_dup_docs"),
+                F.sum("_toks").alias("tot_tokens"),
+                F.sum("_chars").alias("_tot_chars")))
+    scale = 10 ** round_to
+
+    def _mean(tot: str):
+        return (F.expr(f"({tot} * {2 * scale}L + n_docs) div (2 * n_docs)")
+                / F.lit(float(scale)))
+
+    return agg.select(
+        *slice_cols, "gid", "n_docs", "n_dup_docs", "tot_tokens",
+        _mean("tot_tokens").alias("avg_tokens"),
+        _mean("_tot_chars").alias("avg_chars"))

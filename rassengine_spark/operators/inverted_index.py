@@ -60,7 +60,6 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
     order = {}            # first-occurrence order == expression fold order
     for t in terms:
         order.setdefault(t, len(order))
-    qterms = F.array(*[F.lit(t) for t in order])
 
     p = postings.filter(F.col("term").isin(*list(order)))
     dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -79,23 +78,22 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
     per_term = contrib.select(
         "id", F.struct(ti[F.col("term")].alias("i"),
                        c.alias("c")).alias("tc"))
-    # deterministic fold: sort contributions by query-term index, then
-    # accumulate left-to-right — the same double-addition order as the
-    # scan-based expression sum, so rounding matches bit-for-bit. A terms
-    # repeated in the query contributes once per distinct term, exactly
-    # like term_freq over a distinct tf (the scan form also folds each
-    # DISTINCT term once per occurrence in terms_of — mirrored by
-    # repeating the contribution below).
-    reps = [order[t] for t in terms]
-    mult = F.create_map(*[x for i in set(reps)
-                          for x in (F.lit(i), F.lit(float(reps.count(i))))])
-    score = F.aggregate(
-        F.array_sort(F.collect_list("tc")),
-        F.lit(0.0),
-        lambda acc, x: acc + x["c"] * mult[x["i"]])
-    del qterms
+    # deterministic fold, bit-identical to the scan expression even for
+    # repeated query terms: collect each doc's per-distinct-term
+    # contribution into a map, then accumulate one addition PER QUERY-TERM
+    # OCCURRENCE in occurrence order — exactly the scan form's
+    # left-to-right `score + c_t` chain ('a b a' folds ((0+c_a)+c_b)+c_a
+    # on both paths). Terms the doc lacks add a literal 0.0, matching the
+    # scan form's computed tf=0 contribution (also exactly 0.0).
+    cmap = F.map_from_entries(F.collect_list("tc"))
+    occ = F.array(*[F.lit(order[t]) for t in terms])
+    raw = F.aggregate(occ, F.lit(0.0),
+                      lambda acc, i: acc + F.coalesce(cmap[i], F.lit(0.0)))
+    # filter on the UNROUNDED score like bm25_topk/bm25_sql do: a doc with
+    # raw score in (0, 5e-7) must be emitted (as 0.0) on both paths
     return (per_term.groupBy("id")
-            .agg(F.round(score, round_to).alias("score"))
-            .filter(F.col("score") > 0)
+            .agg(raw.alias("_raw"))
+            .filter(F.col("_raw") > 0)
+            .select("id", F.round(F.col("_raw"), round_to).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k))

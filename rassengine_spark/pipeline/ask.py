@@ -260,14 +260,20 @@ class AskPipeline:
             hits = ops.document_fetch_search(
                 self.corpus.withColumn("score", F.lit(1.0)), self.spec,
                 pids, "score", k, self.cfg.max_files_per_patient)
-        elif self.rerank:
-            # over-fetch, then second-stage re-score of only those rows
+        elif self.rerank and intent not in ("STRUCTURED",
+                                            "HYBRID_STRUCTURED"):
+            # over-fetch, then second-stage re-score of only those rows.
+            # Structured routes are excluded: their hits carry no free-text
+            # column, so every rerank score would be 0.0 and the re-order
+            # would silently discard first-stage relevance.
             from ..ml.rerank import rerank_topk
             first = self.dispatch(intent, query, qvec,
                                   k * self.rerank_depth, filter_expr,
                                   pids[0] if pids else None)
             fn = None if self.rerank is True else self.rerank
-            hits = rerank_topk(first, query, "unstructuredText",
+            text_col = (self.spec.text_fields[0] if self.spec.text_fields
+                        else self.spec.id_col)
+            hits = rerank_topk(first, query, text_col,
                                self.spec.id_col, k=k, rerank_fn=fn)
         else:
             hits = self.dispatch(intent, query, qvec, k, filter_expr,

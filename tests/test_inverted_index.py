@@ -24,7 +24,8 @@ def test_index_bm25_matches_scan_bm25(spark):
     df = corpus(spark)
     postings, doclens, stats = build_term_index(df, "text", "id")
     for q in ["spark join", "query planning spark", "sort window",
-              "join"]:
+              "join", "spark join spark",       # repeated term: fold must
+              "join join join"]:                # add once per OCCURRENCE
         scan = [(r.id, r.score)
                 for r in bm25_topk(df, "text", "id", q, k=5).collect()]
         idx = [(r.id, r.score)
