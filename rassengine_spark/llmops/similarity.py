@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine, dot
-from ..util import double_array_lit
+from ..util import double_array_lit, double_matrix_lit
 
 
 def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -106,17 +106,35 @@ def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     return [[float(x) for x in r.v] for r in rows]
 
 
+def _cell_affinities(vec: Column, centroids: list[list[float]],
+                     round_to: int) -> Column:
+    """array<struct<ns,c>> of (negated rounded cosine, cell idx) per
+    centroid. The centroid matrix is ONE array<array<double>> literal and
+    the per-cell score a `transform` higher-order function, so plan size is
+    O(1) in n_cells — one expression subtree per centroid dies around a few
+    thousand cells (plan construction + analysis, long before data).
+    Scores are rounded BEFORE any argmax so cell choice is engine-exact;
+    the element-wise cosine fold is identical to the unrolled form."""
+    cent = double_matrix_lit(centroids)
+    return F.transform(
+        cent,
+        lambda c, i: F.struct((-F.round(cosine(vec, c), round_to))
+                              .alias("ns"),
+                              i.alias("c")))
+
+
 def _cells_by_affinity(vec: Column, centroids: list[list[float]],
                        round_to: int) -> Column:
     """array<struct<ns,c>> sorted by (cosine desc, cell asc): element 0 is
-    the assignment cell; a prefix slice is the probe list. Scores are
-    rounded BEFORE the argmax so cell choice is engine-exact."""
-    elems = []
-    for i, cvec in enumerate(centroids):
-        lit_c = double_array_lit(cvec)
-        s = F.round(cosine(vec, lit_c), round_to)
-        elems.append(F.struct((-s).alias("ns"), F.lit(i).alias("c")))
-    return F.array_sort(F.array(*elems))
+    the assignment cell; a prefix slice is the probe list."""
+    return F.array_sort(_cell_affinities(vec, centroids, round_to))
+
+
+def _best_cell(vec: Column, centroids: list[list[float]],
+               round_to: int) -> Column:
+    """Assignment cell only — array_min (O(C)) instead of a full sort
+    (O(C log C)); same (cosine desc, cell asc) choice."""
+    return F.array_min(_cell_affinities(vec, centroids, round_to))["c"]
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
@@ -131,8 +149,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _cells_by_affinity(F.col(vec_col), cents, round_to)[0]["c"]
-        .alias("cell"))
+        _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
     probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
                      1, n_probe)
     q = queries.select(

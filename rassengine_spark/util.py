@@ -16,6 +16,19 @@ def double_array_lit(vals: list[float]) -> Column:
     return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
 
 
+def double_matrix_lit(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal from ONE parsed SQL string.
+
+    The 2-D analog of double_array_lit, for centroid tables and other
+    small-matrix plan constants: the whole matrix is a single expression
+    node, so plan size and analysis cost are O(1) in the row count (one
+    subtree per row dies around a few thousand rows — Catalyst spends
+    minutes analyzing before any data moves)."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+        for r in rows) + ")")
+
+
 def micros(col: str | Column) -> Column:
     """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs.
 

@@ -101,6 +101,26 @@ def test_ivf_full_probe_equals_brute_force(spark):
            [(r["id"], r["rank"]) for r in bf]
 
 
+def test_ivf_plan_builds_fast_at_large_n_cells(spark):
+    """Scale guard: centroid assignment must be O(1) plan nodes in n_cells
+    (one matrix literal + a transform), not one expression subtree per
+    centroid — at a realistic 4k-64k cells the latter dies in plan
+    construction/analysis long before any data moves. 2048 cells x 16 dims
+    must build AND analyze in seconds."""
+    import time
+    e = vecs(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v")
+    c = e.filter(F.col("vec_id") > 0)
+    cents = [[float((i * 7 + j) % 5 - 2) for j in range(3)]
+             for i in range(2048)]
+    t0 = time.perf_counter()
+    plan = SIM.ivf_topk(c, q, "v", "vec_id", "qid", k=2,
+                        n_probe=2, centroids=cents)
+    plan.schema               # forces full analysis of the plan
+    assert time.perf_counter() - t0 < 30
+
+
 def test_ivf_probe_prunes_far_cells(spark):
     """With 1 probe the opposite-direction vector's cell is never scored."""
     e = vecs(spark)
