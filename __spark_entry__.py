@@ -2120,6 +2120,32 @@ def _sql_m_synth_corpus() -> str:
     return intent_corpus_sql(n=500)
 
 
+def _q_m_synth_ner_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-labeled NER training corpus (reference app/train_ner.py:237-675
+    templates + pools, fill() spans at :789-851): one row per labeled span
+    with 0-based end-exclusive character offsets, md5-deterministic."""
+    from rassengine_spark.ml.synth import ner_corpus
+    return ner_corpus(spark, n=500)
+
+
+def _sql_m_synth_ner_corpus() -> str:
+    from rassengine_spark.ml.synth import ner_corpus_sql
+    return ner_corpus_sql(n=500)
+
+
+def _q_m_intent_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer eval job (app/train_intent.py:148-183): 20% holdout of the
+    synthetic corpus, per-class precision/recall/F1 + OVERALL accuracy of
+    the expression intent router, all metrics integer-exact."""
+    from rassengine_spark.ml.eval import intent_eval
+    return intent_eval(spark, n=2000)
+
+
+def _sql_m_intent_eval() -> str:
+    from rassengine_spark.ml.eval import intent_eval_sql
+    return intent_eval_sql(n=2000)
+
+
 def _q_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-BM25 ranked retrieval (k1=1.2, b=0.75) over documents.text —
     the reference's multi_match scoring semantic (SURVEY §2.3), as a
@@ -3661,6 +3687,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _q_skew_salted_agg,
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
+        "m_synth_ner_corpus": _q_m_synth_ner_corpus,
+        "m_intent_eval": _q_m_intent_eval,
         "bm25_ranked": _q_bm25_ranked,
         "bm25_batch_ranked": _q_bm25_batch,
         "rerank_lexical": _q_rerank_lexical,
@@ -3774,6 +3802,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _SQL_SKEW_SALTED,
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
+        "m_synth_ner_corpus": _sql_m_synth_ner_corpus(),
+        "m_intent_eval": _sql_m_intent_eval(),
         "bm25_ranked": _sql_bm25_ranked(),
         "bm25_batch_ranked": _sql_bm25_batch(),
         "rerank_lexical": _sql_rerank_lexical(),

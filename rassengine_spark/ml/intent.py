@@ -89,3 +89,68 @@ def classify_batch(queries: Iterable[str],
                    fn: Callable[[str], str] | None = None) -> list[str]:
     f = fn or classify_intent
     return [f(q) for q in queries]
+
+
+# ------------------------------------------------------- expression router
+# The same decision list as classify_intent, as a Column / SQL expression:
+# every regex atom above is RE2- and Java-compatible (\b, \d, alternation,
+# .* — no lookaround, no backreferences), so the router runs inside
+# whole-stage codegen on a 100 TB query log AND reproduces exactly in the
+# DuckDB oracle. Parity with classify_intent is pinned by
+# tests/test_ml.py::test_intent_expr_matches_python_router.
+
+_LOOKUP_PAT = r"\b(look ?up|search for)\b"
+_PATIENTS_PAT = r"\bpatients?\b"
+
+
+def intent_expr(col):
+    """Column form of classify_intent (first matching rule wins)."""
+    from pyspark.sql import functions as F
+    q = F.trim(col)
+    ql = F.lower(q)
+    code = q.rlike(_CODE_RE.pattern)
+    fetch = ql.rlike(_FETCH_RE.pattern)
+    multi = ql.rlike(_MULTI_SPLIT_RE.pattern)
+    expl = ql.rlike(_EXPL_RE.pattern)
+    return (
+        F.when(multi & (code | fetch | expl), "MULTI_INTENT")
+         .when(fetch | (q.rlike(_NAMENUM_RE.pattern)
+                        & ql.contains("document")), "DOCUMENT_FETCH")
+         .when(ql.rlike(_AGG_RE.pattern), "AGGREGATE")
+         .when(ql.rlike(_CMP_RE.pattern), "COMPARISON")
+         .when(ql.rlike(_TMP_RE.pattern), "TEMPORAL")
+         .when(ql.rlike(_STRUCT_RE.pattern) & code, "STRUCTURED")
+         .when(ql.rlike(_LOOKUP_PAT) & code, "KEYWORD")
+         .when(ql.rlike(_HYBRID_STRUCT_RE.pattern)
+               & ql.rlike(_PATIENTS_PAT), "HYBRID_STRUCTURED")
+         .when(ql.rlike(_ENTITY_RE.pattern), "ENTITY_SPECIFIC")
+         .when(expl, "EXPLANATORY")
+         .when(ql.rlike(_SEM_RE.pattern), "SEMANTIC")
+         .otherwise("HYBRID"))
+
+
+def intent_case_sql(col: str) -> str:
+    """DuckDB CASE twin of intent_expr over column expression `col`."""
+    def m(target: str, pat: str) -> str:
+        return f"regexp_matches({target}, '{pat}')"
+
+    q, ql = "trim(" + col + ")", "lower(trim(" + col + "))"
+    code = m(q, _CODE_RE.pattern)
+    fetch = m(ql, _FETCH_RE.pattern)
+    expl = m(ql, _EXPL_RE.pattern)
+    return f"""CASE
+  WHEN {m(ql, _MULTI_SPLIT_RE.pattern)} AND ({code} OR {fetch} OR {expl})
+    THEN 'MULTI_INTENT'
+  WHEN {fetch} OR ({m(q, _NAMENUM_RE.pattern)}
+                   AND contains({ql}, 'document')) THEN 'DOCUMENT_FETCH'
+  WHEN {m(ql, _AGG_RE.pattern)} THEN 'AGGREGATE'
+  WHEN {m(ql, _CMP_RE.pattern)} THEN 'COMPARISON'
+  WHEN {m(ql, _TMP_RE.pattern)} THEN 'TEMPORAL'
+  WHEN {m(ql, _STRUCT_RE.pattern)} AND {code} THEN 'STRUCTURED'
+  WHEN {m(ql, _LOOKUP_PAT)} AND {code} THEN 'KEYWORD'
+  WHEN {m(ql, _HYBRID_STRUCT_RE.pattern)} AND {m(ql, _PATIENTS_PAT)}
+    THEN 'HYBRID_STRUCTURED'
+  WHEN {m(ql, _ENTITY_RE.pattern)} THEN 'ENTITY_SPECIFIC'
+  WHEN {expl} THEN 'EXPLANATORY'
+  WHEN {m(ql, _SEM_RE.pattern)} THEN 'SEMANTIC'
+  ELSE 'HYBRID' END"""

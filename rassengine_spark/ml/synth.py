@@ -82,6 +82,182 @@ def intent_corpus(spark: SparkSession, n: int = 2000) -> DataFrame:
                     intent.alias("intent")))
 
 
+# ---------------------------------------------------------------- NER corpus
+# Span-labeled NER training corpus (reference app/train_ner.py:237-675:
+# 400 templates slot-filled from Synthea pools; fill() at :789-851 computes
+# character spans). Same structure here, engine-portable: each template is
+# a (parts, labels) pair — text = parts[0]+v1+parts[1]+...+parts[m] — and
+# spans come from POSITIONAL arithmetic over the part/value lengths (the
+# reference's text.index(val) mis-anchors when a value also occurs earlier
+# in the template; running offsets cannot). Values are md5-picked like the
+# intent corpus, so the whole corpus is reproducible bit-for-bit in SQL.
+
+NER_TEMPLATES: list[tuple[list[str], list[str]]] = [
+    # simple one-slot families (app/train_ner.py:239-655 structure)
+    (["Get details for patient ", "."], ["PERSON"]),
+    (["Show clinical summary for ", "."], ["PERSON"]),
+    (["Retrieve chart of ", "."], ["PERSON"]),
+    (["Find patients with ", "."], ["CONDITION"]),
+    (["List complications of ", "."], ["CONDITION"]),
+    (["Show info for drug ", "."], ["MEDICATION"]),
+    (["Provide dosage of ", "."], ["MEDICATION"]),
+    (["Show patients who had ", "."], ["PROCEDURE"]),
+    (["Display latest ", " readings."], ["LABTEST"]),
+    (["Provide ICD-10 code ", " details."], ["ICD10_CODE"]),
+    (["List all procedures with CPT code ", "."], ["CPT_CODE"]),
+    (["Show results for LOINC ", "."], ["LOINC_CODE"]),
+    (["Show encounters on ", "."], ["DATE"]),
+    (["Locate the phone number ", "."], ["PHONE"]),
+    (["Email ", " regarding the visit."], ["EMAIL"]),
+    (["Show visits at ", "."], ["ORGANIZATION"]),
+    (["Flag ", " patients for review."], ["GENDER"]),
+    (["List adverse reactions to ", "."], ["ALLERGY"]),
+    (["Show notes written by ", "."], ["DOCTOR"]),
+    # multi-slot (app/train_ner.py COMPLEX_LABELS structure, :703-781)
+    (["Compare ", " results for ", " before and after ", "."],
+     ["LABTEST", "PERSON", "DATE"]),
+    (["Retrieve encounters where ", " was treated with ", " on ", "."],
+     ["CONDITION", "MEDICATION", "DATE"]),
+    (["Which cases of ", " have CPT code ", " recorded by ", "?"],
+     ["CONDITION", "CPT_CODE", "DOCTOR"]),
+    (["Has ", " experienced ", " severity ", " this year?"],
+     ["PERSON", "CONDITION", "SEVERITY"]),
+]
+
+NER_POOLS: dict[str, list[str]] = {
+    "PERSON": ["Julian Stamm", "Emma Turner", "Liam Smith", "Olivia Johnson",
+               "Noah Brown", "Ava Turner"],
+    "DOCTOR": ["Dr. Julian", "Dr. Emma", "Dr. Liam"],
+    "CONDITION": CONDITIONS,
+    "MEDICATION": ["lisinopril", "metformin", "ibuprofen", "aspirin"],
+    "PROCEDURE": PROCEDURES,
+    "LABTEST": LABTESTS,
+    "ICD10_CODE": ICDS,
+    "CPT_CODE": CPTS,
+    "LOINC_CODE": ["4548-4", "718-7", "2093-3"],
+    "DATE": ["2023-01-15", "2024-06-30", "2022-11-02"],
+    "GENDER": ["male", "female"],
+    "PHONE": ["555-867-5309", "555-123-4567"],
+    "EMAIL": ["julian@example.org", "emma@example.org"],
+    "ORGANIZATION": ["General Hospital", "Springfield Clinic"],
+    "SEVERITY": ["mild", "moderate", "severe"],
+    "ALLERGY": ["penicillin", "peanuts", "latex"],
+}
+
+_MAX_SLOTS = 3
+
+
+def _tpl_part(j: int) -> list[str]:
+    return [parts[j] if j < len(parts) else ""
+            for parts, _ in NER_TEMPLATES]
+
+
+def _tpl_label(k: int) -> list[str]:
+    return [labels[k] if k < len(labels) else ""
+            for _, labels in NER_TEMPLATES]
+
+
+def ner_corpus(spark: SparkSession, n: int = 10000) -> DataFrame:
+    """One row per labeled SPAN: (qid, text, span_idx, label, span_start,
+    span_end, value); span_start/span_end are 0-based character offsets,
+    end-exclusive — the reference fill() convention. Deterministic in qid;
+    generating 10B rows is a single narrow stage."""
+    nt = len(NER_TEMPLATES)
+    t_idx = (F.conv(F.substring(F.md5(F.concat(
+        F.col("id").cast("string"), F.lit(":nt"))), 1, 8), 16, 10)
+        .cast("bigint") % nt).cast("int")
+
+    def at(vals: list[str]):
+        return F.element_at(F.array(*[F.lit(x) for x in vals]), t_idx + 1)
+
+    parts = [at(_tpl_part(j)) for j in range(_MAX_SLOTS + 1)]
+    labs = [at(_tpl_label(k)) for k in range(_MAX_SLOTS)]
+    vals = []
+    for k in range(_MAX_SLOTS):
+        expr = None
+        for lab, pool in NER_POOLS.items():
+            pick = _pick(pool, f"n{k}:{lab}")
+            expr = (F.when(labs[k] == lab, pick) if expr is None
+                    else expr.when(labs[k] == lab, pick))
+        vals.append(expr.otherwise(F.lit("")))
+
+    text = F.concat(parts[0], vals[0], parts[1], vals[1],
+                    parts[2], vals[2], parts[3])
+    starts, ends, off = [], [], F.lit(0)
+    for k in range(_MAX_SLOTS):
+        s = off + F.length(parts[k])
+        e = s + F.length(vals[k])
+        starts.append(s)
+        ends.append(e)
+        off = e
+    spans = F.array(*[
+        F.struct(F.lit(k).alias("span_idx"), labs[k].alias("label"),
+                 starts[k].alias("span_start"), ends[k].alias("span_end"),
+                 vals[k].alias("value"))
+        for k in range(_MAX_SLOTS)])
+    return (spark.range(n)
+            .select(F.col("id").alias("qid"), text.alias("text"),
+                    F.explode(spans).alias("s"))
+            .filter(F.col("s.label") != "")
+            .select("qid", "text", "s.span_idx", "s.label",
+                    "s.span_start", "s.span_end", "s.value"))
+
+
+def ner_corpus_sql(n: int = 10000) -> str:
+    """DuckDB twin of ner_corpus — same templates, pools, md5 picks, and
+    positional span arithmetic."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def arr(vals: list[str]) -> str:
+        return "[" + ", ".join(q(x) for x in vals) + "]"
+
+    def pick(pool: list[str], salt: str) -> str:
+        h = (f"CAST('0x' || substr(md5(CAST(id AS VARCHAR) || {q(':' + salt)}"
+             f"), 1, 8) AS BIGINT)")
+        return f"{arr(pool)}[CAST({h} % {len(pool)} + 1 AS INT)]"
+
+    nt = len(NER_TEMPLATES)
+    t_h = ("CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':nt'), 1, 8) "
+           "AS BIGINT)")
+    tidx = f"CAST({t_h} % {nt} AS INT)"
+    p = [f"{arr(_tpl_part(j))}[{tidx} + 1]" for j in range(_MAX_SLOTS + 1)]
+    l = [f"{arr(_tpl_label(k))}[{tidx} + 1]" for k in range(_MAX_SLOTS)]
+    v = []
+    for k in range(_MAX_SLOTS):
+        whens = " ".join(
+            f"WHEN {q(lab)} THEN {pick(pool, f'n{k}:{lab}')}"
+            for lab, pool in NER_POOLS.items())
+        v.append(f"CASE l{k} {whens} ELSE '' END")
+    span_rows = "\nUNION ALL\n".join(
+        f"SELECT qid, text, {k} AS span_idx, l{k} AS label, "
+        f"s{k} AS span_start, e{k} AS span_end, v{k} AS value "
+        f"FROM t WHERE l{k} <> ''"
+        for k in range(_MAX_SLOTS))
+    return f"""
+WITH b AS (
+  SELECT id, {', '.join(f'{p[j]} AS p{j}' for j in range(_MAX_SLOTS + 1))},
+         {', '.join(f'{l[k]} AS l{k}' for k in range(_MAX_SLOTS))}
+  FROM generate_series(0, {n - 1}) g(id)),
+c AS (
+  SELECT *, {', '.join(f'{v[k]} AS v{k}' for k in range(_MAX_SLOTS))}
+  FROM b),
+t AS (
+  SELECT id AS qid,
+         p0 || v0 || p1 || v1 || p2 || v2 || p3 AS text,
+         l0, l1, l2, v0, v1, v2,
+         length(p0) AS s0, length(p0) + length(v0) AS e0,
+         length(p0) + length(v0) + length(p1) AS s1,
+         length(p0) + length(v0) + length(p1) + length(v1) AS e1,
+         length(p0) + length(v0) + length(p1) + length(v1) + length(p2)
+           AS s2,
+         length(p0) + length(v0) + length(p1) + length(v1) + length(p2)
+           + length(v2) AS e2
+  FROM c)
+{span_rows}
+"""
+
+
 def intent_corpus_sql(n: int = 2000) -> str:
     """The DuckDB twin of intent_corpus — same md5 selection, same pools."""
     def pick(pool: list[str], salt: str) -> str:

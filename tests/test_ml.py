@@ -127,6 +127,61 @@ def test_intent_router_agrees_with_synth_corpus(spark):
     assert hits / len(rows) >= 0.98
 
 
+def test_intent_expr_matches_python_router(spark):
+    """The Column-expression router (ml/intent.py intent_expr) must agree
+    with classify_intent on every synthetic query AND on free-form shapes
+    that hit each decision branch — it's the SQL-oracle twin of the rules,
+    so any drift breaks the m_intent_eval contract entry."""
+    from rassengine_spark.ml.intent import intent_expr
+    from rassengine_spark.ml.synth import intent_corpus
+    extra = [
+        "Fetch the medical records for patient John Doe.",
+        "how many patients have asthma", "Compare A vs. B",
+        "Show trends over time for glucose", "List all procedures with"
+        " CPT code 99213", "Look up ICD-10 code I21.",
+        "Search for female patients over 60 with diabetes and high blood"
+        " pressure.", "Get details for patient Jane Smith.",
+        "What are the symptoms of flu?", "Search for options",
+        "Find patients with gout.", "hello world", "  padded query  ",
+        "Explain why and also list the ICD-10 code I21",
+    ]
+    df = (intent_corpus(spark, 300).select("query")
+          .unionByName(spark.createDataFrame([(q,) for q in extra],
+                                             "query string")))
+    rows = df.withColumn("pred", intent_expr(F.col("query"))).collect()
+    for r in rows:
+        assert r.pred == classify_intent(r.query), r.query
+
+
+def test_ner_corpus_spans_anchor_their_values(spark):
+    """Every emitted span must slice back to its value, and labels must be
+    drawn from the pool schema (reference fill(), app/train_ner.py:789-851)."""
+    from rassengine_spark.ml.synth import NER_POOLS, ner_corpus
+    rows = ner_corpus(spark, 200).collect()
+    assert len(rows) >= 200          # >= one span per query
+    for r in rows:
+        assert r.text[r.span_start:r.span_end] == r.value, r
+        assert r.label in NER_POOLS
+        assert r.value in NER_POOLS[r.label]
+    # deterministic: a second run is identical
+    again = ner_corpus(spark, 200).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_intent_eval_overall_matches_python(spark):
+    """The OVERALL row of the trainer-eval job equals a driver-side
+    recomputation with the canonical python router."""
+    from rassengine_spark.ml.eval import intent_eval
+    from rassengine_spark.ml.synth import intent_corpus
+    n = 500
+    ev = [r for r in intent_corpus(spark, n).collect() if r.qid % 5 == 4]
+    correct = sum(1 for r in ev if classify_intent(r.query) == r.intent)
+    out = {r.label: r for r in intent_eval(spark, n).collect()}
+    o = out["OVERALL"]
+    assert o.n_true == len(ev) and o.tp == correct
+    assert abs(o.precision - correct / len(ev)) < 1e-4
+
+
 # ------------------------------------------------------- optional plug-ins
 def test_hf_plugins_gate_cleanly_when_absent():
     """The learned-model plug-ins (ml/plugins.py) must fail fast with an
