@@ -1,0 +1,137 @@
+"""Persisted index tiers: the on-disk analog of the reference's Lucene
+inverted index and HNSW vector index (which OpenSearch persists per shard;
+the engine's serving processes reopen them instead of rebuilding —
+app/main.py:563-572). Spark's equivalent is a partitioned TABLE whose
+layout makes query-time scans PRUNE:
+
+- term index  — postings bucketed into `tb = md5(term) % n_buckets`
+  partitions. A query's terms map to a handful of buckets, so the scan
+  reads |terms| partitions out of n_buckets, never the corpus. Bucketing
+  (not one directory per term) keeps the partition count fixed at any
+  corpus size — a directory per distinct term is millions of partitions of
+  metadata at web scale. md5 (not xxhash64) so the bucket of a term is
+  computable driver-side without a Spark job, and identically in any
+  engine.
+- IVF index   — (cell-partitioned assignments, centroids). Queries probe
+  n_probe cells; the assignment scan prunes to those partitions —
+  O(N * n_probe / n_cells) rows read, the IVF contract, now enforced by
+  STORAGE layout instead of a runtime filter.
+
+Served results are bit-identical to the scan-based operators
+(tests/test_index_store.py pins both, plus PartitionFilters in the plans).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import B, K1
+from ..functions.text import terms_of
+
+
+def term_bucket_expr(term, n_buckets: int):
+    """md5-based bucket id, engine-portable (conv(hex[:15]) == 60-bit int)."""
+    c = F.col(term) if isinstance(term, str) else term
+    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+            % n_buckets).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of term_bucket_expr — no Spark job to plan a read."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def save_term_index(postings: DataFrame, doclens: DataFrame,
+                    stats: DataFrame, path: str,
+                    n_buckets: int = 256) -> None:
+    """Write (postings, doclens, stats) under `path`, postings partitioned
+    by term bucket. One repartition on tb so each partition is written by
+    one task (no tiny-file explosion: files = n_buckets, not
+    n_buckets x tasks)."""
+    (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
+             .repartition("tb")
+             .write.partitionBy("tb").mode("overwrite")
+             .parquet(f"{path}/postings"))
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    (postings.sparkSession
+     .createDataFrame([(n_buckets,)], "n_buckets int")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def bm25_topk_from_store(spark: SparkSession, path: str, query: str,
+                         k: int = 10, k1: float = K1, b: float = B,
+                         round_to: int = 6) -> DataFrame:
+    """BM25 top-k served from the PERSISTED index: the postings read is
+    partition-pruned to the query terms' buckets (a literal IN over the
+    partition column — static pruning, no job needed to plan it) and
+    row-filtered to the terms; doclens/stats are the only other reads.
+    Scores are bit-identical to bm25_topk on the original corpus."""
+    from .inverted_index import bm25_topk_from_index
+
+    n_buckets = (spark.read.parquet(f"{path}/meta")
+                 .collect()[0]["n_buckets"])
+    terms = terms_of(query)
+    if not terms:
+        raise ValueError("no tokenizable terms in query")
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .filter(F.col("tb").isin(buckets))
+                .select("term", "id", "tf"))
+    doclens = spark.read.parquet(f"{path}/doclens")
+    stats = spark.read.parquet(f"{path}/stats")
+    return bm25_topk_from_index(postings, doclens, stats, query, k=k,
+                                k1=k1, b=b, round_to=round_to)
+
+
+def save_ivf_index(corpus: DataFrame, vec_col: str, id_col: str, path: str,
+                   n_cells: int = 64, round_to: int = 6,
+                   centroids: list[list[float]] | None = None) -> None:
+    """Write the IVF tier: `centroids` (cell, cvec) and `assignments`
+    (id, v) partitioned by cell. Assignment uses the same rounded-cosine
+    argmax as ivf_topk, so serving from the store is bit-identical."""
+    from ..llmops.similarity import _best_cell, ivf_centroids
+
+    cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
+    spark = corpus.sparkSession
+    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                           "cell int, cvec array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   _best_cell(F.col(vec_col), cents, round_to)
+                   .alias("cell"))
+           .repartition("cell")
+           .write.partitionBy("cell").mode("overwrite")
+           .parquet(f"{path}/assignments"))
+
+
+def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
+                        vec_col: str, query_id_col: str, k: int = 5,
+                        n_probe: int = 2, round_to: int = 6) -> DataFrame:
+    """IVF top-k served from the persisted tier. The query batch is bounded
+    (the serving contract, same as every *_topk here), so its probe cells
+    are computed driver-side and the assignment read prunes to those
+    partitions with a LITERAL filter. For an unbounded query stream, join
+    the probe frame against the store instead and let dynamic partition
+    pruning do the same cut at runtime."""
+    from ..llmops.similarity import _cells_by_affinity, _per_query_topk
+
+    cents_rows = (spark.read.parquet(f"{path}/centroids")
+                  .orderBy("cell").collect())
+    cents = [[float(x) for x in r.cvec] for r in cents_rows]
+    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
+                     1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    probe_cells = sorted({r.cell for r in q.select("cell").collect()})
+    c = (spark.read.parquet(f"{path}/assignments")
+         .filter(F.col("cell").isin(probe_cells)))
+    joined = c.join(F.broadcast(q), "cell")
+    from ..functions.vector import cosine
+    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))

@@ -32,8 +32,8 @@ def build_term_index(df: DataFrame, text_col: str, id_col: str
                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, doclens, stats) for a corpus. One explode + one
     hash-aggregate on (term, id); doclens/stats are map-side cheap.
-    Persist postings with .write.partitionBy('term') or bucketBy for
-    term-pruned lookups at scale."""
+    Persist with operators/index_store.save_term_index (md5-bucketed
+    partitioning) for term-pruned lookups at scale."""
     toks = df.select(F.col(id_col).alias("id"),
                      tokenize(F.col(text_col)).alias("_toks"))
     postings = (toks.select("id", F.explode("_toks").alias("term"))

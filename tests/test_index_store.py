@@ -1,0 +1,77 @@
+"""Persisted index tiers (operators/index_store.py): serving from the
+saved tables must be bit-identical to the scan-based operators, and the
+reads must PRUNE — PartitionFilters on the bucket/cell partition columns
+in the physical plan, not a full-index scan."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.functions.bm25 import bm25_topk
+from rassengine_spark.operators.index_store import (bm25_topk_from_store,
+                                                    ivf_topk_from_store,
+                                                    save_ivf_index,
+                                                    save_term_index,
+                                                    term_bucket_expr,
+                                                    term_bucket_py)
+from rassengine_spark.operators.inverted_index import build_term_index
+
+
+def corpus(spark):
+    rows = [
+        (1, "spark join strategies for large spark tables"),
+        (2, "join order and join reordering in query planners"),
+        (3, "window functions and sort based aggregation"),
+        (4, "spark query planning with joins and shuffles"),
+        (5, "completely unrelated cooking recipe text"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucket_expr_matches_python_twin(spark):
+    terms = ["spark", "join", "aggregation", "recipe", "zz9"]
+    got = (spark.createDataFrame([(t,) for t in terms], "term string")
+           .select("term", term_bucket_expr("term", 64).alias("tb"))
+           .collect())
+    for r in got:
+        assert r.tb == term_bucket_py(r.term, 64), r.term
+
+
+def test_bm25_from_store_matches_scan_and_prunes(spark, tmp_path):
+    df = corpus(spark)
+    path = str(tmp_path / "termidx")
+    save_term_index(*build_term_index(df, "text", "id"), path, n_buckets=16)
+    for q in ["spark join", "query planning spark"]:
+        scan = [(r.id, r.score)
+                for r in bm25_topk(df, "text", "id", q, k=5).collect()]
+        stored = bm25_topk_from_store(spark, path, q, k=5)
+        assert [(r.id, r.score) for r in stored.collect()] == scan, q
+        # the postings read is partition-pruned to the query terms' buckets
+        plan = _physical(stored)
+        assert "PartitionFilters" in plan and "tb" in plan
+        n_parts = (spark.read.parquet(f"{path}/postings")
+                   .select("tb").distinct().count())
+        buckets = {term_bucket_py(t, 16) for t in q.split()}
+        assert len(buckets) < n_parts     # pruning is actually selective
+
+
+def test_ivf_from_store_matches_scan_and_prunes(spark, tmp_path):
+    from rassengine_spark.llmops.similarity import ivf_topk
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "v")
+    c = e.filter(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(c, "v", "vec_id", path, n_cells=8)
+    stored = ivf_topk_from_store(spark, path, q, "v", "qid",
+                                 k=3, n_probe=2)
+    direct = ivf_topk(c, q, "v", "vec_id", "qid", k=3,
+                      n_cells=8, n_probe=2)
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    plan = _physical(stored)
+    assert "PartitionFilters" in plan and "cell" in plan
