@@ -224,3 +224,122 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     if round_to is not None:
         res = res.withColumn("score", F.round("score", round_to))
     return _per_query_topk(res, k).select("query_id", "id", "score", "rank")
+
+
+# ------------------------------------------------------- persisted graphs
+# The reference PERSISTS its HNSW graphs (OpenSearch index on disk,
+# app/main.py:563-572) — serving reopens them instead of re-running the
+# O(n x ef_construction) build. The Spark analog: one build pass serializes
+# each partition's graph (node vectors + per-layer adjacency + entry
+# point) into a part_id-partitioned table; serving reconstructs the graphs
+# with ZERO distance computations and searches them in an applyInPandas
+# group pass. Adjacency is a JSON string per node — portable through
+# Arrow, deterministic (sorted keys), and tiny next to the vectors.
+
+
+def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
+                    path: str, m: int = 8, ef_construction: int = 64,
+                    partitions: int | None = None) -> None:
+    """Build per-partition HNSW graphs once and write them to `path`,
+    partitioned by part_id (each shard's graph is one partition directory,
+    read back whole by exactly one task)."""
+    import json
+
+    c = corpus.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec_col).alias("v"))
+    if partitions:
+        c = c.repartition(partitions)
+    c = c.withColumn("part_id", F.spark_partition_id())
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        raw: list[list[float]] = []
+        part = -1
+        for pdf in batches:
+            if len(pdf) and part < 0:
+                part = int(pdf["part_id"].iloc[0])
+            ids.extend(int(i) for i in pdf["id"])
+            raw.extend([float(x) for x in v] for v in pdf["v"])
+        if not ids:
+            return
+        mat = np.asarray(raw, dtype=np.float64)
+        normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+        g = _HNSW(m=m, ef_construction=ef_construction)
+        for row, ident in zip(normed, ids):
+            g.add(row, str(ident))
+        yield pd.DataFrame({
+            "part_id": pd.Series([part] * len(ids), dtype="int32"),
+            "node": pd.Series(range(len(ids)), dtype="int64"),
+            "id": pd.Series(ids, dtype="int64"),
+            "v": pd.Series(raw, dtype="object"),
+            "adj": pd.Series(
+                [json.dumps({str(l): nbrs
+                             for l, nbrs in sorted(g.adj[i].items())})
+                 for i in range(len(ids))], dtype="object"),
+            "entry": pd.Series([g.entry] * len(ids), dtype="int64"),
+            "max_level": pd.Series([g.max_level] * len(ids),
+                                   dtype="int32"),
+        })
+
+    (c.mapInPandas(build,
+                   "part_id int, node bigint, id bigint, v array<double>, "
+                   "adj string, entry bigint, max_level int")
+      .write.partitionBy("part_id").mode("overwrite").parquet(path))
+
+
+def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
+                         vec_col: str, query_id_col: str, k: int = 5,
+                         ef_search: int = 32,
+                         round_to: int | None = 6) -> DataFrame:
+    """Serve top-k from the persisted graphs: reconstruct each shard's
+    graph (no distance ops), beam-search the query batch, merge shard
+    results with the usual per-query window rank. ef_search >= shard size
+    degenerates to the exact local scan, same as hnsw_topk."""
+    import json
+
+    q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
+    qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("node")
+        ids = [int(i) for i in pdf["id"]]
+        raw = [[float(x) for x in v] for v in pdf["v"]]
+        n = len(ids)
+        out_q: list[int] = []
+        out_i: list[int] = []
+        out_s: list[float] = []
+        if ef_search >= n:
+            for qid, qv in qs:
+                top = sorted(((_cos_exact(v, qv), -i)
+                              for i, v in zip(ids, raw)),
+                             reverse=True)[:k]
+                for s, neg_i in top:
+                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        else:
+            mat = np.asarray(raw, dtype=np.float64)
+            g = _HNSW()
+            g.vecs = list(
+                mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12))
+            g.adj = [{int(l): list(nbrs)
+                      for l, nbrs in json.loads(a).items()}
+                     for a in pdf["adj"]]
+            g.entry = int(pdf["entry"].iloc[0])
+            g.max_level = int(pdf["max_level"].iloc[0])
+            for qid, qv in qs:
+                qn = np.asarray(qv, dtype=np.float64)
+                qn = qn / (np.linalg.norm(qn) + 1e-12)
+                cand = g.search(qn, max(ef_search, k))
+                top = sorted(((_cos_exact(raw[j], qv), -ids[j])
+                              for j in cand), reverse=True)[:k]
+                for s, neg_i in top:
+                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                             "id": pd.Series(out_i, dtype="int64"),
+                             "score": pd.Series(out_s, dtype="float64")})
+
+    res = (spark.read.parquet(path)
+           .groupBy("part_id")
+           .applyInPandas(search, "query_id bigint, id bigint, score double"))
+    if round_to is not None:
+        res = res.withColumn("score", F.round("score", round_to))
+    return _per_query_topk(res, k).select("query_id", "id", "score", "rank")

@@ -82,3 +82,34 @@ def test_empty_partitions_ok(spark):
     out = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=3,
                     ef_search=2, partitions=8).collect()
     assert len({r.query_id for r in out}) == 4
+
+
+def test_store_roundtrip_matches_live_graph(spark, tmp_path):
+    """Persisted graphs must serve the SAME results as the live build:
+    identical partitioning -> identical graphs -> identical beam walks."""
+    from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store,
+                                              save_hnsw_index)
+    corpus, qs = _clustered(spark), _queries(spark)
+    path = str(tmp_path / "hnsw")
+    save_hnsw_index(corpus, "v", "vec_id", path, m=8,
+                    ef_construction=48, partitions=2)
+    live = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=5, m=8,
+                     ef_construction=48, ef_search=32,
+                     partitions=2).collect()
+    stored = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                                  ef_search=32).collect()
+    assert sorted((r.query_id, r.id, r.score, r.rank) for r in stored) == \
+           sorted((r.query_id, r.id, r.score, r.rank) for r in live)
+
+
+def test_store_exhaustive_mode_is_exact(spark, tmp_path):
+    from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store,
+                                              save_hnsw_index)
+    corpus, qs = _clustered(spark), _queries(spark)
+    path = str(tmp_path / "hnsw_exact")
+    save_hnsw_index(corpus, "v", "vec_id", path, partitions=3)
+    bf = brute_force_topk(corpus, qs, "v", "vec_id", "qid", k=5).collect()
+    stored = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                                  ef_search=10 ** 6).collect()
+    assert [(r.query_id, r.id, r.score, r.rank) for r in stored] == \
+           [(r.query_id, r.id, r.score, r.rank) for r in bf]
