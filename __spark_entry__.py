@@ -3874,9 +3874,8 @@ SELECT * FROM (VALUES
   ('Look up ICD-10 code I21.', 'KEYWORD'))
   AS t(query, intent)
 """,
-        # s1_fhir_parse / s3_markdown_strip / m1_intent_route /
-        # s7_embed_hash_ngram are rows-only: RE2 (DuckDB) lacks pattern
-        # backreferences for the markdown emphasis regexes, and the FHIR
-        # parser / intent rules / sha1-based embedder are engine library
-        # code with no SQL twin. The driver records count+schema for these.
+        # rows-only remainder (no SQL twin, driver records count+schema):
+        # s7_embed_hash_ngram (float32 summation order isn't
+        # SQL-reproducible) and sketch_daily_rollup (algorithm-specific
+        # sketch values; bounds unit-tested against exact twins).
     }
