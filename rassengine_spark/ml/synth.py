@@ -46,11 +46,12 @@ ICDS = ["I21", "E11", "J32"]
 def _pick(pool: list[str], salt: str) -> Column:
     """Deterministic md5-based selection: pool[h(id, salt) % len] — the
     engine-portable analog of the trainers' seeded random.choice."""
+    from ..util import string_array_lit
     h = F.conv(F.substring(
         F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{salt}"))),
         1, 8), 16, 10).cast("bigint")
-    arr = F.array(*[F.lit(x) for x in pool])
-    return F.element_at(arr, (h % len(pool) + 1).cast("int"))
+    return F.element_at(string_array_lit(pool),
+                        (h % len(pool) + 1).cast("int"))
 
 
 def intent_corpus(spark: SparkSession, n: int = 2000) -> DataFrame:
@@ -59,13 +60,14 @@ def intent_corpus(spark: SparkSession, n: int = 2000) -> DataFrame:
                     (F.col("id") % 900 + 100).cast("string"),
                     F.lit(" "), _pick(LAST, "ln"),
                     (F.col("id") % 890 + 110).cast("string"))
+    from ..util import string_array_lit
     t_idx = (F.conv(F.substring(F.md5(F.concat(
         F.col("id").cast("string"), F.lit(":t"))), 1, 8), 16, 10)
         .cast("bigint") % len(TEMPLATES)).cast("int")
     template = F.element_at(
-        F.array(*[F.lit(t) for t, _ in TEMPLATES]), t_idx + 1)
+        string_array_lit([t for t, _ in TEMPLATES]), t_idx + 1)
     intent = F.element_at(
-        F.array(*[F.lit(i) for _, i in TEMPLATES]), t_idx + 1)
+        string_array_lit([i for _, i in TEMPLATES]), t_idx + 1)
     query = template
     for slot, col in [
             ("{condition}", _pick(CONDITIONS, "c")),
@@ -166,9 +168,10 @@ def ner_corpus(spark: SparkSession, n: int = 10000) -> DataFrame:
     t_idx = (F.conv(F.substring(F.md5(F.concat(
         F.col("id").cast("string"), F.lit(":nt"))), 1, 8), 16, 10)
         .cast("bigint") % nt).cast("int")
+    from ..util import string_array_lit
 
     def at(vals: list[str]):
-        return F.element_at(F.array(*[F.lit(x) for x in vals]), t_idx + 1)
+        return F.element_at(string_array_lit(vals), t_idx + 1)
 
     parts = [at(_tpl_part(j)) for j in range(_MAX_SLOTS + 1)]
     labs = [at(_tpl_label(k)) for k in range(_MAX_SLOTS)]

@@ -16,6 +16,15 @@ def double_array_lit(vals: list[float]) -> Column:
     return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
 
 
+def string_array_lit(vals: list[str]) -> Column:
+    """array<string> literal from ONE parsed SQL string (the string twin of
+    double_array_lit — per-element F.lit costs one py4j round-trip each,
+    which dominates plan construction for template/pool arrays)."""
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+    return F.expr("array(" + ",".join(f"'{esc(v)}'" for v in vals) + ")")
+
+
 def double_matrix_lit(rows: list[list[float]]) -> Column:
     """array<array<double>> literal from ONE parsed SQL string.
 
