@@ -737,6 +737,68 @@ def _sql_dedup_minhash() -> str:
             "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5\n")
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup tier (llmops/dedup.py): a 'new batch' (perturbed
+    copies of every 10th doc) deduped against the HISTORICAL corpus via
+    its signature store — history is never re-shingled; candidates come
+    from the band-bucket join and are verified with the minhash Jaccard
+    ESTIMATE (matching components / K, an exact dyadic rational)."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    w = words_of(F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.array_join(F.slice(w, 3, 1000000), " ").alias("text")))
+    store = DD.minhash_store_frame(docs, "text", "doc_id")
+    return DD.incremental_minhash_pairs(new, store, "text", "doc_id",
+                                        threshold=0.5)
+
+
+def _sql_dedup_incremental() -> str:
+    h1 = "CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> ({h1} + {i} * {h2}) % 2147483647))"
+        f" AS s{i}"
+        for i in range(16))
+    words = _SQL_WORDS.format(col="text")
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT id, {b} AS band, md5(concat_ws(',', {parts})) AS key "
+            "FROM {src}".format(
+                b=b, src=src,
+                parts=", ".join(f"CAST(s{b*4+r} AS VARCHAR)"
+                                for r in range(4)))
+            for b in range(4))
+
+    m = " + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+                   for i in range(16))
+    return f"""
+WITH hist AS (SELECT doc_id AS id, text FROM documents),
+new AS (
+  SELECT doc_id + 1000000 AS id, array_to_string(words[3:], ' ') AS text
+  FROM (SELECT doc_id, {words} AS words FROM documents
+        WHERE doc_id % 10 = 0)),
+hsig AS (
+  SELECT id, {sig_cols} FROM (
+    SELECT id, {_sql_shingles(3)} AS sh
+    FROM (SELECT id, {words} AS words FROM hist))),
+nsig AS (
+  SELECT id, {sig_cols} FROM (
+    SELECT id, {_sql_shingles(3)} AS sh
+    FROM (SELECT id, {words} AS words FROM new))),
+hband AS ({banded('hsig')}),
+nband AS ({banded('nsig')}),
+cand AS (
+  SELECT DISTINCT h.id AS id_old, n.id AS id_new
+  FROM hband h JOIN nband n ON h.band = n.band AND h.key = n.key)
+SELECT id_old, id_new,
+       round(CAST({m} AS DOUBLE) / CAST(16 AS DOUBLE), 6) AS est_jaccard
+FROM cand JOIN hsig a ON a.id = id_old JOIN nsig b ON b.id = id_new
+WHERE round(CAST({m} AS DOUBLE) / CAST(16 AS DOUBLE), 6) >= 0.5
+"""
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints per document."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -3642,6 +3704,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_chunker_overlap": _q_s6_chunker_overlap,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -3757,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "s6_chunker_overlap": _SQL_S6_CHUNKER_OVERLAP,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,

@@ -134,6 +134,8 @@ def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+    from pyspark.sql.types import LongType
+
     rows = num_hashes // bands
     ws_re = re.compile("[ \t\n\x0b\f\r]+")
     src = spread(df).select(F.col(id_col).alias("id"),
@@ -141,14 +143,15 @@ def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
     schema = StructType([
         StructField("id", src.schema["id"].dataType, False),
         StructField("sh", ArrayType(StringType()), False),
-        StructField("bk", ArrayType(StringType()), False)])
+        StructField("bk", ArrayType(StringType()), False),
+        StructField("sig", ArrayType(LongType()), False)])
 
     def run(batches):
         import numpy as np
         import pandas as pd
         idx = np.arange(num_hashes, dtype=np.int64)
         for pdf in batches:
-            ids, shs, bks = [], [], []
+            ids, shs, bks, sigs = [], [], [], []
             for rid, txt in zip(pdf["id"], pdf["txt"]):
                 words = [w for w in ws_re.split(txt or "") if w]
                 if len(words) >= shingle_n:
@@ -172,7 +175,9 @@ def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
                 ids.append(rid)
                 shs.append(sh)
                 bks.append(bk)
-            yield pd.DataFrame({"id": ids, "sh": shs, "bk": bks})
+                sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"id": ids, "sh": shs, "bk": bks,
+                                "sig": sigs})
 
     return src.mapInPandas(run, schema=schema)
 
@@ -226,6 +231,74 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                                     round_to))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------- incremental dedup tier
+# Deduping a daily crawl against a 100 TB historical corpus must NOT
+# re-shingle history. The signature STORE holds (band, key, id, sig) — a
+# few hundred bytes per historical doc, written once per corpus version —
+# and each increment joins its (small) banded signatures against it. The
+# increment side is broadcast, so the store is scanned (never shuffled)
+# and history text is never touched. Candidate verification uses the
+# minhash ESTIMATE of Jaccard (matching signature components / K): exact
+# shingle verification would require storing the shingle sets, which is
+# storing the corpus. m/K is an exact dyadic rational — engine-exact with
+# no rounding concerns.
+
+
+def minhash_store_frame(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, num_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """(band, key, id, sig) — the persistable signature index of a corpus."""
+    mh = _minhash_index_pandas(df, text_col, id_col, shingle_n,
+                               num_hashes, bands)
+    return mh.select("id", "sig", F.posexplode("bk").alias("band", "key"))
+
+
+def save_minhash_store(df: DataFrame, text_col: str, id_col: str,
+                       path: str, shingle_n: int = 3, num_hashes: int = 16,
+                       bands: int = 4) -> None:
+    """Write the signature store partitioned by band (each band's bucket
+    table is one partition; an increment probes all bands, so partitioning
+    serves layout/append hygiene, not pruning). Append new corpus slices
+    with mode('append') after deduping them."""
+    (minhash_store_frame(df, text_col, id_col, shingle_n, num_hashes,
+                         bands)
+     .write.partitionBy("band").mode("overwrite").parquet(path))
+
+
+def incremental_minhash_pairs(new_df: DataFrame, store: DataFrame,
+                              text_col: str, id_col: str,
+                              shingle_n: int = 3, num_hashes: int = 16,
+                              bands: int = 4, threshold: float = 0.5,
+                              round_to: int = 6) -> DataFrame:
+    """(id_old, id_new, est_jaccard) pairs between the historical `store`
+    (a minhash_store_frame / loaded save_minhash_store table) and a new
+    batch: band-bucket join on the broadcast new side, then the signature
+    Jaccard estimate filters at `threshold`. In-batch duplicates are the
+    existing minhash_lsh_pairs' job — compose both for a full increment."""
+    new_banded = minhash_store_frame(new_df, text_col, id_col, shingle_n,
+                                     num_hashes, bands)
+    cand = (store.join(
+                F.broadcast(new_banded
+                            .select(F.col("id").alias("id_new"),
+                                    F.col("sig").alias("sig_new"),
+                                    "band", "key")),
+                ["band", "key"])
+            .select(F.col("id").alias("id_old"),
+                    F.col("sig").alias("sig_old"), "id_new", "sig_new"))
+    matches = F.size(F.filter(
+        F.zip_with(F.col("sig_old"), F.col("sig_new"),
+                   lambda x, y: x == y), lambda m: m))
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)),
+                  round_to)
+    # the estimate is recomputed per band collision (16 comparisons) so the
+    # multi-band dedup is a DISTINCT over scalars — a codegen hash
+    # aggregate, not the SortAggregate a first(array) dedup would force
+    return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("id_old", "id_new", "est_jaccard")
+                .distinct())
 
 
 # ---------------------------------------------------------------- simhash

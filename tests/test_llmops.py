@@ -525,3 +525,26 @@ def test_audio_features_wav_container(spark):
     assert abs(w1["rms"] - 9000 / math.sqrt(2)) < 60
     assert w1["decode_error"] is None
     assert rows["w2"]["decode_error"] == "not RIFF/WAVE"
+
+
+def test_incremental_dedup_against_signature_store(spark, tmp_path):
+    """New-batch near-dups must be found against the persisted signature
+    store WITHOUT touching historical text, and the estimate must agree
+    with the store-frame (non-persisted) path bit-for-bit."""
+    hist = docs(spark)
+    new = spark.createDataFrame(
+        [(101, "quick brown fox jumps over the lazy dog again and again"),
+         (102, "totally novel content that matches nothing at all here")],
+        "id int, text string")
+    live = DD.incremental_minhash_pairs(
+        new, DD.minhash_store_frame(hist, "text", "id"), "text", "id",
+        threshold=0.5).collect()
+    path = str(tmp_path / "mhstore")
+    DD.save_minhash_store(hist, "text", "id", path)
+    stored = DD.incremental_minhash_pairs(
+        new, spark.read.parquet(path), "text", "id",
+        threshold=0.5).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, live))
+    found = {(r.id_old, r.id_new) for r in stored}
+    assert (1, 101) in found and (2, 101) in found   # near-dups of 1/2
+    assert all(nid != 102 for _, nid in found)       # novel doc is clean

@@ -27,8 +27,9 @@ PYTHON_OK = {
     "text_fingerprint", "dedup_simhash", "dedup_embedding_cosine",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
-    # interpreted expression forms — deliberate, see llmops/dedup.py):
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    # interpreted expression forms — deliberate, see llmops/dedup.py);
+    # dedup_incremental signatures both sides with the same pass:
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental",
     # per-partition graph build is the point:
     "sim_hnsw_topk",
     # stub decode kernels over mapInPandas — the plumbing under audit:
