@@ -997,6 +997,68 @@ FROM scored QUALIFY rank <= {_IVF_K}
 """
 
 
+_PQ_M, _PQ_CODES, _PQ_K = 8, 16, 5
+
+
+def _q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (llmops/pq.py): m=8 codewords per
+    vector (64x narrower than the double vectors through every scan and
+    shuffle), scoring = m table lookups per row; codebooks are the
+    md5-ordered deterministic sample, encode/score folds engine-exact."""
+    from rassengine_spark.llmops.pq import pq_adc_topk
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return pq_adc_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                       k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES)
+
+
+def _sql_sim_pq() -> str:
+    sub = 64 // _PQ_M
+    d = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+         "list_transform({b}, x -> CAST(x AS DOUBLE)))")
+    aff = (f"round({d.format(a='cs', b='s')} - 0.5 * "
+           f"{d.format(a='cs', b='cs')}, 6)")
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       WHERE vec_id >= 5),
+cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS code,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PQ_CODES}),
+js AS (SELECT CAST(j AS INT) AS j
+       FROM UNNEST(generate_series(0, {_PQ_M - 1})) t(j)),
+cbsub AS (SELECT code, j, cv[j*{sub}+1 : j*{sub}+{sub}] AS cs
+          FROM cb CROSS JOIN js),
+csub AS (SELECT id, j, v[j*{sub}+1 : j*{sub}+{sub}] AS s
+         FROM c0 CROSS JOIN js),
+cassign AS (
+  SELECT id, j, code FROM (
+    SELECT csub.id, csub.j, cbsub.code,
+           row_number() OVER (PARTITION BY csub.id, csub.j
+                              ORDER BY {aff} DESC, cbsub.code ASC) AS rn
+    FROM csub JOIN cbsub ON csub.j = cbsub.j) WHERE rn = 1),
+qsub AS (SELECT query_id, j, qv[j*{sub}+1 : j*{sub}+{sub}] AS qs
+         FROM q0 CROSS JOIN js),
+contrib AS (
+  SELECT qsub.query_id, cassign.id, cassign.j,
+         {d.format(a='qs', b='cs')} AS x
+  FROM cassign
+  JOIN cbsub ON cassign.j = cbsub.j AND cassign.code = cbsub.code
+  JOIN qsub ON qsub.j = cassign.j),
+scored AS (
+  SELECT query_id, id, round(SUM(x ORDER BY j), 6) AS score
+  FROM contrib GROUP BY query_id, id)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
 def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over the int8-quantized corpus (4x narrower vector storage —
     the scan-cost tier for 100 TB embedding columns); floor-based
@@ -3713,6 +3775,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf,
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
+        "sim_pq_adc_topk": _q_sim_pq,
         "sim_ivf_recall": _q_sim_ivf_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
@@ -3829,6 +3892,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
+        "sim_pq_adc_topk": _sql_sim_pq(),
         "sim_ivf_recall": _sql_sim_ivf_recall(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

