@@ -1059,6 +1059,85 @@ FROM scored QUALIFY rank <= {_PQ_K}
 """
 
 
+def _q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ (llmops/pq.py::ivfpq_topk): coarse cells prune the
+    candidate set AND candidates score from m-byte PQ codes — both axes
+    of the 100 TB scan cut in one operator."""
+    from rassengine_spark.llmops.pq import ivfpq_topk
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivfpq_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                      k=_PQ_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+                      m=_PQ_M, n_codes=_PQ_CODES)
+
+
+def _sql_sim_ivfpq() -> str:
+    sub = 64 // _PQ_M
+    d = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+         "list_transform({b}, x -> CAST(x AS DOUBLE)))")
+    aff = (f"round({d.format(a='cs', b='s')} - 0.5 * "
+           f"{d.format(a='cs', b='cs')}, 6)")
+    cos_cv = _SQL_COS.format(a="cv", b="v")
+    cos_cq = _SQL_COS.format(a="cv", b="qv")
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       WHERE vec_id >= 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}),
+cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS code,
+         v AS cv2
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PQ_CODES}),
+js AS (SELECT CAST(j AS INT) AS j
+       FROM UNNEST(generate_series(0, {_PQ_M - 1})) t(j)),
+cbsub AS (SELECT code, j, cv2[j*{sub}+1 : j*{sub}+{sub}] AS cs
+          FROM cb CROSS JOIN js),
+cassign AS (
+  SELECT id, cell FROM (
+    SELECT c0.id, cent.cell,
+           row_number() OVER (PARTITION BY c0.id
+                              ORDER BY {cos_cv} DESC, cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+csub AS (SELECT id, j, v[j*{sub}+1 : j*{sub}+{sub}] AS s
+         FROM c0 CROSS JOIN js),
+ccodes AS (
+  SELECT id, j, code FROM (
+    SELECT csub.id, csub.j, cbsub.code,
+           row_number() OVER (PARTITION BY csub.id, csub.j
+                              ORDER BY {aff} DESC, cbsub.code ASC) AS rn
+    FROM csub JOIN cbsub ON csub.j = cbsub.j) WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q0.query_id, cent.cell,
+           row_number() OVER (PARTITION BY q0.query_id
+                              ORDER BY {cos_cq} DESC, cent.cell ASC) AS rn
+    FROM q0 CROSS JOIN cent) WHERE rn <= {_IVF_PROBE}),
+qsub AS (SELECT query_id, j, qv[j*{sub}+1 : j*{sub}+{sub}] AS qs
+         FROM q0 CROSS JOIN js),
+contrib AS (
+  SELECT qprobe.query_id, cassign.id, ccodes.j,
+         {d.format(a='qs', b='cs')} AS x
+  FROM qprobe
+  JOIN cassign USING (cell)
+  JOIN ccodes ON ccodes.id = cassign.id
+  JOIN cbsub ON cbsub.j = ccodes.j AND cbsub.code = ccodes.code
+  JOIN qsub ON qsub.query_id = qprobe.query_id AND qsub.j = ccodes.j),
+scored AS (
+  SELECT query_id, id, round(SUM(x ORDER BY j), 6) AS score
+  FROM contrib GROUP BY query_id, id)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
 def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over the int8-quantized corpus (4x narrower vector storage —
     the scan-cost tier for 100 TB embedding columns); floor-based
@@ -3776,6 +3855,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
+        "sim_ivfpq_topk": _q_sim_ivfpq,
         "sim_ivf_recall": _q_sim_ivf_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
@@ -3893,6 +3973,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
         "sim_pq_adc_topk": _sql_sim_pq(),
+        "sim_ivfpq_topk": _sql_sim_ivfpq(),
         "sim_ivf_recall": _sql_sim_ivf_recall(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

@@ -603,3 +603,40 @@ def test_pq_adc_recall_vs_exact_dot(spark):
     for qid, ids in by_q.items():
         assert len(ids) == k
         assert all(i % 4 == qid - 100 for i in ids), (qid, ids)
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """Probing every cell makes IVF+PQ degenerate to plain PQ-ADC — same
+    codebooks, same scores, bit-for-bit."""
+    from rassengine_spark.llmops import pq as PQ
+    rows = [(i, [float((i * 5 + j * 3) % 13 - 6) for j in range(8)])
+            for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    qs = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "v")
+    c = e.filter(F.col("vec_id") >= 2)
+    full = PQ.ivfpq_topk(c, qs, "v", "vec_id", "qid", k=3,
+                         n_cells=4, n_probe=4, m=4, n_codes=8).collect()
+    plain = PQ.pq_adc_topk(c, qs, "v", "vec_id", "qid", k=3,
+                           m=4, n_codes=8).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_ivfpq_probe_prunes_cells(spark):
+    """n_probe=1 with hemisphere centroids must only return candidates
+    from the query's hemisphere cell."""
+    from rassengine_spark.llmops import pq as PQ
+    rows = ([(i, [1.0 + 0.01 * i] + [0.05 * ((i + j) % 3) for j in range(7)])
+             for i in range(1, 11)]
+            + [(i, [-1.0 - 0.01 * i] + [0.05 * ((i + j) % 3)
+                                        for j in range(7)])
+               for i in range(11, 21)])
+    c = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    qs = spark.createDataFrame([(100, [1.0] + [0.0] * 7)],
+                               "qid int, v array<double>")
+    cents = [[1.0] + [0.0] * 7, [-1.0] + [0.0] * 7]
+    out = PQ.ivfpq_topk(c, qs, "v", "vec_id", "qid", k=5,
+                        n_probe=1, m=4, n_codes=8,
+                        centroids=cents).collect()
+    assert len(out) == 5
+    assert all(r.id <= 10 for r in out), [r.id for r in out]
