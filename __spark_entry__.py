@@ -1454,10 +1454,12 @@ def _q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "text", "doc_id")
 
 
-def _sql_text_lm_score() -> str:
+def _sql_lm_ctes() -> str:
+    """CTE chain ending in `agg` (id, n_bigrams, avg_logp for every
+    scorable doc) — shared by the lm-score oracle and the token-budget
+    curation oracle."""
     words = _SQL_WORDS.format(col="text")
-    return f"""
-WITH tr AS (SELECT doc_id, {words} AS words FROM documents
+    return f"""tr AS (SELECT doc_id, {words} AS words FROM documents
             WHERE doc_id % 5 <> 0),
 sc AS (SELECT doc_id, {words} AS words FROM documents
        WHERE doc_id % 5 = 0),
@@ -1484,11 +1486,60 @@ j AS (
 agg AS (
   SELECT id, COUNT(*) AS n_bigrams,
          round(SUM(lp ORDER BY pos) / COUNT(*), 6) AS avg_logp
-  FROM j GROUP BY id)
+  FROM j GROUP BY id)"""
+
+
+def _sql_text_lm_score() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH {_sql_lm_ctes()}
 SELECT id, n_bigrams, avg_logp FROM agg
 UNION ALL
 SELECT doc_id AS id, 0 AS n_bigrams, NULL AS avg_logp
 FROM sc WHERE len(words) < 2
+"""
+
+
+_BUDGET_TOKENS = 5000
+
+
+def _q_split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (llmops/splits.py::token_budget_take): keep
+    the best LM-scored docs until the running whitespace-token total hits
+    the budget — the selection step of a perplexity-filtered pretraining
+    mix. Two-phase bin cumsum; result equals the single global ordered
+    prefix (the oracle computes it that way)."""
+    from rassengine_spark.llmops.lm_score import (bigram_lm_score,
+                                                  fit_bigram_lm)
+    from rassengine_spark.llmops.splits import token_budget_take
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    sc = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, unigrams, vocab = fit_bigram_lm(train, "text", "doc_id")
+    scored = (bigram_lm_score(sc, bigrams, unigrams, vocab,
+                              "text", "doc_id")
+              .filter(F.col("n_bigrams") > 0))
+    toks = sc.select(F.col("doc_id").alias("id"),
+                     F.size(words_of(F.col("text"))).alias("toks"))
+    j = scored.join(toks, "id").select("id", "toks", "avg_logp")
+    return token_budget_take(j, "avg_logp", "toks", "id",
+                             budget=_BUDGET_TOKENS, lo=-12.0, hi=0.0)
+
+
+def _sql_split_token_budget() -> str:
+    return f"""
+WITH {_sql_lm_ctes()},
+tk AS (SELECT doc_id AS id, len(words) AS toks FROM sc),
+s AS (
+  SELECT agg.id, tk.toks, agg.avg_logp
+  FROM agg JOIN tk ON agg.id = tk.id WHERE agg.n_bigrams > 0),
+c AS (
+  SELECT id, toks, avg_logp,
+         SUM(toks) OVER (ORDER BY avg_logp DESC, id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM s)
+SELECT id, toks, avg_logp FROM c WHERE cum <= {_BUDGET_TOKENS}
 """
 
 
@@ -3872,6 +3923,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_stratified_take": _q_split_stratified,
         "split_hash_sample": _q_split_sample,
         "split_mixture_resample": _q_split_mixture,
+        "split_token_budget": _q_split_token_budget,
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
@@ -3990,6 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "split_stratified_take": _sql_split_stratified(),
         "split_hash_sample": _sql_split_sample(),
         "split_mixture_resample": _sql_split_mixture(),
+        "split_token_budget": _sql_split_token_budget(),
         "pack_sequences": _sql_pack_sequences(),
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,

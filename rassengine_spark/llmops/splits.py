@@ -180,3 +180,45 @@ def temperature_fractions(df: DataFrame, strata_col: str,
     peak = max(raw.values())
     return {s: min(max_fraction, max_fraction * r / peak)
             for s, r in sorted(raw.items())}
+
+
+def token_budget_take(df: DataFrame, score_col: str, tokens_col: str,
+                      id_col: str, budget: int, lo: float, hi: float,
+                      bins: int = 1000) -> DataFrame:
+    """Quality-ordered token-budget curation: keep the best-scored docs
+    (score desc, id asc) whose running token total stays <= `budget` —
+    "give me the best N tokens", the selection step of perplexity-filtered
+    pretraining mixes (CCNet-style; compose with bigram_lm_score).
+
+    Semantically identical to one global ORDER BY + running sum, but that
+    is a single-partition window at 100 TB. Two phases instead:
+    (1) bucket scores into `bins` monotone bins ([lo, hi] scaled; outside
+        values clamp to the edge bins), aggregate per-bin token totals,
+        and compute each bin's tokens-above with one tiny window over
+        <= `bins` rows;
+    (2) per-doc running totals window-partition BY BIN — each partition
+        is one score band, so parallelism is `bins`-wide and no partition
+        sees the whole corpus. Binning is an implementation detail: any
+        monotone binning yields exactly the global-order result because
+        within-bin ordering matches the global tie-break.
+    Precondition: `score_col` non-null (filter unscored docs first)."""
+    span = float(hi) - float(lo)
+    raw_bin = F.floor((F.col(score_col) - F.lit(float(lo)))
+                      / F.lit(span) * F.lit(bins))
+    b = F.least(F.greatest(raw_bin, F.lit(0)),
+                F.lit(bins - 1)).cast("int")
+    d = df.withColumn("_bin", b)
+    per_bin = d.groupBy("_bin").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_bt"))
+    wb = (Window.orderBy(F.col("_bin").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    above = per_bin.withColumn(
+        "_above", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
+    d2 = d.join(F.broadcast(above.select("_bin", "_above")), "_bin")
+    win = (Window.partitionBy("_bin")
+           .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.col("_above") + F.sum(F.col(tokens_col).cast("long")).over(win)
+    return (d2.withColumn("_cum", cum)
+              .filter(F.col("_cum") <= budget)
+              .drop("_bin", "_above", "_cum"))

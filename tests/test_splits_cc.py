@@ -173,3 +173,32 @@ def test_temperature_fractions_rebalance(spark):
     # alpha=1 keeps the natural mixture: every fraction == 1
     assert all(v == 1.0 for v in
                temperature_fractions(df, "lang", alpha=1.0).values())
+
+
+def test_token_budget_take_equals_global_prefix(spark):
+    """The two-phase bin-cumsum must equal the naive global ordered
+    prefix for any budget, including boundary docs mid-bin."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from rassengine_spark.llmops.splits import token_budget_take
+
+    rows = []
+    for i in range(200):
+        h = int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16)
+        score = -10.0 + (h % 1000) / 100.0          # [-10, 0)
+        toks = 5 + (h % 37)
+        rows.append((i, float(score), int(toks)))
+    df = spark.createDataFrame(rows, "id int, score double, toks int")
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for budget in (0, 57, 500, 2000, 10 ** 9):
+        run, expect = 0, set()
+        for i, s, t in ordered:
+            run += t
+            if run > budget:
+                break
+            expect.add(i)
+        got = {r.id for r in token_budget_take(
+            df, "score", "toks", "id", budget=budget,
+            lo=-10.0, hi=0.0, bins=16).collect()}
+        assert got == expect, budget
