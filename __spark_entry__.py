@@ -1543,6 +1543,47 @@ SELECT id, toks, avg_logp FROM c WHERE cum <= {_BUDGET_TOKENS}
 """
 
 
+_BPE_MERGES = 6
+
+
+def _q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer (llmops/tokenizer.py): top-6 merge rules
+    learned from the documents word frequencies — corpus touched once,
+    each merge one vocab-table aggregate + 1-row argmax; the delimited-
+    string rewrite makes greedy merges engine-exact."""
+    from rassengine_spark.llmops.tokenizer import bpe_merges_df
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_merges_df(spark, docs, "text", n_merges=_BPE_MERGES)
+
+
+def _sql_tokenizer_bpe() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    parts = [f"""s0 AS (
+  SELECT substring(regexp_replace(w, '(.)', '__\\1', 'g'), 2) || '_' AS seq,
+         n
+  FROM (SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w))"""]
+    for i in range(1, _BPE_MERGES + 1):
+        parts.append(f"""p{i} AS (
+  SELECT syms[j] AS lhs, syms[j+1] AS rhs, SUM(n) AS cnt
+  FROM (SELECT string_split(trim(seq, '_'), '__') AS syms, n FROM s{i-1}) q,
+       UNNEST(generate_series(1, len(syms) - 1)) t(j)
+  GROUP BY 1, 2)""")
+        parts.append(f"""b{i} AS (
+  SELECT lhs, rhs, cnt FROM p{i}
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        parts.append(f"""s{i} AS (
+  SELECT replace(seq, '_' || lhs || '__' || rhs || '_',
+                 '_' || lhs || rhs || '_') AS seq, n
+  FROM s{i-1} CROSS JOIN b{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-word fraction, longest
     same-word run, top/dup bigram fractions. Arrow-batched integer-stats
@@ -3915,6 +3956,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_datacard": _q_text_datacard,
         "text_lm_score": _q_text_lm_score,
+        "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "decontam_ngram_overlap": _q_decontam_overlap,
@@ -4034,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _sql_text_repetition(),
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_lm_score": _sql_text_lm_score(),
+        "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),

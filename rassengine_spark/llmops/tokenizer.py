@@ -1,0 +1,102 @@
+"""Distributed BPE tokenizer training (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units" — the public BPE algorithm):
+learn the top-N merge rules from corpus word frequencies.
+
+Spark-first shape: the corpus is touched ONCE (word-frequency aggregate —
+the standard trick: merges operate on the distinct-word table, which is
+orders of magnitude smaller than the corpus). Each merge iteration is one
+pair-count aggregate over the vocab table + a 1-row argmax collect + a
+per-row rewrite projection; lineage is cut with localCheckpoint so N
+iterations stay N cheap jobs (the connected-components pattern).
+
+Engine-exactness: a word's symbol sequence is encoded as a delimited
+STRING — ``_s1__s2__s3_`` (symbols are [a-z0-9]+ so ``_`` never collides)
+— and applying merge (a, b) is one global ``replace('_a__b_', '_ab_')``.
+Global string replace scans left-to-right over non-overlapping matches in
+Spark, DuckDB, and Python alike, which is exactly BPE's greedy merge
+order; the trailing delimiter consumed by a match is re-exposed by the
+double-``_`` separator, so adjacent occurrences ('a a a' under merge
+(a,a) -> 'aa a') behave identically everywhere. Pair selection is
+(count desc, lhs asc, rhs asc) over exact integer counts — fully
+deterministic, reproducible in the SQL oracle as N unrolled stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def _encode(col) -> "F.Column":
+    """'abc' -> '_a__b__c_' (one '_' at the ends, '__' between symbols)."""
+    return F.concat(
+        F.substring(F.regexp_replace(col, "(.)", "__$1"), 2, 1 << 30),
+        F.lit("_"))
+
+
+def _syms(seq) -> "F.Column":
+    return F.split(F.expr(f"trim(BOTH '_' FROM {seq})"), "__")
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, n) distinct-word frequencies — the only corpus-wide pass."""
+    return (df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
+              checkpoint_every: int = 2
+              ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn `n_merges` BPE merge rules; returns (merges, final_seqs)
+    where merges = [(step, lhs, rhs, pair_count)] (step 1-based) and
+    final_seqs = (seq, n) the vocab in its post-merge segmentation."""
+    seqs = (word_freqs(df, text_col)
+            .select(_encode(F.col("w")).alias("seq"), "n"))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if checkpoint_every and (step - 1) % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint(eager=False)
+        syms = _syms("seq")
+        pairs = (seqs.select(
+                     F.explode(F.zip_with(
+                         F.slice(syms, 1, F.size(syms) - 1),
+                         F.slice(syms, 2, F.size(syms) - 1),
+                         lambda a, b: F.struct(a.alias("lhs"),
+                                               b.alias("rhs"))))
+                     .alias("p"), "n")
+                 .groupBy("p.lhs", "p.rhs")
+                 .agg(F.sum("n").alias("cnt")))
+        best = (pairs.orderBy(F.col("cnt").desc(), F.col("lhs").asc(),
+                              F.col("rhs").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        seqs = seqs.select(
+            F.replace(F.col("seq"), F.lit(f"_{a}__{b}_"),
+                      F.lit(f"_{a}{b}_")).alias("seq"), "n")
+    return merges, seqs
+
+
+def bpe_merges_df(spark: SparkSession, df: DataFrame, text_col: str,
+                  n_merges: int = 8) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    (step, lhs, rhs, pair_count)."""
+    merges, _ = bpe_train(df, text_col, n_merges)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long")
+
+
+def bpe_segment_expr(word_col, merges: list[tuple[int, str, str, int]]
+                     ) -> "F.Column":
+    """array<string> segmentation of a word column under the learned
+    merges, applied in training order — the tokenizer's APPLY side, a pure
+    projection (chain of replaces + one split)."""
+    seq = _encode(word_col)
+    for _, a, b, _ in merges:
+        seq = F.replace(seq, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
+    return F.split(
+        F.regexp_replace(F.regexp_replace(seq, "^_", ""), "_$", ""), "__")

@@ -1,0 +1,78 @@
+"""Distributed BPE trainer: merges must equal a reference driver-side BPE
+over the same word frequencies, and segmentation must apply them exactly."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.tokenizer import (bpe_merges_df, bpe_segment_expr,
+                                               bpe_train, word_freqs)
+
+
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats eat the fat rats"),
+        (3, "that hat is the best hat that that cat had"),
+        (4, "low lower lowest newer newest"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def _ref_bpe(freqs: dict, n_merges: int):
+    """Reference implementation: list-of-symbols + greedy left-to-right
+    merge, (count desc, lhs asc, rhs asc) selection."""
+    seqs = {tuple(w): n for w, n in freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, n in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, a, b, cnt))
+        new = {}
+        for syms, n in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        seqs = new
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    df = corpus(spark)
+    freqs = {r.w: r.n for r in word_freqs(df, "text").collect()}
+    expect = _ref_bpe(freqs, 8)
+    got, _ = bpe_train(df, "text", n_merges=8)
+    assert got == expect, (got, expect)
+
+
+def test_bpe_segmentation_applies_merges(spark):
+    df = corpus(spark)
+    merges, _ = bpe_train(df, "text", n_merges=6)
+    words = spark.createDataFrame(
+        [("that",), ("lowest",), ("cat",), ("x",)], "w string")
+    segs = {r.w: r.segs for r in words.select(
+        "w", bpe_segment_expr(F.col("w"), merges).alias("segs")).collect()}
+    # every segmentation concatenates back to the word
+    for w, segs_w in segs.items():
+        assert "".join(segs_w) == w, (w, segs_w)
+    assert segs["x"] == ["x"]
+    # the most frequent pairs actually merged somewhere
+    assert any(len(s) > 1 for s in segs["that"] + segs["cat"])
+
+
+def test_bpe_merges_df_shape(spark):
+    out = bpe_merges_df(spark, corpus(spark), "text", n_merges=4).collect()
+    assert [r.step for r in out] == [1, 2, 3, 4]
+    assert all(r.pair_count >= 1 for r in out)
