@@ -1556,11 +1556,13 @@ def _q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, docs, "text", n_merges=_BPE_MERGES)
 
 
-def _sql_tokenizer_bpe() -> str:
+def _sql_bpe_ctes() -> str:
+    """CTE chain: s0 (w, seq, n) then p{i}/b{i}/s{i} per merge step."""
     toks = _SQL_WORDS.format(col="lower(text)").replace(
         "'\\s+'", "'[^a-z0-9]+'")
     parts = [f"""s0 AS (
-  SELECT substring(regexp_replace(w, '(.)', '__\\1', 'g'), 2) || '_' AS seq,
+  SELECT w,
+         substring(regexp_replace(w, '(.)', '__\\1', 'g'), 2) || '_' AS seq,
          n
   FROM (SELECT w, COUNT(*) AS n
         FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w))"""]
@@ -1574,14 +1576,46 @@ def _sql_tokenizer_bpe() -> str:
   SELECT lhs, rhs, cnt FROM p{i}
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)""")
         parts.append(f"""s{i} AS (
-  SELECT replace(seq, '_' || lhs || '__' || rhs || '_',
+  SELECT w, replace(seq, '_' || lhs || '__' || rhs || '_',
                  '_' || lhs || rhs || '_') AS seq, n
   FROM s{i-1} CROSS JOIN b{i})""")
+    return ",\n".join(parts)
+
+
+def _sql_tokenizer_bpe() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count "
         f"FROM b{i}"
         for i in range(1, _BPE_MERGES + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + _sql_bpe_ctes() + "\n" + union
+
+
+def _q_tokenizer_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the LEARNED BPE tokenizer (the real
+    pretraining-budget number; text_token_counts' BPE-ish regex is the
+    train-free estimate)."""
+    from rassengine_spark.llmops.tokenizer import bpe_token_counts
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_token_counts(docs, "text", "doc_id", n_merges=_BPE_MERGES)
+
+
+def _sql_tokenizer_bpe_counts() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    return f"""
+WITH {_sql_bpe_ctes()},
+vocab AS (
+  SELECT w, len(string_split(trim(seq, '_'), '__')) AS nsub
+  FROM s{_BPE_MERGES}),
+docw AS (
+  SELECT doc_id AS id, unnest({toks}) AS w FROM documents),
+per AS (
+  SELECT docw.id, SUM(vocab.nsub) AS bpe_tokens
+  FROM docw JOIN vocab USING (w) GROUP BY docw.id)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(per.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+FROM documents d LEFT JOIN per ON per.id = d.doc_id
+"""
 
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3957,6 +3991,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_datacard": _q_text_datacard,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
+        "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "decontam_ngram_overlap": _q_decontam_overlap,
@@ -4077,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
+        "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),

@@ -51,9 +51,9 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
               ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn `n_merges` BPE merge rules; returns (merges, final_seqs)
     where merges = [(step, lhs, rhs, pair_count)] (step 1-based) and
-    final_seqs = (seq, n) the vocab in its post-merge segmentation."""
+    final_seqs = (w, seq, n) the vocab in its post-merge segmentation."""
     seqs = (word_freqs(df, text_col)
-            .select(_encode(F.col("w")).alias("seq"), "n"))
+            .select("w", _encode(F.col("w")).alias("seq"), "n"))
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         if checkpoint_every and (step - 1) % checkpoint_every == 0:
@@ -76,9 +76,32 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
         a, b, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
         merges.append((step, a, b, cnt))
         seqs = seqs.select(
+            "w",
             F.replace(F.col("seq"), F.lit(f"_{a}__{b}_"),
                       F.lit(f"_{a}{b}_")).alias("seq"), "n")
     return merges, seqs
+
+
+def bpe_token_counts(df: DataFrame, text_col: str, id_col: str,
+                     n_merges: int = 8) -> DataFrame:
+    """(id, bpe_tokens): per-doc token counts under the LEARNED tokenizer
+    — the real pretraining-budget number (text_analysis.token_counts'
+    BPE-ish regex is the train-free estimate). One corpus re-scan joins
+    doc words against the segmented vocab (broadcast-sized next to the
+    corpus); docs with no tokenizable words count 0."""
+    _, seqs = bpe_train(df, text_col, n_merges)
+    vocab = seqs.select("w", F.size(_syms("seq")).alias("_nsub"))
+    # explode_outer keeps zero-token docs as one null-word row, so ONE
+    # (shuffle) join + ONE aggregate covers every doc — the w-keyed
+    # sort-merge join is the right plan when the vocab outgrows broadcast
+    # (100M+ distinct words at web scale)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode_outer(tokenize(F.col(text_col)))
+                      .alias("w"))
+            .join(vocab, "w", "left")
+            .groupBy("id")
+            .agg(F.coalesce(F.sum("_nsub"), F.lit(0))
+                 .alias("bpe_tokens")))
 
 
 def bpe_merges_df(spark: SparkSession, df: DataFrame, text_col: str,

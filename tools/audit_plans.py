@@ -61,6 +61,9 @@ SORT_OK = {
     # bin windows: one <=`bins`-row single-partition window + per-bin
     # sorts bounded by bin width — the deliberate two-phase cumsum shape:
     "split_token_budget",
+    # sort-merge-join sorts on the w join key (corpus words x segmented
+    # vocab — both corpus-scale, broadcast is wrong at 100 TB):
+    "tokenizer_bpe_token_counts",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "events_asof_join", "orders_running_total",
