@@ -159,11 +159,21 @@ def _tpl_label(k: int) -> list[str]:
             for _, labels in NER_TEMPLATES]
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def ner_corpus(spark: SparkSession, n: int = 10000) -> DataFrame:
     """One row per labeled SPAN: (qid, text, span_idx, label, span_start,
     span_end, value); span_start/span_end are 0-based character offsets,
     end-exclusive — the reference fill() convention. Deterministic in qid;
-    generating 10B rows is a single narrow stage."""
+    generating 10B rows is a single narrow stage.
+
+    Value picks use ONE md5 hash per slot (salt ':n{k}') with a
+    CASE-of-array-literals lookup on the slot's label — one hash per
+    slot x 16 hashes-per-slot would blow the projection past the JVM
+    method-size limit and drop the whole stage out of codegen (observed:
+    failed compile + interpreted fallback, ~3x slower per call)."""
     nt = len(NER_TEMPLATES)
     t_idx = (F.conv(F.substring(F.md5(F.concat(
         F.col("id").cast("string"), F.lit(":nt"))), 1, 8), 16, 10)
@@ -173,17 +183,32 @@ def ner_corpus(spark: SparkSession, n: int = 10000) -> DataFrame:
     def at(vals: list[str]):
         return F.element_at(string_array_lit(vals), t_idx + 1)
 
-    parts = [at(_tpl_part(j)) for j in range(_MAX_SLOTS + 1)]
-    labs = [at(_tpl_label(k)) for k in range(_MAX_SLOTS)]
-    vals = []
-    for k in range(_MAX_SLOTS):
-        expr = None
-        for lab, pool in NER_POOLS.items():
-            pick = _pick(pool, f"n{k}:{lab}")
-            expr = (F.when(labs[k] == lab, pick) if expr is None
-                    else expr.when(labs[k] == lab, pick))
-        vals.append(expr.otherwise(F.lit("")))
+    base = spark.range(n).select(
+        "id",
+        *[at(_tpl_part(j)).alias(f"_p{j}") for j in range(_MAX_SLOTS + 1)],
+        *[at(_tpl_label(k)).alias(f"_l{k}") for k in range(_MAX_SLOTS)])
 
+    def val_expr(k: int):
+        arr = " ".join(
+            f"WHEN {_sql_quote(lab)} THEN array("
+            + ",".join(_sql_quote(x) for x in pool) + ")"
+            for lab, pool in NER_POOLS.items())
+        size = " ".join(f"WHEN {_sql_quote(lab)} THEN {len(pool)}"
+                        for lab, pool in NER_POOLS.items())
+        h = (f"cast(conv(substring(md5(concat(cast(id as string), "
+             f"':n{k}')), 1, 8), 16, 10) as bigint)")
+        return F.expr(
+            f"element_at(CASE _l{k} {arr} ELSE array('') END, "
+            f"cast({h} % (CASE _l{k} {size} ELSE 1 END) + 1 as int))")
+
+    withv = base.select(
+        "id", *[f"_p{j}" for j in range(_MAX_SLOTS + 1)],
+        *[f"_l{k}" for k in range(_MAX_SLOTS)],
+        *[val_expr(k).alias(f"_v{k}") for k in range(_MAX_SLOTS)])
+
+    parts = [F.col(f"_p{j}") for j in range(_MAX_SLOTS + 1)]
+    labs = [F.col(f"_l{k}") for k in range(_MAX_SLOTS)]
+    vals = [F.col(f"_v{k}") for k in range(_MAX_SLOTS)]
     text = F.concat(parts[0], vals[0], parts[1], vals[1],
                     parts[2], vals[2], parts[3])
     starts, ends, off = [], [], F.lit(0)
@@ -198,7 +223,7 @@ def ner_corpus(spark: SparkSession, n: int = 10000) -> DataFrame:
                  starts[k].alias("span_start"), ends[k].alias("span_end"),
                  vals[k].alias("value"))
         for k in range(_MAX_SLOTS)])
-    return (spark.range(n)
+    return (withv
             .select(F.col("id").alias("qid"), text.alias("text"),
                     F.explode(spans).alias("s"))
             .filter(F.col("s.label") != "")
@@ -228,8 +253,13 @@ def ner_corpus_sql(n: int = 10000) -> str:
     l = [f"{arr(_tpl_label(k))}[{tidx} + 1]" for k in range(_MAX_SLOTS)]
     v = []
     for k in range(_MAX_SLOTS):
+        # ONE hash per slot (salt ':n{k}'), branch-indexed into the pool —
+        # mirrors the codegen-sized Spark expression exactly
+        h = (f"CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':n{k}'), "
+             f"1, 8) AS BIGINT)")
         whens = " ".join(
-            f"WHEN {q(lab)} THEN {pick(pool, f'n{k}:{lab}')}"
+            f"WHEN {q(lab)} THEN "
+            f"{arr(pool)}[CAST({h} % {len(pool)} + 1 AS INT)]"
             for lab, pool in NER_POOLS.items())
         v.append(f"CASE l{k} {whens} ELSE '' END")
     span_rows = "\nUNION ALL\n".join(
