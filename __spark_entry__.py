@@ -1219,6 +1219,50 @@ GROUP BY exact.query_id
 """
 
 
+def _q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval for the PQ tier: per-query recall@k of ADC
+    scoring against exact dot-product top-k — the measurement loop that
+    tunes m/n_codes at scale (same harness as sim_ivf_recall)."""
+    from rassengine_spark.llmops.pq import pq_adc_topk
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = pq_adc_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                         k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding",
+                                 "vec_id", "qid", k=_PQ_K, metric="dot")
+    return SIM.recall_at_k(approx, exact)
+
+
+def _sql_sim_pq_recall() -> str:
+    dot_vq = ("round(list_dot_product("
+              "list_transform(v, x -> CAST(x AS DOUBLE)), "
+              "list_transform(qv, x -> CAST(x AS DOUBLE))), 6)")
+    exact_sql = f"""
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 5),
+  c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        WHERE vec_id >= 5),
+  scored AS (
+    SELECT q.query_id, c.id, {dot_vq} AS score
+    FROM c CROSS JOIN q)
+  SELECT query_id, id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, id ASC) <= {_PQ_K}"""
+    return f"""
+WITH approx AS ({_sql_sim_pq()}),
+exact AS ({exact_sql})
+SELECT exact.query_id,
+       count(*) AS n_exact,
+       count(approx.id) AS n_matched,
+       round(CAST(count(approx.id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id AND exact.id = approx.id
+GROUP BY exact.query_id
+"""
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: stopword-profile argmax heuristic (Arrow twin;
     expression form stays exported and parity-tested)."""
@@ -3983,6 +4027,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_adc_topk": _q_sim_pq,
         "sim_ivfpq_topk": _q_sim_ivfpq,
         "sim_ivf_recall": _q_sim_ivf_recall,
+        "sim_pq_recall": _q_sim_pq_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -4104,6 +4149,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_adc_topk": _sql_sim_pq(),
         "sim_ivfpq_topk": _sql_sim_ivfpq(),
         "sim_ivf_recall": _sql_sim_ivf_recall(),
+        "sim_pq_recall": _sql_sim_pq_recall(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
