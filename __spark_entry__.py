@@ -1570,6 +1570,57 @@ def _q_split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                              budget=_BUDGET_TOKENS, lo=-12.0, hi=0.0)
 
 
+_MIX_BUDGETS = {"en": 3000, "es": 800, "fr": 800}
+
+
+def _q_split_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted curation (llmops/splits.py::
+    mixture_token_budget_take): each language independently keeps its
+    best LM-scored docs until its own token budget — domain weights
+    applied as per-domain budgets, the mixture-assembly step."""
+    from rassengine_spark.llmops.lm_score import (bigram_lm_score,
+                                                  fit_bigram_lm)
+    from rassengine_spark.llmops.splits import mixture_token_budget_take
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    sc = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, unigrams, vocab = fit_bigram_lm(train, "text", "doc_id")
+    scored = (bigram_lm_score(sc, bigrams, unigrams, vocab,
+                              "text", "doc_id")
+              .filter(F.col("n_bigrams") > 0))
+    meta = sc.select(F.col("doc_id").alias("id"), "lang",
+                     F.size(words_of(F.col("text"))).alias("toks"))
+    j = scored.join(meta, "id").select("id", "lang", "toks", "avg_logp")
+    return mixture_token_budget_take(
+        j, "lang", "avg_logp", "toks", "id",
+        budgets=_MIX_BUDGETS, lo=-12.0, hi=0.0)
+
+
+def _sql_split_mixture_budget() -> str:
+    budget = ("CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in sorted(_MIX_BUDGETS.items()))
+        + " END")
+    langs = ", ".join(f"'{s}'" for s in sorted(_MIX_BUDGETS))
+    return f"""
+WITH {_sql_lm_ctes()},
+mt AS (SELECT doc_id AS id, lang, len(words) AS toks FROM
+       (SELECT doc_id, lang, {_SQL_WORDS.format(col="text")} AS words
+        FROM documents WHERE doc_id % 5 = 0)),
+s AS (
+  SELECT agg.id, mt.lang, mt.toks, agg.avg_logp
+  FROM agg JOIN mt ON agg.id = mt.id
+  WHERE agg.n_bigrams > 0 AND mt.lang IN ({langs})),
+c AS (
+  SELECT id, lang, toks, avg_logp,
+         SUM(toks) OVER (PARTITION BY lang
+                         ORDER BY avg_logp DESC, id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM s)
+SELECT id, lang, toks, avg_logp FROM c WHERE cum <= {budget}
+"""
+
+
 def _sql_split_token_budget() -> str:
     return f"""
 WITH {_sql_lm_ctes()},
@@ -4046,6 +4097,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_hash_sample": _q_split_sample,
         "split_mixture_resample": _q_split_mixture,
         "split_token_budget": _q_split_token_budget,
+        "split_mixture_token_budget": _q_split_mixture_budget,
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
@@ -4168,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "split_hash_sample": _sql_split_sample(),
         "split_mixture_resample": _sql_split_mixture(),
         "split_token_budget": _sql_split_token_budget(),
+        "split_mixture_token_budget": _sql_split_mixture_budget(),
         "pack_sequences": _sql_pack_sequences(),
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,

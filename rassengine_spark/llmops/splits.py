@@ -222,3 +222,42 @@ def token_budget_take(df: DataFrame, score_col: str, tokens_col: str,
     return (d2.withColumn("_cum", cum)
               .filter(F.col("_cum") <= budget)
               .drop("_bin", "_above", "_cum"))
+
+
+def mixture_token_budget_take(df: DataFrame, strata_col: str,
+                              score_col: str, tokens_col: str, id_col: str,
+                              budgets: dict[str, int], lo: float, hi: float,
+                              bins: int = 1000) -> DataFrame:
+    """Per-domain token_budget_take: each stratum independently keeps its
+    best-scored docs until ITS token budget — the mixture-assembly step
+    (domain weights x total budget -> per-domain budgets -> curated mix).
+    Strata absent from `budgets` are dropped. Same two-phase bin-cumsum
+    as token_budget_take with every window additionally partitioned by
+    the stratum, so parallelism is strata x bins and no global window
+    exists."""
+    span = float(hi) - float(lo)
+    raw_bin = F.floor((F.col(score_col) - F.lit(float(lo)))
+                      / F.lit(span) * F.lit(bins))
+    b = F.least(F.greatest(raw_bin, F.lit(0)),
+                F.lit(bins - 1)).cast("int")
+    d = (df.filter(F.col(strata_col).isin(list(budgets)))
+           .withColumn("_bin", b))
+    per_bin = d.groupBy(strata_col, "_bin").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_bt"))
+    wb = (Window.partitionBy(strata_col).orderBy(F.col("_bin").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    above = per_bin.withColumn(
+        "_above", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
+    d2 = d.join(F.broadcast(above.select(strata_col, "_bin", "_above")),
+                [strata_col, "_bin"])
+    win = (Window.partitionBy(strata_col, "_bin")
+           .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.col("_above") + F.sum(F.col(tokens_col).cast("long")).over(win)
+    budget = F.element_at(
+        F.create_map(*[x for s, n in sorted(budgets.items())
+                       for x in (F.lit(s), F.lit(int(n)))]),
+        F.col(strata_col))
+    return (d2.withColumn("_cum", cum)
+              .filter(F.col("_cum") <= budget)
+              .drop("_bin", "_above", "_cum"))

@@ -113,6 +113,33 @@ def bpe_merges_df(spark: SparkSession, df: DataFrame, text_col: str,
         merges, "step int, lhs string, rhs string, pair_count long")
 
 
+def save_bpe(spark: SparkSession, df: DataFrame, text_col: str, path: str,
+             n_merges: int = 8) -> None:
+    """Train and persist the tokenizer artifact: `merges` (the ordered
+    rule list — the whole model) and `vocab` (word -> segmented form, the
+    apply-side lookup table; regenerable from merges but saved so serving
+    never re-trains)."""
+    merges, seqs = bpe_train(df, text_col, n_merges)
+    (spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/merges"))
+    seqs.write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_bpe_merges(spark: SparkSession, path: str
+                    ) -> list[tuple[int, str, str, int]]:
+    rows = (spark.read.parquet(f"{path}/merges").orderBy("step").collect())
+    return [(r.step, r.lhs, r.rhs, int(r.pair_count)) for r in rows]
+
+
+def bpe_segment_from_store(spark: SparkSession, path: str,
+                           word_col) -> "F.Column":
+    """Segmentation expression under the PERSISTED merges — serving never
+    touches the training corpus (merges are a tiny ordered list; the
+    chain of replaces is a pure projection)."""
+    return bpe_segment_expr(word_col, load_bpe_merges(spark, path))
+
+
 def bpe_segment_expr(word_col, merges: list[tuple[int, str, str, int]]
                      ) -> "F.Column":
     """array<string> segmentation of a word column under the learned

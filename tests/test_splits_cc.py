@@ -202,3 +202,36 @@ def test_token_budget_take_equals_global_prefix(spark):
             df, "score", "toks", "id", budget=budget,
             lo=-10.0, hi=0.0, bins=16).collect()}
         assert got == expect, budget
+
+
+def test_mixture_token_budget_take_per_stratum(spark):
+    """Each stratum independently equals its own global ordered prefix;
+    strata without a budget are dropped."""
+    import hashlib
+
+    from rassengine_spark.llmops.splits import mixture_token_budget_take
+
+    rows = []
+    for i in range(150):
+        h = int(hashlib.md5(f"m{i}".encode()).hexdigest()[:8], 16)
+        rows.append((i, ["a", "b", "c"][i % 3],
+                     -10.0 + (h % 1000) / 100.0, 5 + (h % 23)))
+    df = spark.createDataFrame(rows, "id int, d string, score double, toks int")
+    budgets = {"a": 300, "b": 120}
+    got = mixture_token_budget_take(
+        df, "d", "score", "toks", "id", budgets, lo=-10.0, hi=0.0,
+        bins=8).collect()
+    by_d = {}
+    for r in got:
+        by_d.setdefault(r.d, set()).add(r.id)
+    assert set(by_d) <= {"a", "b"}                 # 'c' has no budget
+    for dkey, budget in budgets.items():
+        ordered = sorted((r for r in rows if r[1] == dkey),
+                         key=lambda r: (-r[2], r[0]))
+        run, expect = 0, set()
+        for i, _, s, t in ordered:
+            run += t
+            if run > budget:
+                break
+            expect.add(i)
+        assert by_d.get(dkey, set()) == expect, dkey

@@ -76,3 +76,25 @@ def test_bpe_merges_df_shape(spark):
     out = bpe_merges_df(spark, corpus(spark), "text", n_merges=4).collect()
     assert [r.step for r in out] == [1, 2, 3, 4]
     assert all(r.pair_count >= 1 for r in out)
+
+
+def test_bpe_store_roundtrip(spark, tmp_path):
+    """Persisted merges must reproduce the live segmentation exactly, and
+    the saved vocab must carry the post-merge forms."""
+    from rassengine_spark.llmops.tokenizer import (bpe_segment_from_store,
+                                                   load_bpe_merges,
+                                                   save_bpe)
+    df = corpus(spark)
+    path = str(tmp_path / "bpe")
+    save_bpe(spark, df, "text", path, n_merges=5)
+    live, _ = bpe_train(df, "text", n_merges=5)
+    assert load_bpe_merges(spark, path) == live
+    words = spark.createDataFrame([("that",), ("lowest",)], "w string")
+    a = words.select(
+        bpe_segment_expr(F.col("w"), live).alias("s")).collect()
+    b = words.select(
+        bpe_segment_from_store(spark, path, F.col("w")).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]
+    vocab = {r.w: r.seq for r in
+             spark.read.parquet(f"{path}/vocab").collect()}
+    assert "the" in vocab and vocab["the"].startswith("_")

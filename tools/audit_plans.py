@@ -41,9 +41,9 @@ PYTHON_OK = {
     # composed prep pipeline: its LSH + decontam stages are the same
     # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
     "prep_training_corpus",
-    # composes the lm-score pipeline (same deliberate pass as
+    # compose the lm-score pipeline (same deliberate pass as
     # text_lm_score above):
-    "split_token_budget",
+    "split_token_budget", "split_mixture_token_budget",
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
     # expressions; batch==solo parity-tested):
     "bm25_batch_ranked",
@@ -58,9 +58,9 @@ SORT_OK = {
     "lineitem_quantity_percentiles", "split_hash_assign",
     "split_stratified_take", "split_hash_sample", "split_mixture_resample",
     "pack_sequences", "tpch_q1_pricing", "tpch_q4_late_orders",
-    # bin windows: one <=`bins`-row single-partition window + per-bin
-    # sorts bounded by bin width — the deliberate two-phase cumsum shape:
-    "split_token_budget",
+    # bin windows: one <=`bins`-row (per-stratum) window + per-bin sorts
+    # bounded by bin width — the deliberate two-phase cumsum shape:
+    "split_token_budget", "split_mixture_token_budget",
     # sort-merge-join sorts on the w join key (corpus words x segmented
     # vocab — both corpus-scale, broadcast is wrong at 100 TB):
     "tokenizer_bpe_token_counts",
