@@ -1,0 +1,31 @@
+"""Driver-contract shape guards: the priority rotation and oracle maps
+must stay consistent (a renamed entry would otherwise only fail in the
+driver's environment)."""
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_consistent():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 118
+    assert len(set(q)) == len(q)
+    # every oracle refers to a real query
+    assert set(o) <= set(q)
+    # rows-only remainder is the documented pair, nothing else
+    assert set(q) - set(o) == {"s7_embed_hash_ngram", "sketch_daily_rollup"}
+
+
+def test_driver_cap_window_is_fully_oracle_checked():
+    """The driver hash-compares the FIRST 50 entries; every one of them
+    must have a SQL twin (a rows-only entry in the window wastes a
+    stamp)."""
+    q = list(entrymod.queries())
+    o = entrymod.oracle_sql()
+    missing = [n for n in q[:50] if n not in o]
+    assert not missing, missing
+
+
+def test_priority_names_exist():
+    base = set(entrymod.queries())
+    assert set(entrymod._DRIVER_CHECK_PRIORITY) <= base
