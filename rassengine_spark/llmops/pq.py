@@ -49,12 +49,14 @@ def pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
     """m codebooks of n_codes subvectors each, from the md5-ordered sample
     (the same deterministic quantizer-seeding as similarity.ivf_centroids).
     Driver footprint: n_codes x d doubles."""
-    rows = (corpus
-            .orderBy(F.md5(F.col(id_col).cast("string")))
-            .limit(n_codes)
-            .select(F.col(vec_col).alias("v"))
-            .collect())
-    sample = [[float(x) for x in r.v] for r in rows]
+    from .similarity import md5_sample
+    sample = md5_sample(corpus, vec_col, id_col, n_codes)
+    return split_codebooks(sample, m)
+
+
+def split_codebooks(sample: list[list[float]], m: int
+                    ) -> list[list[list[float]]]:
+    """Split k sampled vectors into m per-subspace codebooks."""
     d = len(sample[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -106,10 +108,17 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     rows of m bytes each — both axes of the 100 TB cost cut at once.
     Cell choice reuses the IVF rounded-cosine argmax; codes and ADC
     tables reuse the PQ machinery. Engine-exact end to end."""
-    from .similarity import _best_cell, _cells_by_affinity, ivf_centroids
+    from .similarity import _best_cell, _cells_by_affinity, md5_sample
 
-    cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
-    cbs = codebooks or pq_codebooks(corpus, vec_col, id_col, m, n_codes)
+    if centroids is None or codebooks is None:
+        # centroids are a PREFIX of the codebook sample (same md5 order)
+        # — one collect seeds both quantizers
+        sample = md5_sample(corpus, vec_col, id_col,
+                            max(n_cells, n_codes))
+        cents = centroids or sample[:n_cells]
+        cbs = codebooks or split_codebooks(sample[:n_codes], m)
+    else:
+        cents, cbs = centroids, codebooks
     enc = corpus.select(
         F.col(id_col).alias("id"),
         _best_cell(F.col(vec_col), cents, round_to).alias("cell"),

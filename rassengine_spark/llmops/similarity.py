@@ -91,19 +91,27 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             .select("query_id", "id", "score", "rank"))
 
 
-def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str,
-                  n_cells: int) -> list[list[float]]:
-    """Deterministic coarse quantizer: the `n_cells` corpus vectors whose
-    md5(id) sorts lowest — a fixed pseudo-random sample, reproducible in
-    any engine. Cell index = rank in that md5 order. The collect is
-    n_cells x dim floats (the same driver-side footprint as a fitted
-    k-means model)."""
+def md5_sample(corpus: DataFrame, vec_col: str, id_col: str,
+               k: int) -> list[list[float]]:
+    """The `k` corpus vectors whose md5(id) sorts lowest — a fixed
+    pseudo-random sample, reproducible in any engine, shared by every
+    deterministic quantizer here (IVF centroids, PQ codebooks): a prefix
+    of the sample IS the smaller quantizer, so composed tiers collect
+    ONE sample."""
     rows = (corpus
             .orderBy(F.md5(F.col(id_col).cast("string")))
-            .limit(n_cells)
+            .limit(k)
             .select(F.col(vec_col).alias("v"))
             .collect())
     return [[float(x) for x in r.v] for r in rows]
+
+
+def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str,
+                  n_cells: int) -> list[list[float]]:
+    """Deterministic coarse quantizer: cell index = rank in the md5
+    sample order. The collect is n_cells x dim floats (the same
+    driver-side footprint as a fitted k-means model)."""
+    return md5_sample(corpus, vec_col, id_col, n_cells)
 
 
 def _cell_affinities(vec: Column, centroids: list[list[float]],
