@@ -1343,6 +1343,58 @@ FROM documents
 """
 
 
+def _q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 app. A1.1;
+    llmops/text_analysis.py::gopher_flags): per-doc counts + one boolean
+    per rule + composite keep. Integer cross-multiplied thresholds —
+    no FP ratio feeds a comparison."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.gopher_flags(docs, "text", "doc_id")
+
+
+def _sql_text_gopher() -> str:
+    words = _SQL_WORDS.format(col="t")
+    stops = ", ".join(f"'{w}'" for w in TA.STOPWORDS_EN)
+    return f"""
+WITH d AS (SELECT doc_id AS id, COALESCE(text, '') AS t FROM documents),
+w AS (
+  SELECT id, {words} AS words,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM d),
+c AS (
+  SELECT id,
+         len(words) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(words, x -> len(x))), 0)
+              AS BIGINT) AS wchars,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+           AS n_bullet_lines,
+         len(list_filter(lines, l -> l LIKE '%...')) AS n_ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha_words,
+         len(list_intersect(list_transform(words, x -> lower(x)),
+                            [{stops}])) AS stop_hits
+  FROM w)
+SELECT id, n_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+       n_alpha_words, stop_hits,
+       (n_words < 50 OR n_words > 100000) AS flag_word_count,
+       (wchars < 3 * n_words OR wchars > 10 * n_words)
+         AS flag_mean_word_len,
+       (10 * n_bullet_lines > 9 * n_lines) AS flag_bullet_lines,
+       (10 * n_ellipsis_lines > 3 * n_lines) AS flag_ellipsis_lines,
+       (10 * n_alpha_words < 8 * n_words) AS flag_alpha_words,
+       (stop_hits < 2) AS flag_stopwords,
+       NOT ((n_words < 50 OR n_words > 100000)
+            OR (wchars < 3 * n_words OR wchars > 10 * n_words)
+            OR (10 * n_bullet_lines > 9 * n_lines)
+            OR (10 * n_ellipsis_lines > 3 * n_lines)
+            OR (10 * n_alpha_words < 8 * n_words)
+            OR (stop_hits < 2)) AS keep
+FROM c
+"""
+
+
 def _q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card: one ROLLUP pass over (lang, source) — doc counts,
     global exact-dup membership, token volume, length means at every
@@ -4084,6 +4136,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "text_gopher_flags": _q_text_gopher,
         "text_datacard": _q_text_datacard,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
@@ -4207,6 +4260,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKENS,
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
+        "text_gopher_flags": _sql_text_gopher(),
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),

@@ -457,3 +457,56 @@ def pii_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(f"n_{name}")
           for name, p in PII_PATTERNS.items()],
         pii_redact(t).alias("redacted"))
+
+
+def gopher_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public —
+    "Scaling Language Models", app. A1.1): word-count window, mean word
+    length window, bullet/ellipsis line fractions, alpha-word fraction,
+    minimum stopword hits. One row per doc with the raw counts, one
+    boolean per rule, and the composite `keep`.
+
+    Every threshold is an INTEGER cross-multiplication (10*bullets >
+    9*lines instead of bullets/lines > 0.9): no FP ratio ever feeds a
+    comparison, so flags are engine-exact by construction. Everything is
+    a per-row codegen projection — the filter costs one scan at any
+    corpus size."""
+    from ..sources.chunker import words_of
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = words_of(t)
+    n_words = F.size(words)
+    total_wchars = F.aggregate(words, F.lit(0),
+                               lambda a, w: a + F.length(w))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("-")
+        | F.trim(l).startswith("*")))
+    n_ellipsis = F.size(F.filter(lines,
+                                 lambda l: F.trim(l).endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.transform(words, F.lower),
+        F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+
+    f_words = (n_words < 50) | (n_words > 100000)
+    f_wlen = (total_wchars < 3 * n_words) | (total_wchars > 10 * n_words)
+    f_bullet = 10 * n_bullet > 9 * n_lines
+    f_ellipsis = 10 * n_ellipsis > 3 * n_lines
+    f_alpha = 10 * n_alpha < 8 * n_words
+    f_stop = stop_hits < 2
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"), n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"), stop_hits.alias("stop_hits"),
+        f_words.alias("flag_word_count"),
+        f_wlen.alias("flag_mean_word_len"),
+        f_bullet.alias("flag_bullet_lines"),
+        f_ellipsis.alias("flag_ellipsis_lines"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (~(f_words | f_wlen | f_bullet | f_ellipsis | f_alpha | f_stop))
+        .alias("keep"))

@@ -640,3 +640,20 @@ def test_ivfpq_probe_prunes_cells(spark):
                         centroids=cents).collect()
     assert len(out) == 5
     assert all(r.id <= 10 for r in out), [r.id for r in out]
+
+
+def test_gopher_flags_rules(spark):
+    long_ok = " ".join(f"word{i%7} the and for that with this from"
+                       .split()[i % 8] for i in range(80))
+    rows = [
+        (1, long_ok),                                     # passes all rules
+        (2, "short text"),                                # too few words
+        (3, "\n".join("- item %d here" % i for i in range(20))),  # bullets
+        (4, " ".join("a" for _ in range(60))),            # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r for r in TA.gopher_flags(df, "text", "id").collect()}
+    assert out[1].keep
+    assert out[2].flag_word_count and not out[2].keep
+    assert out[3].flag_bullet_lines and not out[3].keep
+    assert out[4].flag_mean_word_len and not out[4].keep
