@@ -1586,7 +1586,6 @@ agg AS (
 
 
 def _sql_text_lm_score() -> str:
-    words = _SQL_WORDS.format(col="text")
     return f"""
 WITH {_sql_lm_ctes()}
 SELECT id, n_bigrams, avg_logp FROM agg
@@ -1722,10 +1721,18 @@ def _sql_bpe_ctes() -> str:
         parts.append(f"""b{i} AS (
   SELECT lhs, rhs, cnt FROM p{i}
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
+        # pairs before _BPE_MERGES steps, b{i} is EMPTY — a cross join
+        # would wipe s{i} and every later stage (oracle: 0 tokens
+        # everywhere) while Spark's bpe_train break keeps the last vocab.
+        # With the left join, an empty b{i} passes s{i-1} through.
         parts.append(f"""s{i} AS (
-  SELECT w, replace(seq, '_' || lhs || '__' || rhs || '_',
-                 '_' || lhs || rhs || '_') AS seq, n
-  FROM s{i-1} CROSS JOIN b{i})""")
+  SELECT w,
+         CASE WHEN lhs IS NULL THEN seq
+              ELSE replace(seq, '_' || lhs || '__' || rhs || '_',
+                           '_' || lhs || rhs || '_') END AS seq,
+         n
+  FROM s{i-1} LEFT JOIN b{i} ON TRUE)""")
     return ",\n".join(parts)
 
 

@@ -271,14 +271,19 @@ def incremental_minhash_pairs(new_df: DataFrame, store: DataFrame,
                               text_col: str, id_col: str,
                               shingle_n: int = 3, num_hashes: int = 16,
                               bands: int = 4, threshold: float = 0.5,
-                              round_to: int = 6) -> DataFrame:
+                              round_to: int = 6,
+                              new_banded: DataFrame | None = None
+                              ) -> DataFrame:
     """(id_old, id_new, est_jaccard) pairs between the historical `store`
     (a minhash_store_frame / loaded save_minhash_store table) and a new
     batch: band-bucket join on the broadcast new side, then the signature
     Jaccard estimate filters at `threshold`. In-batch duplicates are the
-    existing minhash_lsh_pairs' job — compose both for a full increment."""
-    new_banded = minhash_store_frame(new_df, text_col, id_col, shingle_n,
-                                     num_hashes, bands)
+    existing minhash_lsh_pairs' job — compose both for a full increment.
+    Pass `new_banded` (a precomputed minhash_store_frame of new_df) to
+    reuse signatures the caller also appends to the store."""
+    if new_banded is None:
+        new_banded = minhash_store_frame(new_df, text_col, id_col,
+                                         shingle_n, num_hashes, bands)
     cand = (store.join(
                 F.broadcast(new_banded
                             .select(F.col("id").alias("id_new"),

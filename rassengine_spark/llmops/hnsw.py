@@ -165,6 +165,35 @@ class _HNSW:
         return [n for _, n in self._search_layer(q, cur, ef, 0)]
 
 
+def _shard_topk(ids: list[int], raw: list[list[float]], g: "_HNSW | None",
+                qs: list[tuple[int, list[float]]], k: int,
+                ef_search: int) -> tuple[list[int], list[int], list[float]]:
+    """Per-shard scoring shared by the live and persisted paths:
+    g=None => exact local scan (the degenerate/oracle mode); else beam
+    search over the graph, candidates rescored with the engine-exact
+    cosine on the RAW vectors. One implementation keeps the two paths
+    bit-identical by construction."""
+    out_q: list[int] = []
+    out_i: list[int] = []
+    out_s: list[float] = []
+    if g is None:
+        for qid, qv in qs:
+            top = sorted(((_cos_exact(v, qv), -i)
+                          for i, v in zip(ids, raw)), reverse=True)[:k]
+            for s, neg_i in top:
+                out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+    else:
+        for qid, qv in qs:
+            qn = np.asarray(qv, dtype=np.float64)
+            qn = qn / (np.linalg.norm(qn) + 1e-12)
+            cand = g.search(qn, max(ef_search, k))
+            top = sorted(((_cos_exact(raw[j], qv), -ids[j])
+                          for j in cand), reverse=True)[:k]
+            for s, neg_i in top:
+                out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+    return out_q, out_i, out_s
+
+
 def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
               id_col: str, query_id_col: str, k: int = 5, m: int = 8,
               ef_construction: int = 64, ef_search: int = 32,
@@ -189,33 +218,15 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             raw.extend([float(x) for x in v] for v in pdf["v"])
         if not ids:
             return
-        n = len(ids)
-        out_q: list[int] = []
-        out_i: list[int] = []
-        out_s: list[float] = []
-        if ef_search >= n:
-            # exhaustive degenerate mode: exact local scan
-            for qid, qv in qs:
-                top = sorted(((_cos_exact(v, qv), -i)
-                              for i, v in zip(ids, raw)),
-                             reverse=True)[:k]
-                for s, neg_i in top:
-                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        if ef_search >= len(ids):
+            g = None          # exhaustive degenerate mode: exact scan
         else:
             mat = np.asarray(raw, dtype=np.float64)
             normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
             g = _HNSW(m=m, ef_construction=ef_construction)
             for row, ident in zip(normed, ids):
                 g.add(row, str(ident))
-            for qid, qv in qs:
-                qn = np.asarray(qv, dtype=np.float64)
-                qn = qn / (np.linalg.norm(qn) + 1e-12)
-                cand = g.search(qn, max(ef_search, k))
-                # final scores via the engine-exact cosine on RAW vectors
-                top = sorted(((_cos_exact(raw[j], qv), -ids[j])
-                              for j in cand), reverse=True)[:k]
-                for s, neg_i in top:
-                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        out_q, out_i, out_s = _shard_topk(ids, raw, g, qs, k, ef_search)
         yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                             "id": pd.Series(out_i, dtype="int64"),
                             "score": pd.Series(out_s, dtype="float64")})
@@ -304,17 +315,8 @@ def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
         pdf = pdf.sort_values("node")
         ids = [int(i) for i in pdf["id"]]
         raw = [[float(x) for x in v] for v in pdf["v"]]
-        n = len(ids)
-        out_q: list[int] = []
-        out_i: list[int] = []
-        out_s: list[float] = []
-        if ef_search >= n:
-            for qid, qv in qs:
-                top = sorted(((_cos_exact(v, qv), -i)
-                              for i, v in zip(ids, raw)),
-                             reverse=True)[:k]
-                for s, neg_i in top:
-                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        if ef_search >= len(ids):
+            g = None
         else:
             mat = np.asarray(raw, dtype=np.float64)
             g = _HNSW()
@@ -325,14 +327,7 @@ def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
                      for a in pdf["adj"]]
             g.entry = int(pdf["entry"].iloc[0])
             g.max_level = int(pdf["max_level"].iloc[0])
-            for qid, qv in qs:
-                qn = np.asarray(qv, dtype=np.float64)
-                qn = qn / (np.linalg.norm(qn) + 1e-12)
-                cand = g.search(qn, max(ef_search, k))
-                top = sorted(((_cos_exact(raw[j], qv), -ids[j])
-                              for j in cand), reverse=True)[:k]
-                for s, neg_i in top:
-                    out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+        out_q, out_i, out_s = _shard_topk(ids, raw, g, qs, k, ef_search)
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "id": pd.Series(out_i, dtype="int64"),
                              "score": pd.Series(out_s, dtype="float64")})

@@ -94,6 +94,32 @@ def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
         pq_code_expr(F.col(vec_col), codebooks, round_to).alias("codes"))
 
 
+def _adc_query_tables(queries: DataFrame, vec_col: str, query_id_col: str,
+                      cbs: list[list[list[float]]]) -> DataFrame:
+    """Collect the (bounded) query batch and build each query's
+    m x n_codes ADC lookup table with the engine-exact driver-side fold;
+    returns (query_id, tab) ready to broadcast."""
+    q_rows = (queries.select(F.col(query_id_col).cast("long"),
+                             F.col(vec_col)).collect())
+    sub = len(cbs[0][0])
+    tabs = [(int(r[0]),
+             [[_dot_py([float(x) for x in r[1]][j * sub:(j + 1) * sub], c)
+               for c in cbs[j]] for j in range(len(cbs))])
+            for r in q_rows]
+    return queries.sparkSession.createDataFrame(
+        tabs, "query_id long, tab array<array<double>>")
+
+
+def _adc_score(round_to: int):
+    """score = sum_j tab[j][codes[j]], folded in subspace order."""
+    contribs = F.transform(
+        F.col("codes"),
+        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
+                                  c + 1))
+    return F.round(
+        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x), round_to)
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                id_col: str, query_id_col: str, k: int = 5,
                n_cells: int = 8, n_probe: int = 2, m: int = 8,
@@ -129,24 +155,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     qprobe = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
-    q_rows = (queries.select(F.col(query_id_col).cast("long"),
-                             F.col(vec_col)).collect())
-    sub = len(cbs[0][0])
-    tabs = [(int(r[0]),
-             [[_dot_py([float(x) for x in r[1]][j * sub:(j + 1) * sub], c)
-               for c in cbs[j]] for j in range(len(cbs))])
-            for r in q_rows]
-    qdf = corpus.sparkSession.createDataFrame(
-        tabs, "query_id long, tab array<array<double>>")
-
+    qdf = _adc_query_tables(queries, vec_col, query_id_col, cbs)
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
-                                  c + 1))
-    score = F.round(
-        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x), round_to)
-    return (_per_query_topk(joined.withColumn("score", score), k)
+    return (_per_query_topk(
+                joined.withColumn("score", _adc_score(round_to)), k)
             .select("query_id", "id", "score", "rank"))
 
 
@@ -161,26 +173,8 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     array lookups + m-1 adds. Returns (query_id, id, score, rank)."""
     cbs = codebooks or pq_codebooks(corpus, vec_col, id_col, m, n_codes)
     enc = pq_encode(corpus, vec_col, id_col, cbs, round_to)
-
-    q_rows = (queries.select(F.col(query_id_col).cast("long"),
-                             F.col(vec_col)).collect())
-    spark = corpus.sparkSession
-    tabs = []
-    for r in q_rows:
-        qv = [float(x) for x in r[1]]
-        sub = len(cbs[0][0])
-        tabs.append((int(r[0]),
-                     [[_dot_py(qv[j * sub:(j + 1) * sub], c)
-                       for c in cbs[j]] for j in range(len(cbs))]))
-    qdf = spark.createDataFrame(
-        tabs, "query_id long, tab array<array<double>>")
-
+    qdf = _adc_query_tables(queries, vec_col, query_id_col, cbs)
     joined = enc.crossJoin(F.broadcast(qdf))
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
-                                  c + 1))
-    score = F.round(
-        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x), round_to)
-    return (_per_query_topk(joined.withColumn("score", score), k)
+    return (_per_query_topk(
+                joined.withColumn("score", _adc_score(round_to)), k)
             .select("query_id", "id", "score", "rank"))

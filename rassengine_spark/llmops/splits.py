@@ -201,27 +201,13 @@ def token_budget_take(df: DataFrame, score_col: str, tokens_col: str,
         sees the whole corpus. Binning is an implementation detail: any
         monotone binning yields exactly the global-order result because
         within-bin ordering matches the global tie-break.
-    Precondition: `score_col` non-null (filter unscored docs first)."""
-    span = float(hi) - float(lo)
-    raw_bin = F.floor((F.col(score_col) - F.lit(float(lo)))
-                      / F.lit(span) * F.lit(bins))
-    b = F.least(F.greatest(raw_bin, F.lit(0)),
-                F.lit(bins - 1)).cast("int")
-    d = df.withColumn("_bin", b)
-    per_bin = d.groupBy("_bin").agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("_bt"))
-    wb = (Window.orderBy(F.col("_bin").desc())
-          .rowsBetween(Window.unboundedPreceding, -1))
-    above = per_bin.withColumn(
-        "_above", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
-    d2 = d.join(F.broadcast(above.select("_bin", "_above")), "_bin")
-    win = (Window.partitionBy("_bin")
-           .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-           .rowsBetween(Window.unboundedPreceding, 0))
-    cum = F.col("_above") + F.sum(F.col(tokens_col).cast("long")).over(win)
-    return (d2.withColumn("_cum", cum)
-              .filter(F.col("_cum") <= budget)
-              .drop("_bin", "_above", "_cum"))
+    Precondition: `score_col` non-null (filter unscored docs first).
+    Implemented as the single-stratum case of mixture_token_budget_take
+    (one shared pipeline — fixes apply to both)."""
+    return (mixture_token_budget_take(
+        df.withColumn("_stratum", F.lit("all")), "_stratum", score_col,
+        tokens_col, id_col, {"all": int(budget)}, lo, hi, bins)
+        .drop("_stratum"))
 
 
 def mixture_token_budget_take(df: DataFrame, strata_col: str,

@@ -127,6 +127,9 @@ def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    # pin the tiny probe frame: the collect below AND the join reuse it,
+    # so the affinity expressions evaluate once per serve call
+    q = q.localCheckpoint()
     probe_cells = sorted({r.cell for r in q.select("cell").collect()})
     c = (spark.read.parquet(f"{path}/assignments")
          .filter(F.col("cell").isin(probe_cells)))

@@ -24,8 +24,6 @@ the state, on disk, shared with the batch tier.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,23 +50,32 @@ def stream_dedup_ingest(spark: SparkSession, input_dir: str,
         if batch_df.isEmpty():
             return
         batch = exact_dedup(batch_df, "text", "doc_id")
-        if os.path.exists(os.path.join(store_path, "_SUCCESS")) or (
-                os.path.isdir(store_path) and os.listdir(store_path)):
+        # existence probe through Spark's filesystem layer (NOT os.path:
+        # the store may be file:/, hdfs://, s3a://, ... — a local-only
+        # check would silently disable dedup against history)
+        try:
             store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        # signature the batch ONCE; both the pairing and the store append
+        # reuse this frame (shingling is the dominant per-batch cost)
+        sigs = minhash_store_frame(batch, "text", "doc_id", shingle_n,
+                                   num_hashes, bands).localCheckpoint()
+        if store is not None:
             pairs = incremental_minhash_pairs(
                 batch, store, "text", "doc_id", shingle_n=shingle_n,
-                num_hashes=num_hashes, bands=bands, threshold=threshold)
+                num_hashes=num_hashes, bands=bands, threshold=threshold,
+                new_banded=sigs)
             # one tiny frame reused twice (quarantine write + anti-join)
             pairs = pairs.localCheckpoint()
             (pairs.withColumn("batch_id", F.lit(batch_id))
                   .write.mode("append").parquet(dupes_dir))
             losers = pairs.select(F.col("id_new").alias("doc_id")).distinct()
             batch = batch.join(losers, "doc_id", "left_anti")
-        batch = batch.localCheckpoint()   # feeds two writes below
+            sigs = sigs.join(losers.select(F.col("doc_id").alias("id")),
+                             "id", "left_anti")
         batch.write.mode("append").parquet(corpus_dir)
-        (minhash_store_frame(batch, "text", "doc_id", shingle_n,
-                             num_hashes, bands)
-         .write.partitionBy("band").mode("append").parquet(store_path))
+        (sigs.write.partitionBy("band").mode("append").parquet(store_path))
 
     writer = (raw.writeStream
               .option("checkpointLocation", checkpoint_dir)
