@@ -98,3 +98,29 @@ def test_bpe_store_roundtrip(spark, tmp_path):
     vocab = {r.w: r.seq for r in
              spark.read.parquet(f"{path}/vocab").collect()}
     assert "the" in vocab and vocab["the"].startswith("_")
+
+
+def test_bpe_oracle_matches_when_merges_exhaust(spark):
+    """A pair-poor corpus stops merging before _BPE_MERGES on both
+    engines: Spark's early break and the oracle's LEFT JOIN stages must
+    agree on merges AND token counts (a CROSS JOIN oracle would zero
+    every count here)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from rassengine_spark.llmops.tokenizer import bpe_token_counts
+
+    rows = [(1, "ab cd"), (2, "ab cd"), (3, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = bpe_train(df, "text", n_merges=entrymod._BPE_MERGES)
+    assert len(merges) < entrymod._BPE_MERGES          # really exhausts
+    counts = {r.id: r.bpe_tokens for r in
+              bpe_token_counts(df, "text", "doc_id",
+                               n_merges=entrymod._BPE_MERGES).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert dict(con.sql(entrymod._sql_tokenizer_bpe_counts()).fetchall()) \
+        == counts
+    assert [tuple(r) for r in
+            con.sql(entrymod._sql_tokenizer_bpe()).fetchall()] == merges
