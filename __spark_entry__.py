@@ -1138,6 +1138,98 @@ FROM scored QUALIFY rank <= {_PQ_K}
 """
 
 
+def _q_sim_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (llmops/pq.py::ivfpq_residual_topk): candidates
+    carry PQ codes of (v - centroid[cell]); score = dot(q, centroid) +
+    ADC residual sum — quantization error bounded by the cell radius."""
+    from rassengine_spark.llmops.pq import ivfpq_residual_topk
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivfpq_residual_topk(corpus, queries_df, "embedding", "vec_id",
+                               "qid", k=_PQ_K, n_cells=_IVF_CELLS,
+                               n_probe=_IVF_PROBE, m=_PQ_M,
+                               n_codes=_PQ_CODES)
+
+
+def _sql_sim_ivfpq_res() -> str:
+    sub = 64 // _PQ_M
+    d = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+         "list_transform({b}, x -> CAST(x AS DOUBLE)))")
+    aff = (f"round({d.format(a='cs', b='s')} - 0.5 * "
+           f"{d.format(a='cs', b='cs')}, 6)")
+    cos_cv = _SQL_COS.format(a="cv", b="v")
+    cos_cq = _SQL_COS.format(a="cv", b="qv")
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       WHERE vec_id >= 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}),
+cassign AS (
+  SELECT id, v, cell FROM (
+    SELECT c0.id, c0.v, cent.cell,
+           row_number() OVER (PARTITION BY c0.id
+                              ORDER BY {cos_cv} DESC, cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+rres AS (
+  SELECT cassign.id, cassign.cell,
+         list_transform(list_zip(cassign.v, cent.cv),
+                        p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           AS r
+  FROM cassign JOIN cent USING (cell)),
+rcb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS code,
+         r AS rv
+  FROM rres ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PQ_CODES}),
+js AS (SELECT CAST(j AS INT) AS j
+       FROM UNNEST(generate_series(0, {_PQ_M - 1})) t(j)),
+rcbsub AS (SELECT code, j, rv[j*{sub}+1 : j*{sub}+{sub}] AS cs
+           FROM rcb CROSS JOIN js),
+rsub AS (SELECT id, j, r[j*{sub}+1 : j*{sub}+{sub}] AS s
+         FROM rres CROSS JOIN js),
+ccodes AS (
+  SELECT id, j, code FROM (
+    SELECT rsub.id, rsub.j, rcbsub.code,
+           row_number() OVER (PARTITION BY rsub.id, rsub.j
+                              ORDER BY {aff} DESC, rcbsub.code ASC) AS rn
+    FROM rsub JOIN rcbsub ON rsub.j = rcbsub.j) WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q0.query_id, q0.qv, cent.cell,
+           row_number() OVER (PARTITION BY q0.query_id
+                              ORDER BY {cos_cq} DESC, cent.cell ASC) AS rn
+    FROM q0 CROSS JOIN cent) WHERE rn <= {_IVF_PROBE}),
+cand AS (
+  SELECT qprobe.query_id, cassign.id,
+         {d.format(a='qprobe.qv', b='cent.cv')} AS base
+  FROM qprobe JOIN cassign USING (cell) JOIN cent USING (cell)),
+qsub AS (SELECT query_id, qv[j*{sub}+1 : j*{sub}+{sub}] AS qs, j
+         FROM q0 CROSS JOIN js),
+contrib AS (
+  SELECT cand.query_id, cand.id, ccodes.j,
+         {d.format(a='qs', b='cs')} AS x
+  FROM cand
+  JOIN ccodes ON ccodes.id = cand.id
+  JOIN rcbsub ON rcbsub.j = ccodes.j AND rcbsub.code = ccodes.code
+  JOIN qsub ON qsub.query_id = cand.query_id AND qsub.j = ccodes.j),
+sumt AS (
+  SELECT query_id, id, SUM(x ORDER BY j) AS adc
+  FROM contrib GROUP BY query_id, id),
+scored AS (
+  SELECT s.query_id, s.id, round(s.adc + c.base, 6) AS score
+  FROM sumt s JOIN cand c ON c.query_id = s.query_id AND c.id = s.id)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
 def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over the int8-quantized corpus (4x narrower vector storage —
     the scan-cost tier for 100 TB embedding columns); floor-based
@@ -4136,6 +4228,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
         "sim_ivfpq_topk": _q_sim_ivfpq,
+        "sim_ivfpq_residual_topk": _q_sim_ivfpq_res,
         "sim_ivf_recall": _q_sim_ivf_recall,
         "sim_pq_recall": _q_sim_pq_recall,
         "text_langid": _q_text_langid,
@@ -4260,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
         "sim_pq_adc_topk": _sql_sim_pq(),
         "sim_ivfpq_topk": _sql_sim_ivfpq(),
+        "sim_ivfpq_residual_topk": _sql_sim_ivfpq_res(),
         "sim_ivf_recall": _sql_sim_ivf_recall(),
         "sim_pq_recall": _sql_sim_pq_recall(),
         "text_langid": _sql_text_langid(),

@@ -162,6 +162,80 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             .select("query_id", "id", "score", "rank"))
 
 
+def residual_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
+                       centroids: list[list[float]], m: int,
+                       n_codes: int, round_to: int = 6
+                       ) -> list[list[list[float]]]:
+    """PQ codebooks trained on RESIDUALS (v - centroid[cell]) — the
+    quantity residual-IVFADC actually encodes. The sample is collected
+    through the same engine-exact expressions that encode the corpus
+    (cell argmax + zip_with subtraction), so the oracle reproduces it."""
+    from ..util import double_matrix_lit
+    from .similarity import _best_cell
+
+    cent = double_matrix_lit(centroids)
+    cell = _best_cell(F.col(vec_col), centroids, round_to)
+    resid = F.zip_with(F.col(vec_col), F.element_at(cent, cell + 1),
+                       lambda x, c: x.cast("double") - c)
+    rows = (corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_codes).select(resid.alias("r")).collect())
+    return split_codebooks([[float(x) for x in r.r] for r in rows], m)
+
+
+def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
+                        vec_col: str, id_col: str, query_id_col: str,
+                        k: int = 5, n_cells: int = 8, n_probe: int = 2,
+                        m: int = 8, n_codes: int = 16,
+                        round_to: int = 6,
+                        centroids: list[list[float]] | None = None
+                        ) -> DataFrame:
+    """Residual IVFADC (the full FAISS IVF-PQ layout): candidates are
+    encoded as PQ codes of (v - centroid[cell]), and a query's score is
+    dot(q, centroid[cell]) + sum_j tab[j][code_j] — the centroid term
+    recovers the coarse geometry the residual codes no longer carry, so
+    quantization error is bounded by the CELL radius, not the corpus
+    radius. Same scan shape as ivfpq_topk (cell-pruned, m bytes/row);
+    the base term adds one dot against a plan literal per candidate.
+    Engine-exact: the base is added to the ADC sum AFTER the j-ordered
+    fold (FP addition is commutative, so `sum + base` == the oracle's
+    `base + sum` bit-for-bit)."""
+    from ..util import double_matrix_lit
+    from .similarity import _best_cell, _cells_by_affinity, md5_sample
+
+    cents = centroids or md5_sample(corpus, vec_col, id_col, n_cells)
+    rcbs = residual_codebooks(corpus, vec_col, id_col, cents, m, n_codes,
+                              round_to)
+    cent = double_matrix_lit(cents)
+
+    with_cell = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
+    resid = F.zip_with(F.col("v"), F.element_at(cent, F.col("cell") + 1),
+                       lambda x, c: x.cast("double") - c)
+    enc = with_cell.select(
+        "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
+
+    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
+                     1, n_probe)
+    qprobe = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    qdf = _adc_query_tables(queries, vec_col, query_id_col, rcbs)
+
+    joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
+    base = dot(F.col("qv"), F.element_at(cent, F.col("cell") + 1))
+    contribs = F.transform(
+        F.col("codes"),
+        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
+                                  c + 1))
+    score = F.round(
+        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x) + base,
+        round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))
+
+
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                 id_col: str, query_id_col: str, k: int = 5, m: int = 8,
                 n_codes: int = 16, round_to: int = 6,

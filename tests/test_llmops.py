@@ -657,3 +657,29 @@ def test_gopher_flags_rules(spark):
     assert out[2].flag_word_count and not out[2].keep
     assert out[3].flag_bullet_lines and not out[3].keep
     assert out[4].flag_mean_word_len and not out[4].keep
+
+
+def test_ivfpq_residual_refines_within_cell(spark):
+    """Residual codes bound quantization error by the CELL radius: on
+    clustered data the residual tier must (a) only return candidates
+    from the query's hemisphere under 1 probe, and (b) place a corpus
+    vector nearly identical to the query at rank 1 — raw-vector PQ at
+    the same tiny codebook cannot be relied on for that."""
+    from rassengine_spark.llmops import pq as PQ
+    rows = ([(i, [1.0 + 0.01 * i] + [0.05 * ((i + j) % 3)
+                                     for j in range(7)])
+             for i in range(1, 11)]
+            + [(i, [-1.0 - 0.01 * i] + [0.05 * ((i + j) % 3)
+                                        for j in range(7)])
+               for i in range(11, 21)])
+    c = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    # query == vector 5's coordinates exactly
+    qs = spark.createDataFrame([(100, rows[4][1])],
+                               "qid int, v array<double>")
+    cents = [[1.0] + [0.0] * 7, [-1.0] + [0.0] * 7]
+    out = PQ.ivfpq_residual_topk(c, qs, "v", "vec_id", "qid", k=5,
+                                 n_probe=1, m=4, n_codes=10,
+                                 centroids=cents).collect()
+    assert len(out) == 5
+    assert all(r.id <= 10 for r in out), [r.id for r in out]
+    assert out[0].rank == 1
