@@ -298,6 +298,69 @@ def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
       .write.partitionBy("part_id").mode("overwrite").parquet(path))
 
 
+def hnsw_topk_from_store_df(spark, path: str, queries: DataFrame,
+                            vec_col: str, query_id_col: str, k: int = 5,
+                            ef_search: int = 32,
+                            round_to: int | None = 6) -> DataFrame:
+    """Serve the persisted graphs against a query DATAFRAME — no driver
+    collect, so the query side can be unbounded (a stream's micro-batch,
+    a query log). Each shard must see every query: the query table is
+    replicated per shard with a broadcast cross-join against the shard id
+    list (Q x P rows of (id, vector) — the standard scatter for
+    shard-local indexes), then a cogroup pairs each shard's graph rows
+    with its query copy and one applyInPandas searches them together.
+    Result merge is the usual per-query window rank."""
+    graphs = spark.read.parquet(path)
+    # separate read: deriving parts from `graphs` would make the cogroup
+    # an ambiguous self-join on part_id
+    parts = spark.read.parquet(path).select("part_id").distinct()
+    qrep = (queries.select(F.col(query_id_col).cast("long").alias("qid"),
+                           F.col(vec_col).alias("qv"))
+            .crossJoin(F.broadcast(parts)))
+
+    def search(key, g_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        qs = [(int(r.qid), [float(x) for x in r.qv])
+              for r in q_pdf.itertuples()]
+        if not len(g_pdf) or not qs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        out_q, out_i, out_s = _shard_topk(
+            *_reconstruct(g_pdf, ef_search), qs, k, ef_search)
+        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                             "id": pd.Series(out_i, dtype="int64"),
+                             "score": pd.Series(out_s, dtype="float64")})
+
+    res = (graphs.groupBy("part_id")
+           .cogroup(qrep.groupBy("part_id"))
+           .applyInPandas(search,
+                          "query_id bigint, id bigint, score double"))
+    if round_to is not None:
+        res = res.withColumn("score", F.round("score", round_to))
+    return _per_query_topk(res, k).select("query_id", "id", "score", "rank")
+
+
+def _reconstruct(pdf: pd.DataFrame, ef_search: int):
+    """(ids, raw, graph-or-None) from one shard's persisted rows."""
+    import json
+
+    pdf = pdf.sort_values("node")
+    ids = [int(i) for i in pdf["id"]]
+    raw = [[float(x) for x in v] for v in pdf["v"]]
+    if ef_search >= len(ids):
+        return ids, raw, None
+    mat = np.asarray(raw, dtype=np.float64)
+    g = _HNSW()
+    g.vecs = list(
+        mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12))
+    g.adj = [{int(l): list(nbrs) for l, nbrs in json.loads(a).items()}
+             for a in pdf["adj"]]
+    g.entry = int(pdf["entry"].iloc[0])
+    g.max_level = int(pdf["max_level"].iloc[0])
+    return ids, raw, g
+
+
 def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
                          vec_col: str, query_id_col: str, k: int = 5,
                          ef_search: int = 32,
@@ -306,28 +369,12 @@ def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
     graph (no distance ops), beam-search the query batch, merge shard
     results with the usual per-query window rank. ef_search >= shard size
     degenerates to the exact local scan, same as hnsw_topk."""
-    import json
-
     q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
     qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("node")
-        ids = [int(i) for i in pdf["id"]]
-        raw = [[float(x) for x in v] for v in pdf["v"]]
-        if ef_search >= len(ids):
-            g = None
-        else:
-            mat = np.asarray(raw, dtype=np.float64)
-            g = _HNSW()
-            g.vecs = list(
-                mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12))
-            g.adj = [{int(l): list(nbrs)
-                      for l, nbrs in json.loads(a).items()}
-                     for a in pdf["adj"]]
-            g.entry = int(pdf["entry"].iloc[0])
-            g.max_level = int(pdf["max_level"].iloc[0])
-        out_q, out_i, out_s = _shard_topk(ids, raw, g, qs, k, ef_search)
+        out_q, out_i, out_s = _shard_topk(
+            *_reconstruct(pdf, ef_search), qs, k, ef_search)
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "id": pd.Series(out_i, dtype="int64"),
                              "score": pd.Series(out_s, dtype="float64")})

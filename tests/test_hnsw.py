@@ -113,3 +113,21 @@ def test_store_exhaustive_mode_is_exact(spark, tmp_path):
                                   ef_search=10 ** 6).collect()
     assert [(r.query_id, r.id, r.score, r.rank) for r in stored] == \
            [(r.query_id, r.id, r.score, r.rank) for r in bf]
+
+
+def test_store_df_query_path_matches_collect_path(spark, tmp_path):
+    """The cogroup (unbounded-query) serving path must equal the
+    driver-collect path exactly — same graphs, same beam, same merge."""
+    from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store,
+                                              hnsw_topk_from_store_df,
+                                              save_hnsw_index)
+    corpus, qs = _clustered(spark), _queries(spark)
+    path = str(tmp_path / "hnsw_df")
+    save_hnsw_index(corpus, "v", "vec_id", path, m=8,
+                    ef_construction=48, partitions=2)
+    a = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                             ef_search=32).collect()
+    b = hnsw_topk_from_store_df(spark, path, qs, "v", "qid", k=5,
+                                ef_search=32).collect()
+    assert sorted((r.query_id, r.id, r.score, r.rank) for r in b) == \
+           sorted((r.query_id, r.id, r.score, r.rank) for r in a)
