@@ -124,3 +124,28 @@ def test_bpe_oracle_matches_when_merges_exhaust(spark):
         == counts
     assert [tuple(r) for r in
             con.sql(entrymod._sql_tokenizer_bpe()).fetchall()] == merges
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=3, max_size=25))
+def test_bpe_matches_reference_on_adversarial_words(spark, words):
+    """Property: the delimited-string merge trick equals the reference
+    list-walk BPE on corpora built from a 2-letter alphabet — the worst
+    case for overlapping merges ('aaaa' under (a,a), then (aa,aa), ...)
+    and for merged symbols that are prefixes of each other."""
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    freqs = {r.w: r.n for r in word_freqs(df, "text").collect()}
+    expect = _ref_bpe(freqs, 5)
+    got, seqs = bpe_train(df, "text", n_merges=5)
+    assert got == expect, (words, got, expect)
+    # final segmentation concatenates back to each word
+    for r in seqs.collect():
+        assert r.seq.startswith("_") and r.seq.endswith("_")
+        assert "".join(r.seq.strip("_").split("__")) == r.w, r
