@@ -1,0 +1,109 @@
+"""Table maintenance: dataset-version snapshots and small-file
+compaction — the operational half of a training-data pipeline (Delta/
+Iceberg provide these as table-format features; with delta-spark absent
+in this runtime, plain parquet plus a manifest gives the two properties
+training jobs actually need):
+
+- **snapshots**: "dataset v7" must mean the same bytes forever — a
+  training run that pins v7 is reproducible even while ingest keeps
+  appending. `publish_snapshot` records the table's current file list in
+  a manifest; `read_snapshot` plans a scan over EXACTLY those files.
+  Publishing is metadata-only (no data copy) and O(#files).
+- **compaction**: streaming/micro-batch appends accumulate small files;
+  at 100 TB scan cost is dominated by per-file overhead and row-group
+  fragmentation. `compact_parquet` rewrites the table into
+  ceil(bytes/target) files and swaps directories atomically-enough for a
+  single-writer pipeline (write to .compact-tmp, then rename). Published
+  manifests keep working: snapshots taken BEFORE a compaction reference
+  the old files, so compaction MOVES them into a retained `.versions`
+  area instead of deleting (the Delta/Iceberg "old files are removed by
+  retention, not by rewrite" rule, in miniature).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("."))
+
+
+def publish_snapshot(spark: SparkSession, path: str,
+                     name: str | None = None) -> str:
+    """Record the table's current parquet file list under
+    `<path>/_snapshots/<name>.json`; returns the snapshot name.
+    Metadata-only — no data is copied."""
+    files = _data_files(path)
+    name = name or f"v{len(list_snapshots(path)) + 1}"
+    snap_dir = os.path.join(path, "_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(os.path.join(snap_dir, f"{name}.json"), "w") as f:
+        json.dump({"files": files, "published_at": time.time()}, f)
+    return name
+
+
+def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Scan exactly the files the snapshot recorded — appends and
+    compactions after publish never change what this returns."""
+    with open(os.path.join(path, "_snapshots", f"{name}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["files"])
+
+
+def list_snapshots(path: str) -> list[str]:
+    snap_dir = os.path.join(path, "_snapshots")
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(n[:-5] for n in os.listdir(snap_dir)
+                  if n.endswith(".json"))
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_mb: int = 128) -> int:
+    """Rewrite the table's data files into ceil(bytes/target) files;
+    returns the new file count. Old files move to `<path>/.versions/...`
+    (NOT deleted) so previously published snapshots keep resolving;
+    prune that area with a retention job once no manifest needs it."""
+    files = _data_files(path)
+    if not files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * (1 << 20))))
+    df = spark.read.parquet(*files)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+
+    retained = os.path.join(path, ".versions", str(int(time.time() * 1e3)))
+    os.makedirs(retained, exist_ok=True)
+    for f in files:
+        new_loc = os.path.join(retained, os.path.basename(f))
+        os.rename(f, new_loc)
+        _rewrite_manifests(path, f, new_loc)
+    for f in _data_files(tmp):
+        os.rename(f, os.path.join(path, os.path.basename(f)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(_data_files(path))
+
+
+def _rewrite_manifests(path: str, old: str, new: str) -> None:
+    snap_dir = os.path.join(path, "_snapshots")
+    if not os.path.isdir(snap_dir):
+        return
+    for name in os.listdir(snap_dir):
+        p = os.path.join(snap_dir, name)
+        with open(p) as f:
+            m = json.load(f)
+        if old in m["files"]:
+            m["files"] = [new if x == old else x for x in m["files"]]
+            with open(p, "w") as f:
+                json.dump(m, f)

@@ -1,0 +1,43 @@
+"""Snapshots + compaction: pinned versions are immutable under appends
+AND compaction; compaction reduces file count without changing data."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.pipeline.maintenance import (compact_parquet,
+                                                   list_snapshots,
+                                                   publish_snapshot,
+                                                   read_snapshot)
+
+
+def test_snapshot_pins_through_appends_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # many tiny appends -> many small files
+    for i in range(6):
+        (spark.range(i * 10, (i + 1) * 10).toDF("id")
+         .coalesce(1).write.mode("append").parquet(path))
+    v1 = publish_snapshot(spark, path)
+    assert list_snapshots(path) == [v1]
+    v1_rows = set(range(60))
+    assert {r.id for r in read_snapshot(spark, path, v1).collect()} \
+        == v1_rows
+
+    # append after publish: snapshot unchanged, live table grows
+    (spark.range(60, 70).toDF("id")
+     .coalesce(1).write.mode("append").parquet(path))
+    assert {r.id for r in read_snapshot(spark, path, v1).collect()} \
+        == v1_rows
+    assert spark.read.parquet(path).count() == 70
+
+    # compaction: fewer files, same live data, v1 still resolves
+    import glob
+    before = len(glob.glob(path + "/*.parquet"))
+    after = compact_parquet(spark, path, target_file_mb=1024)
+    assert after < before and after >= 1
+    assert {r.id for r in spark.read.parquet(path).collect()} \
+        == set(range(70))
+    assert {r.id for r in read_snapshot(spark, path, v1).collect()} \
+        == v1_rows
+
+    v2 = publish_snapshot(spark, path)
+    assert {r.id for r in read_snapshot(spark, path, v2).collect()} \
+        == set(range(70))
