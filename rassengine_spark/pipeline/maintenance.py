@@ -107,3 +107,34 @@ def _rewrite_manifests(path: str, old: str, new: str) -> None:
             m["files"] = [new if x == old else x for x in m["files"]]
             with open(p, "w") as f:
                 json.dump(m, f)
+
+
+def prune_versions(path: str) -> int:
+    """Retention job: delete retained files under `<path>/.versions` that
+    no snapshot manifest references any longer (and drop emptied version
+    dirs); returns the number of files removed. Run after deleting old
+    snapshots — never during a compaction."""
+    vdir = os.path.join(path, ".versions")
+    if not os.path.isdir(vdir):
+        return 0
+    referenced: set[str] = set()
+    snap_dir = os.path.join(path, "_snapshots")
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            with open(os.path.join(snap_dir, name)) as f:
+                referenced.update(json.load(f)["files"])
+    removed = 0
+    for ver in sorted(os.listdir(vdir)):
+        vpath = os.path.join(vdir, ver)
+        for fn in sorted(os.listdir(vpath)):
+            full = os.path.join(vpath, fn)
+            if full not in referenced:
+                os.remove(full)
+                removed += 1
+        if not os.listdir(vpath):
+            os.rmdir(vpath)
+    return removed
+
+
+def drop_snapshot(path: str, name: str) -> None:
+    os.remove(os.path.join(path, "_snapshots", f"{name}.json"))

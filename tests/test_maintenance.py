@@ -41,3 +41,27 @@ def test_snapshot_pins_through_appends_and_compaction(spark, tmp_path):
     v2 = publish_snapshot(spark, path)
     assert {r.id for r in read_snapshot(spark, path, v2).collect()} \
         == set(range(70))
+
+
+def test_prune_versions_respects_manifests(spark, tmp_path):
+    import glob
+    import os
+
+    from rassengine_spark.pipeline.maintenance import (drop_snapshot,
+                                                       prune_versions)
+    path = str(tmp_path / "tbl2")
+    for i in range(4):
+        (spark.range(i * 5, (i + 1) * 5).toDF("id")
+         .coalesce(1).write.mode("append").parquet(path))
+    v1 = publish_snapshot(spark, path)
+    compact_parquet(spark, path, target_file_mb=1024)
+    # v1 still references the retained files -> nothing prunable
+    assert prune_versions(path) == 0
+    assert {r.id for r in read_snapshot(spark, path, v1).collect()} \
+        == set(range(20))
+    # once the snapshot is dropped, retention reclaims the old files
+    drop_snapshot(path, v1)
+    assert prune_versions(path) > 0
+    assert glob.glob(path + "/.versions/*/*") == []
+    assert {r.id for r in spark.read.parquet(path).collect()} \
+        == set(range(20))
