@@ -110,14 +110,19 @@ def _adc_query_tables(queries: DataFrame, vec_col: str, query_id_col: str,
         tabs, "query_id long, tab array<array<double>>")
 
 
-def _adc_score(round_to: int):
-    """score = sum_j tab[j][codes[j]], folded in subspace order."""
+def _adc_score(round_to: int, base: Column | None = None):
+    """score = [base +] sum_j tab[j][codes[j]]; the sum folds in subspace
+    order and the optional base term (residual IVFADC's centroid dot) is
+    added AFTER the fold — FP addition is commutative, so sum+base
+    matches an oracle's base+sum bit-for-bit."""
     contribs = F.transform(
         F.col("codes"),
         lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
                                   c + 1))
-    return F.round(
-        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x), round_to)
+    total = F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x)
+    if base is not None:
+        total = total + base
+    return F.round(total, round_to)
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
@@ -199,7 +204,6 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
     Engine-exact: the base is added to the ADC sum AFTER the j-ordered
     fold (FP addition is commutative, so `sum + base` == the oracle's
     `base + sum` bit-for-bit)."""
-    from ..util import double_matrix_lit
     from .similarity import _best_cell, _cells_by_affinity, md5_sample
 
     cents = centroids or md5_sample(corpus, vec_col, id_col, n_cells)
@@ -225,14 +229,8 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
 
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
     base = dot(F.col("qv"), F.element_at(cent, F.col("cell") + 1))
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
-                                  c + 1))
-    score = F.round(
-        F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x) + base,
-        round_to)
-    return (_per_query_topk(joined.withColumn("score", score), k)
+    return (_per_query_topk(
+                joined.withColumn("score", _adc_score(round_to, base)), k)
             .select("query_id", "id", "score", "rank"))
 
 

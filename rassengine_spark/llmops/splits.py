@@ -204,10 +204,13 @@ def token_budget_take(df: DataFrame, score_col: str, tokens_col: str,
     Precondition: `score_col` non-null (filter unscored docs first).
     Implemented as the single-stratum case of mixture_token_budget_take
     (one shared pipeline — fixes apply to both)."""
+    tmp = "__tbt_stratum"
+    if tmp in df.columns:     # don't silently clobber a caller column
+        raise ValueError(f"input already has a {tmp!r} column")
     return (mixture_token_budget_take(
-        df.withColumn("_stratum", F.lit("all")), "_stratum", score_col,
+        df.withColumn(tmp, F.lit("all")), tmp, score_col,
         tokens_col, id_col, {"all": int(budget)}, lo, hi, bins)
-        .drop("_stratum"))
+        .drop(tmp))
 
 
 def mixture_token_budget_take(df: DataFrame, strata_col: str,

@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _data_files(path: str) -> list[str]:
+    # abspath everywhere: manifests store these strings and retention
+    # compares them literally — a differently-spelled `path` must not
+    # defeat the reference check
+    path = os.path.abspath(path)
     return sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith("."))
@@ -42,11 +46,21 @@ def publish_snapshot(spark: SparkSession, path: str,
     """Record the table's current parquet file list under
     `<path>/_snapshots/<name>.json`; returns the snapshot name.
     Metadata-only — no data is copied."""
+    path = os.path.abspath(path)
     files = _data_files(path)
-    name = name or f"v{len(list_snapshots(path)) + 1}"
+    if name is None:
+        # max existing numeric suffix + 1 — len()+1 would collide with a
+        # surviving snapshot after any drop_snapshot
+        nums = [int(n[1:]) for n in list_snapshots(path)
+                if n.startswith("v") and n[1:].isdigit()]
+        name = f"v{max(nums, default=0) + 1}"
     snap_dir = os.path.join(path, "_snapshots")
     os.makedirs(snap_dir, exist_ok=True)
-    with open(os.path.join(snap_dir, f"{name}.json"), "w") as f:
+    target = os.path.join(snap_dir, f"{name}.json")
+    if os.path.exists(target):
+        raise ValueError(f"snapshot {name!r} already exists — a manifest "
+                         "is immutable; drop it first or pick a new name")
+    with open(target, "w") as f:
         json.dump({"files": files, "published_at": time.time()}, f)
     return name
 
@@ -54,8 +68,12 @@ def publish_snapshot(spark: SparkSession, path: str,
 def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     """Scan exactly the files the snapshot recorded — appends and
     compactions after publish never change what this returns."""
+    path = os.path.abspath(path)
     with open(os.path.join(path, "_snapshots", f"{name}.json")) as f:
         manifest = json.load(f)
+    if not manifest["files"]:
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], StructType([]))
     return spark.read.parquet(*manifest["files"])
 
 
@@ -83,19 +101,22 @@ def compact_parquet(spark: SparkSession, path: str,
     shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
 
+    path = os.path.abspath(path)
     retained = os.path.join(path, ".versions", str(int(time.time() * 1e3)))
     os.makedirs(retained, exist_ok=True)
+    renames = {}
     for f in files:
         new_loc = os.path.join(retained, os.path.basename(f))
         os.rename(f, new_loc)
-        _rewrite_manifests(path, f, new_loc)
+        renames[f] = new_loc
+    _rewrite_manifests(path, renames)   # each manifest rewritten ONCE
     for f in _data_files(tmp):
         os.rename(f, os.path.join(path, os.path.basename(f)))
     shutil.rmtree(tmp, ignore_errors=True)
     return len(_data_files(path))
 
 
-def _rewrite_manifests(path: str, old: str, new: str) -> None:
+def _rewrite_manifests(path: str, renames: dict[str, str]) -> None:
     snap_dir = os.path.join(path, "_snapshots")
     if not os.path.isdir(snap_dir):
         return
@@ -103,8 +124,9 @@ def _rewrite_manifests(path: str, old: str, new: str) -> None:
         p = os.path.join(snap_dir, name)
         with open(p) as f:
             m = json.load(f)
-        if old in m["files"]:
-            m["files"] = [new if x == old else x for x in m["files"]]
+        new_files = [renames.get(x, x) for x in m["files"]]
+        if new_files != m["files"]:
+            m["files"] = new_files
             with open(p, "w") as f:
                 json.dump(m, f)
 
@@ -114,6 +136,7 @@ def prune_versions(path: str) -> int:
     no snapshot manifest references any longer (and drop emptied version
     dirs); returns the number of files removed. Run after deleting old
     snapshots — never during a compaction."""
+    path = os.path.abspath(path)
     vdir = os.path.join(path, ".versions")
     if not os.path.isdir(vdir):
         return 0
@@ -137,4 +160,5 @@ def prune_versions(path: str) -> int:
 
 
 def drop_snapshot(path: str, name: str) -> None:
-    os.remove(os.path.join(path, "_snapshots", f"{name}.json"))
+    os.remove(os.path.join(os.path.abspath(path), "_snapshots",
+                           f"{name}.json"))

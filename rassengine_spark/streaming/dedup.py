@@ -52,10 +52,17 @@ def stream_dedup_ingest(spark: SparkSession, input_dir: str,
         batch = exact_dedup(batch_df, "text", "doc_id")
         # existence probe through Spark's filesystem layer (NOT os.path:
         # the store may be file:/, hdfs://, s3a://, ... — a local-only
-        # check would silently disable dedup against history)
+        # check would silently disable dedup against history). ONLY a
+        # missing path means "first batch"; any other read failure
+        # (permissions, transient FS error, corrupt footer) must abort
+        # the batch rather than silently admit duplicates.
+        from pyspark.errors import AnalysisException
         try:
             store = spark.read.parquet(store_path)
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in (e.getErrorClass() or "") \
+                    and "Path does not exist" not in str(e):
+                raise
             store = None
         # signature the batch ONCE; both the pairing and the store append
         # reuse this frame (shingling is the dominant per-batch cost)
