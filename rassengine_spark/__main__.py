@@ -18,6 +18,16 @@ of the reference's REST endpoints has a direct equivalent for each flow.
         the cleaned corpus partitioned by split and prints the stage
         report.
 
+    python -m rassengine_spark index --src PARQUET --out DIR --tiers LIST
+        build + persist serving index tiers from a corpus parquet:
+        `terms` (bucketed BM25 postings), `minhash` (dedup signature
+        store), `bpe` (tokenizer merges + vocab), and — when --vec-col is
+        present — `ivf` / `hnsw` vector tiers.
+
+    python -m rassengine_spark table --path DIR ACTION
+        dataset maintenance: --publish [NAME] / --list / --drop NAME
+        snapshots, --compact MB small-file compaction, --prune retention.
+
 Models stay pluggable: the CLI wires the deterministic defaults; swap in
 ml/plugins.py constructors programmatically for real models.
 """
@@ -76,6 +86,71 @@ def _cmd_prep(args) -> int:
     return 0
 
 
+def _cmd_index(args) -> int:
+    import os
+
+    from .session import get_spark
+
+    spark = get_spark("cli-index")
+    docs = spark.read.parquet(args.src)
+    tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    built = {}
+    if "terms" in tiers:
+        from .operators.index_store import save_term_index
+        from .operators.inverted_index import build_term_index
+        save_term_index(*build_term_index(docs, args.text_col,
+                                          args.id_col),
+                        os.path.join(args.out, "terms"),
+                        n_buckets=args.term_buckets)
+        built["terms"] = os.path.join(args.out, "terms")
+    if "minhash" in tiers:
+        from .llmops.dedup import save_minhash_store
+        save_minhash_store(docs, args.text_col, args.id_col,
+                           os.path.join(args.out, "minhash"))
+        built["minhash"] = os.path.join(args.out, "minhash")
+    if "bpe" in tiers:
+        from .llmops.tokenizer import save_bpe
+        save_bpe(spark, docs, args.text_col,
+                 os.path.join(args.out, "bpe"), n_merges=args.bpe_merges)
+        built["bpe"] = os.path.join(args.out, "bpe")
+    if "ivf" in tiers:
+        from .operators.index_store import save_ivf_index
+        save_ivf_index(docs, args.vec_col, args.id_col,
+                       os.path.join(args.out, "ivf"),
+                       n_cells=args.ivf_cells)
+        built["ivf"] = os.path.join(args.out, "ivf")
+    if "hnsw" in tiers:
+        from .llmops.hnsw import save_hnsw_index
+        save_hnsw_index(docs, args.vec_col, args.id_col,
+                        os.path.join(args.out, "hnsw"))
+        built["hnsw"] = os.path.join(args.out, "hnsw")
+    print(json.dumps({"built": built}))
+    return 0
+
+
+def _cmd_table(args) -> int:
+    from .pipeline import maintenance as M
+    from .session import get_spark
+
+    spark = get_spark("cli-table")
+    out: dict = {"path": args.path}
+    if args.publish is not None:
+        out["published"] = M.publish_snapshot(
+            spark, args.path, args.publish or None)
+    if args.list:
+        out["snapshots"] = M.list_snapshots(args.path)
+    if args.drop:
+        M.drop_snapshot(args.path, args.drop)
+        out["dropped"] = args.drop
+    if args.compact:
+        out["files_after_compact"] = M.compact_parquet(
+            spark, args.path, target_file_mb=args.compact)
+    if args.prune:
+        out["pruned_files"] = M.prune_versions(args.path)
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rassengine_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -102,6 +177,28 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
     pp.set_defaults(fn=_cmd_prep)
+
+    px = sub.add_parser("index", help="build + persist serving index tiers")
+    px.add_argument("--src", required=True)
+    px.add_argument("--out", required=True)
+    px.add_argument("--tiers", default="terms,minhash,bpe")
+    px.add_argument("--text-col", default="text")
+    px.add_argument("--id-col", default="doc_id")
+    px.add_argument("--vec-col", default="embedding")
+    px.add_argument("--term-buckets", type=int, default=256)
+    px.add_argument("--bpe-merges", type=int, default=64)
+    px.add_argument("--ivf-cells", type=int, default=64)
+    px.set_defaults(fn=_cmd_index)
+
+    pt = sub.add_parser("table", help="snapshots / compaction / retention")
+    pt.add_argument("--path", required=True)
+    pt.add_argument("--publish", nargs="?", const="", default=None,
+                    metavar="NAME")
+    pt.add_argument("--list", action="store_true")
+    pt.add_argument("--drop", metavar="NAME")
+    pt.add_argument("--compact", type=int, metavar="TARGET_MB")
+    pt.add_argument("--prune", action="store_true")
+    pt.set_defaults(fn=_cmd_table)
     return p
 
 

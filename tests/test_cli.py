@@ -45,3 +45,36 @@ def test_cli_prep(spark, tmp_path, capsys):
     assert stages["input"] == 21 and stages["exact_dedup"] == 20
     assert rep["rows"] == stages["split"]
     assert os.path.isdir(out_dir)
+
+
+def test_cli_index_and_table(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs2")
+    rows = [(i, f"document number {i} about spark joins and shuffles "
+                f"plus filler words {i % 5}") for i in range(15)]
+    spark.createDataFrame(rows, "doc_id int, text string") \
+         .write.parquet(src)
+    out_dir = str(tmp_path / "idx")
+
+    assert main(["index", "--src", src, "--out", out_dir,
+                 "--tiers", "terms,minhash,bpe",
+                 "--bpe-merges", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(built["built"]) == {"terms", "minhash", "bpe"}
+    # the persisted term index actually serves
+    from rassengine_spark.operators.index_store import bm25_topk_from_store
+    hits = bm25_topk_from_store(spark, built["built"]["terms"],
+                                "spark joins", k=3).collect()
+    assert len(hits) == 3
+
+    # table maintenance roundtrip
+    assert main(["table", "--path", src, "--publish"]) == 0
+    pub = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    name = pub["published"]
+    assert main(["table", "--path", src, "--list"]) == 0
+    lst = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert name in lst["snapshots"]
+    assert main(["table", "--path", src, "--compact", "1024",
+                 "--prune"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["files_after_compact"] >= 1
+    assert res["pruned_files"] == 0       # snapshot still pins old files
