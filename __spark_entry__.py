@@ -2522,17 +2522,25 @@ def _q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per return flag. l_quantity is integral, so the interpolated values are
     exact multiples of 0.25 — bit-identical across engines."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    q = F.percentile(F.col("l_quantity"),
+                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    # three scalar columns, NOT the array: array cells are unhashable in
+    # the driver's pandas canonicalizer (the d2 round-1 failure mode)
     return (li.groupBy("l_returnflag")
-            .agg(F.percentile(F.col("l_quantity"),
-                              F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-                 .alias("qty_quartiles"),
-                 F.count(F.lit(1)).alias("n"))
+            .agg(q.alias("_q"), F.count(F.lit(1)).alias("n"))
+            .select("l_returnflag",
+                    F.element_at("_q", 1).alias("p25"),
+                    F.element_at("_q", 2).alias("p50"),
+                    F.element_at("_q", 3).alias("p75"),
+                    "n")
             .orderBy("l_returnflag"))
 
 
 _SQL_LINEITEM_PERCENTILES = """
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -29,3 +29,18 @@ def test_driver_cap_window_is_fully_oracle_checked():
 def test_priority_names_exist():
     base = set(entrymod.queries())
     assert set(entrymod._DRIVER_CHECK_PRIORITY) <= base
+
+
+def test_no_entry_outputs_non_scalar_columns(spark):
+    """The driver's canonicalizer sorts pandas columns — array/map/struct
+    cells are unhashable there and crash the comparison (round-1
+    d2_capped_item_set failure mode). Schema analysis only, no
+    execution."""
+    bad = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                bad.append((name, f.name, t))
+    assert not bad, bad
