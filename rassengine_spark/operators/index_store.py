@@ -108,6 +108,29 @@ def save_ivf_index(corpus: DataFrame, vec_col: str, id_col: str, path: str,
            .parquet(f"{path}/assignments"))
 
 
+def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
+                     path: str, round_to: int = 6) -> None:
+    """Incrementally index NEW vectors into an existing IVF store: assign
+    against the PERSISTED centroids (the quantizer is part of the index
+    version — re-deriving it from new data would silently shift every
+    historical cell boundary) and append to the cell partitions. The
+    historical assignments are never read, let alone recomputed — the
+    vector-tier analog of the minhash signature store's increment path.
+    Re-train centroids only on an explicit reindex (save_ivf_index)."""
+    from ..llmops.similarity import _best_cell
+
+    spark = new_df.sparkSession
+    cents_rows = (spark.read.parquet(f"{path}/centroids")
+                  .orderBy("cell").collect())
+    cents = [[float(x) for x in r.cvec] for r in cents_rows]
+    (new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   _best_cell(F.col(vec_col), cents, round_to)
+                   .alias("cell"))
+           .repartition("cell")
+           .write.partitionBy("cell").mode("append")
+           .parquet(f"{path}/assignments"))
+
+
 def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
                         vec_col: str, query_id_col: str, k: int = 5,
                         n_probe: int = 2, round_to: int = 6) -> DataFrame:

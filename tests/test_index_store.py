@@ -75,3 +75,39 @@ def test_ivf_from_store_matches_scan_and_prunes(spark, tmp_path):
         sorted(map(tuple, direct.collect()))
     plan = _physical(stored)
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_append_matches_full_rebuild_with_same_centroids(spark,
+                                                             tmp_path):
+    """Appending new vectors against the persisted centroids must serve
+    the same results as indexing the union corpus with those centroids —
+    and history's assignments are untouched."""
+    import glob
+    import os
+
+    from rassengine_spark.llmops.similarity import ivf_topk
+    from rassengine_spark.operators.index_store import append_ivf_index
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "v")
+    base = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 30))
+    extra = e.filter(F.col("vec_id") >= 30)
+    path = str(tmp_path / "ivf_inc")
+    save_ivf_index(base, "v", "vec_id", path, n_cells=8)
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(path + "/assignments/*/*.parquet")}
+    append_ivf_index(extra, "v", "vec_id", path)
+    # historical files untouched (appended, not rewritten)
+    for f, mt in before.items():
+        assert os.path.getmtime(f) == mt
+    cents_rows = (spark.read.parquet(path + "/centroids")
+                  .orderBy("cell").collect())
+    cents = [[float(x) for x in r.cvec] for r in cents_rows]
+    stored = ivf_topk_from_store(spark, path, q, "v", "qid",
+                                 k=3, n_probe=2)
+    direct = ivf_topk(base.unionAll(extra), q, "v", "vec_id", "qid", k=3,
+                      n_probe=2, centroids=cents)
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, direct.collect()))
