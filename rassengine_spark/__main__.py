@@ -94,6 +94,12 @@ def _cmd_index(args) -> int:
     spark = get_spark("cli-index")
     docs = spark.read.parquet(args.src)
     tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    known = {"terms", "minhash", "bpe", "ivf", "hnsw"}
+    unknown = sorted(set(tiers) - known)
+    if unknown:
+        print(f"unknown tier(s) {unknown}; valid: {sorted(known)}",
+              file=sys.stderr)
+        return 2
     built = {}
     if "terms" in tiers:
         from .operators.index_store import save_term_index
@@ -130,21 +136,28 @@ def _cmd_index(args) -> int:
 
 def _cmd_table(args) -> int:
     from .pipeline import maintenance as M
-    from .session import get_spark
 
-    spark = get_spark("cli-table")
+    def spark():
+        # lazy: --list/--drop/--prune are metadata ops that should not
+        # pay multi-second session startup
+        from .session import get_spark
+        return get_spark("cli-table")
+
+    if args.compact is not None and args.compact < 1:
+        print("--compact target must be >= 1 MB", file=sys.stderr)
+        return 2
     out: dict = {"path": args.path}
     if args.publish is not None:
         out["published"] = M.publish_snapshot(
-            spark, args.path, args.publish or None)
+            spark(), args.path, args.publish or None)
     if args.list:
         out["snapshots"] = M.list_snapshots(args.path)
     if args.drop:
         M.drop_snapshot(args.path, args.drop)
         out["dropped"] = args.drop
-    if args.compact:
+    if args.compact is not None:
         out["files_after_compact"] = M.compact_parquet(
-            spark, args.path, target_file_mb=args.compact)
+            spark(), args.path, target_file_mb=args.compact)
     if args.prune:
         out["pruned_files"] = M.prune_versions(args.path)
     print(json.dumps(out))

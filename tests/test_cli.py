@@ -50,21 +50,36 @@ def test_cli_prep(spark, tmp_path, capsys):
 def test_cli_index_and_table(spark, tmp_path, capsys):
     src = str(tmp_path / "docs2")
     rows = [(i, f"document number {i} about spark joins and shuffles "
-                f"plus filler words {i % 5}") for i in range(15)]
-    spark.createDataFrame(rows, "doc_id int, text string") \
+                f"plus filler words {i % 5}",
+             [float((i * 3 + j) % 7 - 3) for j in range(8)])
+            for i in range(15)]
+    spark.createDataFrame(
+        rows, "doc_id int, text string, embedding array<double>") \
          .write.parquet(src)
     out_dir = str(tmp_path / "idx")
 
     assert main(["index", "--src", src, "--out", out_dir,
-                 "--tiers", "terms,minhash,bpe",
-                 "--bpe-merges", "4"]) == 0
+                 "--tiers", "terms,minhash,bpe,ivf,hnsw",
+                 "--bpe-merges", "4", "--ivf-cells", "4"]) == 0
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert set(built["built"]) == {"terms", "minhash", "bpe"}
-    # the persisted term index actually serves
-    from rassengine_spark.operators.index_store import bm25_topk_from_store
+    assert set(built["built"]) == {"terms", "minhash", "bpe", "ivf",
+                                   "hnsw"}
+    # a typo'd tier fails loudly instead of silently building a subset
+    assert main(["index", "--src", src, "--out", out_dir,
+                 "--tiers", "terms,hsnw"]) == 2
+    capsys.readouterr()
+    # the persisted term and vector tiers actually serve
+    from rassengine_spark.operators.index_store import (
+        bm25_topk_from_store, ivf_topk_from_store)
     hits = bm25_topk_from_store(spark, built["built"]["terms"],
                                 "spark joins", k=3).collect()
     assert len(hits) == 3
+    from pyspark.sql import functions as F
+    qs = spark.read.parquet(src).limit(1).select(
+        F.col("doc_id").alias("qid"), "embedding")
+    vhits = ivf_topk_from_store(spark, built["built"]["ivf"], qs,
+                                "embedding", "qid", k=3).collect()
+    assert len(vhits) == 3
 
     # table maintenance roundtrip
     assert main(["table", "--path", src, "--publish"]) == 0
