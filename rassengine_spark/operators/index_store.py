@@ -62,6 +62,32 @@ def save_term_index(postings: DataFrame, doclens: DataFrame,
      .write.mode("overwrite").parquet(f"{path}/meta"))
 
 
+def append_term_index(new_df: DataFrame, text_col: str, id_col: str,
+                      path: str) -> None:
+    """Incrementally index NEW documents into an existing term store:
+    their postings/doclens append (same md5 bucketing, read from the
+    store's meta), and the one-row stats table is recomputed from the
+    combined doclens. Safe bit-for-bit: avgdl is an AVG over INTEGER
+    lengths, which both engines compute as exact-integer-sum / count —
+    order-independent — so index-served BM25 stays identical to a scan
+    over the union corpus. History's postings are never re-tokenized."""
+    from .inverted_index import build_term_index
+
+    spark = new_df.sparkSession
+    n_buckets = (spark.read.parquet(f"{path}/meta")
+                 .collect()[0]["n_buckets"])
+    postings, doclens, _ = build_term_index(new_df, text_col, id_col)
+    (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
+             .repartition("tb")
+             .write.partitionBy("tb").mode("append")
+             .parquet(f"{path}/postings"))
+    doclens.write.mode("append").parquet(f"{path}/doclens")
+    (spark.read.parquet(f"{path}/doclens")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.avg("dl").alias("avgdl"))
+          .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
 def bm25_topk_from_store(spark: SparkSession, path: str, query: str,
                          k: int = 10, k1: float = K1, b: float = B,
                          round_to: int = 6) -> DataFrame:

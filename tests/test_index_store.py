@@ -111,3 +111,27 @@ def test_ivf_append_matches_full_rebuild_with_same_centroids(spark,
                       n_probe=2, centroids=cents)
     assert sorted(map(tuple, stored.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_term_index_append_matches_union_scan(spark, tmp_path):
+    """Appended postings + recomputed stats must serve BM25 identical to
+    a scan over the union corpus — avgdl is an integer-sum AVG, so the
+    recompute is order-independent and bit-safe."""
+    from rassengine_spark.operators.index_store import append_term_index
+    base = corpus(spark)
+    extra = spark.createDataFrame(
+        [(10, "spark shuffles and spark joins again"),
+         (11, "sorting networks and query engines")],
+        "id long, text string")
+    path = str(tmp_path / "termidx_inc")
+    save_term_index(*build_term_index(base, "text", "id"), path,
+                    n_buckets=16)
+    append_term_index(extra, "text", "id", path)
+    union = base.unionAll(extra)
+    for q in ["spark join", "query planning spark", "sorting engines"]:
+        scan = [(r.id, r.score)
+                for r in bm25_topk(union, "text", "id", q, k=5).collect()]
+        stored = [(r.id, r.score)
+                  for r in bm25_topk_from_store(spark, path, q,
+                                                k=5).collect()]
+        assert stored == scan, q
