@@ -75,22 +75,34 @@ def main():
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = None
     ok = {k: v for k, v in timings.items() if v is not None}
-    line = json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(ok.values()), 3)
+    full = json.dumps({
         "metric": "total wall-clock sec across engine queries",
-        "value": round(sum(ok.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     })
-    # keep a local copy for round-over-round comparison, then emit the one
-    # contract line on the REAL stdout
+    # Full per-query detail goes to BENCH_local.json (committed; the
+    # round-over-round comparison source). The stdout contract line must be
+    # COMPACT: the driver keeps only the last ~80 chars of bench stdout
+    # (BENCH_r01/r02 both show an 80-char mid-JSON tail with parsed=null),
+    # so a 120-query dict on stdout can never parse driver-side.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full + "\n")
     except OSError:
         pass
-    os.write(real_stdout, (line + "\n").encode())
+    compact = json.dumps({
+        "metric": f"total_sec_{len(timings)}q",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+    }, separators=(",", ":"))
+    os.write(real_stdout, (compact + "\n").encode())
 
 
 if __name__ == "__main__":

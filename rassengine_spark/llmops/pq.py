@@ -172,18 +172,39 @@ def residual_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
                        n_codes: int, round_to: int = 6
                        ) -> list[list[list[float]]]:
     """PQ codebooks trained on RESIDUALS (v - centroid[cell]) — the
-    quantity residual-IVFADC actually encodes. The sample is collected
-    through the same engine-exact expressions that encode the corpus
-    (cell argmax + zip_with subtraction), so the oracle reproduces it."""
+    quantity residual-IVFADC actually encodes. Collects the md5 sample
+    from the corpus, then delegates to the local-frame path."""
+    from .similarity import md5_sample
+    sample = md5_sample(corpus, vec_col, id_col, n_codes)
+    return residual_codebooks_local(corpus.sparkSession, sample,
+                                    centroids, m, round_to)
+
+
+def residual_codebooks_local(spark, sample: list[list[float]],
+                             centroids: list[list[float]], m: int,
+                             round_to: int = 6
+                             ) -> list[list[list[float]]]:
+    """Residual codebooks from an ALREADY-COLLECTED md5-ordered sample:
+    the residuals run through the same JVM expressions that encode the
+    corpus (cell argmax + zip_with subtraction) — but on an n_codes-row
+    LOCAL frame, so seeding both quantizers costs ONE corpus TakeOrdered
+    scan instead of two (the round-2 bench's top cost in
+    sim_ivfpq_residual_topk). Bit-identical to the corpus-scan path: the
+    float->double cast is exact and the expressions are the same."""
     from ..util import double_matrix_lit
     from .similarity import _best_cell
 
     cent = double_matrix_lit(centroids)
-    cell = _best_cell(F.col(vec_col), centroids, round_to)
-    resid = F.zip_with(F.col(vec_col), F.element_at(cent, cell + 1),
+    df = spark.createDataFrame([(v,) for v in sample], "v array<double>")
+    cell = _best_cell(F.col("v"), centroids, round_to)
+    resid = F.zip_with(F.col("v"), F.element_at(cent, cell + 1),
                        lambda x, c: x.cast("double") - c)
-    rows = (corpus.orderBy(F.md5(F.col(id_col).cast("string")))
-            .limit(n_codes).select(resid.alias("r")).collect())
+    # No coalesce/repartition here: a bare Project over the LocalRelation
+    # lets ConvertToLocalRelation evaluate it eagerly on the driver
+    # (measured ~0.5 s vs ~7 s when a coalesce forces task execution +
+    # codegen of the matrix-literal HOFs). Row order of a local relation
+    # is the input order either way.
+    rows = df.select(resid.alias("r")).collect()
     return split_codebooks([[float(x) for x in r.r] for r in rows], m)
 
 
@@ -206,9 +227,20 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
     `base + sum` bit-for-bit)."""
     from .similarity import _best_cell, _cells_by_affinity, md5_sample
 
-    cents = centroids or md5_sample(corpus, vec_col, id_col, n_cells)
-    rcbs = residual_codebooks(corpus, vec_col, id_col, cents, m, n_codes,
-                              round_to)
+    if centroids is None:
+        # ONE TakeOrdered scan seeds both quantizers: centroids are a
+        # prefix of the same md5-ordered sample the residual codebooks
+        # train on (residuals computed on the collected rows locally)
+        sample = md5_sample(corpus, vec_col, id_col,
+                            max(n_cells, n_codes))
+        cents = sample[:n_cells]
+        rcbs = residual_codebooks_local(corpus.sparkSession,
+                                        sample[:n_codes], cents, m,
+                                        round_to)
+    else:
+        cents = centroids
+        rcbs = residual_codebooks(corpus, vec_col, id_col, cents, m,
+                                  n_codes, round_to)
     cent = double_matrix_lit(cents)
 
     with_cell = corpus.select(

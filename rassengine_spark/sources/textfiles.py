@@ -35,30 +35,57 @@ def patient_id_from_path(path_col: Column) -> Column:
     return F.nullif(pid, F.lit(""))
 
 
+# S4 strip chain, shared with the SQL oracle generator
+# (__spark_entry__._sql_s3_markdown converts '$1' -> '\\1'): every pattern
+# is in the RE2/Java common subset (no backreferences, no lookaround) so a
+# SQL engine runs the identical chain — emphasis rules are split per marker
+# instead of back-referencing the opener. Order matters: fence markers drop
+# first (inner text kept), links/images reduce to labels, reference-style
+# links and their definition lines next (app/embedding_gen.py:98-115 gets
+# these through the markdown->HTML->bs4 round-trip), then block markers,
+# then inline emphasis, then raw HTML (comments before tags).
+MARKDOWN_STRIP_RULES: list[tuple[str, str]] = [
+    (r"(?m)^```[^\n]*$", " "),                 # fence lines
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),         # images
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),          # inline links
+    (r"\[([^\]]*)\]\[[^\]]*\]", "$1"),         # reference-style links
+    (r"(?m)^\[[^\]]+\]:\s+\S[^\n]*$", " "),    # link definition lines
+    (r"(?m)^#{1,6}\s+", ""),                   # atx headings
+    (r"(?m)^=+\s*$", " "),                     # setext H1 underline
+    (r"(?m)^\s*([-*+]|\d+\.)\s+", ""),         # list items
+    (r"(?m)^>\s?", ""),                        # blockquote
+    (r"(?m)^([-*_]\s*){3,}$", " "),            # hrule / setext H2
+    (r"`([^`]*)`", "$1"),                      # inline code
+    (r"\*\*(.*?)\*\*", "$1"),                  # bold **
+    (r"__(.*?)__", "$1"),                      # bold __
+    (r"\*([^*]*)\*", "$1"),                    # italics *
+    (r"_([^_]*)_", "$1"),                      # italics _
+    (r"~~(.*?)~~", "$1"),                      # strikethrough
+    (r"<!--[\s\S]*?-->", " "),                 # HTML comments
+    (r"</?[A-Za-z][A-Za-z0-9]*[^>]*>", " "),   # inline HTML tags
+]
+
+# Literal (non-regex) entity decodes, applied AFTER tag strip so a decoded
+# '<' can't create a tag; '&amp;' decodes last so '&amp;lt;' yields the
+# literal '&lt;' exactly like html.unescape / the reference's bs4 pass.
+MARKDOWN_ENTITY_RULES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
 def markdown_to_text(col: Column) -> Column:
     """S4: markdown -> plaintext, declaratively (app/embedding_gen.py:98-115).
 
-    Order matters: fenced code blocks drop first (their content is code, the
-    reference's HTML round-trip keeps it — we keep the inner text too but
-    strip the fence markers), then links/images reduce to their labels,
-    then emphasis/heading/blockquote/list markers strip.
-
-    Every pattern is in the RE2/Java common subset (no backreferences, no
-    lookaround) so a SQL engine can run the identical chain — the emphasis
-    rules are split per marker instead of back-referencing the opener.
+    One chain of regexp_replace + literal replace projections — the whole
+    parse stays inside WholeStageCodegen; see MARKDOWN_STRIP_RULES for the
+    rule order rationale.
     """
-    c = F.regexp_replace(col, r"(?m)^```[^\n]*$", " ")          # fence lines
-    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", "$1")    # images
-    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", "$1")     # links
-    c = F.regexp_replace(c, r"(?m)^#{1,6}\s+", "")              # headings
-    c = F.regexp_replace(c, r"(?m)^\s*([-*+]|\d+\.)\s+", "")    # list items
-    c = F.regexp_replace(c, r"(?m)^>\s?", "")                   # blockquote
-    c = F.regexp_replace(c, r"(?m)^([-*_]\s*){3,}$", " ")       # hrule
-    c = F.regexp_replace(c, r"`([^`]*)`", "$1")                 # inline code
-    c = F.regexp_replace(c, r"\*\*(.*?)\*\*", "$1")             # bold **
-    c = F.regexp_replace(c, r"__(.*?)__", "$1")                 # bold __
-    c = F.regexp_replace(c, r"\*([^*]*)\*", "$1")               # italics *
-    c = F.regexp_replace(c, r"_([^_]*)_", "$1")                 # italics _
+    c = col
+    for pat, repl in MARKDOWN_STRIP_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    for src, dst in MARKDOWN_ENTITY_RULES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
 
 

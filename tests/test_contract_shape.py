@@ -18,17 +18,45 @@ def test_queries_and_oracles_consistent():
 
 def test_driver_cap_window_is_fully_oracle_checked():
     """The driver hash-compares the FIRST 50 entries; every one of them
-    must have a SQL twin (a rows-only entry in the window wastes a
-    stamp)."""
+    must have a SQL twin, EXCEPT the two documented rows-only entries
+    which are rotated in during round 3 to collect their (weaker)
+    rows-only driver stamp — they had none in r1/r2."""
     q = list(entrymod.queries())
     o = entrymod.oracle_sql()
     missing = [n for n in q[:50] if n not in o]
-    assert not missing, missing
+    assert set(missing) <= {"s7_embed_hash_ngram", "sketch_daily_rollup"}, \
+        missing
 
 
 def test_priority_names_exist():
     base = set(entrymod.queries())
     assert set(entrymod._DRIVER_CHECK_PRIORITY) <= base
+
+
+def test_no_oracle_outputs_hugeint_or_decimal():
+    """DuckDB types a bare integer SUM as HUGEINT (int128); the driver's
+    pandas canonicalizer renders that float64 ("99111.0") while Spark's
+    bigint renders "99111" — hash mismatch with rows/schema green (the
+    four round-2 driver FAILs). DECIMAL diverges on stringification the
+    same way. Plan-level typing only, no execution."""
+    import os
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        for c, ty in zip(rel.columns, rel.types):
+            ts = str(ty)
+            if ts == "HUGEINT" or ts.startswith("DECIMAL"):
+                bad.append((name, c, ts))
+    assert not bad, bad
 
 
 def test_no_entry_outputs_non_scalar_columns(spark):

@@ -16,13 +16,53 @@ from tests.test_fhir import BUNDLE
 
 
 # ------------------------------------------------------------ S3/S4
+def _strip(spark, md: str) -> str:
+    return (spark.range(1).select(markdown_to_text(F.lit(md)).alias("t"))
+            .first().t)
+
+
 def test_markdown_to_text(spark):
     md = ("# Visit Note\n\n**Patient** has *severe* `hypertension`.\n\n"
           "- item one\n- [link label](http://x)\n\n```\ncode here\n```\n")
-    out = (spark.range(1).select(markdown_to_text(F.lit(md)).alias("t"))
-           .first().t)
-    assert out == ("Visit Note Patient has severe hypertension. "
-                   "item one link label code here")
+    assert _strip(spark, md) == ("Visit Note Patient has severe "
+                                 "hypertension. item one link label "
+                                 "code here")
+
+
+def test_markdown_to_text_nested_and_html(spark):
+    """Round-3 golden set for the syntax the reference's markdown->HTML->
+    bs4 round-trip (app/embedding_gen.py:98-115) handles and the round-2
+    regex chain missed: nested emphasis, HTML tags/entities/comments,
+    reference-style links, setext headings, strikethrough."""
+    cases = [
+        ("***both* styles**", "both styles"),
+        ("a <b>bold</b> tag<br/>and <span class='x'>span</span>",
+         "a bold tag and span"),
+        ("5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &amp;lt;",
+         '5 < 6 && 7 > 2, "q" &lt;'),
+        ("keep a < b inequality", "keep a < b inequality"),
+        ("before <!-- hidden\ncomment --> after", "before after"),
+        ("see [the spec][rfc] and [plain][]\n\n[rfc]: http://x \"t\"",
+         "see the spec and plain"),
+        ("Title\n=====\n\nSub\n---\n\nbody", "Title Sub body"),
+        ("~~struck~~ text", "struck text"),
+        ("it&#39;s &nbsp;ok", "it's ok"),
+    ]
+    for md, want in cases:
+        assert _strip(spark, md) == want, md
+
+
+def test_markdown_strip_rules_shared_with_oracle():
+    """The SQL twin is generated from the same rule lists — guard that the
+    generator output embeds every pattern (drift between engine and oracle
+    was the round-2 failure mode for other entries)."""
+    import __spark_entry__ as entrymod
+    from rassengine_spark.sources.textfiles import (MARKDOWN_ENTITY_RULES,
+                                                    MARKDOWN_STRIP_RULES)
+    sql = entrymod.oracle_sql()["s3_markdown_strip"]
+    assert sql.count("regexp_replace") == len(MARKDOWN_STRIP_RULES) + 1
+    assert sql.count("replace(") - sql.count("regexp_replace(") \
+        == len(MARKDOWN_ENTITY_RULES)
 
 
 def test_patient_id_from_path(spark):

@@ -30,8 +30,9 @@ PYTHON_OK = {
     # interpreted expression forms — deliberate, see llmops/dedup.py);
     # dedup_incremental signatures both sides with the same pass:
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental",
-    # per-partition graph build is the point:
-    "sim_hnsw_topk",
+    # per-partition graph build is the point (recall variant walks the
+    # graphs for real, plus the exact brute-force comparison arm):
+    "sim_hnsw_topk", "sim_hnsw_recall",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
     # Arrow-batched integer-stats / gram-hash passes (expression twins
