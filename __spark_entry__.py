@@ -11,6 +11,7 @@ sides then cast to double, which makes them bit-exact).
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -943,6 +944,40 @@ SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact,
        TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """
+
+
+def _q_sim_hnsw_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-graph serving tier end to end (llmops/hnsw.py:
+    save_hnsw_index -> hnsw_topk_from_store_df): graphs built once and
+    written partitioned by shard, then served through the cogroup path —
+    queries as a DATAFRAME, no driver collect, the shape that survives an
+    unbounded query log. Mirrors the reference's persisted OpenSearch HNSW
+    index reopened at serving time (app/main.py:563-572). Same recall-
+    floor oracle as sim_hnsw_recall; the store is rebuilt per call so the
+    result is deterministic."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store_df,
+                                              save_hnsw_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"rass_hnsw_store_{sf_tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    save_hnsw_index(corpus, "embedding", "vec_id", path, m=16,
+                    ef_construction=128, partitions=4)
+    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
+                                     "qid", k=5, ef_search=48)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=5)
+    rec = SIM.recall_at_k(approx, exact)
+    return rec.select("query_id", "n_exact",
+                      (F.col("recall") >= 0.8).alias("recall_ok"))
 
 
 def _sql_sim_lsh() -> str:
@@ -4193,6 +4228,52 @@ FROM md ORDER BY doc_id
 """
 
 
+def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 as a driver-checkable query: the bucketed copy-on-write upsert
+    (pipeline/ingest.py::bucketed_upsert — the reference's idempotent
+    ``_id=doc_id`` index write, app/main.py:1211-1282, without Delta).
+    Builds the table from documents, then upserts a batch that UPDATES
+    every 7th doc (n_chars+1000) and APPENDS shifted copies; the oracle
+    states the MERGE semantics directly. The table lands in /tmp and is
+    rebuilt from scratch each call, so the result is deterministic."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.pipeline.ingest import bucketed_upsert
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"rass_s9_upsert_{sf_tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "lang", "n_chars")
+    bucketed_upsert(docs, path, key_col="doc_id", n_buckets=16)
+    sev = docs.filter(F.col("doc_id") % 7 == 0)
+    batch = (sev.select("doc_id", "lang",
+                        (F.col("n_chars") + 1000).alias("n_chars"))
+             .unionByName(sev.select(
+                 (F.col("doc_id") + 500000).alias("doc_id"),
+                 "lang", "n_chars")))
+    bucketed_upsert(batch, path, key_col="doc_id")
+    return (spark.read.parquet(os.path.join(path, "data"))
+            .select("doc_id", "lang", "n_chars"))
+
+
+_SQL_S9_BUCKETED_UPSERT = """
+WITH batch AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM batch)
+UNION ALL
+SELECT doc_id, lang, n_chars FROM batch
+"""
+
+
 def _q_m1_intent_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: the rule-based intent router over a fixed query workload
     (deterministic; mirrors the reference's 12 intent labels)."""
@@ -4247,7 +4328,8 @@ _DRIVER_CHECK_PRIORITY = [
     "events_sessionize", "tpch_q12_priority_mix", "events_pivot_daily",
     "events_json_extract",
     # new round-3 entries
-    "sim_hnsw_recall", "tokenizer_bpe_segment_hi",
+    "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
+    "sim_hnsw_store_recall",
 ]
 
 
@@ -4298,6 +4380,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": _q_sim_ivf_recall,
         "sim_pq_recall": _q_sim_pq_recall,
         "sim_hnsw_recall": _q_sim_hnsw_recall,
+        "sim_hnsw_store_recall": _q_sim_hnsw_store_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -4379,6 +4462,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_daily_rollup": _q_sketch_daily,
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
+        "s9_bucketed_upsert": _q_s9_bucketed_upsert,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -4425,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_recall": _sql_sim_ivf_recall(),
         "sim_pq_recall": _sql_sim_pq_recall(),
         "sim_hnsw_recall": _SQL_SIM_HNSW_RECALL,
+        "sim_hnsw_store_recall": _SQL_SIM_HNSW_RECALL,
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
@@ -4504,6 +4589,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
+        "s9_bucketed_upsert": _SQL_S9_BUCKETED_UPSERT,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole

@@ -31,8 +31,9 @@ PYTHON_OK = {
     # dedup_incremental signatures both sides with the same pass:
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental",
     # per-partition graph build is the point (recall variant walks the
-    # graphs for real, plus the exact brute-force comparison arm):
-    "sim_hnsw_topk", "sim_hnsw_recall",
+    # graphs for real, plus the exact brute-force comparison arm; the
+    # store variant serves persisted graphs through the cogroup pass):
+    "sim_hnsw_topk", "sim_hnsw_recall", "sim_hnsw_store_recall",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
     # Arrow-batched integer-stats / gram-hash passes (expression twins
