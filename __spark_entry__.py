@@ -4228,6 +4228,49 @@ FROM md ORDER BY doc_id
 """
 
 
+def _q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line removal (llmops/text_analysis.py::
+    line_dedup — the C4/RefinedWeb boilerplate pass): docs are wrapped
+    with shared header/footer lines, and every normalized line occurring
+    >=2 times corpus-wide is dropped except its first occurrence
+    ((doc_id, pos) order); blank lines exempt; docs reassembled in line
+    order."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    md = F.concat_ws("\n", F.lit("=== DOC ==="),
+                     F.substring("text", 1, 40),
+                     F.lit("(c) corpus boilerplate"), F.col("text"))
+    src = docs.select("doc_id", md.alias("text"))
+    return TA.line_dedup(src, "text", "doc_id") \
+             .withColumnRenamed("id", "doc_id")
+
+
+_SQL_TEXT_LINE_DEDUP = """
+WITH src AS (
+  SELECT doc_id,
+         '=== DOC ===' || chr(10) || substr(text, 1, 40) || chr(10) ||
+         '(c) corpus boilerplate' || chr(10) || text AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, j - 1 AS pos, ls[j] AS line, lower(trim(ls[j])) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src) s,
+       UNNEST(generate_series(1, len(ls))) t(j)),
+marked AS (
+  SELECT doc_id, pos, line, norm,
+         COUNT(*) OVER (PARTITION BY norm) AS cnt,
+         row_number() OVER (PARTITION BY norm
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines),
+kept AS (
+  SELECT *, (cnt < 2 OR norm = '' OR rn = 1) AS keep FROM marked)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN NOT keep THEN 1 END) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 as a driver-checkable query: the bucketed copy-on-write upsert
     (pipeline/ingest.py::bucketed_upsert — the reference's idempotent
@@ -4329,7 +4372,7 @@ _DRIVER_CHECK_PRIORITY = [
     "events_json_extract",
     # new round-3 entries
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
-    "sim_hnsw_store_recall",
+    "sim_hnsw_store_recall", "text_line_dedup",
 ]
 
 
@@ -4463,6 +4506,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_fhir_parse": _q_s1_fhir_parse,
         "s3_markdown_strip": _q_s3_markdown_strip,
         "s9_bucketed_upsert": _q_s9_bucketed_upsert,
+        "text_line_dedup": _q_text_line_dedup,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -4590,6 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
         "s3_markdown_strip": _sql_s3_markdown(),
         "s9_bucketed_upsert": _SQL_S9_BUCKETED_UPSERT,
+        "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole

@@ -459,6 +459,50 @@ def pii_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         pii_redact(t).alias("redacted"))
 
 
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_count: int = 2) -> DataFrame:
+    """Corpus-level repeated-line removal — the C4 / RefinedWeb
+    boilerplate pass (Raffel et al. 2020 §2.2; Penedo et al. 2023, both
+    public): any normalized line (lower+trim) occurring >= min_count
+    times ACROSS the corpus is dropped from every document except its
+    first occurrence (first = smallest (id, line position)); blank lines
+    are exempt (dropping all-but-one blank line corpus-wide would mangle
+    every doc). Documents are reassembled in original line order.
+    Returns (id, text, n_kept, n_dropped).
+
+    Plan at 100 TB: posexplode is scan-fused (no shuffle); line stats are
+    ONE hash aggregate on the normalized line (map-side combined — the
+    heavy hitters that matter combine perfectly); the stats join keys on
+    the same column so it reuses that clustering; reassembly is one
+    groupBy(id). No window over the corpus, no driver state. Skewed
+    boilerplate lines are exactly the rows the aggregate compresses
+    hardest."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n")).alias("pos", "line"))
+    lines = lines.withColumn("norm", F.lower(F.trim(F.col("line"))))
+    stats = (lines.groupBy("norm")
+             .agg(F.count(F.lit(1)).alias("_cnt"),
+                  F.min(F.struct("id", "pos")).alias("_first")))
+    keep = (lines.join(stats, "norm")
+            .withColumn("_keep",
+                        (F.col("_cnt") < min_count) | (F.col("norm") == "")
+                        | ((F.col("id") == F.col("_first.id"))
+                           & (F.col("pos") == F.col("_first.pos")))))
+    return (keep.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]), "\n").alias("text"),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                  .alias("n_dropped")))
+
+
 def gopher_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, public —
     "Scaling Language Models", app. A1.1): word-count window, mean word

@@ -683,3 +683,36 @@ def test_ivfpq_residual_refines_within_cell(spark):
     assert len(out) == 5
     assert all(r.id <= 10 for r in out), [r.id for r in out]
     assert out[0].rank == 1
+
+
+def test_line_dedup_semantics(spark):
+    """C4-style line dedup: repeated lines drop except the FIRST corpus
+    occurrence ((id, pos) order), blank lines are exempt everywhere, and
+    docs reassemble in original line order."""
+    from rassengine_spark.llmops.text_analysis import line_dedup
+    docs = spark.createDataFrame(
+        [(1, "HEADER\nunique one\n\nHEADER"),
+         (2, "HEADER\nunique two"),
+         (3, "header \nALSO UNIQUE")],      # normalizes equal to HEADER
+        "doc_id long, text string")
+    out = {r.id: r for r in
+           line_dedup(docs, "text", "doc_id").collect()}
+    # doc 1 holds the first occurrence (pos 0); its SECOND header drops,
+    # the blank line survives
+    assert out[1].text == "HEADER\nunique one\n"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 1)
+    # later docs lose their header entirely (original casing immaterial)
+    assert out[2].text == "unique two"
+    assert out[3].text == "ALSO UNIQUE"
+    assert out[3].n_dropped == 1
+
+
+def test_line_dedup_all_dropped_doc(spark):
+    from rassengine_spark.llmops.text_analysis import line_dedup
+    docs = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (3, "dup")], "doc_id long, text string")
+    out = {r.id: r for r in
+           line_dedup(docs, "text", "doc_id").collect()}
+    assert out[1].text == "dup" and out[1].n_kept == 1
+    assert out[2].text == "" and out[2].n_kept == 0
+    assert out[3].n_dropped == 1

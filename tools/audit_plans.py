@@ -66,6 +66,9 @@ SORT_OK = {
     # sort-merge-join sorts on the w join key (corpus words x segmented
     # vocab — both corpus-scale, broadcast is wrong at 100 TB):
     "tokenizer_bpe_token_counts",
+    # SMJ per-partition sorts on the normalized-line join key (line stats
+    # x exploded lines — both corpus-scale at 100 TB, broadcast is wrong):
+    "text_line_dedup",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "events_asof_join", "orders_running_total",
