@@ -199,3 +199,41 @@ def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
                .agg(*[F.expr(f"{fn}({c})").alias(c)
                       for c, fn in agg_exprs.items()])).localCheckpoint()
     out.write.mode("overwrite").parquet(rollup_path)
+
+
+def merge_hll_rollup(spark: SparkSession, rollup_path: str,
+                     delta: DataFrame, group_cols: list[str],
+                     key_col: str, lg_k: int = 12) -> None:
+    """merge_rollup's DISTINCT-COUNT sibling: maintain a persisted
+    per-group Datasketches HLL table (binary sketch column) and fold each
+    micro-batch in by UNIONING sketches for the touched groups only.
+    Distinct counts are not additive, so the additive-rollup trick cannot
+    carry them — the sketch union property can: union(sketch(A),
+    sketch(B)) == sketch(A ++ B) at a fixed lg_k, so the incrementally
+    maintained estimate equals the from-scratch one (asserted exactly in
+    tests/test_sketches.py). History is never rescanned; each batch costs
+    one map-side sketch aggregate plus a semi-join-pruned rewrite of the
+    affected groups."""
+    part = (delta.groupBy(group_cols)
+            .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")))
+    if os.path.exists(rollup_path):
+        existing = spark.read.parquet(rollup_path)
+        touched = part.select(group_cols).distinct()
+        affected = existing.join(touched, group_cols, "left_semi")
+        untouched = existing.join(touched, group_cols, "left_anti")
+        merged = (affected.unionByName(part)
+                  .groupBy(group_cols)
+                  .agg(F.hll_union_agg("sketch").alias("sketch")))
+        out = untouched.unionByName(merged).localCheckpoint()
+    else:
+        out = part.localCheckpoint()
+    out.write.mode("overwrite").parquet(rollup_path)
+
+
+def read_hll_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The serving view of a merge_hll_rollup table: groups + the
+    approximate distinct count decoded from the persisted sketch."""
+    return (spark.read.parquet(rollup_path)
+            .withColumn("approx_distinct",
+                        F.hll_sketch_estimate("sketch"))
+            .drop("sketch"))

@@ -32,3 +32,37 @@ def test_sketch_rollup_tracks_exact(spark):
                 F.countDistinct("u").alias("e")))
     for r in j.collect():
         assert abs(r.a - r.e) <= max(5, 0.15 * r.e)
+
+
+def test_hll_rollup_incremental_merge_equals_full(spark, tmp_path):
+    """The distinct-count rollup invariant: maintaining the sketch table
+    over three batches gives EXACTLY the estimates of sketching the
+    concatenated stream once — union(sketch(A), sketch(B)) == sketch(A++B)
+    at fixed lg_k, so incremental serving never drifts from a rebuild."""
+    from rassengine_spark.pipeline.ingest import (merge_hll_rollup,
+                                                  read_hll_rollup)
+
+    path = str(tmp_path / "hll")
+    batches = [
+        [("g1", i) for i in range(200)] + [("g2", i) for i in range(50)],
+        [("g1", i) for i in range(100, 300)],          # overlaps batch 1
+        [("g3", i) for i in range(25)],                # new group
+    ]
+    for b in batches:
+        delta = spark.createDataFrame(b, "g string, u long")
+        merge_hll_rollup(spark, path, delta, ["g"], "u")
+
+    got = {r.g: r.approx_distinct
+           for r in read_hll_rollup(spark, path).collect()}
+    full = spark.createDataFrame(sum(batches, []), "g string, u long")
+    import pyspark.sql.functions as F
+    want = {r.g: r.a for r in
+            (full.groupBy("g")
+                 .agg(F.hll_sketch_estimate(
+                     F.hll_sketch_agg("u", F.lit(12))).alias("a"))
+             .collect())}
+    assert got == want
+    # estimates stay near truth (g1 saw 300 distinct, g2 50, g3 25)
+    truth = {"g1": 300, "g2": 50, "g3": 25}
+    for g, t in truth.items():
+        assert abs(got[g] - t) <= max(3, 0.05 * t), (g, got[g], t)
