@@ -4271,6 +4271,48 @@ FROM kept GROUP BY doc_id
 """
 
 
+# decomposed e + combining acute, zero-width space, curly quote, CRLF,
+# BEL control — the mojibake zoo a multilingual scrape drags in
+_UNICODE_DIRTY_PREFIX = "Cafe\u0301\u200b it\u2019s\r\nok\x07 "
+
+
+def _q_text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual ingest cleanup (llmops/text_analysis.py::
+    unicode_clean): NFC normalization (Arrow-vectorized — Spark has no
+    built-in; DuckDB's utf8proc nfc_normalize is the oracle twin), CRLF/CR
+    -> LF, zero-width/BOM strip, C0-control strip. Docs are decorated
+    with a decomposed+dirty prefix so every rule actually fires."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit(_UNICODE_DIRTY_PREFIX), F.col("text")).alias("text"))
+    return TA.unicode_clean(src, "text", "doc_id") \
+             .withColumnRenamed("id", "doc_id")
+
+
+_SQL_TEXT_UNICODE_CLEAN = """
+WITH src AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || chr(8203) || ' it' || chr(8217) || 's' ||
+         chr(13) || chr(10) || 'ok' || chr(7) || ' ' || text AS text
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             replace(replace(nfc_normalize(text),
+                             chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)),
+             '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS clean
+  FROM src)
+SELECT doc_id, clean,
+       CAST(length(text) AS INT) AS n_chars_before,
+       CAST(length(clean) AS INT) AS n_chars_after
+FROM cleaned
+"""
+
+
 def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 as a driver-checkable query: the bucketed copy-on-write upsert
     (pipeline/ingest.py::bucketed_upsert — the reference's idempotent
@@ -4372,7 +4414,7 @@ _DRIVER_CHECK_PRIORITY = [
     "events_json_extract",
     # new round-3 entries
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
-    "sim_hnsw_store_recall", "text_line_dedup",
+    "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
 ]
 
 
@@ -4507,6 +4549,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_markdown_strip": _q_s3_markdown_strip,
         "s9_bucketed_upsert": _q_s9_bucketed_upsert,
         "text_line_dedup": _q_text_line_dedup,
+        "text_unicode_clean": _q_text_unicode_clean,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -4635,6 +4678,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_markdown_strip": _sql_s3_markdown(),
         "s9_bucketed_upsert": _SQL_S9_BUCKETED_UPSERT,
         "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
+        "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole

@@ -459,6 +459,51 @@ def pii_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         pii_redact(t).alias("redacted"))
 
 
+# zero-width / BOM codepoints and C0+DEL controls (tab+newline kept):
+# the characters multilingual web scrapes actually smuggle in
+ZERO_WIDTH_RE = "[\u200b\u200c\u200d\ufeff]"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def nfc_normalize_udf():
+    """Arrow-vectorized NFC normalization (unicodedata follows the same
+    Unicode standard as DuckDB's utf8proc ``nfc_normalize``, so the
+    oracle reproduces it exactly). NFC has no Spark built-in — this is
+    the one genuinely Python step of the cleanup, batched through Arrow,
+    never row-at-a-time."""
+    import unicodedata
+
+    import pandas as pd
+
+    def _nfc(s: "pd.Series") -> "pd.Series":
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+    # explicit Series->Series hints break under `from __future__ import
+    # annotations` (pandas_udf can't resolve the stringified hints), so
+    # the eval type is passed explicitly
+    from pyspark.sql.pandas.functions import PandasUDFType
+    return F.pandas_udf(_nfc, "string", PandasUDFType.SCALAR)
+
+
+def unicode_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Multilingual ingest cleanup: NFC normalization (decomposed
+    sequences -> composed), CRLF/CR -> LF, zero-width/BOM strip, C0
+    control strip (tab and newline survive). Returns
+    (id, clean, n_chars_before, n_chars_after) — the char-count delta is
+    the cheap corpus-health metric (a spike means an encoding-broken
+    source). One projection stage: Arrow batch for NFC, codegen
+    regexp_replace chain for the rest."""
+    t = F.col(text_col)
+    c = nfc_normalize_udf()(t)
+    c = F.regexp_replace(c, "\r\n", "\n")
+    c = F.regexp_replace(c, "\r", "\n")
+    c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, CONTROL_RE, "")
+    return df.select(F.col(id_col).alias("id"), c.alias("clean"),
+                     F.length(t).alias("n_chars_before"),
+                     F.length(c).alias("n_chars_after"))
+
+
 def line_dedup(df: DataFrame, text_col: str, id_col: str,
                min_count: int = 2) -> DataFrame:
     """Corpus-level repeated-line removal — the C4 / RefinedWeb

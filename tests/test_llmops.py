@@ -716,3 +716,19 @@ def test_line_dedup_all_dropped_doc(spark):
     assert out[1].text == "dup" and out[1].n_kept == 1
     assert out[2].text == "" and out[2].n_kept == 0
     assert out[3].n_dropped == 1
+
+
+def test_unicode_clean_rules(spark):
+    """NFC composes decomposed sequences; CRLF/CR become LF; zero-width
+    and C0 controls vanish while tab/newline survive."""
+    from rassengine_spark.llmops.text_analysis import unicode_clean
+    docs = spark.createDataFrame(
+        [(1, "Cafe\u0301 ok"),            # decomposed -> composed
+         (2, "a\r\nb\rc"),               # CRLF + bare CR -> LF
+         (3, "z\u200bw\ufeff!\x07\ttab")],  # zero-width/BOM/BEL out, tab in
+        "doc_id long, text string")
+    out = {r.id: r for r in unicode_clean(docs, "text", "doc_id").collect()}
+    assert out[1].clean == "Café ok"
+    assert (out[1].n_chars_before, out[1].n_chars_after) == (8, 7)
+    assert out[2].clean == "a\nb\nc"
+    assert out[3].clean == "zw!\ttab"

@@ -40,6 +40,9 @@ PYTHON_OK = {
     # parity-tested):
     "text_repetition", "decontam_ngram_overlap", "text_quality",
     "text_langid", "text_lm_score",
+    # NFC normalization has no Spark built-in — Arrow-vectorized
+    # pandas_udf, oracle twin is DuckDB's utf8proc nfc_normalize:
+    "text_unicode_clean",
     # composed prep pipeline: its LSH + decontam stages are the same
     # deliberate Arrow passes as dedup_minhash_lsh / decontam above:
     "prep_training_corpus",
