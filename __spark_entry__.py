@@ -1784,6 +1784,29 @@ def _q_split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGETS = {"en": 3000, "es": 800, "fr": 800}
 
 
+def _q_split_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order (llmops/splits.py::
+    epoch_shuffle): pos = dense global rank of md5(id#e3) — computed as
+    256 md5-range shards + partition-local ranks + one <=256-row offset
+    cumsum instead of a single-partition global sort; the oracle states
+    the equivalent global ORDER BY directly."""
+    from rassengine_spark.llmops.splits import epoch_shuffle
+    docs = load_tables(spark, sf_dir)["documents"]
+    return epoch_shuffle(docs, "doc_id", epoch=3) \
+        .withColumnRenamed("id", "doc_id")
+
+
+_SQL_SPLIT_EPOCH_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#e3') AS k
+  FROM documents)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(k, 1, 2) AS BIGINT) AS INT) AS shard,
+       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
 def _q_split_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weighted curation (llmops/splits.py::
     mixture_token_budget_take): each language independently keeps its
@@ -4415,6 +4438,7 @@ _DRIVER_CHECK_PRIORITY = [
     # new round-3 entries
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
+    "split_epoch_shuffle",
 ]
 
 
@@ -4487,6 +4511,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_mixture_resample": _q_split_mixture,
         "split_token_budget": _q_split_token_budget,
         "split_mixture_token_budget": _q_split_mixture_budget,
+        "split_epoch_shuffle": _q_split_epoch_shuffle,
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
@@ -4618,6 +4643,7 @@ def oracle_sql() -> dict[str, str]:
         "split_mixture_resample": _sql_split_mixture(),
         "split_token_budget": _sql_split_token_budget(),
         "split_mixture_token_budget": _sql_split_mixture_budget(),
+        "split_epoch_shuffle": _SQL_SPLIT_EPOCH_SHUFFLE,
         "pack_sequences": _sql_pack_sequences(),
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,

@@ -250,3 +250,31 @@ def mixture_token_budget_take(df: DataFrame, strata_col: str,
     return (d2.withColumn("_cum", cum)
               .filter(F.col("_cum") <= budget)
               .drop("_bin", "_above", "_cum"))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
+    """Deterministic training order for one epoch: `pos` = dense global
+    rank of md5(id || '#e<epoch>') — a different, reproducible permutation
+    per epoch, stable under repartitioning (what a seeded rand() is not).
+
+    A global ORDER BY is a single-partition sort at 100 TB. Instead the
+    md5 hex key is RANGE-bucketed by its first byte (256 ordered shards,
+    so (shard, key) order IS the global key order), per-shard ranks come
+    from a partition-local window, and shard offsets from one cumsum over
+    a <=256-row aggregate — the token_budget_take two-phase shape.
+    Returns (id, shard, pos) with pos dense 0..N-1."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f"#e{epoch}")))
+    shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    d = df.select(F.col(id_col).alias("id"), key.alias("_k"),
+                  shard.alias("shard"))
+    counts = d.groupBy("shard").agg(F.count(F.lit(1)).alias("_c"))
+    woff = (Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+    win = Window.partitionBy("shard").orderBy("_k", "id")
+    return (d.join(F.broadcast(offs.select("shard", "_off")), "shard")
+            .withColumn("pos",
+                        F.row_number().over(win) - 1 + F.col("_off"))
+            .select("id", "shard", "pos"))

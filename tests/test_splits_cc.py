@@ -235,3 +235,20 @@ def test_mixture_token_budget_take_per_stratum(spark):
                 break
             expect.add(i)
         assert by_d.get(dkey, set()) == expect, dkey
+
+
+def test_epoch_shuffle_dense_permutation(spark):
+    """pos is a dense 0..N-1 permutation, differs across epochs, and is
+    invariant under repartitioning (a seeded rand() is neither)."""
+    from rassengine_spark.llmops.splits import epoch_shuffle
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e1 = {r.id: r.pos for r in
+          epoch_shuffle(df, "doc_id", epoch=1).collect()}
+    assert sorted(e1.values()) == list(range(300))
+    e2 = {r.id: r.pos for r in
+          epoch_shuffle(df, "doc_id", epoch=2).collect()}
+    assert sorted(e2.values()) == list(range(300))
+    assert e1 != e2
+    again = {r.id: r.pos for r in
+             epoch_shuffle(df.repartition(13), "doc_id", epoch=1).collect()}
+    assert again == e1

@@ -66,6 +66,9 @@ SORT_OK = {
     # bin windows: one <=`bins`-row (per-stratum) window + per-bin sorts
     # bounded by bin width — the deliberate two-phase cumsum shape:
     "split_token_budget", "split_mixture_token_budget",
+    # 256-shard range buckets: per-shard partition-local rank sorts + one
+    # <=256-row offset cumsum — the global-order-without-global-sort shape:
+    "split_epoch_shuffle",
     # sort-merge-join sorts on the w join key (corpus words x segmented
     # vocab — both corpus-scale, broadcast is wrong at 100 TB):
     "tokenizer_bpe_token_counts",
