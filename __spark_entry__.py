@@ -961,8 +961,10 @@ def _q_sim_hnsw_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store_df,
                                               save_hnsw_index)
 
+    # pid suffix: see _q_s9_bucketed_upsert
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"rass_hnsw_store_{sf_tag}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_hnsw_store_{sf_tag}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
 
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -4259,9 +4261,12 @@ def _q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((doc_id, pos) order); blank lines exempt; docs reassembled in line
     order."""
     docs = load_tables(spark, sf_dir)["documents"]
+    # coalesce text on BOTH sides: concat_ws skips NULLs while the
+    # oracle's || would propagate them — a NULL doc must not diverge
+    t = F.coalesce(F.col("text"), F.lit(""))
     md = F.concat_ws("\n", F.lit("=== DOC ==="),
-                     F.substring("text", 1, 40),
-                     F.lit("(c) corpus boilerplate"), F.col("text"))
+                     F.substring(t, 1, 40),
+                     F.lit("(c) corpus boilerplate"), t)
     src = docs.select("doc_id", md.alias("text"))
     return TA.line_dedup(src, "text", "doc_id") \
              .withColumnRenamed("id", "doc_id")
@@ -4270,8 +4275,10 @@ def _q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TEXT_LINE_DEDUP = """
 WITH src AS (
   SELECT doc_id,
-         '=== DOC ===' || chr(10) || substr(text, 1, 40) || chr(10) ||
-         '(c) corpus boilerplate' || chr(10) || text AS text
+         '=== DOC ===' || chr(10) ||
+         substr(COALESCE(text, ''), 1, 40) || chr(10) ||
+         '(c) corpus boilerplate' || chr(10) ||
+         COALESCE(text, '') AS text
   FROM documents),
 lines AS (
   SELECT doc_id, j - 1 AS pos, ls[j] AS line, lower(trim(ls[j])) AS norm
@@ -4349,8 +4356,11 @@ def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rassengine_spark.pipeline.ingest import bucketed_upsert
 
+    # pid suffix: a concurrent harness run (bench + check on the same sf)
+    # must not rmtree a table the other process is mid-read on
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"rass_s9_upsert_{sf_tag}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_s9_upsert_{sf_tag}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
 
     docs = load_tables(spark, sf_dir)["documents"] \

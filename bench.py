@@ -95,9 +95,12 @@ def main():
             f.write(full + "\n")
     except OSError:
         pass
+    # ~67 chars worst-case: short metric + 1-decimal total keep real
+    # headroom under the ~80-char window (a 78-char line would re-arm the
+    # truncation the moment the total gains a digit)
     compact = json.dumps({
-        "metric": f"total_sec_{len(timings)}q",
-        "value": total,
+        "metric": "tot_s",
+        "value": round(total, 1),
         "unit": "sec",
         "queries": {},
         "sf": sf_val,

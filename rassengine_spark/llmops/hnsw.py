@@ -249,7 +249,12 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
                       F.col(vec_col).alias("v"))
     if partitions:
-        c = c.repartition(partitions)
+        # hash-partition on id + in-shard id order: shard COMPOSITION and
+        # INSERTION order depend only on the ids, never on the scan's
+        # input-split layout — the same corpus builds the same graphs on
+        # any machine (a bare round-robin repartition does not)
+        c = c.repartition(partitions, F.col("id")) \
+             .sortWithinPartitions("id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
@@ -300,7 +305,9 @@ def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
                       F.col(vec_col).alias("v"))
     if partitions:
-        c = c.repartition(partitions)
+        # deterministic shards + insertion order (see hnsw_topk)
+        c = c.repartition(partitions, F.col("id")) \
+             .sortWithinPartitions("id")
     c = c.withColumn("part_id", F.spark_partition_id())
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -106,8 +106,17 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
     if os.path.exists(meta_p):
         n_buckets = int(spark.read.parquet(meta_p)
                         .collect()[0]["n_buckets"])
+    else:
+        # meta commits BEFORE the first data write: a crash between the
+        # two must never leave data whose bucket count a retry (possibly
+        # with a different n_buckets default) cannot recover
+        (spark.createDataFrame([(n_buckets,)], "n_buckets int")
+         .coalesce(1).write.mode("overwrite").parquet(meta_p))
     batch = df.withColumn(
         "kb", term_bucket_expr(F.col(key_col).cast("string"), n_buckets))
+    # pin the batch: its lineage otherwise re-executes for the touched-kb
+    # collect, the anti-join build, and the final write
+    batch = batch.localCheckpoint(eager=False)
     if os.path.exists(data_p):
         touched = [r[0] for r in batch.select("kb").distinct().collect()]
         existing = (spark.read.parquet(data_p)
@@ -128,9 +137,6 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
             .partitionBy("kb").parquet(data_p))
     finally:
         spark.conf.set(conf, prev)
-    if not os.path.exists(meta_p):
-        (spark.createDataFrame([(n_buckets,)], "n_buckets int")
-         .coalesce(1).write.mode("overwrite").parquet(meta_p))
 
 
 def bucketed_lookup(spark: SparkSession, path: str, keys: list,
@@ -213,11 +219,22 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
     maintained estimate equals the from-scratch one (asserted exactly in
     tests/test_sketches.py). History is never rescanned; each batch costs
     one map-side sketch aggregate plus a semi-join-pruned rewrite of the
-    affected groups."""
+    affected groups.
+
+    lg_k is persisted on first write and REUSED for every later batch —
+    hll_union_agg refuses sketches of mixed lg_k, so a caller passing a
+    different value later must not silently arm that failure."""
+    meta_p = os.path.join(rollup_path, "_hll_meta")
+    data_p = os.path.join(rollup_path, "data")
+    if os.path.exists(meta_p):
+        lg_k = int(spark.read.parquet(meta_p).collect()[0]["lg_k"])
+    else:
+        (spark.createDataFrame([(lg_k,)], "lg_k int")
+         .coalesce(1).write.mode("overwrite").parquet(meta_p))
     part = (delta.groupBy(group_cols)
             .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")))
-    if os.path.exists(rollup_path):
-        existing = spark.read.parquet(rollup_path)
+    if os.path.exists(data_p):
+        existing = spark.read.parquet(data_p)
         touched = part.select(group_cols).distinct()
         affected = existing.join(touched, group_cols, "left_semi")
         untouched = existing.join(touched, group_cols, "left_anti")
@@ -227,13 +244,13 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
         out = untouched.unionByName(merged).localCheckpoint()
     else:
         out = part.localCheckpoint()
-    out.write.mode("overwrite").parquet(rollup_path)
+    out.write.mode("overwrite").parquet(data_p)
 
 
 def read_hll_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The serving view of a merge_hll_rollup table: groups + the
     approximate distinct count decoded from the persisted sketch."""
-    return (spark.read.parquet(rollup_path)
+    return (spark.read.parquet(os.path.join(rollup_path, "data"))
             .withColumn("approx_distinct",
                         F.hll_sketch_estimate("sketch"))
             .drop("sketch"))
