@@ -4301,6 +4301,47 @@ FROM kept GROUP BY doc_id
 """
 
 
+def _q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance as a driver-checkable query
+    (pipeline/ingest.py::merge_rollup — the serving-freshness pattern):
+    events fold into a persisted per-type rollup in TWO batches split by
+    event-id parity; only batch-touched groups are rewritten. The value
+    sum runs as DECIMAL so the two-batch partial fold is exactly
+    associative (a double sum would drift by fold order); the oracle
+    states the one-shot GROUP BY."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.pipeline.ingest import merge_rollup
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_rollup_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = load_tables(spark, sf_dir)["events"]
+    for parity in (0, 1):
+        delta = (ev.filter(F.col("event_id") % 2 == parity)
+                 .select("event_type",
+                         F.lit(1).cast("long").alias("n_events"),
+                         F.col("value").cast("decimal(18,6)")
+                          .alias("sum_value")))
+        merge_rollup(spark, path, delta, ["event_type"],
+                     {"n_events": "sum", "sum_value": "sum"})
+    out = spark.read.parquet(path)
+    return out.select(
+        "event_type", "n_events",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"))
+
+
+_SQL_EVENTS_ROLLUP_MERGE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # decomposed e + combining acute, zero-width space, curly quote, CRLF,
 # BEL control — the mojibake zoo a multilingual scrape drags in
 _UNICODE_DIRTY_PREFIX = "Cafe\u0301\u200b it\u2019s\r\nok\x07 "
@@ -4448,7 +4489,7 @@ _DRIVER_CHECK_PRIORITY = [
     # new round-3 entries
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
-    "split_epoch_shuffle",
+    "split_epoch_shuffle", "events_rollup_merge",
 ]
 
 
@@ -4585,6 +4626,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_bucketed_upsert": _q_s9_bucketed_upsert,
         "text_line_dedup": _q_text_line_dedup,
         "text_unicode_clean": _q_text_unicode_clean,
+        "events_rollup_merge": _q_events_rollup_merge,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -4715,6 +4757,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_bucketed_upsert": _SQL_S9_BUCKETED_UPSERT,
         "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
         "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
+        "events_rollup_merge": _SQL_EVENTS_ROLLUP_MERGE,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole
