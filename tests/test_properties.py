@@ -217,3 +217,55 @@ def test_minhash_lsh_soundness(spark, texts):
         for j2 in range(i + 1, len(texts)):
             if texts[j2] == ta:
                 assert (i, j2) in got and got[(i, j2)] == 1.0
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "", "  ", "Alpha"]),
+             min_size=0, max_size=5).map("\n".join),
+    min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_reference(spark, texts):
+    """line_dedup == the obvious single-threaded reference: global
+    normalized-line counts, first (id,pos) occurrence survives, blanks
+    exempt, doc order preserved."""
+    from rassengine_spark.llmops.text_analysis import line_dedup
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    # reference
+    from collections import Counter, defaultdict
+    norm = lambda s: s.strip().lower()
+    cnt = Counter(norm(l) for _, t in rows for l in t.split("\n"))
+    first = {}
+    for i, t in rows:
+        for p, l in enumerate(t.split("\n")):
+            first.setdefault(norm(l), (i, p))
+    want = {}
+    for i, t in rows:
+        kept = [l for p, l in enumerate(t.split("\n"))
+                if cnt[norm(l)] < 2 or norm(l) == ""
+                or first[norm(l)] == (i, p)]
+        n_all = len(t.split("\n"))
+        want[i] = ("\n".join(kept), len(kept), n_all - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.text, r.n_kept, r.n_dropped)
+           for r in line_dedup(df, "text", "doc_id").collect()}
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                    min_size=1, max_size=40, unique=True),
+       epoch=st.integers(min_value=0, max_value=5))
+@settings(**_SETTINGS)
+def test_epoch_shuffle_matches_global_order(spark, ids, epoch):
+    """pos == rank in the global md5(id#epoch) order (the oracle's
+    single ORDER BY), for arbitrary ids including negatives."""
+    import hashlib
+    from rassengine_spark.llmops.splits import epoch_shuffle
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.id: r.pos for r in
+           epoch_shuffle(df, "doc_id", epoch=epoch).collect()}
+    order = sorted(ids, key=lambda i: (
+        hashlib.md5(f"{i}#e{epoch}".encode()).hexdigest(), i))
+    want = {i: p for p, i in enumerate(order)}
+    assert got == want
