@@ -2938,6 +2938,80 @@ WHERE rank <= 10""")
     return " UNION ALL ".join(parts)
 
 
+def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (known-item search): every 50th doc becomes
+    a query (its first 4 tokens) and BM25 must find the source doc —
+    per-query src_rank / hit@1 / hit@10, the IR measurement loop the
+    reference's search quality would be tuned with. One corpus pass for
+    ALL queries (bm25_batch_topk); the bounded sample collect (|docs|/50
+    rows) builds the query literals."""
+    from rassengine_spark.functions.bm25 import bm25_batch_topk
+    from rassengine_spark.functions.text import tokenize
+    docs = load_tables(spark, sf_dir)["documents"]
+    sample = (docs.filter(F.col("doc_id") % 50 == 0)
+              .select("doc_id",
+                      F.array_join(F.slice(tokenize(F.col("text")), 1, 4),
+                                   " ").alias("q"))
+              .collect())
+    queries = {str(r.doc_id): r.q for r in sample if r.q}
+    res = bm25_batch_topk(docs, "text", "doc_id", queries, k=10)
+    qdf = spark.createDataFrame([(int(k),) for k in queries],
+                                "query_id long")
+    hit = (res.withColumn("query_id", F.col("query_id").cast("long"))
+           .filter(F.col("id") == F.col("query_id"))
+           .select("query_id", F.col("rank").alias("src_rank")))
+    return (qdf.join(hit, "query_id", "left")
+            .select("query_id", "src_rank",
+                    F.coalesce(F.col("src_rank") == 1,
+                               F.lit(False)).alias("hit1"),
+                    F.col("src_rank").isNotNull().alias("hit10")))
+
+
+def _sql_bm25_known_item() -> str:
+    # fully dynamic twin: queries derive from the table IN SQL; per-query
+    # contributions fold in qterm-position order (SUM ... ORDER BY pos) to
+    # match the Spark side's left fold — the ordered-FP-fold rule
+    from rassengine_spark.functions.bm25 import B, K1
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> len(x) > 0)")
+    tf = "len(list_filter(tok.toks, x -> x = o.t))"
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+q AS (SELECT id AS qid, list_slice(toks, 1, 4) AS qterms
+      FROM tok WHERE id % 50 = 0 AND len(toks) > 0),
+qocc AS (SELECT qid, j AS pos, qterms[j] AS t
+         FROM q, UNNEST(generate_series(1, len(qterms))) s(j)),
+qt AS (SELECT DISTINCT t FROM qocc),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tok),
+dfreq AS (SELECT qt.t,
+                 SUM(CASE WHEN list_contains(tok.toks, qt.t)
+                          THEN 1 ELSE 0 END) AS df
+          FROM qt, tok GROUP BY qt.t),
+contrib AS (
+  SELECT o.qid, o.pos, tok.id,
+         ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * {tf} * {K1 + 1.0}
+           / ({tf} + {K1} * (1.0 - {B} + {B} * len(tok.toks) / st.avgdl))
+           AS c
+  FROM qocc o JOIN dfreq d ON d.t = o.t CROSS JOIN tok CROSS JOIN stats st),
+scored AS (
+  SELECT qid, id, round(SUM(c ORDER BY pos), 6) AS score
+  FROM contrib GROUP BY qid, id
+  HAVING round(SUM(c ORDER BY pos), 6) > 0),
+ranked AS (
+  SELECT qid, id,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, id ASC) AS INT)
+           AS rank
+  FROM scored)
+SELECT q.qid AS query_id, r.rank AS src_rank,
+       COALESCE(r.rank = 1, FALSE) AS hit1,
+       r.rank IS NOT NULL AS hit10
+FROM q LEFT JOIN (SELECT * FROM ranked WHERE rank <= 10) r
+  ON r.qid = q.qid AND r.id = q.qid
+"""
+
+
 def _q_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: BM25 scans the corpus for 20 candidates, the
     second stage re-scores ONLY those by query-term Jaccard and keeps 5 —
@@ -4489,7 +4563,7 @@ _DRIVER_CHECK_PRIORITY = [
     # new round-3 entries
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
-    "split_epoch_shuffle", "events_rollup_merge",
+    "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
 ]
 
 
@@ -4588,6 +4662,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_intent_eval": _q_m_intent_eval,
         "bm25_ranked": _q_bm25_ranked,
         "bm25_batch_ranked": _q_bm25_batch,
+        "bm25_known_item_eval": _q_bm25_known_item,
         "rerank_lexical": _q_rerank_lexical,
         "bm25_index_ranked": _q_bm25_index,
         "tpch_q4_late_orders": _q_tpch_q4,
@@ -4721,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "m_intent_eval": _sql_m_intent_eval(),
         "bm25_ranked": _sql_bm25_ranked(),
         "bm25_batch_ranked": _sql_bm25_batch(),
+        "bm25_known_item_eval": _sql_bm25_known_item(),
         "rerank_lexical": _sql_rerank_lexical(),
         "bm25_index_ranked": _sql_bm25_ranked(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,

@@ -50,8 +50,9 @@ PYTHON_OK = {
     # text_lm_score above):
     "split_token_budget", "split_mixture_token_budget",
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
-    # expressions; batch==solo parity-tested):
-    "bm25_batch_ranked",
+    # expressions; batch==solo parity-tested); the known-item eval runs
+    # the same batch scorer:
+    "bm25_batch_ranked", "bm25_known_item_eval",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
