@@ -4375,6 +4375,39 @@ FROM kept GROUP BY doc_id
 """
 
 
+def _q_table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot pinning as a driver-checkable query
+    (pipeline/maintenance.py): write half the documents, publish a
+    metadata-only snapshot, APPEND the other half AND compact the table —
+    the pinned read must still return exactly the first write (the
+    reproducibility contract of a training run). Oracle = the first
+    write's predicate."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.pipeline.maintenance import (compact_parquet,
+                                                       publish_snapshot,
+                                                       read_snapshot)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_snap_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "lang", "n_chars")
+    docs.filter(F.col("doc_id") < 300).write.parquet(path)
+    snap = publish_snapshot(spark, path)
+    docs.filter(F.col("doc_id") >= 300).write.mode("append").parquet(path)
+    compact_parquet(spark, path)
+    return read_snapshot(spark, path, snap)
+
+
+_SQL_TABLE_SNAPSHOT_READ = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
+"""
+
+
 def _q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance as a driver-checkable query
     (pipeline/ingest.py::merge_rollup — the serving-freshness pattern):
@@ -4564,6 +4597,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
+    "table_snapshot_read",
 ]
 
 
@@ -4702,6 +4736,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": _q_text_line_dedup,
         "text_unicode_clean": _q_text_unicode_clean,
         "events_rollup_merge": _q_events_rollup_merge,
+        "table_snapshot_read": _q_table_snapshot_read,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -4834,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
         "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
         "events_rollup_merge": _SQL_EVENTS_ROLLUP_MERGE,
+        "table_snapshot_read": _SQL_TABLE_SNAPSHOT_READ,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole
