@@ -150,6 +150,21 @@ def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
         import numpy as np
         import pandas as pd
         idx = np.arange(num_hashes, dtype=np.int64)
+        # partition-scoped shingle->(h1,h2) memo: shingles repeat heavily
+        # across documents (boilerplate, small vocabularies), and the md5 +
+        # two hex parses per shingle were the profiled cost of this pass —
+        # capped so a pathological partition can't hold the worker's memory
+        memo: dict[str, tuple[int, int]] = {}
+
+        def hpair(s: str) -> tuple[int, int]:
+            v = memo.get(s)
+            if v is None:
+                h = hashlib.md5(s.encode()).hexdigest()
+                v = (int(h[:12], 16), int(h[12:24], 16))
+                if len(memo) < (1 << 20):
+                    memo[s] = v
+            return v
+
         for pdf in batches:
             ids, shs, bks, sigs = [], [], [], []
             for rid, txt in zip(pdf["id"], pdf["txt"]):
@@ -160,11 +175,11 @@ def _minhash_index_pandas(df: DataFrame, text_col: str, id_col: str,
                         for j in range(len(words) - shingle_n + 1)))
                 else:
                     sh = [" ".join(words)]
-                hexes = [hashlib.md5(s.encode()).hexdigest() for s in sh]
-                h1 = np.array([int(h[:12], 16) for h in hexes],
-                              dtype=np.int64)
-                h2 = np.array([int(h[12:24], 16) for h in hexes],
-                              dtype=np.int64)
+                hp = [hpair(s) for s in sh]
+                h1 = np.fromiter((p[0] for p in hp), dtype=np.int64,
+                                 count=len(hp))
+                h2 = np.fromiter((p[1] for p in hp), dtype=np.int64,
+                                 count=len(hp))
                 # (|sh| x K) grid; i*h2 < 16*2^48 — no int64 overflow
                 sig = ((h1[:, None] + idx[None, :] * h2[:, None])
                        % _MINHASH_P).min(axis=0)
