@@ -2943,9 +2943,10 @@ def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query (its first 4 tokens) and BM25 must find the source doc —
     per-query src_rank / hit@1 / hit@10, the IR measurement loop the
     reference's search quality would be tuned with. One corpus pass for
-    ALL queries (bm25_batch_topk); the bounded sample collect (|docs|/50
-    rows) builds the query literals."""
-    from rassengine_spark.functions.bm25 import bm25_batch_topk
+    ALL queries via the LARGE-Q join shape (bm25_batch_topk_join — the
+    struct-literal form's plan grows with |Q|); the bounded sample
+    collect (|docs|/50 rows) builds the query table."""
+    from rassengine_spark.functions.bm25 import bm25_batch_topk_join
     from rassengine_spark.functions.text import tokenize
     docs = load_tables(spark, sf_dir)["documents"]
     sample = (docs.filter(F.col("doc_id") % 50 == 0)
@@ -2954,7 +2955,7 @@ def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    " ").alias("q"))
               .collect())
     queries = {str(r.doc_id): r.q for r in sample if r.q}
-    res = bm25_batch_topk(docs, "text", "doc_id", queries, k=10)
+    res = bm25_batch_topk_join(docs, "text", "doc_id", queries, k=10)
     qdf = spark.createDataFrame([(int(k),) for k in queries],
                                 "query_id long")
     hit = (res.withColumn("query_id", F.col("query_id").cast("long"))

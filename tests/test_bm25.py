@@ -72,3 +72,22 @@ def test_bm25_batch_matches_single_query(spark):
             assert got[(qid, rank)] == (r.id, r.score)
     # every emitted row has score > 0 (zero-score pairs never explode)
     assert all(v[1] > 0 for v in got.values())
+
+
+def test_bm25_batch_join_shape_matches_struct_shape(spark):
+    """The large-Q join formulation must be bit-equal to the struct-
+    literal batch scorer (same stats, same formula, ordered fold with
+    zero-skip proven safe) — including a query with a repeated term."""
+    from rassengine_spark.functions.bm25 import (bm25_batch_topk,
+                                                 bm25_batch_topk_join)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma alpha" if i % 3 else "beta only doc")
+         for i in range(30)], "doc_id long, text string")
+    qs = {"q1": "alpha gamma", "q2": "beta", "q3": "alpha alpha w7"}
+    a = {(r.query_id, r.id): (r.score, r.rank)
+         for r in bm25_batch_topk(docs, "text", "doc_id", qs, k=7)
+         .collect()}
+    b = {(r.query_id, r.id): (r.score, r.rank)
+         for r in bm25_batch_topk_join(docs, "text", "doc_id", qs, k=7)
+         .collect()}
+    assert a == b and len(a) > 0
