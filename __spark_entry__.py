@@ -1032,6 +1032,35 @@ def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
 
 
+def _q_sim_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF tier end to end (operators/index_store.py):
+    centroids + cell-partitioned assignments written once, then top-k
+    served FROM THE STORE — probe cells computed driver-side so the
+    assignment read prunes to n_probe partitions (PartitionFilters, the
+    sublinear serving path). Assignment uses the same rounded-cosine
+    argmax as the live ivf_topk, so this is bit-identical to
+    sim_ivf_topk and shares its oracle."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (ivf_topk_from_store,
+                                                        save_ivf_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_ivf_store_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    save_ivf_index(corpus, "embedding", "vec_id", path,
+                   n_cells=_IVF_CELLS)
+    return ivf_topk_from_store(spark, path, queries_df, "embedding",
+                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+
+
 def _sql_sim_ivf() -> str:
     cos_cv = _SQL_COS.format(a="cv", b="v")
     cos_cq = _SQL_COS.format(a="cv", b="qv")
@@ -4598,7 +4627,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
-    "table_snapshot_read",
+    "table_snapshot_read", "sim_ivf_store_topk",
 ]
 
 
@@ -4641,6 +4670,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
+        "sim_ivf_store_topk": _q_sim_ivf_store,
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
@@ -4776,6 +4806,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
+        "sim_ivf_store_topk": _sql_sim_ivf(),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
         "sim_pq_adc_topk": _sql_sim_pq(),
