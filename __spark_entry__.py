@@ -2906,6 +2906,30 @@ def _sql_bm25_ranked() -> str:
     return bm25_sql("documents", "text", "doc_id", "spark join query", k=15)
 
 
+def _q_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED term index (operators/
+    index_store.py): postings written bucketed by md5(term), the query
+    read statically prunes to its terms' buckets (PartitionFilters, no
+    planning job) — the sublinear lexical serving tier, bit-identical to
+    the scan-based bm25_ranked so it shares that oracle."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (
+        bm25_topk_from_store, save_term_index)
+    from rassengine_spark.operators.inverted_index import build_term_index
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_term_store_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, doclens, stats = build_term_index(docs, "text", "doc_id")
+    save_term_index(postings, doclens, stats, path, n_buckets=32)
+    return bm25_topk_from_store(spark, path, "spark join query", k=15)
+
+
 def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the inverted-index TABLES (postings/doclens/stats,
     operators/inverted_index.py) — the corpus text is never scanned at
@@ -4627,7 +4651,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_recall", "tokenizer_bpe_segment_hi", "s9_bucketed_upsert",
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
-    "table_snapshot_read", "sim_ivf_store_topk",
+    "table_snapshot_read", "sim_ivf_store_topk", "bm25_store_ranked",
 ]
 
 
@@ -4730,6 +4754,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_known_item_eval": _q_bm25_known_item,
         "rerank_lexical": _q_rerank_lexical,
         "bm25_index_ranked": _q_bm25_index,
+        "bm25_store_ranked": _q_bm25_store,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -4866,6 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_known_item_eval": _sql_bm25_known_item(),
         "rerank_lexical": _sql_rerank_lexical(),
         "bm25_index_ranked": _sql_bm25_ranked(),
+        "bm25_store_ranked": _sql_bm25_ranked(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
