@@ -2930,6 +2930,33 @@ def _q_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_store(spark, path, "spark join query", k=15)
 
 
+def _q_bm25_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The term index's INCREMENTAL path: half the corpus is indexed,
+    the other half APPENDS (history's postings never re-tokenized; stats
+    recomputed from exact integer doclen sums) — serving from the
+    appended store must stay bit-identical to scanning the union corpus,
+    so this too shares the scan oracle."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (
+        append_term_index, bm25_topk_from_store, save_term_index)
+    from rassengine_spark.operators.inverted_index import build_term_index
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_term_append_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    postings, doclens, stats = build_term_index(first, "text", "doc_id")
+    save_term_index(postings, doclens, stats, path, n_buckets=32)
+    append_term_index(docs.filter(F.col("doc_id") % 2 == 1),
+                      "text", "doc_id", path)
+    return bm25_topk_from_store(spark, path, "spark join query", k=15)
+
+
 def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the inverted-index TABLES (postings/doclens/stats,
     operators/inverted_index.py) — the corpus text is never scanned at
@@ -4652,6 +4679,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
     "table_snapshot_read", "sim_ivf_store_topk", "bm25_store_ranked",
+    "bm25_store_append_ranked",
 ]
 
 
@@ -4755,6 +4783,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_lexical": _q_rerank_lexical,
         "bm25_index_ranked": _q_bm25_index,
         "bm25_store_ranked": _q_bm25_store,
+        "bm25_store_append_ranked": _q_bm25_store_append,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -4892,6 +4921,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_lexical": _sql_rerank_lexical(),
         "bm25_index_ranked": _sql_bm25_ranked(),
         "bm25_store_ranked": _sql_bm25_ranked(),
+        "bm25_store_append_ranked": _sql_bm25_ranked(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
