@@ -1061,7 +1061,43 @@ def _q_sim_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "qid", k=_IVF_K, n_probe=_IVF_PROBE)
 
 
-def _sql_sim_ivf() -> str:
+def _q_sim_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tier's INCREMENTAL path: even-id vectors build the index
+    (and its quantizer), odd-id vectors APPEND — assigned against the
+    PERSISTED centroids, because re-deriving the quantizer from new data
+    would silently shift every historical cell boundary. The oracle
+    samples centroids from the initially-indexed half only and scores
+    the full corpus."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (append_ivf_index,
+                                                        ivf_topk_from_store,
+                                                        save_ivf_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_ivf_append_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    first = emb.filter((F.col("vec_id") >= 5)
+                       & (F.col("vec_id") % 2 == 0))
+    rest = emb.filter((F.col("vec_id") >= 5)
+                      & (F.col("vec_id") % 2 == 1))
+    save_ivf_index(first, "embedding", "vec_id", path,
+                   n_cells=_IVF_CELLS)
+    append_ivf_index(rest, "embedding", "vec_id", path)
+    return ivf_topk_from_store(spark, path, queries_df, "embedding",
+                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+
+
+def _sql_sim_ivf(cent_where: str = "vec_id >= 5") -> str:
+    # cent_where narrows the QUANTIZER's training rows (the append-path
+    # oracle samples centroids from the initially-indexed half only);
+    # the corpus c0 always scores in full
     cos_cv = _SQL_COS.format(a="cv", b="v")
     cos_cq = _SQL_COS.format(a="cv", b="qv")
     cos_vq = _SQL_COS.format(a="v", b="qv")
@@ -1070,10 +1106,12 @@ WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
             WHERE vec_id < 5),
 c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
        WHERE vec_id >= 5),
+ctrain AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+           WHERE {cent_where}),
 cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
          v AS cv
-  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}),
+  FROM ctrain ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}),
 cassign AS (
   SELECT id, v, cell FROM (
     SELECT c0.id, c0.v, cent.cell,
@@ -4679,7 +4717,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_store_recall", "text_line_dedup", "text_unicode_clean",
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
     "table_snapshot_read", "sim_ivf_store_topk", "bm25_store_ranked",
-    "bm25_store_append_ranked",
+    "bm25_store_append_ranked", "sim_ivf_store_append_topk",
 ]
 
 
@@ -4723,6 +4761,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_store_topk": _q_sim_ivf_store,
+        "sim_ivf_store_append_topk": _q_sim_ivf_store_append,
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
@@ -4861,6 +4900,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_ivf_store_topk": _sql_sim_ivf(),
+        "sim_ivf_store_append_topk": _sql_sim_ivf(
+            "vec_id >= 5 AND vec_id % 2 = 0"),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
         "sim_pq_adc_topk": _sql_sim_pq(),
