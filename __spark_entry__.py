@@ -3114,14 +3114,14 @@ contrib AS (
            AS c
   FROM qocc o JOIN dfreq d ON d.t = o.t CROSS JOIN tok CROSS JOIN stats st),
 scored AS (
-  SELECT qid, id, round(SUM(c ORDER BY pos), 6) AS score
+  SELECT qid, id, SUM(c ORDER BY pos) AS raw
   FROM contrib GROUP BY qid, id
-  HAVING round(SUM(c ORDER BY pos), 6) > 0),
+  HAVING SUM(c ORDER BY pos) > 0),
 ranked AS (
   SELECT qid, id,
          CAST(row_number() OVER (PARTITION BY qid
-                                 ORDER BY score DESC, id ASC) AS INT)
-           AS rank
+                                 ORDER BY round(raw, 6) DESC, id ASC)
+              AS INT) AS rank
   FROM scored)
 SELECT q.qid AS query_id, r.rank AS src_rank,
        COALESCE(r.rank = 1, FALSE) AS hit1,

@@ -177,9 +177,14 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
     if not uniq:
         raise ValueError("no tokenizable terms in any query")
 
-    # cached: the Arrow pass feeds both the stats row and the scoring scan,
-    # and its output is narrow (id + small ints), unlike the corpus text
-    tf_idx = _tf_index_pandas(df, text_col, id_col, uniq).cache()
+    # pinned: the Arrow pass feeds both the stats row and the scoring
+    # scan, and its output is narrow (id + small ints), unlike the corpus
+    # text. localCheckpoint, NOT cache(): checkpoint blocks are released
+    # by the ContextCleaner when the plan is garbage-collected, while a
+    # cache() pins executor storage until an explicit unpersist this
+    # function has no good place to issue.
+    tf_idx = _tf_index_pandas(df, text_col, id_col,
+                              uniq).localCheckpoint(eager=False)
     stats = tf_idx.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.col("dl")).alias("_avgdl"),
@@ -227,58 +232,16 @@ def bm25_batch_topk_join(df: DataFrame, text_col: str, id_col: str,
 
     The struct-literal form builds one |Q|-element array per doc — an
     interpreted higher-order projection whose cost grows with |Q| (at 100
-    queries it dominated the eval entry). Here the tf index MELTS to
-    (id, dl, term_idx, tf>0) rows, query terms become a broadcast
-    (query_id, term_idx, pos) table, per-term document frequencies fall
-    out of the melted frame itself, and per-(query, doc) scores fold the
-    joined contributions in query-term-position order (array_sort +
-    aggregate — the ordered-FP-fold rule). Skipping tf=0 terms is
-    bit-safe: contributions are strictly positive and x + 0.0 == x, so
-    the fold equals the all-terms fold exactly. Scales to thousands of
-    queries: nothing in the plan is sized by |Q| except the broadcast."""
-    per_q = {qid: terms_of(q) for qid, q in queries.items()}
-    uniq = sorted({t for ts in per_q.values() for t in ts})
-    if not uniq:
-        raise ValueError("no tokenizable terms in any query")
-
-    tf_idx = _tf_index_pandas(df, text_col, id_col, uniq).cache()
-    melted = (tf_idx.select(
-                  "id", "dl",
-                  F.posexplode(F.array(*[F.col(f"tf_{i}")
-                                         for i in range(len(uniq))]))
-                  .alias("ti", "tf"))
-              .filter(F.col("tf") > 0))
-    stats = tf_idx.agg(F.count(F.lit(1)).alias("_n"),
-                       F.avg(F.col("dl")).alias("_avgdl"))
-    dfreq = melted.groupBy("ti").agg(F.count(F.lit(1)).alias("_df"))
-
-    ti_of = {t: i for i, t in enumerate(uniq)}
-    qocc = df.sparkSession.createDataFrame(
-        [(qid, ti_of[t], pos)
-         for qid, ts in sorted(per_q.items())
-         for pos, t in enumerate(ts)],
-        "query_id string, ti int, pos int")
-
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    dfr = F.col("_df").cast("double")
-    idf = F.log(F.lit(1.0) + (F.col("_n") - dfr + 0.5) / (dfr + 0.5))
-    c = idf * tf * (k1 + 1.0) / (
-        tf + k1 * (1.0 - b + b * dl
-                   / F.greatest(F.col("_avgdl"), F.lit(1e-12))))
-    contrib = (melted.join(F.broadcast(qocc), "ti")
-                     .join(F.broadcast(dfreq), "ti")
-                     .crossJoin(F.broadcast(stats))
-                     .select("query_id", "id", "pos", c.alias("c")))
-    score = F.round(
-        F.aggregate(F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    F.lit(0.0), lambda a, x: a + x["c"]), round_to)
-    scored = (contrib.groupBy("query_id", "id")
-              .agg(score.alias("score"))
-              .filter(F.col("score") > 0))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "id", "score", "rank"))
+    queries it dominated the eval entry); a per-doc tf-COLUMN layout is
+    no better, its schema grows with the union term count. So the batch
+    simply scores from the inverted-index frames: build_term_index once
+    (one explode + hash aggregate, vocabulary-agnostic), then
+    bm25_batch_topk_from_index joins the term-pruned postings against a
+    broadcast query-term table and folds per-occurrence contributions in
+    query order — bit-identical to scoring each query alone
+    (parity-tested), sized by candidates, never by |Q| or vocabulary."""
+    from ..operators.inverted_index import (bm25_batch_topk_from_index,
+                                            build_term_index)
+    postings, doclens, stats = build_term_index(df, text_col, id_col)
+    return bm25_batch_topk_from_index(postings, doclens, stats, queries,
+                                      k=k, k1=k1, b=b, round_to=round_to)

@@ -220,8 +220,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # verification needs (sh); the expression twins (word_shingles +
     # minhash_signature + band_keys) remain the reference semantics and
     # stay exported for decontam/tests
+    # localCheckpoint, not cache(): the signature pass is reused by the
+    # banding and the verify join within this call, and checkpoint blocks
+    # are released when the plan is GC'd — cache() would pin executor
+    # storage across serve calls with no unpersist site
     mh = _minhash_index_pandas(df, text_col, id_col, shingle_n,
-                               num_hashes, bands).cache()
+                               num_hashes, bands).localCheckpoint(eager=False)
     sh = mh.select("id", "sh")
     # banding carries ONLY (id, band, key): the shingle arrays would
     # otherwise ride through the shuffle twice and the pair-dedup once

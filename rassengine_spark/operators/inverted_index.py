@@ -97,3 +97,74 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
             .select("id", F.round(F.col("_raw"), round_to).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k))
+
+
+def bm25_batch_topk_from_index(postings: DataFrame, doclens: DataFrame,
+                               stats: DataFrame, queries: dict[str, str],
+                               k: int = 10, k1: float = K1, b: float = B,
+                               round_to: int = 6) -> DataFrame:
+    """Per-query BM25 top-k for a BATCH of queries served from the index
+    tables: (query_id, id, score, rank). The batch analog of
+    bm25_topk_from_index — candidates come from ONE term-pruned postings
+    read for the union of all query terms; per-(query, doc) scores fold
+    each query's per-OCCURRENCE contributions in query order through the
+    same map-accumulate as the single-query form, so scores are
+    bit-identical to scoring each query alone. NOTHING in the plan is
+    sized by |Q| or the vocabulary except two broadcasts and one literal
+    map (unlike a per-doc tf-column layout, whose schema grows with the
+    union term count)."""
+    per_q = {qid: terms_of(q) for qid, q in queries.items()}
+    per_q = {qid: ts for qid, ts in per_q.items() if ts}
+    if not per_q:
+        raise ValueError("no tokenizable terms in any query")
+    uniq = sorted({t for ts in per_q.values() for t in ts})
+    ti_of = {t: i for i, t in enumerate(uniq)}
+
+    p = postings.filter(F.col("term").isin(uniq))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    spark = postings.sparkSession
+    qterm = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(per_q.items())
+         for t in sorted(set(ts))], "query_id string, term string")
+
+    contrib = (p.join(F.broadcast(qterm), "term")
+                .join(F.broadcast(dfreq), "term")
+                .join(doclens, "id")
+                .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    c = idf * tf * (k1 + 1.0) / (
+        tf + k1 * (1.0 - b + b * dl
+                   / F.greatest(F.col("avgdl"), F.lit(1e-12))))
+    ti = F.create_map(*[x for t, i in ti_of.items()
+                        for x in (F.lit(t), F.lit(i))])
+    per_term = contrib.select(
+        "query_id", "id",
+        F.struct(ti[F.col("term")].alias("i"), c.alias("c")).alias("tc"))
+
+    # one parsed literal: query_id -> its occurrence list of term indices
+    # (repeats preserved — the fold adds once per occurrence, exactly the
+    # scan form's left-to-right chain)
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+    occ_sql = "map(" + ", ".join(
+        f"{q(qid)}, array({', '.join(str(ti_of[t]) for t in ts)})"
+        for qid, ts in sorted(per_q.items())) + ")"
+    occ = F.expr(occ_sql)[F.col("query_id")]
+
+    cmap = F.map_from_entries(F.collect_list("tc"))
+    raw = F.aggregate(occ, F.lit(0.0),
+                      lambda acc, i: acc + F.coalesce(cmap[i], F.lit(0.0)))
+    scored = (per_term.groupBy("query_id", "id")
+              .agg(raw.alias("_raw"))
+              .filter(F.col("_raw") > 0)
+              .select("query_id", "id",
+                      F.round(F.col("_raw"), round_to).alias("score")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "id", "score", "rank"))

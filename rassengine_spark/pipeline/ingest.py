@@ -175,7 +175,8 @@ def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,
 
 
 def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
-                 group_cols: list[str], agg_exprs: dict[str, str]) -> None:
+                 group_cols: list[str], agg_exprs: dict[str, str],
+                 src_path: str | None = None) -> None:
     """Incremental aggregate maintenance: fold a new micro-batch into a
     persisted additive rollup, re-aggregating ONLY the groups the batch
     touches — the 100 TB pattern for keeping serving rollups fresh without
@@ -188,10 +189,16 @@ def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
     delta pre-aggregates map-side, joins nothing — the union touches only
     existing rows for AFFECTED groups (semi-join pruned), so the rewrite
     cost scales with the batch's group count, not the table.
+
+    `src_path` reads the existing rollup from a DIFFERENT location than
+    the write target — the versioned copy-on-write fold the streaming
+    maintenance job uses so a crashed fold never corrupts the committed
+    table (default: fold in place).
     """
     partial = delta
-    if os.path.exists(rollup_path):
-        existing = spark.read.parquet(rollup_path)
+    src = src_path if src_path is not None else rollup_path
+    if os.path.exists(src):
+        existing = spark.read.parquet(src)
         touched = partial.select(group_cols).distinct()
         affected = existing.join(touched, group_cols, "left_semi")
         untouched = existing.join(touched, group_cols, "left_anti")
@@ -209,7 +216,8 @@ def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
 
 def merge_hll_rollup(spark: SparkSession, rollup_path: str,
                      delta: DataFrame, group_cols: list[str],
-                     key_col: str, lg_k: int = 12) -> None:
+                     key_col: str, lg_k: int = 12,
+                     src_path: str | None = None) -> None:
     """merge_rollup's DISTINCT-COUNT sibling: maintain a persisted
     per-group Datasketches HLL table (binary sketch column) and fold each
     micro-batch in by UNIONING sketches for the touched groups only.
@@ -223,18 +231,24 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
 
     lg_k is persisted on first write and REUSED for every later batch —
     hll_union_agg refuses sketches of mixed lg_k, so a caller passing a
-    different value later must not silently arm that failure."""
+    different value later must not silently arm that failure.
+
+    `src_path`: as in merge_rollup — read the existing sketches (and
+    their lg_k meta) from a different location than the write target."""
+    src = src_path if src_path is not None else rollup_path
+    src_meta = os.path.join(src, "_hll_meta")
     meta_p = os.path.join(rollup_path, "_hll_meta")
     data_p = os.path.join(rollup_path, "data")
-    if os.path.exists(meta_p):
-        lg_k = int(spark.read.parquet(meta_p).collect()[0]["lg_k"])
-    else:
+    if os.path.exists(src_meta):
+        lg_k = int(spark.read.parquet(src_meta).collect()[0]["lg_k"])
+    if not os.path.exists(meta_p):
         (spark.createDataFrame([(lg_k,)], "lg_k int")
          .coalesce(1).write.mode("overwrite").parquet(meta_p))
     part = (delta.groupBy(group_cols)
             .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")))
-    if os.path.exists(data_p):
-        existing = spark.read.parquet(data_p)
+    src_data = os.path.join(src, "data")
+    if os.path.exists(src_data):
+        existing = spark.read.parquet(src_data)
         touched = part.select(group_cols).distinct()
         affected = existing.join(touched, group_cols, "left_semi")
         untouched = existing.join(touched, group_cols, "left_anti")

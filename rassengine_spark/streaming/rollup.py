@@ -6,18 +6,36 @@ while the stream holds ZERO aggregation state (no watermark, no state
 store: the rollup tables on disk ARE the state, shared with the batch
 tier, exactly like streaming/dedup.py's signature store).
 
-Scale: each micro-batch costs a map-side partial aggregate over the batch
-plus a semi-join-pruned rewrite of only the groups the batch touches —
-the rollup's history is never rescanned, so cost tracks batch size, not
-table size. A replayed batch (crash before the checkpoint commit) re-folds
-the same rows: additive rollups would double-count, so the foreachBatch
-sink guards with a processed-batch-id manifest (the standard
-idempotent-foreachBatch pattern).
+Exactly-once on plain parquet, copy-on-write style:
+
+- each fold writes NEW version directories (``versions/v{n}/counts``,
+  ``versions/v{n}/users``) from the previously COMMITTED version — a
+  crash mid-fold leaves the committed tables untouched and the replayed
+  batch simply recomputes v{n};
+- the commit is one atomic ``os.replace`` of ``LATEST.json`` (version,
+  max committed batch id, stream identity) — the only mutation readers
+  ever see;
+- replays are detected by ``batch_id <= max_batch_id`` (file-source
+  batch ids are monotonic within a checkpoint lineage);
+- the checkpoint's identity (a uuid dropped next to it on first run) is
+  recorded in the marker: a lost/replaced checkpoint restarts batch ids
+  at 0, which silently either skips new data or double-folds old data —
+  so a stream-id mismatch raises instead, telling the operator to
+  rebuild the rollups with the new checkpoint;
+- value sums fold as DECIMAL(18,6): partial-sum association is exact, so
+  the incrementally maintained table EQUALS a from-scratch recompute
+  (double sums would drift by fold order);
+- only the previous version is retained (crash safety); older version
+  directories are pruned, and the commit marker is a single file — no
+  per-batch metadata growth.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,16 +43,45 @@ from pyspark.sql import functions as F
 from ..pipeline.ingest import merge_hll_rollup, merge_rollup
 
 
-def _already_done(spark: SparkSession, manifest: str, batch_id: int) -> bool:
-    if not os.path.exists(manifest):
-        return False
-    return (spark.read.parquet(manifest)
-            .filter(F.col("batch_id") == batch_id).limit(1).count()) > 0
+def _stream_id(checkpoint_dir: str) -> str:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "_rollup_stream_id")
+    if not os.path.exists(p):
+        with open(p, "w") as f:
+            f.write(uuid.uuid4().hex)
+    with open(p) as f:
+        return f.read().strip()
 
 
-def _mark_done(spark: SparkSession, manifest: str, batch_id: int) -> None:
-    (spark.createDataFrame([(batch_id,)], "batch_id long")
-     .coalesce(1).write.mode("append").parquet(manifest))
+def _load_marker(rollup_dir: str) -> dict | None:
+    p = os.path.join(rollup_dir, "LATEST.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_marker(rollup_dir: str, state: dict) -> None:
+    tmp = os.path.join(rollup_dir, "LATEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, os.path.join(rollup_dir, "LATEST.json"))
+
+
+def read_stream_rollup(spark: SparkSession, rollup_dir: str,
+                       table: str) -> DataFrame:
+    """Read the COMMITTED version of a maintained rollup table
+    ('counts' -> the additive table, 'users' -> the HLL table with its
+    decoded approx_distinct column)."""
+    state = _load_marker(rollup_dir)
+    if state is None:
+        raise FileNotFoundError(f"no committed rollup in {rollup_dir}")
+    vdir = os.path.join(rollup_dir, "versions", f"v{state['version']}",
+                        table)
+    if table == "users":
+        from ..pipeline.ingest import read_hll_rollup
+        return read_hll_rollup(spark, vdir)
+    return spark.read.parquet(vdir)
 
 
 def stream_rollup_maintenance(spark: SparkSession, input_dir: str,
@@ -44,37 +91,61 @@ def stream_rollup_maintenance(spark: SparkSession, input_dir: str,
     """Maintain two serving rollups over a stream of JSON-lines events
     (user_id long, event_type string, value double, ts string):
 
-    - ``counts``: per-event-type additive (n_events, sum_value) via
-      merge_rollup;
+    - ``counts``: per-event-type additive (n_events, sum_value — DECIMAL
+      fold, exactly order-independent) via merge_rollup;
     - ``users``: per-event-type approximate distinct users via
       merge_hll_rollup.
 
-    Returns the StreamingQuery. Idempotent under batch replay via the
-    batch-id manifest."""
+    Returns the StreamingQuery. Crash/replay-safe as described in the
+    module docstring; read with ``read_stream_rollup``."""
+    sid = _stream_id(checkpoint_dir)
     raw = (spark.readStream.format("json")
            .schema("user_id long, event_type string, value double, "
                    "ts string")
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .load(input_dir))
-    manifest = os.path.join(rollup_dir, "_batches")
+    os.makedirs(rollup_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if _already_done(batch_df.sparkSession, manifest, batch_id):
-            return            # replayed batch: already folded in
         sp = batch_df.sparkSession
+        state = _load_marker(rollup_dir)
+        if state is not None and state["stream_id"] != sid:
+            raise RuntimeError(
+                f"rollups in {rollup_dir} were built by a different "
+                "checkpoint lineage; batch ids are no longer comparable "
+                "— rebuild the rollup dir (or restore the original "
+                "checkpoint) before streaming into it")
+        if state is not None and batch_id <= state["max_batch_id"]:
+            return            # replayed batch: already committed
+        n = (state["version"] + 1) if state else 1
+        prev = (os.path.join(rollup_dir, "versions",
+                             f"v{state['version']}") if state else None)
+        vdir = os.path.join(rollup_dir, "versions", f"v{n}")
+        shutil.rmtree(vdir, ignore_errors=True)   # crashed earlier try
+
         delta = batch_df.select(
             "event_type",
-            F.lit(1).alias("n_events"),
-            F.col("value").alias("sum_value"))
-        merge_rollup(sp, os.path.join(rollup_dir, "counts"), delta,
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("value").cast("decimal(18,6)").alias("sum_value"))
+        merge_rollup(sp, os.path.join(vdir, "counts"), delta,
                      ["event_type"],
-                     {"n_events": "sum", "sum_value": "sum"})
-        merge_hll_rollup(sp, os.path.join(rollup_dir, "users"),
+                     {"n_events": "sum", "sum_value": "sum"},
+                     src_path=(os.path.join(prev, "counts")
+                               if prev else None))
+        merge_hll_rollup(sp, os.path.join(vdir, "users"),
                          batch_df.select("event_type", "user_id"),
-                         ["event_type"], "user_id")
-        _mark_done(sp, manifest, batch_id)
+                         ["event_type"], "user_id",
+                         src_path=(os.path.join(prev, "users")
+                                   if prev else None))
+        _commit_marker(rollup_dir, {"version": n, "max_batch_id": batch_id,
+                                    "stream_id": sid})
+        # retention: keep the committed version and its parent only
+        vroot = os.path.join(rollup_dir, "versions")
+        for d in os.listdir(vroot):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < n - 1:
+                shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
 
     writer = (raw.writeStream
               .foreachBatch(process_batch)

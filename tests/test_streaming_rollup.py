@@ -1,14 +1,17 @@
-"""Streaming rollup maintenance: each micro-batch folds into the
-persisted additive + HLL serving rollups; batch replay cannot
-double-count; results equal a from-scratch batch recompute."""
+"""Streaming rollup maintenance: versioned copy-on-write folds with an
+atomic commit marker — results equal a from-scratch recompute exactly
+(DECIMAL value sums), replay is a no-op, and a foreign checkpoint
+lineage is rejected instead of silently mis-folding."""
 
 import json
 import os
+from decimal import Decimal
 
 import pyspark.sql.functions as F
+import pytest
 
-from rassengine_spark.pipeline.ingest import read_hll_rollup
-from rassengine_spark.streaming.rollup import stream_rollup_maintenance
+from rassengine_spark.streaming.rollup import (read_stream_rollup,
+                                               stream_rollup_maintenance)
 
 
 def _write(path, rows):
@@ -17,38 +20,38 @@ def _write(path, rows):
             f.write(json.dumps(r) + "\n")
 
 
-def _run(spark, dirs):
+def _run(spark, dirs, ckpt="ckpt"):
     q = stream_rollup_maintenance(spark, dirs["in"], dirs["roll"],
-                                  dirs["ckpt"])
+                                  dirs[ckpt])
     q.awaitTermination(120)
 
 
 def test_stream_rollup_matches_batch_recompute(spark, tmp_path):
     dirs = {k: str(tmp_path / k) for k in ("in", "roll", "ckpt")}
     os.makedirs(dirs["in"])
-    wave1 = [{"user_id": u, "event_type": "click", "value": 1.5, "ts": "t"}
+    # 0.1 / 0.3 are NOT dyadic: a double fold would drift by association,
+    # the DECIMAL fold must not
+    wave1 = [{"user_id": u, "event_type": "click", "value": 0.1, "ts": "t"}
              for u in range(40)] + \
-            [{"user_id": u, "event_type": "view", "value": 2.0, "ts": "t"}
+            [{"user_id": u, "event_type": "view", "value": 0.3, "ts": "t"}
              for u in range(10)]
     _write(os.path.join(dirs["in"], "a.json"), wave1)
     _run(spark, dirs)
 
-    # wave 2 overlaps users of wave 1 (distinct must not double-count)
-    wave2 = [{"user_id": u, "event_type": "click", "value": 0.5, "ts": "t"}
+    wave2 = [{"user_id": u, "event_type": "click", "value": 0.3, "ts": "t"}
              for u in range(20, 60)]
     _write(os.path.join(dirs["in"], "b.json"), wave2)
     _run(spark, dirs)
 
     counts = {r.event_type: (r.n_events, r.sum_value)
-              for r in spark.read.parquet(
-                  os.path.join(dirs["roll"], "counts")).collect()}
-    assert counts["click"] == (80, 40 * 1.5 + 40 * 0.5)
-    assert counts["view"] == (10, 20.0)
+              for r in read_stream_rollup(spark, dirs["roll"],
+                                          "counts").collect()}
+    assert counts["click"] == (80, Decimal("16.000000"))   # 40*0.1+40*0.3
+    assert counts["view"] == (10, Decimal("3.000000"))
 
     users = {r.event_type: r.approx_distinct
-             for r in read_hll_rollup(spark, os.path.join(
-                 dirs["roll"], "users")).collect()}
-    # exactly equal to sketching the concatenated stream once
+             for r in read_stream_rollup(spark, dirs["roll"],
+                                         "users").collect()}
     full = spark.createDataFrame(
         [(r["event_type"], r["user_id"]) for r in wave1 + wave2],
         "event_type string, user_id long")
@@ -58,14 +61,32 @@ def test_stream_rollup_matches_batch_recompute(spark, tmp_path):
                      F.hll_sketch_agg("user_id", F.lit(12))).alias("a"))
              .collect())}
     assert users == want
-    assert abs(users["click"] - 60) <= 3      # 0..59 distinct
+    assert abs(users["click"] - 60) <= 3
 
-    # replaying the same processed batches (fresh checkpoint, same
-    # manifest) must be a no-op: the batch-id manifest makes the
-    # additive fold idempotent ONLY for identical batch ids, so replay
-    # the stream with the SAME checkpoint — no new files, no new folds
+    # replay with the SAME checkpoint: no new files -> no new folds
     _run(spark, dirs)
     counts2 = {r.event_type: (r.n_events, r.sum_value)
-               for r in spark.read.parquet(
-                   os.path.join(dirs["roll"], "counts")).collect()}
+               for r in read_stream_rollup(spark, dirs["roll"],
+                                           "counts").collect()}
     assert counts2 == counts
+    # retention: at most the committed version and its parent remain
+    vs = os.listdir(os.path.join(dirs["roll"], "versions"))
+    assert len(vs) <= 2
+
+
+def test_stream_rollup_rejects_foreign_checkpoint(spark, tmp_path):
+    dirs = {k: str(tmp_path / k) for k in ("in", "roll", "ckpt", "ckpt2")}
+    os.makedirs(dirs["in"])
+    _write(os.path.join(dirs["in"], "a.json"),
+           [{"user_id": 1, "event_type": "click", "value": 1.0,
+             "ts": "t"}])
+    _run(spark, dirs)
+
+    # a NEW checkpoint restarts batch ids at 0 — folding into rollups
+    # committed under the old lineage must fail loudly, not mis-fold
+    with pytest.raises(Exception, match="checkpoint lineage"):
+        q = stream_rollup_maintenance(spark, dirs["in"], dirs["roll"],
+                                      dirs["ckpt2"])
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
