@@ -300,6 +300,35 @@ def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
     """Build per-partition HNSW graphs once and write them to `path`,
     partitioned by part_id (each shard's graph is one partition directory,
     read back whole by exactly one task)."""
+    _build_and_write_graphs(corpus, vec_col, id_col, path, m,
+                            ef_construction, partitions,
+                            mode="overwrite", part_offset=0)
+
+
+def append_hnsw_index(new_corpus: DataFrame, vec_col: str, id_col: str,
+                      path: str, m: int = 8, ef_construction: int = 64,
+                      partitions: int | None = None) -> None:
+    """Incrementally index NEW vectors into an existing HNSW store: they
+    become NEW shard graphs whose part_ids continue after the existing
+    ones — the Lucene-segment pattern the reference's OpenSearch index
+    follows (app/main.py:563-572): historical graphs are immutable (an
+    HNSW graph cannot cheaply absorb inserts without rebuilding its
+    neighborhoods), serving merges across all shards, and a periodic
+    full save_hnsw_index plays the role of segment compaction when the
+    shard count grows. Use the same m/ef_construction operating point as
+    the original build — quality knobs are per-shard."""
+    spark = new_corpus.sparkSession
+    offset = int(spark.read.parquet(path)
+                 .agg(F.max("part_id")).collect()[0][0]) + 1
+    _build_and_write_graphs(new_corpus, vec_col, id_col, path, m,
+                            ef_construction, partitions,
+                            mode="append", part_offset=offset)
+
+
+def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
+                            path: str, m: int, ef_construction: int,
+                            partitions: int | None, mode: str,
+                            part_offset: int) -> None:
     import json
 
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
@@ -308,7 +337,8 @@ def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
         # deterministic shards + insertion order (see hnsw_topk)
         c = c.repartition(partitions, F.col("id")) \
              .sortWithinPartitions("id")
-    c = c.withColumn("part_id", F.spark_partition_id())
+    c = c.withColumn("part_id",
+                     F.spark_partition_id() + F.lit(part_offset))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
@@ -343,7 +373,7 @@ def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
     (c.mapInPandas(build,
                    "part_id int, node bigint, id bigint, v array<double>, "
                    "adj string, entry bigint, max_level int")
-      .write.partitionBy("part_id").mode("overwrite").parquet(path))
+      .write.partitionBy("part_id").mode(mode).parquet(path))
 
 
 def hnsw_topk_from_store_df(spark, path: str, queries: DataFrame,

@@ -131,3 +131,54 @@ def test_store_df_query_path_matches_collect_path(spark, tmp_path):
                                 ef_search=32).collect()
     assert sorted((r.query_id, r.id, r.score, r.rank) for r in b) == \
            sorted((r.query_id, r.id, r.score, r.rank) for r in a)
+
+
+def test_append_hnsw_index_segments(spark, tmp_path):
+    """Appended vectors become new shard graphs (Lucene-segment pattern):
+    exhaustive serving over the appended store equals exact top-k over
+    the full corpus, and historical shard files are untouched."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.hnsw import (append_hnsw_index,
+                                              hnsw_topk_from_store_df,
+                                              save_hnsw_index)
+    from rassengine_spark.llmops.similarity import brute_force_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    first = df.filter(F.col("vec_id") < 60)
+    rest = df.filter(F.col("vec_id") >= 60)
+    path = str(tmp_path / "hnsw")
+    save_hnsw_index(first, "v", "vec_id", path, partitions=2)
+
+    def _snap(p):
+        out = {}
+        for dp, _, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(dp, n)
+                st = os.stat(fp)
+                out[fp] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = {p: s for p, s in _snap(path).items()
+              if "part_id=" in p}
+    append_hnsw_index(rest, "v", "vec_id", path, partitions=2)
+    after = _snap(path)
+    for p, sig in before.items():
+        assert after.get(p) == sig, f"historical shard rewritten: {p}"
+    parts = {r.part_id for r in spark.read.parquet(path)
+             .select("part_id").distinct().collect()}
+    assert len(parts) == 4
+
+    qs = df.filter(F.col("vec_id") < 3) \
+           .select(F.col("vec_id").alias("qid"), F.col("v"))
+    got = hnsw_topk_from_store_df(spark, path, qs, "v", "qid", k=5,
+                                  ef_search=10 ** 9)
+    want = brute_force_topk(df, qs, "v", "vec_id", "qid", k=5)
+    g = {(r.query_id, r.rank): (r.id, r.score) for r in got.collect()}
+    w = {(r.query_id, r.rank): (r.id, r.score) for r in want.collect()}
+    assert g == w
