@@ -114,10 +114,11 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
          .coalesce(1).write.mode("overwrite").parquet(meta_p))
     batch = df.withColumn(
         "kb", term_bucket_expr(F.col(key_col).cast("string"), n_buckets))
-    # pin the batch: its lineage otherwise re-executes for the touched-kb
-    # collect, the anti-join build, and the final write
-    batch = batch.localCheckpoint(eager=False)
     if os.path.exists(data_p):
+        # pin the batch: its lineage otherwise re-executes for the
+        # touched-kb collect, the anti-join build, and the final write
+        # (the first-write path consumes it exactly once — no pin there)
+        batch = batch.localCheckpoint(eager=False)
         touched = [r[0] for r in batch.select("kb").distinct().collect()]
         existing = (spark.read.parquet(data_p)
                     .filter(F.col("kb").isin(touched)))
