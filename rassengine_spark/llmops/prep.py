@@ -4,6 +4,11 @@ package — each stage is individually oracle-checked by the driver contract;
 this module owns only the composition and the stage accounting.
 
     raw docs
+      0a. unicode cleanup       (opt-in: text_analysis.unicode_clean —
+                                 NFC + control/zero-width strip, so dedup
+                                 sees canonical bytes)
+      0b. corpus line dedup     (opt-in: text_analysis.line_dedup —
+                                 C4-style boilerplate removal)
       1. exact dedup            (dedup.exact_dedup — hash shuffle)
       2. near-dup clusters      (dedup.minhash_lsh_pairs -> dup_clusters;
                                  one keeper per cluster survives)
@@ -39,6 +44,8 @@ def prepare_training_corpus(
         decontam_n: int = 8, decontam_threshold: float = 0.8,
         min_quality: float = 0.66,
         redact: bool = True,
+        unicode_normalize: bool = False,
+        drop_boilerplate_lines: bool = False,
         split_weights: dict[str, float] | None = None,
         count_stages: bool = True,
         materialize: bool = False,
@@ -65,6 +72,31 @@ def prepare_training_corpus(
         return df.localCheckpoint(eager=False) if materialize else df
 
     df = mark("input", docs)
+
+    # 0a. Unicode canonicalization BEFORE dedup: decomposed vs composed
+    # spellings of the same text must hash identically
+    if unicode_normalize:
+        from .text_analysis import unicode_clean
+        cleaned = unicode_clean(df, text_col, id_col) \
+            .select(F.col("id").alias(id_col),
+                    F.col("clean").alias(text_col))
+        keep = [c for c in df.columns if c not in (id_col, text_col)]
+        if keep:
+            cleaned = cleaned.join(df.select(id_col, *keep), id_col)
+        df = mark("unicode_clean", cleaned)
+
+    # 0b. corpus-level boilerplate line removal (C4 pass) before
+    # doc-level dedup: shared headers/footers otherwise glue distinct
+    # docs into near-dup clusters
+    if drop_boilerplate_lines:
+        from .text_analysis import line_dedup
+        deduped = line_dedup(df, text_col, id_col) \
+            .select(F.col("id").alias(id_col),
+                    F.col("text").alias(text_col))
+        keep = [c for c in df.columns if c not in (id_col, text_col)]
+        if keep:
+            deduped = deduped.join(df.select(id_col, *keep), id_col)
+        df = mark("line_dedup", deduped)
 
     # 1. exact dedup — keep min-id per byte-identical text
     df = mark("exact_dedup", pin(exact_dedup(df, text_col, id_col)))

@@ -51,3 +51,44 @@ def test_prep_no_eval_no_counts(spark):
     assert report == []
     # no eval set -> no decontam stage, doc 4 survives
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 4, 6}
+
+
+def test_prep_unicode_stage_enables_exact_dedup(spark):
+    """NFC before dedup: decomposed and composed spellings of the same
+    text hash identically, so exact dedup collapses them."""
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    body = " au lait unique sentence with enough words to pass"
+    docs = spark.createDataFrame(
+        [(1, "Cafe\u0301" + body),      # decomposed
+         (2, "Caf\u00e9" + body),       # composed == 1 after NFC
+         (3, "different doc entirely with plenty of words")],
+        "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id",
+        unicode_normalize=True, min_quality=0.0, redact=False)
+    stages = dict(report)
+    assert stages["unicode_clean"] == 3
+    assert stages["exact_dedup"] == 2
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 3}
+
+
+def test_prep_line_dedup_stage_strips_boilerplate(spark):
+    """The C4 line pass drops corpus-wide boilerplate from every doc but
+    the first occurrence BEFORE near-dup clustering sees it."""
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    hdr = "(c) SAME BOILERPLATE HEADER\n"
+    docs = spark.createDataFrame(
+        [(1, hdr + "first doc body with plenty of distinct words one"),
+         (2, hdr + "second doc body also with its own words two"),
+         (3, hdr + "third doc body more unique words again three")],
+        "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id",
+        drop_boilerplate_lines=True, min_quality=0.0, redact=False)
+    stages = dict(report)
+    assert stages["line_dedup"] == 3
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert set(texts) == {1, 2, 3}
+    assert texts[1].startswith("(c) SAME BOILERPLATE HEADER")
+    assert not texts[2].startswith("(c)")
+    assert not texts[3].startswith("(c)")
