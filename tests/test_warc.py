@@ -1,0 +1,57 @@
+"""WARC ingestion: byte-exact record framing, HTTP body split,
+declarative HTML->text — the crawl-to-corpus step."""
+
+import os
+
+from rassengine_spark.sources.warc import (parse_warc_bytes, read_warc,
+                                           warc_text_documents)
+
+
+def _record(rtype: str, uri: str, payload: bytes,
+            ctype: str = "application/http; msgtype=response") -> bytes:
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: {rtype}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           f"Content-Type: {ctype}\r\n"
+           f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+HTML = (b"<html><head><style>p{color:red}</style>"
+        b"<script>var x=1<2;</script></head>"
+        b"<body><h1>Caf\xc3\xa9 menu</h1><!-- hidden -->"
+        b"<p>5 &lt; 6 &amp;&amp; tea</p></body></html>")
+HTTP = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + HTML)
+
+
+def test_parse_warc_bytes_framing():
+    blob = (_record("warcinfo", "", b"software: test",
+                    ctype="application/warc-fields")
+            + _record("request", "http://x/a", b"GET /a HTTP/1.1\r\n\r\n")
+            + _record("response", "http://x/a", HTTP))
+    recs = list(parse_warc_bytes(blob, "f.warc"))
+    assert [r[1] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2][2] == "http://x/a"
+    assert recs[2][5] == HTTP             # byte-exact payload
+
+    # multi-byte chars before a record must not shift framing
+    assert list(parse_warc_bytes(blob + b"garbage tail"))[2][5] == HTTP
+
+
+def test_warc_to_text_documents(spark, tmp_path):
+    blob = (_record("request", "http://x/a", b"GET /a HTTP/1.1\r\n\r\n")
+            + _record("response", "http://x/a", HTTP)
+            + _record("response", "http://x/empty",
+                      b"HTTP/1.1 204 No Content\r\n\r\n"))
+    (tmp_path / "crawl.warc").write_bytes(blob)
+    recs = read_warc(spark, str(tmp_path))
+    assert recs.count() == 3
+
+    docs = warc_text_documents(recs).collect()
+    # the empty response filters out; the request record is not a doc
+    assert len(docs) == 1
+    d = docs[0]
+    assert d.url == "http://x/a"
+    assert d.text == "Café menu 5 < 6 && tea"
+    assert len(d.doc_id) == 32            # md5 hex
