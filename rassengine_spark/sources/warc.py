@@ -66,20 +66,36 @@ def parse_warc_bytes(content: bytes, path: str = ""):
         pos = body_start + length
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              glob: str = "*.warc*") -> DataFrame:
     """(path, record_type, target_uri, warc_date, content_type, payload)
-    for every record in every .warc file under `path`."""
+    for every record in every .warc / .warc.gz file under `path`.
+
+    .warc.gz is the Common Crawl layout: one gzip MEMBER per record;
+    Python's gzip reader concatenates members transparently, so the
+    decompressed stream is exactly the uncompressed framing. The
+    decompression is per-file in executor memory — size
+    maxPartitionBytes / executor memory for the crawl's file size (CC
+    segments are ~1 GB compressed)."""
     files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.warc").load(path)
+             .option("pathGlobFilter", glob).load(path)
              .select("path", "content"))
 
     def run(batches):
+        import gzip
+        import io
+
         import pandas as pd
         cols = ["path", "record_type", "target_uri", "warc_date",
                 "content_type", "payload"]
         for pdf in batches:
-            rows = [r for p, c in zip(pdf["path"], pdf["content"])
-                    for r in parse_warc_bytes(bytes(c), p)]
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                blob = bytes(c)
+                if blob[:2] == b"\x1f\x8b":
+                    with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
+                        blob = f.read()
+                rows.extend(parse_warc_bytes(blob, p))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_RECORD_SCHEMA)

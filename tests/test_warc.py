@@ -55,3 +55,46 @@ def test_warc_to_text_documents(spark, tmp_path):
     assert d.url == "http://x/a"
     assert d.text == "Café menu 5 < 6 && tea"
     assert len(d.doc_id) == 32            # md5 hex
+
+
+def test_warc_gz_member_per_record(spark, tmp_path):
+    """Common Crawl layout: one gzip member per record — the multi-member
+    stream decompresses to the exact uncompressed framing."""
+    import gzip
+
+    blob = b"".join(
+        gzip.compress(_record("response", f"http://x/{i}", HTTP))
+        for i in range(3))
+    (tmp_path / "crawl.warc.gz").write_bytes(blob)
+    recs = read_warc(spark, str(tmp_path))
+    assert recs.count() == 3
+    docs = warc_text_documents(recs)
+    assert docs.count() == 3
+    urls = {r.url for r in docs.collect()}
+    assert urls == {"http://x/0", "http://x/1", "http://x/2"}
+
+
+def test_warc_corpus_feeds_prep_pipeline(spark, tmp_path):
+    """Crawl-to-training-corpus end to end: WARC responses -> text docs
+    -> the prep pipeline (dedup drops the byte-identical page)."""
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    pages = [
+        (b"<p>alpha page with plenty of words to keep one</p>", "a"),
+        (b"<p>alpha page with plenty of words to keep one</p>", "b"),
+        (b"<p>beta page distinct content and words two</p>", "c"),
+    ]
+    blob = b"".join(
+        _record("response", f"http://x/{u}",
+                b"HTTP/1.1 200 OK\r\n\r\n" + html)
+        for html, u in pages)
+    (tmp_path / "crawl.warc").write_bytes(blob)
+    docs = (warc_text_documents(read_warc(spark, str(tmp_path)))
+            .select(F.col("doc_id"), "text"))
+    out, report = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id",
+        min_quality=0.0, redact=False)
+    stages = dict(report)
+    assert stages["input"] == 3 and stages["exact_dedup"] == 2
+    assert out.count() == 2
