@@ -1,0 +1,70 @@
+"""URL-level curation for crawl corpora: the filter stage that runs
+BEFORE any text is even decoded (C4/RefinedWeb both gate on URL lists —
+it is the cheapest possible reject). All pure Column expressions: domain
+extraction and flags fuse into the scan; list matching is a broadcast
+join against the (small) domain list, never a per-row Python call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://[userinfo@]host[:port]/path?query#fragment
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host, '' when the value does not parse as a URL."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two host labels ('docs.example.co' -> 'example.co') — the
+    grouping key corpus policies are written against. A public-suffix
+    table refines multi-label TLDs ('co.uk'); join one against this
+    column when that precision matters."""
+    parts = F.split(url_host(url), r"\.")
+    n = F.size(parts)
+    return F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1))) \
+            .otherwise(url_host(url))
+
+
+def url_features(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """(id, host, domain, path_depth, has_query, is_ip, suspect_ext):
+    the per-URL columns curation rules key on. suspect_ext flags
+    non-document payload extensions a text pipeline drops unseen."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)",
+                            1)
+    depth = F.when(path == "", 0).otherwise(
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")))
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        url_host(u).alias("host"),
+        registered_domain(u).alias("domain"),
+        depth.cast("int").alias("path_depth"),
+        (F.instr(u, "?") > 0).alias("has_query"),
+        url_host(u).rlike(r"^\d{1,3}(\.\d{1,3}){3}$").alias("is_ip"),
+        ext.isin("jpg", "jpeg", "png", "gif", "css", "js", "ico", "svg",
+                 "woff", "zip", "exe", "mp3", "mp4", "pdf")
+           .alias("suspect_ext"))
+
+
+def filter_by_domain(df: DataFrame, url_col: str,
+                     blocklist: DataFrame | None = None,
+                     allowlist: DataFrame | None = None) -> DataFrame:
+    """Gate rows on their registered domain: drop blocklisted domains,
+    and (when an allowlist is given) keep ONLY allowlisted ones. The
+    lists are (domain string) frames — broadcast anti/semi joins, so the
+    corpus side never shuffles."""
+    out = df.withColumn("_dom", registered_domain(F.col(url_col)))
+    if blocklist is not None:
+        b = blocklist.select(F.col("domain").alias("_dom")).distinct()
+        out = out.join(F.broadcast(b), "_dom", "left_anti")
+    if allowlist is not None:
+        a = allowlist.select(F.col("domain").alias("_dom")).distinct()
+        out = out.join(F.broadcast(a), "_dom", "left_semi")
+    return out.drop("_dom")

@@ -1,0 +1,53 @@
+"""URL-level curation: host/domain extraction, per-URL feature flags,
+block/allow gating via broadcast joins."""
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.urls import (filter_by_domain,
+                                          registered_domain, url_features)
+
+
+def test_url_features(spark):
+    rows = [
+        (1, "https://docs.example.co/guide/intro.html?x=1"),
+        (2, "http://user@sub.blog.net:8080/a/b/c"),
+        (3, "https://192.168.0.1/admin"),
+        (4, "https://cdn.example.co/logo.png"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.id: r for r in
+           url_features(df, "url", "doc_id").collect()}
+    assert out[1].host == "docs.example.co"
+    assert out[1].domain == "example.co"
+    assert (out[1].path_depth, out[1].has_query) == (2, True)
+    assert not out[1].suspect_ext
+    assert out[2].host == "sub.blog.net" and out[2].domain == "blog.net"
+    assert out[2].path_depth == 3
+    assert out[3].is_ip
+    assert out[4].suspect_ext
+    assert out[5].host == "" and not out[5].is_ip
+
+
+def test_filter_by_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.spam.biz/x"), (2, "https://www.good.org/y"),
+         (3, "https://other.net/z")], "doc_id long, url string")
+    block = spark.createDataFrame([("spam.biz",)], "domain string")
+    allow = spark.createDataFrame([("good.org",), ("spam.biz",)],
+                                  "domain string")
+    blocked = filter_by_domain(df, "url", blocklist=block)
+    assert {r.doc_id for r in blocked.collect()} == {2, 3}
+    gated = filter_by_domain(df, "url", blocklist=block, allowlist=allow)
+    assert {r.doc_id for r in gated.collect()} == {2}
+    # plan: the gates broadcast — no sort-merge join of the corpus
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_registered_domain_single_label(spark):
+    df = spark.createDataFrame([(1, "https://localhost/x")],
+                               "doc_id long, url string")
+    got = df.select(registered_domain(F.col("url")).alias("d")).first().d
+    assert got == "localhost"
