@@ -505,7 +505,7 @@ def unicode_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def line_dedup(df: DataFrame, text_col: str, id_col: str,
-               min_count: int = 2) -> DataFrame:
+               min_count: int = 2, sep: str = "\n") -> DataFrame:
     """Corpus-level repeated-line removal — the C4 / RefinedWeb
     boilerplate pass (Raffel et al. 2020 §2.2; Penedo et al. 2023, both
     public): any normalized line (lower+trim) occurring >= min_count
@@ -521,11 +521,18 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
     the same column so it reuses that clustering; reassembly is one
     groupBy(id). No window over the corpus, no driver state. Skewed
     boilerplate lines are exactly the rows the aggregate compresses
-    hardest."""
+    hardest.
+
+    `sep` picks the unit: the default "\\n" is the line pass;
+    "\\n\\n" gives the paragraph variant (whole repeated paragraphs
+    drop — closer to C4's span rule for prose corpora)."""
+    import re as _re
+
+    sep_re = _re.escape(sep)
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             "\n")).alias("pos", "line"))
+                             sep_re)).alias("pos", "line"))
     lines = lines.withColumn("norm", F.lower(F.trim(F.col("line"))))
     stats = (lines.groupBy("norm")
              .agg(F.count(F.lit(1)).alias("_cnt"),
@@ -541,7 +548,7 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                          F.array_sort(F.collect_list(
                              F.when(F.col("_keep"),
                                     F.struct("pos", "line")))),
-                         lambda s: s["line"]), "\n").alias("text"),
+                         lambda s: s["line"]), sep).alias("text"),
                  F.sum(F.when(F.col("_keep"), 1).otherwise(0))
                   .alias("n_kept"),
                  F.sum(F.when(F.col("_keep"), 0).otherwise(1))

@@ -732,3 +732,21 @@ def test_unicode_clean_rules(spark):
     assert (out[1].n_chars_before, out[1].n_chars_after) == (8, 7)
     assert out[2].clean == "a\nb\nc"
     assert out[3].clean == "zw!\ttab"
+
+
+def test_line_dedup_paragraph_variant(spark):
+    """sep='\\n\\n' dedups whole repeated paragraphs while lines inside
+    unique paragraphs survive untouched."""
+    from rassengine_spark.llmops.text_analysis import line_dedup
+    boiler = "Subscribe to our newsletter!\nClick here."
+    docs = spark.createDataFrame(
+        [(1, boiler + "\n\nunique article one"),
+         (2, boiler + "\n\nunique article two"),
+         (3, "standalone piece\n\n" + boiler)],
+        "doc_id long, text string")
+    out = {r.id: r for r in
+           line_dedup(docs, "text", "doc_id", sep="\n\n").collect()}
+    assert out[1].text == boiler + "\n\nunique article one"
+    assert out[2].text == "unique article two"
+    assert out[3].text == "standalone piece"
+    assert out[2].n_dropped == 1 and out[3].n_dropped == 1
