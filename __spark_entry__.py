@@ -946,6 +946,46 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def _q_sim_hnsw_store_append_recall(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The HNSW store's INCREMENTAL path under the recall-floor oracle:
+    even-id vectors build the initial shards, odd-id vectors APPEND as
+    new shards (llmops/hnsw.py::append_hnsw_index — the Lucene-segment
+    pattern), and the cogroup serving path must still clear recall@5 >=
+    0.8 against exact brute force over the FULL corpus."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.hnsw import (append_hnsw_index,
+                                              hnsw_topk_from_store_df,
+                                              save_hnsw_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_hnsw_append_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    first = emb.filter((F.col("vec_id") >= 5)
+                       & (F.col("vec_id") % 2 == 0))
+    rest = emb.filter((F.col("vec_id") >= 5)
+                      & (F.col("vec_id") % 2 == 1))
+    save_hnsw_index(first, "embedding", "vec_id", path, m=16,
+                    ef_construction=128, partitions=2)
+    append_hnsw_index(rest, "embedding", "vec_id", path, m=16,
+                      ef_construction=128, partitions=2)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
+                                     "qid", k=5, ef_search=48)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=5)
+    rec = SIM.recall_at_k(approx, exact)
+    return rec.select("query_id", "n_exact",
+                      (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
 def _q_sim_hnsw_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-graph serving tier end to end (llmops/hnsw.py:
     save_hnsw_index -> hnsw_topk_from_store_df): graphs built once and
@@ -4718,6 +4758,7 @@ _DRIVER_CHECK_PRIORITY = [
     "split_epoch_shuffle", "events_rollup_merge", "bm25_known_item_eval",
     "table_snapshot_read", "sim_ivf_store_topk", "bm25_store_ranked",
     "bm25_store_append_ranked", "sim_ivf_store_append_topk",
+    "sim_hnsw_store_append_recall",
 ]
 
 
@@ -4771,6 +4812,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": _q_sim_pq_recall,
         "sim_hnsw_recall": _q_sim_hnsw_recall,
         "sim_hnsw_store_recall": _q_sim_hnsw_store_recall,
+        "sim_hnsw_store_append_recall": _q_sim_hnsw_store_append_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -4911,6 +4953,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_recall": _sql_sim_pq_recall(),
         "sim_hnsw_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_recall": _SQL_SIM_HNSW_RECALL,
+        "sim_hnsw_store_append_recall": _SQL_SIM_HNSW_RECALL,
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
