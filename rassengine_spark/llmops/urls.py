@@ -19,15 +19,30 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
+# The high-traffic multi-label public suffixes (a pragmatic subset of the
+# Mozilla Public Suffix List — swap in the full PSL as a broadcast table
+# when exactness beyond these matters). Kept sorted for readability.
+MULTI_LABEL_SUFFIXES = [
+    "ac.uk", "co.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "com.tr",
+    "co.in", "co.kr", "co.nz", "co.za",
+]
+
+
 def registered_domain(url: Column) -> Column:
-    """Last two host labels ('docs.example.co' -> 'example.co') — the
-    grouping key corpus policies are written against. A public-suffix
-    table refines multi-label TLDs ('co.uk'); join one against this
-    column when that precision matters."""
+    """Registrable domain: last two host labels, or last THREE when the
+    final two form a known multi-label public suffix
+    ('news.bbc.co.uk' -> 'bbc.co.uk', 'docs.example.co' -> 'example.co')
+    — the grouping key corpus policies are written against."""
     parts = F.split(url_host(url), r"\.")
     n = F.size(parts)
-    return F.when(n >= 2, F.concat_ws(
-        ".", F.element_at(parts, -2), F.element_at(parts, -1))) \
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    is_multi = last2.isin(MULTI_LABEL_SUFFIXES)
+    return F.when((n >= 3) & is_multi, last3) \
+            .when(n >= 2, last2) \
             .otherwise(url_host(url))
 
 

@@ -51,3 +51,17 @@ def test_registered_domain_single_label(spark):
                                "doc_id long, url string")
     got = df.select(registered_domain(F.col("url")).alias("d")).first().d
     assert got == "localhost"
+
+
+def test_registered_domain_multi_label_suffix(spark):
+    df = spark.createDataFrame(
+        [(1, "https://news.bbc.co.uk/story"),
+         (2, "https://bbc.co.uk/"),
+         (3, "https://shop.example.com.au/x"),
+         (4, "https://plain.example.org/y")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.d for r in
+           df.select("doc_id",
+                     registered_domain(F.col("url")).alias("d")).collect()}
+    assert got == {1: "bbc.co.uk", 2: "bbc.co.uk",
+                   3: "example.com.au", 4: "example.org"}

@@ -13,6 +13,9 @@ dtype class entirely (the round-2 miss). So: Spark via ``toPandas()``,
 DuckDB via ``fetchdf()``, numpy scalars canonicalized as-is.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+       python tools/check.py [sf_dir] --window
+           check ONLY the first 50 queries() entries — exactly what the
+           driver's per-round correctness harness will stamp.
 """
 
 from __future__ import annotations
@@ -80,7 +83,9 @@ def pandas_rows(pdf):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    window = "--window" in args
+    only = {a for a in args if a != "--window"}
 
     import __spark_entry__ as entrymod
     from rassengine_spark.session import get_spark
@@ -93,6 +98,8 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if window:
+        qs = dict(list(qs.items())[:50])
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
