@@ -51,7 +51,10 @@ def url_features(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     the per-URL columns curation rules key on. suspect_ext flags
     non-document payload extensions a text pipeline drops unseen."""
     u = F.col(url_col)
-    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)",
+    # authority is [^/?#]*, NOT [^/]*: a path-less URL's query may contain
+    # slashes ('https://x.com?next=/a/b' has path depth 0)
+    path = F.regexp_extract(u,
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)",
                             1)
     depth = F.when(path == "", 0).otherwise(
         F.size(F.filter(F.split(path, "/"), lambda s: s != "")))

@@ -74,6 +74,16 @@ MARKDOWN_ENTITY_RULES: list[tuple[str, str]] = [
 ]
 
 
+def decode_entities_and_collapse(col: Column) -> Column:
+    """Shared tail of every text-extraction chain (markdown, WARC HTML):
+    entity decode in MARKDOWN_ENTITY_RULES order, whitespace collapse,
+    empty -> NULL."""
+    c = col
+    for src, dst in MARKDOWN_ENTITY_RULES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+
+
 def markdown_to_text(col: Column) -> Column:
     """S4: markdown -> plaintext, declaratively (app/embedding_gen.py:98-115).
 
@@ -84,9 +94,7 @@ def markdown_to_text(col: Column) -> Column:
     c = col
     for pat, repl in MARKDOWN_STRIP_RULES:
         c = F.regexp_replace(c, pat, repl)
-    for src, dst in MARKDOWN_ENTITY_RULES:
-        c = F.replace(c, F.lit(src), F.lit(dst))
-    return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+    return decode_entities_and_collapse(c)
 
 
 def read_text_files(spark: SparkSession, paths: list[str] | str,

@@ -55,6 +55,8 @@ def parse_warc_bytes(content: bytes, path: str = ""):
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            break          # corrupt/hostile framing must not rewind pos
         body_start = hdr_end + 4
         payload = content[body_start:body_start + length]
         yield (path,
@@ -89,14 +91,17 @@ def read_warc(spark: SparkSession, path: str,
         cols = ["path", "record_type", "target_uri", "warc_date",
                 "content_type", "payload"]
         for pdf in batches:
-            rows = []
+            # one DataFrame PER FILE: peak executor memory is bounded by
+            # a single file's records, not the whole Arrow batch (files
+            # decompress to GB scale on real crawls)
             for p, c in zip(pdf["path"], pdf["content"]):
                 blob = bytes(c)
                 if blob[:2] == b"\x1f\x8b":
                     with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
                         blob = f.read()
-                rows.extend(parse_warc_bytes(blob, p))
-            yield pd.DataFrame(rows, columns=cols)
+                rows = list(parse_warc_bytes(blob, p))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_RECORD_SCHEMA)
 
@@ -118,14 +123,12 @@ def html_to_text(col: Column) -> Column:
     decode (&amp; last), whitespace collapses. A regexp-chain projection
     (stays in codegen) — the full-fidelity parser seam is
     sources/textfiles.py's markdown path."""
+    from .textfiles import decode_entities_and_collapse
     c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
     c = F.regexp_replace(c, r"</?[A-Za-z!][^>]*>", " ")
-    from .textfiles import MARKDOWN_ENTITY_RULES
-    for src, dst in MARKDOWN_ENTITY_RULES:
-        c = F.replace(c, F.lit(src), F.lit(dst))
-    return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+    return decode_entities_and_collapse(c)
 
 
 def warc_text_documents(records: DataFrame) -> DataFrame:
@@ -133,7 +136,10 @@ def warc_text_documents(records: DataFrame) -> DataFrame:
     crawl-to-corpus step. doc_id = md5(url + date) — deterministic and
     stable across re-parses, the key the dedup/curation tiers expect."""
     resp = records.filter(F.col("record_type") == "response")
-    text = html_to_text(F.decode(http_body(F.col("payload")), "UTF-8"))
+    # cast, not decode: the binary->string CAST substitutes replacement
+    # characters for invalid UTF-8 while ANSI-mode decode() ABORTS the
+    # job on the first latin-1 page — and real crawls always have one
+    text = html_to_text(http_body(F.col("payload")).cast("string"))
     return (resp.select(
                 F.md5(F.concat(F.col("target_uri"), F.lit("@"),
                                F.col("warc_date"))).alias("doc_id"),

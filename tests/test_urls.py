@@ -65,3 +65,12 @@ def test_registered_domain_multi_label_suffix(spark):
                      registered_domain(F.col("url")).alias("d")).collect()}
     assert got == {1: "bbc.co.uk", 2: "bbc.co.uk",
                    3: "example.com.au", 4: "example.org"}
+
+
+def test_url_features_query_slashes_are_not_path(spark):
+    df = spark.createDataFrame(
+        [(1, "https://x.com?next=/a/b"),
+         (2, "https://x.com?file=x.exe")], "doc_id long, url string")
+    out = {r.id: r for r in url_features(df, "url", "doc_id").collect()}
+    assert out[1].path_depth == 0
+    assert not out[2].suspect_ext and out[2].has_query

@@ -98,3 +98,23 @@ def test_warc_corpus_feeds_prep_pipeline(spark, tmp_path):
     stages = dict(report)
     assert stages["input"] == 3 and stages["exact_dedup"] == 2
     assert out.count() == 2
+
+
+def test_warc_latin1_body_does_not_abort(spark, tmp_path):
+    """ANSI-mode decode() aborts on the first latin-1 page; the cast path
+    substitutes replacement chars and the job survives."""
+    latin1 = b"HTTP/1.1 200 OK\r\n\r\n<p>caf\xe9 latin-1 page words</p>"
+    blob = (_record("response", "http://x/l1", latin1)
+            + _record("response", "http://x/ok", HTTP))
+    (tmp_path / "crawl.warc").write_bytes(blob)
+    docs = {r.url: r.text for r in
+            warc_text_documents(read_warc(spark, str(tmp_path))).collect()}
+    assert len(docs) == 2
+    assert "latin-1 page words" in docs["http://x/l1"]
+    assert "�" in docs["http://x/l1"]      # lossy, not lost
+
+
+def test_warc_negative_content_length_terminates():
+    hostile = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: -54\r\n\r\npayload\r\n\r\n")
+    assert list(parse_warc_bytes(hostile)) == []

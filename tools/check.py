@@ -82,10 +82,12 @@ def pandas_rows(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
-    window = "--window" in args
-    only = {a for a in args if a != "--window"}
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window = "--window" in sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     import __spark_entry__ as entrymod
     from rassengine_spark.session import get_spark
