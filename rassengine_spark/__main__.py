@@ -28,6 +28,12 @@ of the reference's REST endpoints has a direct equivalent for each flow.
         dataset maintenance: --publish [NAME] / --list / --drop NAME
         snapshots, --compact MB small-file compaction, --prune retention.
 
+    python -m rassengine_spark crawl --src WARC_DIR --out DIR
+        crawl-to-corpus: WARC/WARC.GZ records -> HTML->text documents
+        (doc_id = md5(url@date)) -> optional URL domain gating
+        (--block-domains FILE) -> optional full prep pipeline (--prep);
+        writes the corpus parquet and prints counts.
+
 Models stay pluggable: the CLI wires the deterministic defaults; swap in
 ml/plugins.py constructors programmatically for real models.
 """
@@ -83,6 +89,37 @@ def _cmd_prep(args) -> int:
     (out.write.mode("overwrite").partitionBy("split").parquet(args.out))
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"stages": report, "out": args.out, "rows": n}))
+    return 0
+
+
+def _cmd_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sources.warc import read_warc, warc_text_documents
+
+    spark = get_spark("cli-crawl")
+    docs = warc_text_documents(read_warc(spark, args.src))
+    n_raw = docs.count()
+    if args.block_domains:
+        from .llmops.urls import filter_by_domain
+        block = (spark.read.text(args.block_domains)
+                 .select(F.trim(F.col("value")).alias("domain"))
+                 .filter(F.col("domain") != ""))
+        docs = filter_by_domain(docs, "url", blocklist=block)
+    stages: list = []
+    if args.prep:
+        from .llmops.prep import prepare_training_corpus
+        docs, stages = prepare_training_corpus(
+            docs, None, text_col="text", id_col="doc_id",
+            unicode_normalize=True, drop_boilerplate_lines=True,
+            materialize=True)
+        docs.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    else:
+        docs.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"records_to_docs": n_raw, "rows": n,
+                      "stages": stages, "out": args.out}))
     return 0
 
 
@@ -202,6 +239,17 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--bpe-merges", type=int, default=64)
     px.add_argument("--ivf-cells", type=int, default=64)
     px.set_defaults(fn=_cmd_index)
+
+    pc = sub.add_parser("crawl", help="WARC crawl -> text corpus")
+    pc.add_argument("--src", required=True,
+                    help="dir of .warc / .warc.gz files")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--block-domains", default=None,
+                    help="text file, one blocked registered domain/line")
+    pc.add_argument("--prep", action="store_true",
+                    help="run the full prep pipeline (unicode + line "
+                         "dedup + dedup/quality/PII/split)")
+    pc.set_defaults(fn=_cmd_crawl)
 
     pt = sub.add_parser("table", help="snapshots / compaction / retention")
     pt.add_argument("--path", required=True)

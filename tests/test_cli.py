@@ -93,3 +93,27 @@ def test_cli_index_and_table(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["files_after_compact"] >= 1
     assert res["pruned_files"] == 0       # snapshot still pins old files
+
+
+def test_cli_crawl(spark, tmp_path, capsys):
+    """crawl: WARC dir -> text corpus, with domain blocking."""
+    import gzip
+
+    from tests.test_warc import HTTP, _record
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    blob = (_record("response", "http://good.org/a", HTTP)
+            + _record("response", "http://spam.biz/x", HTTP))
+    (src / "c.warc.gz").write_bytes(gzip.compress(blob))
+    block = tmp_path / "block.txt"
+    block.write_text("spam.biz\n")
+    out = str(tmp_path / "corpus")
+
+    from rassengine_spark.__main__ import main
+    assert main(["crawl", "--src", str(src), "--out", out,
+                 "--block-domains", str(block)]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["records_to_docs"] == 2 and res["rows"] == 1
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"http://good.org/a"}
