@@ -1,0 +1,84 @@
+"""Learned document-quality scoring: a hashed-bag-of-words logistic
+regression in the role CCNet/LLaMA-style pipelines give a fastText
+classifier — score every document for "looks like reference text" and
+keep the top mass. Public recipe (Wenzek et al. 2019, "CCNet"; the
+quality-classifier pattern of the LLaMA data notes).
+
+Division of labor (same split as mllib_ann.py):
+
+- the heuristic tiers (`quality_features`, `gopher_flags`) are
+  deterministic expressions and carry the DuckDB oracles;
+- this tier LEARNS from labels — seed docs you trust (or the heuristics
+  as weak supervision) — and generalizes past hand thresholds. Seeded and
+  single-pass, so scores are reproducible run-to-run, but model-derived,
+  so coverage is pytest, not a SQL oracle.
+
+Scale: featurization is HashingTF over the engine tokenizer's output
+(scan-fused split + a per-row hashed projection — no vocabulary build,
+no shuffle); training runs on the labeled frame (typically a sample);
+scoring is one broadcast-model projection over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+N_FEATURES = 1 << 18
+
+
+def _featurize(df: DataFrame, text_col: str):
+    from pyspark.ml.feature import HashingTF
+
+    toks = df.withColumn("_toks", tokenize(F.col(text_col)))
+    tf = HashingTF(inputCol="_toks", outputCol="features",
+                   numFeatures=N_FEATURES)
+    return tf.transform(toks).drop("_toks")
+
+
+def train_quality_model(labeled: DataFrame, text_col: str,
+                        label_col: str, reg: float = 1e-4,
+                        max_iter: int = 50):
+    """Fit the classifier on (text, label in {0,1}) rows — label 1 =
+    reference-quality. Returns the fitted LogisticRegressionModel."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _featurize(
+        labeled.withColumn("label", F.col(label_col).cast("double")),
+        text_col)
+    lr = LogisticRegression(featuresCol="features", labelCol="label",
+                            regParam=reg, maxIter=max_iter)
+    return lr.fit(feats)
+
+
+def score_quality(df: DataFrame, text_col: str, id_col: str,
+                  model) -> DataFrame:
+    """(id, quality_score): P(label=1) per doc under the trained model —
+    one broadcast-model projection; filter or bucket downstream
+    (compose with splits.token_budget_take for 'best N tokens')."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        _featurize(df.select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("_txt")), "_txt"))
+    return scored.select(
+        "id",
+        F.element_at(vector_to_array("probability"), 2)
+         .alias("quality_score"))
+
+
+def weak_label_from_gopher(df: DataFrame, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Bootstrap labels without human annotation: the Gopher rule
+    composite as weak supervision ((text, label) rows) — the standard
+    cold-start for a learned quality filter; swap in curated positives
+    when available."""
+    from .text_analysis import gopher_flags
+
+    flags = gopher_flags(df, text_col, id_col) \
+        .select("id", F.col("keep").cast("int").alias("label"))
+    return (df.select(F.col(id_col).alias("id"), F.col(text_col)
+                      .alias(text_col))
+            .join(flags, "id"))
