@@ -122,7 +122,7 @@ def save_bpe(spark: SparkSession, df: DataFrame, text_col: str, path: str,
     merges, seqs = bpe_train(df, text_col, n_merges)
     (spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/merges"))
+     .repartition(1).write.mode("overwrite").parquet(f"{path}/merges"))
     seqs.write.mode("overwrite").parquet(f"{path}/vocab")
 
 

@@ -125,7 +125,7 @@ def save_ivf_index(corpus: DataFrame, vec_col: str, id_col: str, path: str,
     spark = corpus.sparkSession
     (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
                            "cell int, cvec array<double>")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+     .repartition(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                    _best_cell(F.col(vec_col), cents, round_to)
                    .alias("cell"))

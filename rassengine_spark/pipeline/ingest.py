@@ -111,7 +111,7 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
         # two must never leave data whose bucket count a retry (possibly
         # with a different n_buckets default) cannot recover
         (spark.createDataFrame([(n_buckets,)], "n_buckets int")
-         .coalesce(1).write.mode("overwrite").parquet(meta_p))
+         .repartition(1).write.mode("overwrite").parquet(meta_p))
     batch = df.withColumn(
         "kb", term_bucket_expr(F.col(key_col).cast("string"), n_buckets))
     if os.path.exists(data_p):
@@ -244,7 +244,7 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
         lg_k = int(spark.read.parquet(src_meta).collect()[0]["lg_k"])
     if not os.path.exists(meta_p):
         (spark.createDataFrame([(lg_k,)], "lg_k int")
-         .coalesce(1).write.mode("overwrite").parquet(meta_p))
+         .repartition(1).write.mode("overwrite").parquet(meta_p))
     part = (delta.groupBy(group_cols)
             .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")))
     src_data = os.path.join(src, "data")

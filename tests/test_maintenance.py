@@ -14,7 +14,7 @@ def test_snapshot_pins_through_appends_and_compaction(spark, tmp_path):
     # many tiny appends -> many small files
     for i in range(6):
         (spark.range(i * 10, (i + 1) * 10).toDF("id")
-         .coalesce(1).write.mode("append").parquet(path))
+         .repartition(1).write.mode("append").parquet(path))
     v1 = publish_snapshot(spark, path)
     assert list_snapshots(path) == [v1]
     v1_rows = set(range(60))
@@ -23,7 +23,7 @@ def test_snapshot_pins_through_appends_and_compaction(spark, tmp_path):
 
     # append after publish: snapshot unchanged, live table grows
     (spark.range(60, 70).toDF("id")
-     .coalesce(1).write.mode("append").parquet(path))
+     .repartition(1).write.mode("append").parquet(path))
     assert {r.id for r in read_snapshot(spark, path, v1).collect()} \
         == v1_rows
     assert spark.read.parquet(path).count() == 70
@@ -52,7 +52,7 @@ def test_prune_versions_respects_manifests(spark, tmp_path):
     path = str(tmp_path / "tbl2")
     for i in range(4):
         (spark.range(i * 5, (i + 1) * 5).toDF("id")
-         .coalesce(1).write.mode("append").parquet(path))
+         .repartition(1).write.mode("append").parquet(path))
     v1 = publish_snapshot(spark, path)
     compact_parquet(spark, path, target_file_mb=1024)
     # v1 still references the retained files -> nothing prunable
