@@ -4731,6 +4731,175 @@ def _q_s7_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("embedding", 1), 4).alias("e0"))
 
 
+def _q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (llmops/similarity.py::hard_negative_topk): per query vector, the
+    top-5 most-similar corpus vectors with a DIFFERENT label — the
+    confusable negatives dense-retriever training needs (DPR-style)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding",
+                            "label")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.hard_negative_topk(corpus, queries_df, "embedding",
+                                  "vec_id", "qid", label_col="label", k=5)
+
+
+_SQL_MINE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, embedding AS v, label AS cl
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.id, {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+  FROM c JOIN q ON c.cl <> q.ql)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+_PROFILE_CELLS = 8
+
+
+def _q_corpus_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diagnostic (llmops/similarity.py::cluster_profile):
+    every embedding assigned to its nearest md5-sampled centroid (the IVF
+    quantizer), then per-cell balance stats. The mean affinity folds as
+    exact integer micro-units, so it is engine-identical under any
+    partitioning."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.cluster_profile(emb, "embedding", "vec_id",
+                               n_cells=_PROFILE_CELLS)
+
+
+_SQL_CORPUS_CLUSTER_PROFILE = f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PROFILE_CELLS}),
+cassign AS (
+  SELECT id, cell, aff FROM (
+    SELECT c0.id, cent.cell,
+           {_SQL_COS.format(a='cent.cv', b='c0.v')} AS aff,
+           row_number() OVER (
+               PARTITION BY c0.id
+               ORDER BY {_SQL_COS.format(a='cent.cv', b='c0.v')} DESC,
+                        cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1)
+SELECT CAST(cell AS INT) AS cell,
+       COUNT(*) AS n_vecs,
+       CAST(CAST(SUM(CAST(round(aff * 1000000, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE)
+       / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_affinity,
+       MIN(aff) AS min_affinity,
+       MAX(aff) AS max_affinity
+FROM cassign GROUP BY cell
+"""
+
+
+_SPAN_BOILERPLATE = ("This corpus is synthetic. "
+                     "It exists for parity tests. "
+                     "Boilerplate ends here. ")
+
+
+def _q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style three-sentence-span dedup (llmops/text_analysis.py::
+    span_dedup — Raffel et al. 2020 §2.2): docs are prefixed with a
+    shared 3-sentence boilerplate paragraph, so its span duplicates
+    corpus-wide and must drop everywhere but its first (doc_id, span_pos)
+    occurrence; docs reassembled in span order."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = F.coalesce(F.col("text"), F.lit(""))
+    src = docs.select("doc_id",
+                      F.concat(F.lit(_SPAN_BOILERPLATE), t).alias("text"))
+    return TA.span_dedup(src, "text", "doc_id") \
+             .withColumnRenamed("id", "doc_id")
+
+
+_SQL_TEXT_SPAN_DEDUP = f"""
+WITH src AS (
+  SELECT doc_id, '{_SPAN_BOILERPLATE}' || COALESCE(text, '') AS text
+  FROM documents),
+sents AS (
+  SELECT doc_id, j - 1 AS pos, ls[j] AS sent
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?]) +',
+                                           '\\1' || chr(10), 'g'),
+                            chr(10)) AS ls
+        FROM src) s,
+       UNNEST(generate_series(1, len(ls))) t(j)),
+spans AS (
+  SELECT doc_id, CAST(floor(pos / 3) AS INT) AS span_pos,
+         string_agg(sent, ' ' ORDER BY pos) AS span
+  FROM sents GROUP BY doc_id, CAST(floor(pos / 3) AS INT)),
+marked AS (
+  SELECT doc_id, span_pos, span, lower(trim(span)) AS norm,
+         COUNT(*) OVER (PARTITION BY lower(trim(span))) AS cnt,
+         row_number() OVER (PARTITION BY lower(trim(span))
+                            ORDER BY doc_id, span_pos) AS rn
+  FROM spans),
+kept AS (
+  SELECT *, (cnt < 2 OR norm = '' OR rn = 1) AS keep FROM marked)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN span END,
+                           ' ' ORDER BY span_pos), '') AS text,
+       COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN NOT keep THEN 1 END) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
+_LB_WIDTH, _LB_BATCH, _LB_SHARDS = 32, 8, 4
+
+
+def _q_split_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (llmops/splits.py::
+    length_bucket_batches): docs bucketed by token count, md5-ordered
+    inside each (shard, bucket), runs of 8 form a batch; per-batch
+    padding waste = n_seqs * max_tokens - sum_tokens, all exact
+    integers."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = docs.select(
+        "doc_id",
+        F.size(words_of(F.coalesce(F.col("text"), F.lit(""))))
+         .alias("n_tokens"))
+    return SP.length_bucket_batches(src, "doc_id", "n_tokens",
+                                    bucket_width=_LB_WIDTH,
+                                    batch_size=_LB_BATCH,
+                                    shards=_LB_SHARDS)
+
+
+_SQL_SPLIT_LENGTH_BUCKETS = f"""
+WITH src AS (
+  SELECT doc_id,
+         len({_SQL_WORDS.format(col="COALESCE(text, '')")}) AS n_tokens
+  FROM documents),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % {_LB_SHARDS} AS INT) AS shard,
+         CAST(floor(n_tokens / {_LB_WIDTH}) AS INT) AS bucket
+  FROM src),
+batched AS (
+  SELECT shard, bucket, n_tokens,
+         CAST(floor((row_number() OVER (PARTITION BY shard, bucket
+                                        ORDER BY k, doc_id) - 1)
+                    / {_LB_BATCH}) AS INT) AS batch_id
+  FROM keyed)
+SELECT shard, bucket, batch_id,
+       COUNT(*) AS n_seqs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       COUNT(*) * MAX(n_tokens) - CAST(SUM(n_tokens) AS BIGINT) AS padding
+FROM batched GROUP BY shard, bucket, batch_id
+"""
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries
 # per round. Round 1 stamped the original first 50 green; round 2 rotated
 # the next block. Round-3 rotation: the 22 entries that have never been
@@ -4759,6 +4928,9 @@ _DRIVER_CHECK_PRIORITY = [
     "table_snapshot_read", "sim_ivf_store_topk", "bm25_store_ranked",
     "bm25_store_append_ranked", "sim_ivf_store_append_topk",
     "sim_hnsw_store_append_recall",
+    # round-3 late additions
+    "mine_hard_negatives", "corpus_cluster_profile", "text_span_dedup",
+    "split_length_buckets",
 ]
 
 
@@ -4835,7 +5007,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_token_budget": _q_split_token_budget,
         "split_mixture_token_budget": _q_split_mixture_budget,
         "split_epoch_shuffle": _q_split_epoch_shuffle,
+        "split_length_buckets": _q_split_length_buckets,
         "pack_sequences": _q_pack_sequences,
+        "mine_hard_negatives": _q_mine_hard_negatives,
+        "corpus_cluster_profile": _q_corpus_cluster_profile,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
         "mm_resize_meta": _q_mm_resize,
@@ -4900,6 +5075,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_markdown_strip": _q_s3_markdown_strip,
         "s9_bucketed_upsert": _q_s9_bucketed_upsert,
         "text_line_dedup": _q_text_line_dedup,
+        "text_span_dedup": _q_text_span_dedup,
         "text_unicode_clean": _q_text_unicode_clean,
         "events_rollup_merge": _q_events_rollup_merge,
         "table_snapshot_read": _q_table_snapshot_read,
@@ -4976,7 +5152,10 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": _sql_split_token_budget(),
         "split_mixture_token_budget": _sql_split_mixture_budget(),
         "split_epoch_shuffle": _SQL_SPLIT_EPOCH_SHUFFLE,
+        "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
         "pack_sequences": _sql_pack_sequences(),
+        "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
+        "corpus_cluster_profile": _SQL_CORPUS_CLUSTER_PROFILE,
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,
         "mm_resize_meta": _SQL_MM_RESIZE,
@@ -5039,6 +5218,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_markdown_strip": _sql_s3_markdown(),
         "s9_bucketed_upsert": _SQL_S9_BUCKETED_UPSERT,
         "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
+        "text_span_dedup": _SQL_TEXT_SPAN_DEDUP,
         "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
         "events_rollup_merge": _SQL_EVENTS_ROLLUP_MERGE,
         "table_snapshot_read": _SQL_TABLE_SNAPSHOT_READ,

@@ -204,6 +204,70 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             .select("query_id", "id", "score", "rank"))
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                       id_col: str, query_id_col: str,
+                       label_col: str = "label", k: int = 5,
+                       round_to: int | None = 6) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training
+    (Karpukhin et al. 2020 "Dense Passage Retrieval", public): per query,
+    the top-k most-similar corpus vectors whose label DIFFERS from the
+    query's — the negatives a bi-encoder confuses most, which is exactly
+    the training signal in-batch random negatives lack.
+
+    Plan shape is brute_force_topk's: broadcast the bounded query batch,
+    one codegen pass over the corpus (the label inequality is part of the
+    join condition, so mismatching pairs never materialize a row), then
+    the per-query k-heap. At 100 TB, compose with the IVF/LSH pruners the
+    same way ivf_topk does — mining only needs candidates, not certainty.
+    Returns (query_id, id, score, rank)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      F.col(label_col).alias("_cl"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.col(label_col).alias("_ql"))
+    joined = c.join(F.broadcast(q), on=F.col("_cl") != F.col("_ql"))
+    score: Column = cosine(F.col("v"), F.col("qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))
+
+
+def cluster_profile(corpus: DataFrame, vec_col: str, id_col: str,
+                    n_cells: int = 8, round_to: int = 6,
+                    centroids: list[list[float]] | None = None) -> DataFrame:
+    """Corpus-mixture diagnostic: assign every vector to its nearest
+    centroid (the same deterministic md5-sampled quantizer ivf_topk uses)
+    and profile cluster balance — the first thing to look at before
+    choosing mixture weights or spotting a mode the corpus over-covers.
+
+    Returns one row per cell: (cell, n_vecs, avg_affinity, min_affinity,
+    max_affinity). Exactness: per-row affinity is the ROUNDED cosine
+    scaled to integer micro-units, so the sum is an exact bigint and the
+    mean ONE double division of two exact integers — engine-identical
+    regardless of partitioning (a double AVG would fold in partition
+    order). One codegen projection + one hash aggregate; no joins, no
+    windows — the profile costs a scan at any corpus size."""
+    cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
+    best = F.array_min(_cell_affinities(F.col(vec_col), cents, round_to))
+    aff = -best["ns"]
+    scale = 10 ** round_to
+    aff_i = F.round(aff * scale, 0).cast("bigint")
+    per = corpus.select(best["c"].alias("cell"), aff.alias("_aff"),
+                        aff_i.alias("_aff_i"))
+    agg = per.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_aff_i").alias("_sum_i"),
+        F.min("_aff").alias("min_affinity"),
+        F.max("_aff").alias("max_affinity"))
+    return agg.select(
+        "cell", "n_vecs",
+        (F.col("_sum_i").cast("double")
+         / (F.col("n_vecs").cast("double") * F.lit(float(scale))))
+        .alias("avg_affinity"),
+        "min_affinity", "max_affinity")
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame,
                 round_to: int = 6) -> DataFrame:
     """ANN quality evaluation: per-query recall of an approximate top-k

@@ -119,6 +119,49 @@ def pack_sequences(df: DataFrame, key_col: str, tokens_col: str,
     return out.select("key", "shard", "pack_id", "n_tokens")
 
 
+def length_bucket_batches(df: DataFrame, key_col: str, tokens_col: str,
+                          bucket_width: int = 64, batch_size: int = 8,
+                          shards: int = 16) -> DataFrame:
+    """Length-bucketed batch assembly: group sequences of similar token
+    length into fixed-size training batches so each batch pads to its own
+    max instead of the corpus max — the standard padding-waste reducer
+    for variable-length training (bucketed batching; e.g. the public
+    fairseq/tensor2tensor input pipelines).
+
+    bucket = n_tokens div bucket_width; inside each (shard, bucket) the
+    sequences order by md5(key) (deterministic, repartition-stable) and
+    consecutive runs of `batch_size` form a batch. Returns one row per
+    batch: (shard, bucket, batch_id, n_seqs, max_tokens, sum_tokens,
+    padding) with padding = n_seqs * max_tokens - sum_tokens — all exact
+    integer arithmetic.
+
+    Scale shape is pack_sequences': shard FIRST by key hash, so the
+    per-(shard, bucket) window is partition-local and 1000 executors fill
+    1000+ independent windows — no global sort, and a skewed length
+    bucket (real corpora pile up at the truncation length) splits across
+    all shards instead of landing on one task."""
+    key = F.md5(F.col(key_col).cast("string"))
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(tokens_col).alias("n_tokens"),
+        key.alias("_k"),
+        F.pmod(hash60(F.col(key_col).cast("string")),
+               F.lit(shards)).cast("int").alias("shard"),
+        F.floor(F.col(tokens_col) / bucket_width).cast("int")
+         .alias("bucket"))
+    w = Window.partitionBy("shard", "bucket").orderBy("_k", "key")
+    batched = d.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"))
+    return (batched.groupBy("shard", "bucket", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_seqs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_tokens").alias("sum_tokens"))
+            .withColumn("padding",
+                        F.col("n_seqs") * F.col("max_tokens")
+                        - F.col("sum_tokens")))
+
+
 def with_split_leakage_safe(df: DataFrame, key_col: str, text_col: str,
                             weights: dict[str, float] | None = None,
                             seed: str = "split",

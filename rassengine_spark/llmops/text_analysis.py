@@ -555,6 +555,72 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                   .alias("n_dropped")))
 
 
+def sentence_array(col: Column) -> Column:
+    """Deterministic sentence split: a sentence ender ([.!?]) followed by
+    spaces becomes a break, and pre-existing newlines already are breaks.
+    No lookbehind (RE2-safe, so the DuckDB twin is the same two-step
+    regex): rewrite 'ender + spaces' to 'ender + \\n', then split on
+    \\n. Empty segments are kept — positions must be stable for
+    first-occurrence ordering."""
+    return F.split(F.regexp_replace(col, "([.!?]) +", "$1\n"), "\n")
+
+
+def span_dedup(df: DataFrame, text_col: str, id_col: str,
+               span_sents: int = 3, min_count: int = 2) -> DataFrame:
+    """C4-style three-sentence-span dedup (Raffel et al. 2020 §2.2,
+    public): documents split into sentences, grouped into TUMBLING
+    `span_sents`-sentence spans; any normalized span (lower+trim)
+    occurring >= min_count times ACROSS the corpus is dropped from every
+    document except its first occurrence (smallest (id, span_pos));
+    blank spans exempt. Documents are reassembled in span order with
+    single spaces (the sentence splitter already consumed the original
+    inter-sentence whitespace). Tumbling, not sliding: removing
+    overlapping spans makes reconstruction ambiguous, and the duplicated
+    unit this pass targets (injected boilerplate paragraphs) is
+    contiguous. Returns (id, text, n_kept, n_dropped) in span units.
+
+    Plan at 100 TB mirrors line_dedup: the sentence explode is
+    scan-fused; span assembly is one groupBy(id, span_pos); span stats
+    are ONE hash aggregate on the normalized span (map-side combined —
+    boilerplate heavy-hitters compress hardest); the stats join reuses
+    that key; reassembly is one groupBy(id). No corpus-wide window, no
+    driver state."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sents = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sentence_array(t)).alias("pos", "sent"))
+    spans = (sents
+             .withColumn("span_pos",
+                         (F.col("pos") / span_sents).cast("int"))
+             .groupBy("id", "span_pos")
+             .agg(F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("pos", "sent"))),
+                          lambda s: s["sent"]), " ").alias("span")))
+    spans = spans.withColumn("norm", F.lower(F.trim(F.col("span"))))
+    stats = (spans.groupBy("norm")
+             .agg(F.count(F.lit(1)).alias("_cnt"),
+                  F.min(F.struct(F.col("id"), F.col("span_pos")))
+                   .alias("_first")))
+    keep = (spans.join(stats, "norm")
+            .withColumn("_keep",
+                        (F.col("_cnt") < min_count) | (F.col("norm") == "")
+                        | ((F.col("id") == F.col("_first.id"))
+                           & (F.col("span_pos") == F.col("_first.span_pos")))))
+    return (keep.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("span_pos", "span")))),
+                         lambda s: s["span"]), " ").alias("text"),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                  .alias("n_dropped")))
+
+
 def gopher_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, public —
     "Scaling Language Models", app. A1.1): word-count window, mean word

@@ -1,0 +1,126 @@
+"""Round-3 training-pipeline operators: hard-negative mining, cluster
+profiling, C4 span dedup, length-bucketed batching."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.similarity import (cluster_profile,
+                                                hard_negative_topk,
+                                                ivf_centroids)
+from rassengine_spark.llmops.splits import length_bucket_batches
+from rassengine_spark.llmops.text_analysis import span_dedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    # corpus vec 10 is IDENTICAL to the query but shares its label —
+    # mining must skip it and return the closest other-label vectors
+    rows = [(0, [1.0, 0.0], 7),
+            (10, [1.0, 0.0], 7),       # positive (same label): excluded
+            (11, [0.9, 0.1], 1),       # hardest negative
+            (12, [0.0, 1.0], 1),
+            (13, [-1.0, 0.0], 2)]
+    df = _emb(spark, rows)
+    q = df.filter("vec_id = 0").select(F.col("vec_id").alias("qid"),
+                                       "embedding", "label")
+    c = df.filter("vec_id >= 10")
+    got = hard_negative_topk(c, q, "embedding", "vec_id", "qid", k=2) \
+        .orderBy("rank").collect()
+    assert [r.id for r in got] == [11, 12]
+    assert got[0].score > got[1].score
+    assert all(r.id != 10 for r in got)
+
+
+def test_hard_negatives_null_label_drops(spark):
+    rows = [(0, [1.0, 0.0], 7), (10, [1.0, 0.0], None),
+            (11, [0.5, 0.5], 1)]
+    df = _emb(spark, rows)
+    q = df.filter("vec_id = 0").select(F.col("vec_id").alias("qid"),
+                                       "embedding", "label")
+    c = df.filter("vec_id >= 10")
+    got = hard_negative_topk(c, q, "embedding", "vec_id", "qid", k=5)
+    assert [r.id for r in got.collect()] == [11]
+
+
+def test_cluster_profile_matches_manual_assignment(spark):
+    rows = [(i, [float((i * 13 + j * 7) % 5) - 2.0 for j in range(4)], 0)
+            for i in range(40)]
+    df = _emb(spark, rows)
+    cents = ivf_centroids(df, "embedding", "vec_id", 3)
+    prof = {r.cell: r for r in
+            cluster_profile(df, "embedding", "vec_id", n_cells=3,
+                            centroids=cents).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb + 1e-9), 6)
+
+    manual = {}
+    for _, v, _lbl in rows:
+        affs = sorted(((-cos(v, c), i) for i, c in enumerate(cents)))
+        best_aff, best_cell = -affs[0][0], affs[0][1]
+        manual.setdefault(best_cell, []).append(best_aff)
+    assert set(prof) == set(manual)
+    for cell, affs in manual.items():
+        r = prof[cell]
+        assert r.n_vecs == len(affs)
+        want_avg = sum(round(a * 1e6) for a in affs) / (len(affs) * 1e6)
+        assert r.avg_affinity == want_avg
+        assert r.min_affinity == min(affs)
+        assert r.max_affinity == max(affs)
+    assert sum(r.n_vecs for r in prof.values()) == len(rows)
+
+
+def test_span_dedup_drops_repeated_boilerplate(spark):
+    bp = "One shared. Two shared. Three shared. "
+    docs = spark.createDataFrame(
+        [(1, bp + "Doc one body. It is unique. Truly unique."),
+         (2, bp + "Doc two body. Also unique. Very different."),
+         (3, bp)],
+        "doc_id bigint, text string")
+    got = {r.id: r for r in span_dedup(docs, "text", "doc_id").collect()}
+    # doc 1 is the first (id, span_pos) occurrence of the boilerplate span
+    assert got[1].text.startswith("One shared. Two shared. Three shared.")
+    assert got[1].n_dropped == 0
+    # docs 2 and 3 lose it
+    assert got[2].text.startswith("Doc two body.")
+    assert got[2].n_dropped == 1
+    assert "shared" not in got[3].text
+    assert got[3].n_dropped == 1
+    # unique spans survive
+    assert "Truly unique." in got[1].text
+    assert "Very different." in got[2].text
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    docs = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id bigint, text string")
+    got = {r.id: r for r in span_dedup(docs, "text", "doc_id").collect()}
+    # empty span is exempt from dedup; both docs keep their single span
+    assert got[1].text == "" and got[2].text == ""
+    assert got[1].n_dropped == 0 and got[2].n_dropped == 0
+
+
+def test_length_bucket_batches_shapes_and_padding(spark):
+    rows = [(i, 10 + (i % 3)) for i in range(50)]   # lengths 10..12
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    out = length_bucket_batches(df, "doc_id", "n_tokens",
+                                bucket_width=4, batch_size=4, shards=2)
+    got = out.collect()
+    assert sum(r.n_seqs for r in got) == 50
+    for r in got:
+        assert 1 <= r.n_seqs <= 4
+        assert r.bucket in (2, 3)                    # 10//4=2, 12//4=3
+        assert r.padding == r.n_seqs * r.max_tokens - r.sum_tokens
+        assert r.padding >= 0
+    # deterministic under repartitioning
+    again = length_bucket_batches(df.repartition(7), "doc_id", "n_tokens",
+                                  bucket_width=4, batch_size=4, shards=2)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))

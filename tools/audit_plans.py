@@ -77,6 +77,12 @@ SORT_OK = {
     # SMJ per-partition sorts on the normalized-line join key (line stats
     # x exploded lines — both corpus-scale at 100 TB, broadcast is wrong):
     "text_line_dedup",
+    # same shape one level up (normalized SPAN stats join) + the
+    # sort-based min(struct) aggregate's partition-local sorts:
+    "text_span_dedup",
+    # per-(shard, bucket) partition-local window sort — the
+    # pack_sequences sharded shape, never a global order-by:
+    "split_length_buckets",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "events_asof_join", "orders_running_total",
