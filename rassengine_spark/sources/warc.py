@@ -14,10 +14,14 @@ records (a per-file generator — record framing is inherently sequential
 WITHIN a file, files parallelize across the cluster); everything after
 that (HTTP body split, HTML->text) is declarative Column work.
 
-Uncompressed WARC only: per-record gzip members (the .warc.gz layout)
-need a streaming gzip splitter; at scale Common Crawl is re-packed to
-splittable storage before Spark anyway. The seam is the records schema —
-a .warc.gz reader drops in behind the same columns.
+The record parser is STREAMING: it reads the (decompressed) byte stream
+incrementally and never holds more than one record plus a read chunk —
+at crawl scale a .warc.gz segment is ~1 GB compressed / ~4 GB
+decompressed, and materializing the decompressed file per task is the
+difference between fitting 32 concurrent tasks in executor memory and
+not. The compressed blob itself still comes through ``binaryFile``
+whole (that source is not splittable); the stream bounds everything
+downstream of it.
 """
 
 from __future__ import annotations
@@ -29,43 +33,76 @@ WARC_RECORD_SCHEMA = ("path string, record_type string, target_uri string, "
                       "warc_date string, content_type string, "
                       "payload binary")
 
+_READ_CHUNK = 1 << 20
 
-def parse_warc_bytes(content: bytes, path: str = ""):
+
+def parse_warc_stream(f, path: str = ""):
     """Yield (path, record_type, target_uri, warc_date, content_type,
-    payload) per WARC record. Pure function of the bytes (unit-testable
-    without Spark); tolerant of trailing garbage — parsing stops at the
-    first frame that no longer starts with a WARC version line."""
-    pos = 0
-    n = len(content)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and content[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if not content.startswith(b"WARC/", pos):
+    payload) per WARC record from a binary file-like, incrementally:
+    the buffer holds the current record's bytes plus at most one read
+    chunk, whatever the stream's total size. Tolerant of trailing
+    garbage — parsing stops at the first frame that no longer starts
+    with a WARC version line (and at corrupt/negative lengths, which
+    must never rewind)."""
+    buf = b""
+    eof = False
+
+    def _fill() -> None:
+        nonlocal buf, eof
+        chunk = f.read(_READ_CHUNK)
+        if chunk:
+            buf += chunk
+        else:
+            eof = True
+
+    while True:
+        # skip inter-record CRLFs (refill so a pair never hides across a
+        # chunk boundary)
+        while True:
+            if len(buf) < 2 and not eof:
+                _fill()
+                continue
+            if buf[:2] == b"\r\n":
+                buf = buf[2:]
+                continue
             break
-        hdr_end = content.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            break
+        hdr_end = buf.find(b"\r\n\r\n")
+        while hdr_end < 0 and not eof:
+            _fill()
+            hdr_end = buf.find(b"\r\n\r\n")
+        if not buf.startswith(b"WARC/") or hdr_end < 0:
+            return
         headers: dict[str, str] = {}
-        for line in content[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in buf[:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("ascii", "replace")] = \
                 v.strip().decode("utf-8", "replace")
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            return
         if length < 0:
-            break          # corrupt/hostile framing must not rewind pos
+            return         # corrupt/hostile framing must not rewind
         body_start = hdr_end + 4
-        payload = content[body_start:body_start + length]
+        while len(buf) < body_start + length and not eof:
+            _fill()
+        # a truncated tail yields its partial payload, then the loop ends
         yield (path,
                headers.get("warc-type", ""),
                headers.get("warc-target-uri", ""),
                headers.get("warc-date", ""),
                headers.get("content-type", ""),
-               payload)
-        pos = body_start + length
+               buf[body_start:body_start + length])
+        buf = buf[body_start + length:]
+
+
+def parse_warc_bytes(content: bytes, path: str = ""):
+    """`parse_warc_stream` over in-memory bytes (the unit-test surface
+    and the one framing implementation — byte semantics live in the
+    stream parser only)."""
+    import io
+
+    yield from parse_warc_stream(io.BytesIO(content), path)
 
 
 def read_warc(spark: SparkSession, path: str,
@@ -75,13 +112,15 @@ def read_warc(spark: SparkSession, path: str,
 
     .warc.gz is the Common Crawl layout: one gzip MEMBER per record;
     Python's gzip reader concatenates members transparently, so the
-    decompressed stream is exactly the uncompressed framing. The
-    decompression is per-file in executor memory — size
-    maxPartitionBytes / executor memory for the crawl's file size (CC
-    segments are ~1 GB compressed)."""
+    decompressed STREAM is exactly the uncompressed framing — and it is
+    consumed as a stream: records parse incrementally and leave in
+    `chunk_records`-row frames, so peak executor memory per task is the
+    compressed blob + one record + one chunk, never the decompressed
+    file (~4x the blob on real crawls)."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob).load(path)
              .select("path", "content"))
+    chunk_records = 256
 
     def run(batches):
         import gzip
@@ -91,15 +130,16 @@ def read_warc(spark: SparkSession, path: str,
         cols = ["path", "record_type", "target_uri", "warc_date",
                 "content_type", "payload"]
         for pdf in batches:
-            # one DataFrame PER FILE: peak executor memory is bounded by
-            # a single file's records, not the whole Arrow batch (files
-            # decompress to GB scale on real crawls)
             for p, c in zip(pdf["path"], pdf["content"]):
-                blob = bytes(c)
-                if blob[:2] == b"\x1f\x8b":
-                    with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
-                        blob = f.read()
-                rows = list(parse_warc_bytes(blob, p))
+                raw = bytes(c)
+                f = (gzip.GzipFile(fileobj=io.BytesIO(raw))
+                     if raw[:2] == b"\x1f\x8b" else io.BytesIO(raw))
+                rows = []
+                for rec in parse_warc_stream(f, p):
+                    rows.append(rec)
+                    if len(rows) >= chunk_records:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

@@ -118,3 +118,32 @@ def test_warc_negative_content_length_terminates():
     hostile = (b"WARC/1.0\r\nWARC-Type: response\r\n"
                b"Content-Length: -54\r\n\r\npayload\r\n\r\n")
     assert list(parse_warc_bytes(hostile)) == []
+
+
+def test_parse_warc_stream_chunk_boundaries_match_bytes():
+    # a 1-byte-per-read file-like forces every boundary case (CRLF pair,
+    # header block, payload) to straddle a refill; output must be
+    # byte-identical to whole-buffer parsing
+    import io
+
+    from rassengine_spark.sources.warc import parse_warc_stream
+
+    class Dribble(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def read(self, n=-1):
+            return self._b.read(1)
+
+    blob = (_record("warcinfo", "", b"software: test",
+                    ctype="application/warc-fields")
+            + _record("request", "http://x/a", b"GET /a HTTP/1.1\r\n\r\n")
+            + _record("response", "http://x/a", HTTP))
+    whole = list(parse_warc_bytes(blob, "f"))
+    dribbled = list(parse_warc_stream(Dribble(blob), "f"))
+    assert dribbled == whole
+
+    # truncated payload tail: both paths yield the partial record
+    cut = blob[:-(len(HTTP) // 2)]
+    assert (list(parse_warc_stream(Dribble(cut), "f"))
+            == list(parse_warc_bytes(cut, "f")))
