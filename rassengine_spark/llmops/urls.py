@@ -86,3 +86,50 @@ def filter_by_domain(df: DataFrame, url_col: str,
         a = allowlist.select(F.col("domain").alias("_dom")).distinct()
         out = out.join(F.broadcast(a), "_dom", "left_semi")
     return out.drop("_dom")
+
+
+# tracking params every major canonicalizer strips (param name alone or
+# with a value)
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=.*)?$"
+
+_URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup (the key `GROUP BY url` joins
+    and blocklists should use — raw crawl URLs spell the same page a
+    dozen ways):
+
+    - fragment dropped (#... never reaches the server)
+    - scheme and authority lowercased (RFC 3986 §6.2.2.1); path/query
+      case is preserved (significant on most servers)
+    - default port stripped (:80 for http, :443 for https)
+    - tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid)
+    - remaining query params sorted bytewise; '?' dropped when none
+      survive
+    - empty path becomes '/' (RFC 3986 §6.2.3)
+
+    Values that do not parse as scheme://authority pass through trimmed
+    and otherwise untouched (a canonicalizer must never invent a URL).
+    Pure Column expression — fuses into the scan like every other
+    curation column here."""
+    u = F.trim(url)
+    nf = F.substring_index(u, "#", 1)
+    scheme = F.lower(F.regexp_extract(nf, _URL_PARTS_RE, 1))
+    auth = F.lower(F.regexp_extract(nf, _URL_PARTS_RE, 2))
+    auth = F.when(scheme == "http",
+                  F.regexp_replace(auth, ":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(auth, ":443$", "")) \
+            .otherwise(auth)
+    path = F.regexp_extract(nf, _URL_PARTS_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(nf, _URL_PARTS_RE, 4)   # '?a=1&...' or ''
+    params = F.array_sort(F.filter(
+        F.split(F.substring(qs, 2, 1 << 30), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    tail = F.when(F.size(params) > 0,
+                  F.concat(F.lit("?"), F.array_join(params, "&"))) \
+            .otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), auth, path, tail)
+    return F.when(scheme == "", u).otherwise(canon)

@@ -74,3 +74,35 @@ def test_url_features_query_slashes_are_not_path(spark):
     out = {r.id: r for r in url_features(df, "url", "doc_id").collect()}
     assert out[1].path_depth == 0
     assert not out[2].suspect_ext and out[2].has_query
+
+
+def test_canonical_url_full_normalization(spark):
+    from rassengine_spark.llmops.urls import canonical_url
+    rows = [
+        (1, "  HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#frag"),
+        (2, "http://site.org:80"),                      # empty path -> /
+        (3, "http://site.org:8080/x"),                  # non-default port kept
+        (4, "https://h.net/p?utm_campaign=z&fbclid=q"), # all params tracked
+        (5, "not a url at all  "),                      # pass-through, trimmed
+        (6, "ftp://Host.com:80/f?b=1&a=2"),             # :80 only for http
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {r.id: r.canon
+           for r in df.select("id", canonical_url("url").alias("canon"))
+                      .collect()}
+    assert got[1] == "https://www.example.com/Path/X?a=1&b=2"
+    assert got[2] == "http://site.org/"
+    assert got[3] == "http://site.org:8080/x"
+    assert got[4] == "https://h.net/p"
+    assert got[5] == "not a url at all"
+    assert got[6] == "ftp://host.com:80/f?a=2&b=1"
+
+
+def test_canonical_url_is_idempotent(spark):
+    from rassengine_spark.llmops.urls import canonical_url
+    rows = [(i, f"HTTP://A{i}.COM:80/p{i}?utm_x=1&z=2&y={i}#f")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, url string")
+    once = df.select("id", canonical_url("url").alias("c1"))
+    twice = once.select("id", "c1", canonical_url("c1").alias("c2"))
+    assert twice.filter("c1 <> c2").count() == 0
