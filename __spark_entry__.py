@@ -4900,6 +4900,89 @@ FROM batched GROUP BY shard, bucket, batch_id
 """
 
 
+def _q_sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval for the int8 storage tier: per-query recall@k of
+    quantized-cosine top-k against exact brute force — the number that
+    justifies (or vetoes) the 4x narrower scan (same harness as
+    sim_ivf_recall / sim_pq_recall)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = SIM.quantized_topk(corpus, queries_df, "embedding", "vec_id",
+                                "qid", k=5)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding",
+                                 "vec_id", "qid", k=5)
+    return SIM.recall_at_k(approx, exact)
+
+
+def _sql_sim_quantized_recall() -> str:
+    cos_vq = _SQL_COS.format(a="v", b="qv")
+    exact_sql = f"""
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 5),
+  c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        WHERE vec_id >= 5),
+  scored AS (
+    SELECT q.query_id, c.id, {cos_vq} AS score
+    FROM c CROSS JOIN q)
+  SELECT query_id, id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, id ASC) <= 5"""
+    return f"""
+WITH approx AS ({_SQL_SIM_QUANTIZED}),
+exact AS ({exact_sql})
+SELECT exact.query_id,
+       count(*) AS n_exact,
+       count(approx.id) AS n_matched,
+       round(CAST(count(approx.id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id AND exact.id = approx.id
+GROUP BY exact.query_id
+"""
+
+
+def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-triplet assembly (llmops/similarity.py::mine_triplets):
+    per anchor, the hardest same-label positive and hardest other-label
+    negative with their margin — the (a, p, n) rows a contrastive loss
+    consumes."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding",
+                            "label")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.mine_triplets(corpus, queries_df, "embedding", "vec_id",
+                             "qid", label_col="label")
+
+
+_SQL_MINE_TRIPLETS = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, embedding AS v, label AS cl
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.id, c.cl, q.ql,
+         {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+  FROM c CROSS JOIN q),
+pos AS (
+  SELECT query_id, id AS pos_id, score AS pos_score FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, id ASC) AS rn
+    FROM scored WHERE cl = ql) WHERE rn = 1),
+neg AS (
+  SELECT query_id, id AS neg_id, score AS neg_score FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, id ASC) AS rn
+    FROM scored WHERE cl <> ql) WHERE rn = 1)
+SELECT pos.query_id, pos_id, pos_score, neg_id, neg_score,
+       pos_score - neg_score AS margin
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (llmops/urls.py::canonical_url — the key
     URL-level dedup and blocklists should group on): synthetic crawl
@@ -5003,7 +5086,8 @@ _DRIVER_CHECK_PRIORITY = [
     "sim_hnsw_store_append_recall",
     # round-3 late additions
     "mine_hard_negatives", "corpus_cluster_profile", "text_span_dedup",
-    "split_length_buckets", "url_canonicalize",
+    "split_length_buckets", "url_canonicalize", "mine_triplets",
+    "sim_quantized_recall",
 ]
 
 
@@ -5083,6 +5167,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_length_buckets": _q_split_length_buckets,
         "pack_sequences": _q_pack_sequences,
         "mine_hard_negatives": _q_mine_hard_negatives,
+        "mine_triplets": _q_mine_triplets,
+        "sim_quantized_recall": _q_sim_quantized_recall,
         "corpus_cluster_profile": _q_corpus_cluster_profile,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
@@ -5229,6 +5315,8 @@ def oracle_sql() -> dict[str, str]:
         "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
         "pack_sequences": _sql_pack_sequences(),
         "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
+        "mine_triplets": _SQL_MINE_TRIPLETS,
+        "sim_quantized_recall": _sql_sim_quantized_recall(),
         "corpus_cluster_profile": _SQL_CORPUS_CLUSTER_PROFILE,
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,

@@ -233,6 +233,44 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             .select("query_id", "id", "score", "rank"))
 
 
+def mine_triplets(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                  id_col: str, query_id_col: str,
+                  label_col: str = "label",
+                  round_to: int | None = 6) -> DataFrame:
+    """Training-triplet assembly for metric learning: per anchor (query),
+    the single most-similar SAME-label corpus vector (hardest positive)
+    and the most-similar OTHER-label vector (hardest negative), plus
+    their margin — the (a, p, n) rows a triplet/contrastive loss
+    consumes directly. Anchors with no same-label corpus row produce no
+    triplet (inner join), matching what a training loader would do.
+
+    One broadcast pass over the corpus scores BOTH sides (the label
+    equality/inequality just partitions the scored rows), then two
+    per-query top-1 heaps and a query-keyed self-join of two
+    |Q|-row frames. Returns (query_id, pos_id, pos_score, neg_id,
+    neg_score, margin)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      F.col(label_col).alias("_cl"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.col(label_col).alias("_ql"))
+    score: Column = cosine(F.col("v"), F.col("qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (c.crossJoin(F.broadcast(q))
+               .withColumn("score", score)
+               .localCheckpoint(eager=False))
+    pos = (_per_query_topk(scored.filter(F.col("_cl") == F.col("_ql")), 1)
+           .select("query_id", F.col("id").alias("pos_id"),
+                   F.col("score").alias("pos_score")))
+    neg = (_per_query_topk(scored.filter(F.col("_cl") != F.col("_ql")), 1)
+           .select("query_id", F.col("id").alias("neg_id"),
+                   F.col("score").alias("neg_score")))
+    return (pos.join(neg, "query_id")
+            .withColumn("margin",
+                        F.col("pos_score") - F.col("neg_score")))
+
+
 def cluster_profile(corpus: DataFrame, vec_col: str, id_col: str,
                     n_cells: int = 8, round_to: int = 6,
                     centroids: list[list[float]] | None = None) -> DataFrame:

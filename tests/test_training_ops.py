@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from rassengine_spark.llmops.similarity import (cluster_profile,
                                                 hard_negative_topk,
-                                                ivf_centroids)
+                                                ivf_centroids,
+                                                mine_triplets)
 from rassengine_spark.llmops.splits import length_bucket_batches
 from rassengine_spark.llmops.text_analysis import span_dedup
 
@@ -124,3 +125,25 @@ def test_length_bucket_batches_shapes_and_padding(spark):
     again = length_bucket_batches(df.repartition(7), "doc_id", "n_tokens",
                                   bucket_width=4, batch_size=4, shards=2)
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_mine_triplets_hardest_pair_and_margin(spark):
+    rows = [(0, [1.0, 0.0], 7),
+            (10, [0.95, 0.05], 7),     # hardest positive
+            (11, [0.2, 0.8], 7),       # easier positive
+            (12, [0.9, 0.1], 1),       # hardest negative
+            (13, [-1.0, 0.0], 2)]
+    df = _emb(spark, rows)
+    q = df.filter("vec_id = 0").select(F.col("vec_id").alias("qid"),
+                                       "embedding", "label")
+    c = df.filter("vec_id >= 10")
+    got = mine_triplets(c, q, "embedding", "vec_id", "qid").collect()
+    assert len(got) == 1
+    t = got[0]
+    assert (t.pos_id, t.neg_id) == (10, 12)
+    assert t.margin == t.pos_score - t.neg_score
+    # no same-label corpus row -> no triplet for that anchor
+    q2 = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding",
+        F.lit(99).alias("label"))
+    assert mine_triplets(c, q2, "embedding", "vec_id", "qid").count() == 0
