@@ -1462,21 +1462,24 @@ def _q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
-def _sql_sim_ivf_recall() -> str:
-    cos_vq = _SQL_COS.format(a="v", b="qv")
+def _sql_recall_oracle(approx_sql: str, score_expr: str, k: int) -> str:
+    """Shared recall@k oracle scaffold: exact top-k by `score_expr`
+    (cosine or dot), LEFT JOIN against the given approx CTE, per-query
+    recall — the one place the recall formula and exact-kNN tiebreak
+    live."""
     exact_sql = f"""
   WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
              WHERE vec_id < 5),
   c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
         WHERE vec_id >= 5),
   scored AS (
-    SELECT q.query_id, c.id, {cos_vq} AS score
+    SELECT q.query_id, c.id, {score_expr} AS score
     FROM c CROSS JOIN q)
   SELECT query_id, id FROM scored
   QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY score DESC, id ASC) <= {_IVF_K}"""
+                             ORDER BY score DESC, id ASC) <= {k}"""
     return f"""
-WITH approx AS ({_sql_sim_ivf()}),
+WITH approx AS ({approx_sql}),
 exact AS ({exact_sql})
 SELECT exact.query_id,
        count(*) AS n_exact,
@@ -1486,6 +1489,13 @@ FROM exact LEFT JOIN approx
   ON exact.query_id = approx.query_id AND exact.id = approx.id
 GROUP BY exact.query_id
 """
+
+
+
+
+def _sql_sim_ivf_recall() -> str:
+    return _sql_recall_oracle(_sql_sim_ivf(),
+                              _SQL_COS.format(a="v", b="qv"), _IVF_K)
 
 
 def _q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,28 +1518,7 @@ def _sql_sim_pq_recall() -> str:
     dot_vq = ("round(list_dot_product("
               "list_transform(v, x -> CAST(x AS DOUBLE)), "
               "list_transform(qv, x -> CAST(x AS DOUBLE))), 6)")
-    exact_sql = f"""
-  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-             WHERE vec_id < 5),
-  c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
-        WHERE vec_id >= 5),
-  scored AS (
-    SELECT q.query_id, c.id, {dot_vq} AS score
-    FROM c CROSS JOIN q)
-  SELECT query_id, id FROM scored
-  QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY score DESC, id ASC) <= {_PQ_K}"""
-    return f"""
-WITH approx AS ({_sql_sim_pq()}),
-exact AS ({exact_sql})
-SELECT exact.query_id,
-       count(*) AS n_exact,
-       count(approx.id) AS n_matched,
-       round(CAST(count(approx.id) AS DOUBLE) / count(*), 6) AS recall
-FROM exact LEFT JOIN approx
-  ON exact.query_id = approx.query_id AND exact.id = approx.id
-GROUP BY exact.query_id
-"""
+    return _sql_recall_oracle(_sql_sim_pq(), dot_vq, _PQ_K)
 
 
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4917,29 +4906,8 @@ def _q_sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_sim_quantized_recall() -> str:
-    cos_vq = _SQL_COS.format(a="v", b="qv")
-    exact_sql = f"""
-  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-             WHERE vec_id < 5),
-  c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
-        WHERE vec_id >= 5),
-  scored AS (
-    SELECT q.query_id, c.id, {cos_vq} AS score
-    FROM c CROSS JOIN q)
-  SELECT query_id, id FROM scored
-  QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY score DESC, id ASC) <= 5"""
-    return f"""
-WITH approx AS ({_SQL_SIM_QUANTIZED}),
-exact AS ({exact_sql})
-SELECT exact.query_id,
-       count(*) AS n_exact,
-       count(approx.id) AS n_matched,
-       round(CAST(count(approx.id) AS DOUBLE) / count(*), 6) AS recall
-FROM exact LEFT JOIN approx
-  ON exact.query_id = approx.query_id AND exact.id = approx.id
-GROUP BY exact.query_id
-"""
+    return _sql_recall_oracle(_SQL_SIM_QUANTIZED,
+                              _SQL_COS.format(a="v", b="qv"), 5)
 
 
 def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5027,24 +4995,33 @@ parts AS (
   SELECT doc_id, url,
          lower(regexp_extract(split_part(trim(url), '#', 1),
                               '{parts}', 1)) AS scheme,
-         lower(regexp_extract(split_part(trim(url), '#', 1),
-                              '{parts}', 2)) AS auth0,
+         regexp_extract(split_part(trim(url), '#', 1),
+                        '{parts}', 2) AS auth_raw,
          regexp_extract(split_part(trim(url), '#', 1),
                         '{parts}', 3) AS path0,
          regexp_extract(split_part(trim(url), '#', 1),
                         '{parts}', 4) AS qs
   FROM src),
+hostsplit AS (
+  SELECT *,
+         regexp_extract(auth_raw, '^([^@]*@)', 1) AS ui,
+         lower(substr(auth_raw,
+                      len(regexp_extract(auth_raw, '^([^@]*@)', 1)) + 1))
+           AS hp0
+  FROM parts),
 norm AS (
   SELECT doc_id, url, scheme,
-         CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
-              WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
-              ELSE auth0 END AS auth,
+         ui || CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hp0, ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(hp0, ':443$', '')
+                    ELSE hp0 END AS auth,
          CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
          list_sort(list_filter(string_split(substr(qs, 2), '&'),
                                p -> p <> ''
                                     AND NOT regexp_matches(p, '{track}')))
            AS params
-  FROM parts)
+  FROM hostsplit)
 SELECT doc_id, url,
        CASE WHEN scheme = '' THEN trim(url)
             ELSE scheme || '://' || auth || path ||

@@ -244,11 +244,11 @@ def mine_triplets(corpus: DataFrame, queries: DataFrame, vec_col: str,
     consumes directly. Anchors with no same-label corpus row produce no
     triplet (inner join), matching what a training loader would do.
 
-    One broadcast pass over the corpus scores BOTH sides (the label
-    equality/inequality just partitions the scored rows), then two
-    per-query top-1 heaps and a query-keyed self-join of two
-    |Q|-row frames. Returns (query_id, pos_id, pos_score, neg_id,
-    neg_score, margin)."""
+    GENUINELY one pass: the broadcast cross-join scores every
+    (corpus, query) pair once, and a single map-side-combined aggregate
+    takes both top-1s as conditional min(struct(-score, id)) — no second
+    scan, no checkpoint, no self-join. Returns (query_id, pos_id,
+    pos_score, neg_id, neg_score, margin)."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                       F.col(label_col).alias("_cl"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -257,16 +257,21 @@ def mine_triplets(corpus: DataFrame, queries: DataFrame, vec_col: str,
     score: Column = cosine(F.col("v"), F.col("qv"))
     if round_to is not None:
         score = F.round(score, round_to)
-    scored = (c.crossJoin(F.broadcast(q))
-               .withColumn("score", score)
-               .localCheckpoint(eager=False))
-    pos = (_per_query_topk(scored.filter(F.col("_cl") == F.col("_ql")), 1)
-           .select("query_id", F.col("id").alias("pos_id"),
-                   F.col("score").alias("pos_score")))
-    neg = (_per_query_topk(scored.filter(F.col("_cl") != F.col("_ql")), 1)
-           .select("query_id", F.col("id").alias("neg_id"),
-                   F.col("score").alias("neg_score")))
-    return (pos.join(neg, "query_id")
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
+    # min over struct(ns, id) == (score desc, id asc), the _per_query_topk
+    # order; a NULL label makes both predicates NULL, excluding the row
+    # from both sides (same as the join-condition form)
+    is_pos = F.col("_cl") == F.col("_ql")
+    best = lambda cond: F.min(F.when(cond, F.struct(
+        (-F.col("score")).alias("ns"), F.col("id"))))  # noqa: E731
+    agg = (scored.groupBy("query_id")
+           .agg(best(is_pos).alias("_p"), best(~is_pos).alias("_n")))
+    return (agg.filter(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+            .select("query_id",
+                    F.col("_p.id").alias("pos_id"),
+                    (-F.col("_p.ns")).alias("pos_score"),
+                    F.col("_n.id").alias("neg_id"),
+                    (-F.col("_n.ns")).alias("neg_score"))
             .withColumn("margin",
                         F.col("pos_score") - F.col("neg_score")))
 

@@ -101,8 +101,8 @@ def canonical_url(url: Column) -> Column:
     dozen ways):
 
     - fragment dropped (#... never reaches the server)
-    - scheme and authority lowercased (RFC 3986 §6.2.2.1); path/query
-      case is preserved (significant on most servers)
+    - scheme and host:port lowercased (RFC 3986 §6.2.2.1); userinfo,
+      path and query case are preserved (significant on most servers)
     - default port stripped (:80 for http, :443 for https)
     - tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid)
     - remaining query params sorted bytewise; '?' dropped when none
@@ -116,12 +116,18 @@ def canonical_url(url: Column) -> Column:
     u = F.trim(url)
     nf = F.substring_index(u, "#", 1)
     scheme = F.lower(F.regexp_extract(nf, _URL_PARTS_RE, 1))
-    auth = F.lower(F.regexp_extract(nf, _URL_PARTS_RE, 2))
-    auth = F.when(scheme == "http",
-                  F.regexp_replace(auth, ":80$", "")) \
-            .when(scheme == "https",
-                  F.regexp_replace(auth, ":443$", "")) \
-            .otherwise(auth)
+    auth0 = F.regexp_extract(nf, _URL_PARTS_RE, 2)
+    # userinfo (up to the first '@', which RFC 3986 requires be encoded
+    # inside userinfo) keeps its case; only host:port lowercases
+    userinfo = F.regexp_extract(auth0, "^([^@]*@)", 1)
+    hostport = F.lower(auth0.substr(F.length(userinfo) + 1,
+                                    F.lit(1 << 30)))
+    hostport = F.when(scheme == "http",
+                      F.regexp_replace(hostport, ":80$", "")) \
+                .when(scheme == "https",
+                      F.regexp_replace(hostport, ":443$", "")) \
+                .otherwise(hostport)
+    auth = F.concat(userinfo, hostport)
     path = F.regexp_extract(nf, _URL_PARTS_RE, 3)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     qs = F.regexp_extract(nf, _URL_PARTS_RE, 4)   # '?a=1&...' or ''

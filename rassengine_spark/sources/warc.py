@@ -34,6 +34,13 @@ WARC_RECORD_SCHEMA = ("path string, record_type string, target_uri string, "
                       "payload binary")
 
 _READ_CHUNK = 1 << 20
+# WARC headers are a handful of short lines; a frame whose terminator is
+# not inside this many bytes is garbage, not a header (and searching on
+# for it would buffer the rest of the stream)
+_MAX_HEADER_BYTES = 1 << 20
+# a corrupt Content-Length must not make the fill loop buffer the whole
+# remaining stream; real CC payloads are ~MBs, this bounds the damage
+_MAX_RECORD_BYTES = 256 << 20
 
 
 def parse_warc_stream(f, path: str = ""):
@@ -42,16 +49,19 @@ def parse_warc_stream(f, path: str = ""):
     the buffer holds the current record's bytes plus at most one read
     chunk, whatever the stream's total size. Tolerant of trailing
     garbage — parsing stops at the first frame that no longer starts
-    with a WARC version line (and at corrupt/negative lengths, which
-    must never rewind)."""
-    buf = b""
+    with a WARC version line, and the magic check runs BEFORE the
+    header-terminator search so a garbage tail is rejected after 5
+    bytes, never buffered to EOF. Corrupt lengths (negative, or past
+    _MAX_RECORD_BYTES) and overlong headers also stop parsing without
+    rewinding."""
+    buf = bytearray()
     eof = False
 
     def _fill() -> None:
-        nonlocal buf, eof
+        nonlocal eof
         chunk = f.read(_READ_CHUNK)
         if chunk:
-            buf += chunk
+            buf.extend(chunk)      # bytearray: amortized O(1) append
         else:
             eof = True
 
@@ -63,17 +73,28 @@ def parse_warc_stream(f, path: str = ""):
                 _fill()
                 continue
             if buf[:2] == b"\r\n":
-                buf = buf[2:]
+                del buf[:2]
                 continue
             break
-        hdr_end = buf.find(b"\r\n\r\n")
-        while hdr_end < 0 and not eof:
+        # magic first: 5 bytes decide whether this is a record at all
+        while len(buf) < 5 and not eof:
             _fill()
-            hdr_end = buf.find(b"\r\n\r\n")
-        if not buf.startswith(b"WARC/") or hdr_end < 0:
+        if not buf.startswith(b"WARC/"):
+            return
+        # resume the terminator search where the last scan ended (minus
+        # the 3 bytes a split terminator can straddle) — linear, not
+        # quadratic, in header size
+        scanned = 0
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n", max(0, scanned - 3))
+            if hdr_end >= 0 or eof or len(buf) > _MAX_HEADER_BYTES:
+                break
+            scanned = len(buf)
+            _fill()
+        if hdr_end < 0:
             return
         headers: dict[str, str] = {}
-        for line in buf[:hdr_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("ascii", "replace")] = \
                 v.strip().decode("utf-8", "replace")
@@ -81,7 +102,7 @@ def parse_warc_stream(f, path: str = ""):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
-        if length < 0:
+        if length < 0 or length > _MAX_RECORD_BYTES:
             return         # corrupt/hostile framing must not rewind
         body_start = hdr_end + 4
         while len(buf) < body_start + length and not eof:
@@ -92,8 +113,8 @@ def parse_warc_stream(f, path: str = ""):
                headers.get("warc-target-uri", ""),
                headers.get("warc-date", ""),
                headers.get("content-type", ""),
-               buf[body_start:body_start + length])
-        buf = buf[body_start + length:]
+               bytes(buf[body_start:body_start + length]))
+        del buf[:body_start + length]
 
 
 def parse_warc_bytes(content: bytes, path: str = ""):
@@ -115,12 +136,13 @@ def read_warc(spark: SparkSession, path: str,
     decompressed STREAM is exactly the uncompressed framing — and it is
     consumed as a stream: records parse incrementally and leave in
     `chunk_records`-row frames, so peak executor memory per task is the
-    compressed blob + one record + one chunk, never the decompressed
+    compressed blob + the current record + up to chunk_records buffered
+    rows (~64 MB at CC's ~1 MB response records), never the decompressed
     file (~4x the blob on real crawls)."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob).load(path)
              .select("path", "content"))
-    chunk_records = 256
+    chunk_records = 64
 
     def run(batches):
         import gzip

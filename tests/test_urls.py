@@ -85,6 +85,7 @@ def test_canonical_url_full_normalization(spark):
         (4, "https://h.net/p?utm_campaign=z&fbclid=q"), # all params tracked
         (5, "not a url at all  "),                      # pass-through, trimmed
         (6, "ftp://Host.com:80/f?b=1&a=2"),             # :80 only for http
+        (7, "https://UserA@Host.com/x"),                # userinfo case kept
     ]
     df = spark.createDataFrame(rows, "id int, url string")
     got = {r.id: r.canon
@@ -96,6 +97,7 @@ def test_canonical_url_full_normalization(spark):
     assert got[4] == "https://h.net/p"
     assert got[5] == "not a url at all"
     assert got[6] == "ftp://host.com:80/f?a=2&b=1"
+    assert got[7] == "https://UserA@host.com/x"
 
 
 def test_canonical_url_is_idempotent(spark):

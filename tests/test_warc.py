@@ -147,3 +147,33 @@ def test_parse_warc_stream_chunk_boundaries_match_bytes():
     cut = blob[:-(len(HTTP) // 2)]
     assert (list(parse_warc_stream(Dribble(cut), "f"))
             == list(parse_warc_bytes(cut, "f")))
+
+
+def test_parse_warc_stream_bounded_on_hostile_input():
+    # a garbage tail with no CRLFCRLF must be rejected on its first 5
+    # bytes, not buffered to EOF
+    import io
+
+    from rassengine_spark.sources.warc import parse_warc_stream
+
+    class CountingIO(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+            self.reads = 0
+
+        def read(self, n=-1):
+            self.reads += 1
+            return self._b.read(1 << 10)
+
+    good = _record("response", "http://x/a", HTTP)
+    tail = CountingIO(good + b"<html>error page with no crlf" * 100000)
+    recs = list(parse_warc_stream(tail, "f"))
+    assert len(recs) == 1
+    # one read services the record; the garbage stops at the magic check
+    # without draining the stream
+    assert tail.reads < 10
+
+    # a hostile Content-Length must not buffer toward 256 MB
+    big = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 999999999999\r\n\r\n" + b"x" * 100)
+    assert list(parse_warc_stream(CountingIO(big), "f")) == []

@@ -80,6 +80,9 @@ SORT_OK = {
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
+    # conditional min(struct) top-1 aggregate: SortAggregate's
+    # partition-local sorts (partial+final, map-side combined):
+    "mine_triplets",
     # per-(shard, bucket) partition-local window sort — the
     # pack_sequences sharded shape, never a global order-by:
     "split_length_buckets",
