@@ -101,6 +101,15 @@ def _cmd_crawl(args) -> int:
     spark = get_spark("cli-crawl")
     docs = warc_text_documents(read_warc(spark, args.src))
     n_raw = docs.count()
+    # URL-level dedup before any text processing: raw crawls spell the
+    # same page many ways (case, ports, tracking params, fragments);
+    # keep the smallest doc_id per canonical key (deterministic)
+    from .llmops.urls import canonical_url
+    from pyspark.sql.window import Window as _W
+    docs = (docs.withColumn("_cu", canonical_url(F.col("url")))
+            .withColumn("_rn", F.row_number().over(
+                _W.partitionBy("_cu").orderBy("doc_id")))
+            .filter(F.col("_rn") == 1).drop("_cu", "_rn"))
     if args.block_domains:
         from .llmops.urls import filter_by_domain
         block = (spark.read.text(args.block_domains)

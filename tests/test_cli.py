@@ -104,6 +104,10 @@ def test_cli_crawl(spark, tmp_path, capsys):
     src = tmp_path / "warcs"
     src.mkdir()
     blob = (_record("response", "http://good.org/a", HTTP)
+            # same page as above, spelled differently: URL-level dedup
+            # must collapse it before any text processing
+            + _record("response", "HTTP://GOOD.org:80/a?utm_source=x#top",
+                      HTTP)
             + _record("response", "http://spam.biz/x", HTTP))
     (src / "c.warc.gz").write_bytes(gzip.compress(blob))
     block = tmp_path / "block.txt"
@@ -114,6 +118,6 @@ def test_cli_crawl(spark, tmp_path, capsys):
     assert main(["crawl", "--src", str(src), "--out", out,
                  "--block-domains", str(block)]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res["records_to_docs"] == 2 and res["rows"] == 1
+    assert res["records_to_docs"] == 3 and res["rows"] == 1
     urls = {r.url for r in spark.read.parquet(out).collect()}
     assert urls == {"http://good.org/a"}
