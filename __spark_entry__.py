@@ -4951,6 +4951,28 @@ FROM pos JOIN neg ON pos.query_id = neg.query_id
 """
 
 
+def _q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top bigrams (llmops/text_analysis.py::top_ngrams):
+    the boilerplate/contamination discovery pass — one scan-fused n-gram
+    expansion, one hash aggregate, TakeOrdered top-20."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.top_ngrams(docs, "text", "doc_id", n=2, k=20)
+
+
+_SQL_TEXT_TOP_NGRAMS = f"""
+WITH toks AS (
+  SELECT {_SQL_WORDS.format(col="lower(COALESCE(text, ''))")} AS w
+  FROM documents),
+grams AS (
+  SELECT array_to_string(w[i : i + 1], ' ') AS ngram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 2)
+SELECT ngram, COUNT(*) AS cnt
+FROM grams GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 20
+"""
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (llmops/urls.py::canonical_url — the key
     URL-level dedup and blocklists should group on): synthetic crawl
@@ -5064,7 +5086,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-3 late additions
     "mine_hard_negatives", "corpus_cluster_profile", "text_span_dedup",
     "split_length_buckets", "url_canonicalize", "mine_triplets",
-    "sim_quantized_recall",
+    "sim_quantized_recall", "text_top_ngrams",
 ]
 
 
@@ -5213,6 +5235,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": _q_text_line_dedup,
         "text_span_dedup": _q_text_span_dedup,
         "url_canonicalize": _q_url_canonicalize,
+        "text_top_ngrams": _q_text_top_ngrams,
         "text_unicode_clean": _q_text_unicode_clean,
         "events_rollup_merge": _q_events_rollup_merge,
         "table_snapshot_read": _q_table_snapshot_read,
@@ -5359,6 +5382,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": _SQL_TEXT_LINE_DEDUP,
         "text_span_dedup": _SQL_TEXT_SPAN_DEDUP,
         "url_canonicalize": _sql_url_canonicalize(),
+        "text_top_ngrams": _SQL_TEXT_TOP_NGRAMS,
         "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
         "events_rollup_merge": _SQL_EVENTS_ROLLUP_MERGE,
         "table_snapshot_read": _SQL_TABLE_SNAPSHOT_READ,

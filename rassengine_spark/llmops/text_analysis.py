@@ -555,6 +555,32 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                   .alias("n_dropped")))
 
 
+def top_ngrams(df: DataFrame, text_col: str, id_col: str,
+               n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level most-frequent word n-grams — the discovery pass that
+    finds boilerplate worth feeding to line/span dedup and phrases worth
+    a contamination review. Lowercased whitespace tokens; returns the
+    top `k` rows (ngram, cnt) by (count desc, ngram asc).
+
+    Plan at 100 TB: the n-gram expansion is scan-fused (transform over
+    an index sequence, then one explode), counting is ONE hash aggregate
+    on the ngram string — the heavy hitters being looked for are exactly
+    the keys map-side combine compresses hardest — and the top-k is a
+    TakeOrdered, never a global sort."""
+    toks = words_of(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    return (exploded.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+            .limit(k))
+
+
 def sentence_array(col: Column) -> Column:
     """Deterministic sentence split: a sentence ender ([.!?]) followed by
     spaces becomes a break, and pre-existing newlines already are breaks.

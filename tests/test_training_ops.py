@@ -147,3 +147,19 @@ def test_mine_triplets_hardest_pair_and_margin(spark):
         F.col("vec_id").alias("qid"), "embedding",
         F.lit(99).alias("label"))
     assert mine_triplets(c, q2, "embedding", "vec_id", "qid").count() == 0
+
+
+def test_top_ngrams_counts_and_short_doc_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the cat mat"),
+         (2, "the cat sat"),
+         (3, "one"),              # shorter than n: contributes nothing
+         (4, None)],
+        "doc_id bigint, text string")
+    from rassengine_spark.llmops.text_analysis import top_ngrams
+    got = [(r.ngram, r.cnt) for r in
+           top_ngrams(docs, "text", "doc_id", n=2, k=3).collect()]
+    # "the cat" x3 tops; ties broken by ngram asc
+    assert got[0] == ("the cat", 3)
+    assert got[1] == ("cat sat", 2)
+    assert len(got) == 3
