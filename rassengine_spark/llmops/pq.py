@@ -150,16 +150,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
         cbs = codebooks or split_codebooks(sample[:n_codes], m)
     else:
         cents, cbs = centroids, codebooks
-    enc = corpus.select(
-        F.col(id_col).alias("id"),
-        _best_cell(F.col(vec_col), cents, round_to).alias("cell"),
-        pq_code_expr(F.col(vec_col), cbs, round_to).alias("codes"))
-
     probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
                      1, n_probe)
     qprobe = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    # probe cells are known driver-side (the query batch is bounded —
+    # the serving contract), so the EXPENSIVE encode projection runs on
+    # probed cells only: cell assignment is 1 affinity pass/row, but the
+    # PQ encode is m x n_codes of them — filtering between the two is
+    # what actually delivers O(N * n_probe / n_cells) encode work
+    probe_cells = sorted({r.cell for r in
+                          qprobe.select("cell").distinct().collect()})
+    enc = (corpus.select(
+               F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+               _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
+           .filter(F.col("cell").isin(probe_cells))
+           .select("id", "cell",
+                   pq_code_expr(F.col("v"), cbs, round_to).alias("codes")))
     qdf = _adc_query_tables(queries, vec_col, query_id_col, cbs)
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
     return (_per_query_topk(
@@ -243,20 +251,25 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
                                   n_codes, round_to)
     cent = double_matrix_lit(cents)
 
-    with_cell = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
-    resid = F.zip_with(F.col("v"), F.element_at(cent, F.col("cell") + 1),
-                       lambda x, c: x.cast("double") - c)
-    enc = with_cell.select(
-        "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
-
     probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
                      1, n_probe)
     qprobe = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    # same probe-cell prefilter as ivfpq_topk: residual encode (m x
+    # n_codes affinity folds per row) runs on probed cells only
+    probe_cells = sorted({r.cell for r in
+                          qprobe.select("cell").distinct().collect()})
+    with_cell = (corpus.select(
+                     F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     _best_cell(F.col(vec_col), cents, round_to)
+                     .alias("cell"))
+                 .filter(F.col("cell").isin(probe_cells)))
+    resid = F.zip_with(F.col("v"), F.element_at(cent, F.col("cell") + 1),
+                       lambda x, c: x.cast("double") - c)
+    enc = with_cell.select(
+        "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
     qdf = _adc_query_tables(queries, vec_col, query_id_col, rcbs)
 
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
