@@ -26,6 +26,13 @@ QUERIES = [
     "text_lm_score",
     "bm25_index_ranked",
     "split_leakage_safe",
+    # round-3 late ops: span stats, sharded batch windows, exact integer
+    # micro-means, conditional-min(struct) top-1s, heavy-hitter top-k:
+    "text_span_dedup",
+    "split_length_buckets",
+    "corpus_cluster_profile",
+    "mine_triplets",
+    "text_top_ngrams",
 ]
 
 
