@@ -21,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..ml.embed import EmbedFn, with_embeddings
 from ..sources.fhir import parse_fhir
@@ -260,6 +261,74 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
     else:
         out = part.localCheckpoint()
     out.write.mode("overwrite").parquet(data_p)
+
+
+def merge_histogram_rollup(spark: SparkSession, rollup_path: str,
+                           delta: DataFrame, group_cols: list[str],
+                           value_col: str, lo: float = 0.0,
+                           width: float = 1.0,
+                           src_path: str | None = None) -> None:
+    """merge_rollup's QUANTILE sibling: maintain per-group fixed-width
+    histogram bins. Quantiles are not additive, but bin COUNTS are, so
+    the incremental fold is exactly merge_rollup over (group, bin) —
+    the maintained table EQUALS a from-scratch rebuild (no sketch
+    approximation in the merge; all error lives in the bin width, chosen
+    up front). The serving view interpolates any quantile from the bins.
+
+    The bin spec (lo, width) is persisted on first write and REUSED for
+    every later batch — mixed-width bins merge into nonsense, so a
+    caller passing a different spec later must not silently arm that
+    (same discipline as merge_hll_rollup's lg_k).
+
+    bin = floor((value - lo) / width); NULL values are skipped (they
+    carry no quantile information). Bins are sparse rows — range
+    outliers cost one row, not array width."""
+    src = src_path if src_path is not None else rollup_path
+    src_meta = os.path.join(src, "_hist_meta")
+    meta_p = os.path.join(rollup_path, "_hist_meta")
+    if os.path.exists(src_meta):
+        m = spark.read.parquet(src_meta).collect()[0]
+        lo, width = float(m["lo"]), float(m["width"])
+    if not os.path.exists(meta_p):
+        (spark.createDataFrame([(float(lo), float(width))],
+                               "lo double, width double")
+         .repartition(1).write.mode("overwrite").parquet(meta_p))
+    binned = (delta.filter(F.col(value_col).isNotNull())
+              .select(*group_cols,
+                      F.floor((F.col(value_col) - lo) / width)
+                       .cast("long").alias("bin"),
+                      F.lit(1).cast("long").alias("n")))
+    merge_rollup(spark, os.path.join(rollup_path, "data"), binned,
+                 group_cols + ["bin"], {"n": "sum"},
+                 src_path=(os.path.join(src, "data")
+                           if src_path is not None else None))
+
+
+def read_histogram_quantiles(spark: SparkSession, rollup_path: str,
+                             group_cols: list[str],
+                             qs: list[float]) -> DataFrame:
+    """The serving view of a merge_histogram_rollup table: one row per
+    group with a `q_<q>` column per requested quantile. The estimate is
+    the UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(q * total) — deterministic, within one bin width of the exact
+    quantile (tested). Per-group bins are bounded by value range /
+    width, so the cumulative window is partition-local and tiny."""
+    meta = spark.read.parquet(os.path.join(rollup_path,
+                                           "_hist_meta")).collect()[0]
+    lo, width = float(meta["lo"]), float(meta["width"])
+    hist = spark.read.parquet(os.path.join(rollup_path, "data"))
+    w = (Window.partitionBy(*group_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*group_cols)
+    cum = (hist.withColumn("_cum", F.sum("n").over(w))
+               .withColumn("_tot", F.sum("n").over(wt)))
+    aggs = []
+    for q in qs:
+        hit = F.when(F.col("_cum") * 1.0 >= q * F.col("_tot"),
+                     F.col("bin"))
+        aggs.append((lo + (F.min(hit) + 1) * width)
+                    .alias(f"q_{str(q).replace('.', '_')}"))
+    return cum.groupBy(*group_cols).agg(*aggs)
 
 
 def read_hll_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

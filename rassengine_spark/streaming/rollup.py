@@ -40,7 +40,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline.ingest import merge_hll_rollup, merge_rollup
+from ..pipeline.ingest import (merge_histogram_rollup, merge_hll_rollup,
+                               merge_rollup)
 
 
 def _stream_id(checkpoint_dir: str) -> str:
@@ -72,7 +73,8 @@ def read_stream_rollup(spark: SparkSession, rollup_dir: str,
                        table: str) -> DataFrame:
     """Read the COMMITTED version of a maintained rollup table
     ('counts' -> the additive table, 'users' -> the HLL table with its
-    decoded approx_distinct column)."""
+    decoded approx_distinct column, 'values' -> per-type p50/p95/p99
+    interpolated from the maintained histogram bins)."""
     state = _load_marker(rollup_dir)
     if state is None:
         raise FileNotFoundError(f"no committed rollup in {rollup_dir}")
@@ -81,6 +83,10 @@ def read_stream_rollup(spark: SparkSession, rollup_dir: str,
     if table == "users":
         from ..pipeline.ingest import read_hll_rollup
         return read_hll_rollup(spark, vdir)
+    if table == "values":
+        from ..pipeline.ingest import read_histogram_quantiles
+        return read_histogram_quantiles(spark, vdir, ["event_type"],
+                                        [0.5, 0.95, 0.99])
     return spark.read.parquet(vdir)
 
 
@@ -94,7 +100,9 @@ def stream_rollup_maintenance(spark: SparkSession, input_dir: str,
     - ``counts``: per-event-type additive (n_events, sum_value — DECIMAL
       fold, exactly order-independent) via merge_rollup;
     - ``users``: per-event-type approximate distinct users via
-      merge_hll_rollup.
+      merge_hll_rollup;
+    - ``values``: per-event-type value-distribution histogram bins via
+      merge_histogram_rollup (served as interpolated quantiles).
 
     Returns the StreamingQuery. Crash/replay-safe as described in the
     module docstring; read with ``read_stream_rollup``."""
@@ -139,6 +147,12 @@ def stream_rollup_maintenance(spark: SparkSession, input_dir: str,
                          ["event_type"], "user_id",
                          src_path=(os.path.join(prev, "users")
                                    if prev else None))
+        merge_histogram_rollup(sp, os.path.join(vdir, "values"),
+                               batch_df.select("event_type", "value"),
+                               ["event_type"], "value", lo=0.0,
+                               width=0.5,
+                               src_path=(os.path.join(prev, "values")
+                                         if prev else None))
         _commit_marker(rollup_dir, {"version": n, "max_batch_id": batch_id,
                                     "stream_id": sid})
         # retention: keep the committed version and its parent only

@@ -66,3 +66,46 @@ def test_hll_rollup_incremental_merge_equals_full(spark, tmp_path):
     truth = {"g1": 300, "g2": 50, "g3": 25}
     for g, t in truth.items():
         assert abs(got[g] - t) <= max(3, 0.05 * t), (g, got[g], t)
+
+
+def test_histogram_rollup_incremental_equals_full_and_bounds_error(
+        spark, tmp_path):
+    import random
+
+    from rassengine_spark.pipeline.ingest import (merge_histogram_rollup,
+                                                  read_histogram_quantiles)
+
+    rnd = random.Random(7)
+    rows = [("a" if i % 3 else "b", rnd.uniform(0, 100))
+            for i in range(600)]
+    half = len(rows) // 2
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+
+    def df(rs):
+        return spark.createDataFrame(rs, "grp string, v double")
+
+    merge_histogram_rollup(spark, inc, df(rows[:half]), ["grp"], "v",
+                           lo=0.0, width=2.0)
+    # second batch passes a DIFFERENT width: the persisted spec must win
+    merge_histogram_rollup(spark, inc, df(rows[half:]), ["grp"], "v",
+                           lo=0.0, width=999.0)
+    merge_histogram_rollup(spark, full, df(rows), ["grp"], "v",
+                           lo=0.0, width=2.0)
+
+    import os
+    inc_rows = sorted(map(tuple, spark.read.parquet(
+        os.path.join(inc, "data")).collect()))
+    full_rows = sorted(map(tuple, spark.read.parquet(
+        os.path.join(full, "data")).collect()))
+    assert inc_rows == full_rows          # incremental == rebuild exactly
+
+    got = {r.grp: (r.q_0_5, r.q_0_99) for r in
+           read_histogram_quantiles(spark, inc, ["grp"],
+                                    [0.5, 0.99]).collect()}
+    for grp in ("a", "b"):
+        vals = sorted(v for g, v in rows if g == grp)
+        for q, est in zip((0.5, 0.99), got[grp]):
+            import math
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est - exact) <= 2.0 + 1e-9   # within one bin width

@@ -63,6 +63,15 @@ def test_stream_rollup_matches_batch_recompute(spark, tmp_path):
     assert users == want
     assert abs(users["click"] - 60) <= 3
 
+    # values: quantiles interpolated from the maintained histogram —
+    # click values are 40x0.1 + 40x0.3, so p50 sits in the first 0.5-wide
+    # bin (upper edge 0.5) and p99 likewise
+    vals = {r.event_type: (r.q_0_5, r.q_0_99)
+            for r in read_stream_rollup(spark, dirs["roll"],
+                                        "values").collect()}
+    assert vals["click"] == (0.5, 0.5)
+    assert vals["view"] == (0.5, 0.5)
+
     # replay with the SAME checkpoint: no new files -> no new folds
     _run(spark, dirs)
     counts2 = {r.event_type: (r.n_events, r.sum_value)
