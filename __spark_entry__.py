@@ -4956,7 +4956,7 @@ def _q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/contamination discovery pass — one scan-fused n-gram
     expansion, one hash aggregate, TakeOrdered top-20."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return TA.top_ngrams(docs, "text", "doc_id", n=2, k=20)
+    return TA.top_ngrams(docs, "text", n=2, k=20)
 
 
 _SQL_TEXT_TOP_NGRAMS = f"""

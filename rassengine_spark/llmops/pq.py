@@ -125,6 +125,18 @@ def _adc_score(round_to: int, base: Column | None = None):
     return F.round(total, round_to)
 
 
+def _probe_cells(qprobe: DataFrame) -> list[int]:
+    """Distinct probe cells of a bounded query batch, collected
+    driver-side so the expensive encode projection can pre-filter to
+    probed cells. One tiny extra job per serve call — the price of
+    cutting encode work to O(N * n_probe / n_cells). Requires a
+    DETERMINISTIC queries frame (the serving contract of every *_topk
+    here): a nondeterministic one could disagree with the recomputed
+    qprobe branch inside the join."""
+    return sorted({r.cell for r in
+                   qprobe.select("cell").distinct().collect()})
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                id_col: str, query_id_col: str, k: int = 5,
                n_cells: int = 8, n_probe: int = 2, m: int = 8,
@@ -155,13 +167,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     qprobe = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
-    # probe cells are known driver-side (the query batch is bounded —
-    # the serving contract), so the EXPENSIVE encode projection runs on
-    # probed cells only: cell assignment is 1 affinity pass/row, but the
-    # PQ encode is m x n_codes of them — filtering between the two is
-    # what actually delivers O(N * n_probe / n_cells) encode work
-    probe_cells = sorted({r.cell for r in
-                          qprobe.select("cell").distinct().collect()})
+    # the EXPENSIVE encode projection runs on probed cells only: cell
+    # assignment is 1 affinity pass/row, but the PQ encode is m x
+    # n_codes of them — filtering between the two is what actually
+    # delivers O(N * n_probe / n_cells) encode work
+    probe_cells = _probe_cells(qprobe)
     enc = (corpus.select(
                F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
@@ -259,8 +269,7 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
         F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
     # same probe-cell prefilter as ivfpq_topk: residual encode (m x
     # n_codes affinity folds per row) runs on probed cells only
-    probe_cells = sorted({r.cell for r in
-                          qprobe.select("cell").distinct().collect()})
+    probe_cells = _probe_cells(qprobe)
     with_cell = (corpus.select(
                      F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      _best_cell(F.col(vec_col), cents, round_to)

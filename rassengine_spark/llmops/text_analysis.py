@@ -555,7 +555,7 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                   .alias("n_dropped")))
 
 
-def top_ngrams(df: DataFrame, text_col: str, id_col: str,
+def top_ngrams(df: DataFrame, text_col: str,
                n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level most-frequent word n-grams — the discovery pass that
     finds boilerplate worth feeding to line/span dedup and phrases worth

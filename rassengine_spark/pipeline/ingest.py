@@ -309,10 +309,17 @@ def read_histogram_quantiles(spark: SparkSession, rollup_path: str,
                              qs: list[float]) -> DataFrame:
     """The serving view of a merge_histogram_rollup table: one row per
     group with a `q_<q>` column per requested quantile. The estimate is
-    the UPPER EDGE of the first bin whose cumulative count reaches
-    ceil(q * total) — deterministic, within one bin width of the exact
-    quantile (tested). Per-group bins are bounded by value range /
-    width, so the cumulative window is partition-local and tiny."""
+    the UPPER EDGE of the first bin whose cumulative count reaches the
+    q-rank — deterministic, within one bin width of the exact quantile
+    (tested). The rank test is PURE INTEGER arithmetic: q becomes an
+    exact fraction (Decimal ratio), and `cum * den >= num * tot`
+    replaces the double product `q * tot`, which overshoots the exact
+    integer for boundary cases like 0.55 * 100 and would skip to the
+    next occupied bin — arbitrarily far away in a sparse histogram.
+    Per-group bins are bounded by value range / width, so the cumulative
+    window is partition-local and tiny."""
+    from decimal import Decimal
+
     meta = spark.read.parquet(os.path.join(rollup_path,
                                            "_hist_meta")).collect()[0]
     lo, width = float(meta["lo"]), float(meta["width"])
@@ -324,7 +331,8 @@ def read_histogram_quantiles(spark: SparkSession, rollup_path: str,
                .withColumn("_tot", F.sum("n").over(wt)))
     aggs = []
     for q in qs:
-        hit = F.when(F.col("_cum") * 1.0 >= q * F.col("_tot"),
+        num, den = Decimal(str(q)).as_integer_ratio()
+        hit = F.when(F.col("_cum") * int(den) >= F.col("_tot") * int(num),
                      F.col("bin"))
         aggs.append((lo + (F.min(hit) + 1) * width)
                     .alias(f"q_{str(q).replace('.', '_')}"))

@@ -32,41 +32,21 @@ Exactly-once on plain parquet, copy-on-write style:
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.ingest import (merge_histogram_rollup, merge_hll_rollup,
                                merge_rollup)
+from .commitlog import commit_marker as _commit_marker
+from .commitlog import load_marker as _load_marker
+from .commitlog import stream_id
 
 
 def _stream_id(checkpoint_dir: str) -> str:
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    p = os.path.join(checkpoint_dir, "_rollup_stream_id")
-    if not os.path.exists(p):
-        with open(p, "w") as f:
-            f.write(uuid.uuid4().hex)
-    with open(p) as f:
-        return f.read().strip()
-
-
-def _load_marker(rollup_dir: str) -> dict | None:
-    p = os.path.join(rollup_dir, "LATEST.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _commit_marker(rollup_dir: str, state: dict) -> None:
-    tmp = os.path.join(rollup_dir, "LATEST.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, os.path.join(rollup_dir, "LATEST.json"))
+    return stream_id(checkpoint_dir, "_rollup_stream_id")
 
 
 def read_stream_rollup(spark: SparkSession, rollup_dir: str,

@@ -109,3 +109,18 @@ def test_histogram_rollup_incremental_equals_full_and_bounds_error(
             import math
             exact = vals[math.ceil(q * len(vals)) - 1]
             assert abs(est - exact) <= 2.0 + 1e-9   # within one bin width
+
+
+def test_histogram_quantile_rank_is_exact_on_fp_boundaries(spark, tmp_path):
+    # 0.55 * 100 = 55.00000000000001 in double: a double-product rank
+    # test skips past the 55-count bin to a far outlier bin
+    from rassengine_spark.pipeline.ingest import (merge_histogram_rollup,
+                                                  read_histogram_quantiles)
+    rows = [("g", 0.2)] * 55 + [("g", 2000.5)] * 45
+    merge_histogram_rollup(
+        spark, str(tmp_path / "h"),
+        spark.createDataFrame(rows, "grp string, v double"),
+        ["grp"], "v", lo=0.0, width=1.0)
+    got = read_histogram_quantiles(spark, str(tmp_path / "h"), ["grp"],
+                                   [0.55]).collect()[0]
+    assert got.q_0_55 == 1.0      # upper edge of the 55-count bin

@@ -1,7 +1,8 @@
 """Streaming term-index maintenance: immutable per-batch segments with
 an atomic commit marker — segment-served BM25 equals a scan over the
-union corpus bit-for-bit, historical segments never rewrite, replay is
-a no-op, and a foreign checkpoint lineage is rejected."""
+LIVE corpus bit-for-bit (doc-level upsert: last writer wins), historical
+segment files never rewrite, replay is a no-op, and a foreign checkpoint
+lineage is rejected."""
 
 import glob
 import json
@@ -29,29 +30,57 @@ WAVE1 = [{"doc_id": 1, "text": "spark shuffles data between stages"},
          {"doc_id": 3, "text": "spark broadcast joins avoid shuffles"}]
 WAVE2 = [{"doc_id": 4, "text": "bm25 ranks documents by term rarity"},
          {"doc_id": 5, "text": "segments never rewrite history"}]
+# doc 1 re-ingested with NEW text: the stale copy must stop serving
+WAVE3 = [{"doc_id": 1, "text": "corrected spark text replaces history"},
+         {"doc_id": 6, "text": "a brand new document arrives"}]
+
+
+def _assert_matches_scan(spark, idx_dir, live_rows, queries):
+    from rassengine_spark.functions.bm25 import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in live_rows],
+        "doc_id long, text string")
+    for q in queries:
+        served = [(r.id, r.score) for r in
+                  bm25_topk_from_segments(spark, idx_dir, q, k=10)
+                  .orderBy("score", "id").collect()]
+        scanned = [(r.id, r.score) for r in
+                   bm25_topk(corpus, "text", "doc_id", q, k=10)
+                   .orderBy("score", "id").collect()]
+        assert served == scanned            # bit parity, not approx
 
 
 def test_segment_serving_matches_union_scan(spark, tmp_path):
-    from rassengine_spark.functions.bm25 import bm25_topk
-
     dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
     os.makedirs(dirs["in"])
     _write(os.path.join(dirs["in"], "a.json"), WAVE1)
     _run(spark, dirs)
     _write(os.path.join(dirs["in"], "b.json"), WAVE2)
     _run(spark, dirs)
+    _assert_matches_scan(spark, dirs["idx"], WAVE1 + WAVE2,
+                         ("spark shuffles", "bm25 index", "history"))
 
-    corpus = spark.createDataFrame(
-        [(r["doc_id"], r["text"]) for r in WAVE1 + WAVE2],
-        "doc_id long, text string")
-    for q in ("spark shuffles", "bm25 index", "history"):
-        served = [(r.id, r.score) for r in
-                  bm25_topk_from_segments(spark, dirs["idx"], q, k=5)
-                  .orderBy("score", "id").collect()]
-        scanned = [(r.id, r.score) for r in
-                   bm25_topk(corpus, "text", "doc_id", q, k=5)
-                   .orderBy("score", "id").collect()]
-        assert served == scanned            # bit parity, not approx
+
+def test_upsert_supersedes_stale_copy(spark, tmp_path):
+    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
+    os.makedirs(dirs["in"])
+    _write(os.path.join(dirs["in"], "a.json"), WAVE1)
+    _run(spark, dirs)
+    _write(os.path.join(dirs["in"], "b.json"), WAVE3)
+    _run(spark, dirs)
+    # live corpus = WAVE1 minus the stale doc 1, plus WAVE3
+    live = [r for r in WAVE1 if r["doc_id"] != 1] + WAVE3
+    _assert_matches_scan(spark, dirs["idx"], live,
+                         ("spark", "history", "corrected text"))
+    # the stale copy must not appear even for terms ONLY it contained
+    got = [r.id for r in
+           bm25_topk_from_segments(spark, dirs["idx"], "stages").collect()]
+    assert got == []
+    # marker stats count the upserted doc exactly once
+    m = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
+    assert m["n_docs"] == len(live)
+    assert m["sum_dl"] == sum(len(r["text"].split()) for r in live)
 
 
 def test_segments_are_immutable_and_replay_is_noop(spark, tmp_path):
@@ -60,15 +89,15 @@ def test_segments_are_immutable_and_replay_is_noop(spark, tmp_path):
     _write(os.path.join(dirs["in"], "a.json"), WAVE1)
     _run(spark, dirs)
 
-    seg1 = os.path.join(dirs["idx"], "segments", "s0")
+    seg0 = os.path.join(dirs["idx"], "postings", "seg=0")
     before = {p: os.path.getmtime(p)
-              for p in glob.glob(seg1 + "/**/*.parquet", recursive=True)}
+              for p in glob.glob(seg0 + "/**/*.parquet", recursive=True)}
     assert before
 
     _write(os.path.join(dirs["in"], "b.json"), WAVE2)
     _run(spark, dirs)
     after = {p: os.path.getmtime(p)
-             for p in glob.glob(seg1 + "/**/*.parquet", recursive=True)}
+             for p in glob.glob(seg0 + "/**/*.parquet", recursive=True)}
     assert after == before                  # history untouched by append
 
     # replay with the same checkpoint: availableNow re-run sees no new
@@ -84,15 +113,3 @@ def test_segments_are_immutable_and_replay_is_noop(spark, tmp_path):
     with pytest.raises(Exception, match="checkpoint lineage"):
         q.awaitTermination(120)
         q.processAllAvailable()
-
-
-def test_marker_stats_are_exact_integers(spark, tmp_path):
-    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
-    os.makedirs(dirs["in"])
-    _write(os.path.join(dirs["in"], "a.json"), WAVE1)
-    _write(os.path.join(dirs["in"], "b.json"), WAVE2)
-    _run(spark, dirs)
-    m = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
-    toks = [len(r["text"].split()) for r in WAVE1 + WAVE2]
-    assert m["n_docs"] == 5 and m["n_dl"] == 5
-    assert m["sum_dl"] == sum(toks)

@@ -158,7 +158,7 @@ def test_top_ngrams_counts_and_short_doc_guard(spark):
         "doc_id bigint, text string")
     from rassengine_spark.llmops.text_analysis import top_ngrams
     got = [(r.ngram, r.cnt) for r in
-           top_ngrams(docs, "text", "doc_id", n=2, k=3).collect()]
+           top_ngrams(docs, "text", n=2, k=3).collect()]
     # "the cat" x3 tops; ties broken by ngram asc
     assert got[0] == ("the cat", 3)
     assert got[1] == ("cat sat", 2)
