@@ -34,6 +34,13 @@ of the reference's REST endpoints has a direct equivalent for each flow.
         (--block-domains FILE) -> optional full prep pipeline (--prep);
         writes the corpus parquet and prints counts.
 
+    python -m rassengine_spark stream --kind KIND --src DIR --out DIR \\
+            --checkpoint DIR
+        run one availableNow pass of a streaming maintainer over the
+        JSON-lines files in --src: `index` (term-index segments),
+        `vectors` (IVF segments), `rollup` (counts/distinct/quantile
+        serving tables), `dedup` (signature-store-gated corpus ingest).
+
 Models stay pluggable: the CLI wires the deterministic defaults; swap in
 ml/plugins.py constructors programmatically for real models.
 """
@@ -210,6 +217,38 @@ def _cmd_table(args) -> int:
     return 0
 
 
+def _cmd_stream(args) -> int:
+    from .session import get_spark
+
+    spark = get_spark("cli-stream")
+    kind = args.kind
+    if kind == "index":
+        from .streaming.index import stream_index_ingest
+        q = stream_index_ingest(spark, args.src, args.out,
+                                args.checkpoint)
+    elif kind == "vectors":
+        from .streaming.vectors import stream_vector_ingest
+        q = stream_vector_ingest(spark, args.src, args.out,
+                                 args.checkpoint,
+                                 n_cells=args.n_cells)
+    elif kind == "rollup":
+        from .streaming.rollup import stream_rollup_maintenance
+        q = stream_rollup_maintenance(spark, args.src, args.out,
+                                      args.checkpoint)
+    else:                      # dedup
+        import os
+        from .streaming.dedup import stream_dedup_ingest
+        q = stream_dedup_ingest(spark, args.src,
+                                os.path.join(args.out, "store"),
+                                os.path.join(args.out, "corpus"),
+                                os.path.join(args.out, "dupes"),
+                                args.checkpoint)
+    q.awaitTermination()
+    print(json.dumps({"kind": kind, "out": args.out,
+                      "checkpoint": args.checkpoint}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rassengine_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -269,6 +308,19 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--compact", type=int, metavar="TARGET_MB")
     pt.add_argument("--prune", action="store_true")
     pt.set_defaults(fn=_cmd_table)
+
+    ps = sub.add_parser(
+        "stream",
+        help="streaming maintainers: index / vectors / rollup / dedup")
+    ps.add_argument("--kind", required=True,
+                    choices=["index", "vectors", "rollup", "dedup"])
+    ps.add_argument("--src", required=True,
+                    help="input dir of JSON-lines micro-batch files")
+    ps.add_argument("--out", required=True,
+                    help="maintained store dir (segments / rollups)")
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--n-cells", type=int, default=8)
+    ps.set_defaults(fn=_cmd_stream)
     return p
 
 

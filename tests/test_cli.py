@@ -121,3 +121,26 @@ def test_cli_crawl(spark, tmp_path, capsys):
     assert res["records_to_docs"] == 3 and res["rows"] == 1
     urls = {r.url for r in spark.read.parquet(out).collect()}
     assert urls == {"http://good.org/a"}
+
+
+def test_cli_stream_index(spark, tmp_path, capsys):
+    """stream: one availableNow pass of the term-index maintainer."""
+    import os
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        json.dumps({"doc_id": 1, "text": "spark streams segments"}) + "\n")
+    out = str(tmp_path / "segidx")
+    ckpt = str(tmp_path / "segckpt")
+
+    from rassengine_spark.__main__ import main
+    assert main(["stream", "--kind", "index", "--src", str(src),
+                 "--out", out, "--checkpoint", ckpt]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kind"] == "index"
+    assert os.path.exists(os.path.join(out, "LATEST.json"))
+
+    from rassengine_spark.streaming.index import bm25_topk_from_segments
+    got = bm25_topk_from_segments(spark, out, "segments").collect()
+    assert [r.id for r in got] == [1]
