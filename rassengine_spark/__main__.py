@@ -222,6 +222,10 @@ def _cmd_stream(args) -> int:
 
     spark = get_spark("cli-stream")
     kind = args.kind
+    if args.n_cells is not None and kind != "vectors":
+        print("--n-cells only applies to --kind vectors",
+              file=sys.stderr)
+        return 2
     if kind == "index":
         from .streaming.index import stream_index_ingest
         q = stream_index_ingest(spark, args.src, args.out,
@@ -230,7 +234,7 @@ def _cmd_stream(args) -> int:
         from .streaming.vectors import stream_vector_ingest
         q = stream_vector_ingest(spark, args.src, args.out,
                                  args.checkpoint,
-                                 n_cells=args.n_cells)
+                                 n_cells=args.n_cells or 8)
     elif kind == "rollup":
         from .streaming.rollup import stream_rollup_maintenance
         q = stream_rollup_maintenance(spark, args.src, args.out,
@@ -319,7 +323,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--out", required=True,
                     help="maintained store dir (segments / rollups)")
     ps.add_argument("--checkpoint", required=True)
-    ps.add_argument("--n-cells", type=int, default=8)
+    ps.add_argument("--n-cells", type=int, default=None,
+                    help="IVF cell count (vectors kind only)")
     ps.set_defaults(fn=_cmd_stream)
     return p
 

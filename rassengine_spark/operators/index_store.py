@@ -157,6 +157,48 @@ def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
            .parquet(f"{path}/assignments"))
 
 
+def read_ivf_centroids(spark: SparkSession,
+                       path: str) -> list[list[float]]:
+    """The persisted quantizer, in cell order."""
+    rows = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell").collect())
+    return [[float(x) for x in r.cvec] for r in rows]
+
+
+def ivf_probe_frame(queries: DataFrame, vec_col: str, query_id_col: str,
+                    cents: list[list[float]], n_probe: int,
+                    round_to: int) -> tuple[DataFrame, list[int]]:
+    """(probe frame, distinct probe cells) for a bounded query batch —
+    the driver-side half of IVF serving, shared by the batch store and
+    the streaming segment tier so probe semantics cannot drift. The
+    frame is pinned (localCheckpoint): the collect AND the scoring join
+    reuse it, so the affinity expressions evaluate once per call."""
+    from ..llmops.similarity import _cells_by_affinity
+
+    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
+                     1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    q = q.localCheckpoint()
+    cells = sorted({r.cell for r in q.select("cell").collect()})
+    return q, cells
+
+
+def ivf_score_topk(assignments: DataFrame, q: DataFrame, k: int,
+                   round_to: int) -> DataFrame:
+    """Score (id, v, cell) candidate rows against the broadcast probe
+    frame and take the per-query k-heap — the scoring half of IVF
+    serving, shared with the streaming segment tier."""
+    from ..functions.vector import cosine
+    from ..llmops.similarity import _per_query_topk
+
+    joined = assignments.join(F.broadcast(q), "cell")
+    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
+    return (_per_query_topk(joined.withColumn("score", score), k)
+            .select("query_id", "id", "score", "rank"))
+
+
 def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
                         vec_col: str, query_id_col: str, k: int = 5,
                         n_probe: int = 2, round_to: int = 6) -> DataFrame:
@@ -166,24 +208,9 @@ def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
     partitions with a LITERAL filter. For an unbounded query stream, join
     the probe frame against the store instead and let dynamic partition
     pruning do the same cut at runtime."""
-    from ..llmops.similarity import _cells_by_affinity, _per_query_topk
-
-    cents_rows = (spark.read.parquet(f"{path}/centroids")
-                  .orderBy("cell").collect())
-    cents = [[float(x) for x in r.cvec] for r in cents_rows]
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
-    # pin the tiny probe frame: the collect below AND the join reuse it,
-    # so the affinity expressions evaluate once per serve call
-    q = q.localCheckpoint()
-    probe_cells = sorted({r.cell for r in q.select("cell").collect()})
+    cents = read_ivf_centroids(spark, path)
+    q, probe_cells = ivf_probe_frame(queries, vec_col, query_id_col,
+                                     cents, n_probe, round_to)
     c = (spark.read.parquet(f"{path}/assignments")
          .filter(F.col("cell").isin(probe_cells)))
-    joined = c.join(F.broadcast(q), "cell")
-    from ..functions.vector import cosine
-    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
-    return (_per_query_topk(joined.withColumn("score", score), k)
-            .select("query_id", "id", "score", "rank"))
+    return ivf_score_topk(c, q, k, round_to)

@@ -86,9 +86,19 @@ def stream_index_ingest(spark: SparkSession, input_dir: str,
         for t in ("postings", "doclens"):
             shutil.rmtree(os.path.join(index_dir, t, f"seg={batch_id}"),
                           ignore_errors=True)   # crashed earlier try
-        # one materialization: both table writes reuse it instead of
+        # rows without an id cannot be keyed; in-batch duplicates of an
+        # id resolve DETERMINISTICALLY to the greatest text (distributed
+        # file reads have no meaningful arrival order inside one batch —
+        # cross-batch order is what seg supersedence provides). One
+        # materialization: both table writes reuse it instead of
         # re-reading and re-tokenizing the batch's input files
-        batch_df = batch_df.localCheckpoint()
+        batch_df = (batch_df
+                    .filter(F.col(id_col).isNotNull())
+                    .groupBy(id_col)
+                    .agg(F.max(text_col).alias(text_col))
+                    .localCheckpoint())
+        if batch_df.isEmpty():
+            return
         postings, doclens, _ = build_term_index(batch_df, text_col,
                                                 id_col)
         (postings.withColumn("seg", F.lit(batch_id))

@@ -78,7 +78,18 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
         shutil.rmtree(os.path.join(index_dir, "tombstones",
                                    f"seg={batch_id}"),
                       ignore_errors=True)
-        batch_df = batch_df.localCheckpoint()
+        # a row without an id or vector is not an upsert (it must not
+        # tombstone anything); in-batch duplicates of an id resolve
+        # DETERMINISTICALLY to the greatest embedding — distributed file
+        # reads have no meaningful arrival order inside one batch
+        batch_df = (batch_df
+                    .filter(F.col(id_col).isNotNull()
+                            & F.col(vec_col).isNotNull())
+                    .groupBy(id_col)
+                    .agg(F.max(vec_col).alias(vec_col))
+                    .localCheckpoint())
+        if batch_df.isEmpty():
+            return
         if state is None:
             # quantizer = md5 sample of the FIRST batch, persisted once
             cents = ivf_centroids(batch_df, vec_col, id_col, n_cells)
@@ -98,20 +109,22 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
         # tombstone every prior copy of this batch's ids (any cell)
         tomb_segs = list(state["tombstones"]) if state else []
         prior_segs = state["segments"] if state else []
-        n_tomb = 0
         if prior_segs:
             prior = (sp.read.parquet(assign_p)
                      .filter(F.col("seg").isin(prior_segs)))
             tomb = (prior.join(batch_df.select(
-                        F.col(id_col).alias("id")).distinct(),
+                        F.col(id_col).alias("id")),
                         "id", "left_semi")
                     .select("id", F.col("seg").alias("tseg"), "cell"))
-            n_tomb = tomb.count()
-            if n_tomb:
-                tomb.write.mode("overwrite").parquet(
-                    os.path.join(index_dir, "tombstones",
-                                 f"seg={batch_id}"))
+            # write first, count the WRITTEN rows: one history join per
+            # batch, not two
+            tdir = os.path.join(index_dir, "tombstones",
+                                f"seg={batch_id}")
+            tomb.write.mode("overwrite").parquet(tdir)
+            if sp.read.parquet(tdir).limit(1).count():
                 tomb_segs.append(batch_id)
+            else:
+                shutil.rmtree(tdir, ignore_errors=True)
         commit_marker(index_dir, {
             "segments": sorted(prior_segs + [batch_id]),
             "tombstones": sorted(tomb_segs),
@@ -127,9 +140,8 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
 
 def _read_centroids(spark: SparkSession,
                     index_dir: str) -> list[list[float]]:
-    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
-            .orderBy("cell").collect())
-    return [[float(x) for x in r.cvec] for r in rows]
+    from ..operators.index_store import read_ivf_centroids
+    return read_ivf_centroids(spark, index_dir)
 
 
 def ivf_topk_from_segments(spark: SparkSession, index_dir: str,
@@ -143,20 +155,14 @@ def ivf_topk_from_segments(spark: SparkSession, index_dir: str,
     upserted ids, rounded-cosine scoring + per-query k-heap — identical
     scores to the batch store's ``ivf_topk_from_store`` on the same
     live corpus."""
-    from ..functions.vector import cosine
-    from ..llmops.similarity import _cells_by_affinity, _per_query_topk
+    from ..operators.index_store import ivf_probe_frame, ivf_score_topk
 
     state = load_marker(index_dir)
     if state is None or not state["segments"]:
         raise FileNotFoundError(f"no committed segments in {index_dir}")
     cents = _read_centroids(spark, index_dir)
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
-    q = q.localCheckpoint()
-    probe_cells = sorted({r.cell for r in q.select("cell").collect()})
+    q, probe_cells = ivf_probe_frame(queries, vec_col, query_id_col,
+                                     cents, n_probe, round_to)
     live = (spark.read.parquet(os.path.join(index_dir, "assignments"))
             .filter(F.col("seg").isin(state["segments"]))
             .filter(F.col("cell").isin(probe_cells)))
@@ -167,7 +173,4 @@ def ivf_topk_from_segments(spark: SparkSession, index_dir: str,
                  .filter(F.col("seg").isin(state["tombstones"]))
                  .select("id", F.col("tseg").alias("seg")))
         live = live.join(F.broadcast(tombs), ["id", "seg"], "left_anti")
-    joined = live.join(F.broadcast(q), "cell")
-    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
-    return (_per_query_topk(joined.withColumn("score", score), k)
-            .select("query_id", "id", "score", "rank"))
+    return ivf_score_topk(live, q, k, round_to)

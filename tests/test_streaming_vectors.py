@@ -22,9 +22,8 @@ def _vec(seed):
 
 WAVE1 = [{"vec_id": i, "embedding": _vec(i)} for i in range(1, 21)]
 WAVE2 = [{"vec_id": i, "embedding": _vec(i)} for i in range(21, 31)]
-# vec 1 re-ingested with a very different embedding (likely new cell)
-WAVE3 = [{"vec_id": 1, "embedding": _vec(997)},
-         {"vec_id": 40, "embedding": _vec(40)}]
+# WAVE3 (the upsert wave) is built inside the test: vec 1 re-ingests
+# with a DIFFERENT cell's centroid vector, guaranteeing a cell move
 
 
 def _write(path, rows):
@@ -89,10 +88,20 @@ def test_streamed_ivf_matches_batch_store_and_upserts(spark, tmp_path):
               for p in glob.glob(seg0 + "/**/*.parquet", recursive=True)}
     assert before
 
-    # upsert: vec 1 moves; the stale copy must not serve from ANY cell
-    _write(os.path.join(dirs["in"], "c.json"), WAVE3)
+    # upsert: vec 1 re-ingests as another cell's centroid vector — a
+    # centroid's nearest centroid is itself (cosine 1), so the move is
+    # guaranteed; the stale copy must not serve from ANY cell
+    asg0 = spark.read.parquet(os.path.join(dirs["idx"], "assignments"))
+    old_cell = asg0.filter("id = 1").collect()[0].cell
+    cents = (spark.read.parquet(os.path.join(dirs["idx"], "centroids"))
+             .orderBy("cell").collect())
+    new_cell = next(r.cell for r in cents if r.cell != old_cell)
+    moved = [float(x) for x in cents[new_cell].cvec]
+    wave3 = [{"vec_id": 1, "embedding": moved},
+             {"vec_id": 40, "embedding": _vec(40)}]
+    _write(os.path.join(dirs["in"], "c.json"), wave3)
     _run(spark, dirs)
-    live = [r for r in WAVE1 if r["vec_id"] != 1] + WAVE2 + WAVE3
+    live = [r for r in WAVE1 if r["vec_id"] != 1] + WAVE2 + wave3
     got2 = sorted(map(tuple,
                       ivf_topk_from_segments(spark, dirs["idx"], q,
                                              "embedding", "qid", k=3,
@@ -102,6 +111,13 @@ def test_streamed_ivf_matches_batch_store_and_upserts(spark, tmp_path):
     after = {p: os.path.getmtime(p)
              for p in glob.glob(seg0 + "/**/*.parquet", recursive=True)}
     assert after == before
+
+    # the re-ingested vector must actually have MOVED cells — the
+    # scenario the tombstone design exists for
+    asg = spark.read.parquet(os.path.join(dirs["idx"], "assignments"))
+    cells = {r.seg: r.cell
+             for r in asg.filter("id = 1").select("seg", "cell").collect()}
+    assert cells[0] != cells[2], "pick an embedding that changes cells"
 
     # marker sanity + replay no-op
     m = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
@@ -122,3 +138,21 @@ def test_foreign_checkpoint_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="checkpoint lineage"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_in_batch_duplicates_and_null_rows(spark, tmp_path):
+    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
+    os.makedirs(dirs["in"])
+    dup = [{"vec_id": 7, "embedding": _vec(7)},
+           {"vec_id": 7, "embedding": _vec(8)},     # same id, same batch
+           {"vec_id": 9, "embedding": None},        # no vector: ignored
+           {"vec_id": None, "embedding": _vec(3)},  # no id: ignored
+           {"vec_id": 10, "embedding": _vec(10)}]
+    _write(os.path.join(dirs["in"], "a.json"), dup)
+    _run(spark, dirs)
+    asg = spark.read.parquet(os.path.join(dirs["idx"], "assignments"))
+    ids = [r.id for r in asg.select("id").collect()]
+    assert sorted(ids) == [7, 10]                   # one copy of 7, no nulls
+    # the kept copy is the greatest embedding (deterministic rule)
+    kept = [r.v for r in asg.filter("id = 7").collect()][0]
+    assert list(kept) == max(_vec(7), _vec(8))
