@@ -269,3 +269,63 @@ def test_epoch_shuffle_matches_global_order(spark, ids, epoch):
         hashlib.md5(f"{i}#e{epoch}".encode()).hexdigest(), i))
     want = {i: p for p, i in enumerate(order)}
     assert got == want
+
+
+_sent = st.text(alphabet="abcD .!?", min_size=0, max_size=30)
+
+
+@given(texts=st.lists(_sent, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_span_dedup_matches_reference(spark, texts):
+    import re
+
+    from rassengine_spark.llmops.text_analysis import span_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: (r.text, r.n_kept, r.n_dropped)
+           for r in span_dedup(df, "text", "doc_id").collect()}
+
+    # single-threaded reference of the documented rule
+    def sentences(t):
+        return re.sub(r"([.!?]) +", r"\1\n", t).split("\n")
+
+    spans = {}          # (id, span_pos) -> span text
+    for i, t in rows:
+        sents = sentences(t)
+        for sp in range(0, (len(sents) + 2) // 3):
+            spans[(i, sp)] = " ".join(sents[sp * 3:sp * 3 + 3])
+    norm_first, norm_count = {}, {}
+    for key in sorted(spans):
+        nm = spans[key].strip().lower()
+        norm_count[nm] = norm_count.get(nm, 0) + 1
+        norm_first.setdefault(nm, key)
+    expect = {}
+    for i, _ in rows:
+        kept, dropped = [], 0
+        for key in sorted(k for k in spans if k[0] == i):
+            nm = spans[key].strip().lower()
+            if norm_count[nm] < 2 or nm == "" or norm_first[nm] == key:
+                kept.append(spans[key])
+            else:
+                dropped += 1
+        expect[i] = (" ".join(kept), len(kept), dropped)
+    assert got == expect
+
+
+_url = st.text(alphabet="aB.:/?#&=_%1@ ", min_size=0, max_size=40)
+
+
+@given(urls=st.lists(_url, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_canonical_url_idempotent_on_arbitrary_text(spark, urls):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.urls import canonical_url
+
+    df = spark.createDataFrame(list(enumerate(urls)),
+                               "id int, url string")
+    once = df.select("id", canonical_url("url").alias("c1"))
+    twice = once.select("id", canonical_url("c1").alias("c2"), "c1")
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == []
