@@ -3089,20 +3089,26 @@ def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality eval (known-item search): every 50th doc becomes
     a query (its first 4 tokens) and BM25 must find the source doc —
     per-query src_rank / hit@1 / hit@10, the IR measurement loop the
-    reference's search quality would be tuned with. One corpus pass for
-    ALL queries via the LARGE-Q join shape (bm25_batch_topk_join — the
-    struct-literal form's plan grows with |Q|); the bounded sample
-    collect (|docs|/50 rows) builds the query table."""
-    from rassengine_spark.functions.bm25 import bm25_batch_topk_join
-    from rassengine_spark.functions.text import tokenize
+    reference's search quality would be tuned with. ONE tokenize scan of
+    the corpus total: a lazily-checkpointed (id, toks) frame feeds the
+    bounded query-sample collect (|docs|/50 rows) AND the inverted-index
+    build; scoring runs from the index frames (bm25_batch_topk_from_index
+    — the LARGE-Q shape whose plan is sized by candidates, not |Q|)."""
+    from rassengine_spark.operators.inverted_index import (
+        bm25_batch_topk_from_index, build_term_index_from_tokens,
+        tokenize_corpus)
     docs = load_tables(spark, sf_dir)["documents"]
-    sample = (docs.filter(F.col("doc_id") % 50 == 0)
-              .select("doc_id",
-                      F.array_join(F.slice(tokenize(F.col("text")), 1, 4),
+    toks = tokenize_corpus(docs, "text", "doc_id") \
+        .localCheckpoint(eager=False)
+    sample = (toks.filter(F.col("id") % 50 == 0)
+              .select("id",
+                      F.array_join(F.slice(F.col("_toks"), 1, 4),
                                    " ").alias("q"))
               .collect())
-    queries = {str(r.doc_id): r.q for r in sample if r.q}
-    res = bm25_batch_topk_join(docs, "text", "doc_id", queries, k=10)
+    queries = {str(r.id): r.q for r in sample if r.q}
+    postings, doclens, stats = build_term_index_from_tokens(toks)
+    res = bm25_batch_topk_from_index(postings, doclens, stats, queries,
+                                     k=10, reuse_pruned=True)
     qdf = spark.createDataFrame([(int(k),) for k in queries],
                                 "query_id long")
     hit = (res.withColumn("query_id", F.col("query_id").cast("long"))

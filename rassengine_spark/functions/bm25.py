@@ -242,6 +242,8 @@ def bm25_batch_topk_join(df: DataFrame, text_col: str, id_col: str,
     (parity-tested), sized by candidates, never by |Q| or vocabulary."""
     from ..operators.inverted_index import (bm25_batch_topk_from_index,
                                             build_term_index)
-    postings, doclens, stats = build_term_index(df, text_col, id_col)
+    postings, doclens, stats = build_term_index(df, text_col, id_col,
+                                                single_pass=True)
     return bm25_batch_topk_from_index(postings, doclens, stats, queries,
-                                      k=k, k1=k1, b=b, round_to=round_to)
+                                      k=k, k1=k1, b=b, round_to=round_to,
+                                      reuse_pruned=True)
