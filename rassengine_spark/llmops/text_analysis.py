@@ -568,12 +568,16 @@ def top_ngrams(df: DataFrame, text_col: str,
     the keys map-side combine compresses hardest — and the top-k is a
     TakeOrdered, never a global sort."""
     toks = words_of(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    # LINEAR n-gram expansion: zip n shifted views of the token array and
+    # concatenate elementwise. The slice-per-position form (array_join(
+    # slice(toks, i, n)) for each i) copies n tokens per position —
+    # O(len^2) per document, which dominated the corpus pass on long
+    # docs; n-1 zip_with passes are O(len * n) total.
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # n-gram count
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     exploded = df.select(F.explode(grams).alias("ngram"))
     return (exploded.groupBy("ngram")
             .agg(F.count(F.lit(1)).alias("cnt"))

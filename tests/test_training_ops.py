@@ -163,3 +163,9 @@ def test_top_ngrams_counts_and_short_doc_guard(spark):
     assert got[0] == ("the cat", 3)
     assert got[1] == ("cat sat", 2)
     assert len(got) == 3
+    # n=3 exercises the chained zip expansion (two zip_with passes);
+    # doc 2 has exactly one trigram, doc 3 none
+    got3 = [(r.ngram, r.cnt) for r in
+            top_ngrams(docs, "text", n=3, k=2).collect()]
+    assert got3[0] == ("the cat sat", 2)
+    assert got3[1] == ("cat sat on", 1)
