@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine
-from ..sources.chunker import words_of
+from ..sources.chunker import word_ngram_array, words_of
 from ..util import spread
 
 # 60-bit hash from a salted md5 — bit-identical across engines
@@ -59,9 +59,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     a single whole-text shingle (guarded — Spark's sequence() would run
     backwards on negative lengths)."""
     w = words_of(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    grams = word_ngram_array(w, n)     # linear zip expansion
     return F.when(F.size(w) >= n, F.array_distinct(grams)) \
             .otherwise(F.array(F.array_join(w, " ")))
 

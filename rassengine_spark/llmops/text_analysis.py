@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
-from ..sources.chunker import words_of
+from ..sources.chunker import word_ngram_array, words_of
 from ..util import spread
 from .dedup import hash60
 
@@ -213,10 +213,7 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _ngram_list(w: Column, n: int) -> Column:
     """NON-distinct word n-grams (repetition metrics need multiplicity);
     texts shorter than n words yield an empty list."""
-    grams = F.transform(F.sequence(F.lit(0), F.size(w) - n),
-                        lambda i: F.array_join(F.slice(w, i + 1, n), " "))
-    return F.when(F.size(w) >= n, grams) \
-            .otherwise(F.array().cast("array<string>"))
+    return word_ngram_array(w, n)
 
 
 def repetition_features(df: DataFrame, text_col: str, id_col: str,
@@ -568,17 +565,8 @@ def top_ngrams(df: DataFrame, text_col: str,
     the keys map-side combine compresses hardest — and the top-k is a
     TakeOrdered, never a global sort."""
     toks = words_of(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    # LINEAR n-gram expansion: zip n shifted views of the token array and
-    # concatenate elementwise. The slice-per-position form (array_join(
-    # slice(toks, i, n)) for each i) copies n tokens per position —
-    # O(len^2) per document, which dominated the corpus pass on long
-    # docs; n-1 zip_with passes are O(len * n) total.
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # n-gram count
-    grams = F.slice(toks, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(grams, F.slice(toks, j + 1, m),
-                           lambda a, b: F.concat(a, F.lit(" "), b))
-    exploded = df.select(F.explode(grams).alias("ngram"))
+    exploded = df.select(
+        F.explode(word_ngram_array(toks, n)).alias("ngram"))
     return (exploded.groupBy("ngram")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
