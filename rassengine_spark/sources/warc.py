@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 WARC_RECORD_SCHEMA = ("path string, record_type string, target_uri string, "
                       "warc_date string, content_type string, "
@@ -166,6 +167,163 @@ def read_warc(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+def _walk_gzip_members(f):
+    """Yield (offset, length) of each gzip MEMBER in a byte stream,
+    incrementally (the stream is decompressed member-by-member and the
+    plaintext discarded — only the compressed extents are kept). A
+    .warc.gz in the Common Crawl layout has one member per record, so
+    these extents ARE the record-level split points."""
+    import zlib
+
+    pos = 0
+    pending = b""
+    eof = False
+    while True:
+        if not pending:
+            if eof:
+                return
+            pending = f.read(_READ_CHUNK)
+            if not pending:
+                return
+        d = zlib.decompressobj(wbits=31)     # gzip framing, single member
+        start = pos
+        while True:
+            try:
+                d.decompress(pending)        # plaintext discarded
+            except zlib.error:
+                return                       # corrupt member — stop cleanly
+            consumed = len(pending) - len(d.unused_data)
+            pos += consumed
+            pending = d.unused_data
+            if d.eof:
+                break
+            if pending:                      # corrupt: bytes left but no
+                return                       # member end — stop cleanly
+            chunk = f.read(_READ_CHUNK)
+            if not chunk:
+                eof = True
+                return                       # truncated final member
+            pending = chunk
+        yield (start, pos - start)
+
+
+def _local_path(path: str) -> str:
+    """binaryFile reports file:/abs/path URIs; strip to a filesystem
+    path (the local-opener case — remote stores go through `opener`)."""
+    if path.startswith("file:"):
+        p = path[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return path
+
+
+def build_warc_member_index(spark: SparkSession, path: str,
+                            glob: str = "*.warc.gz") -> DataFrame:
+    """(path, offset, length) for every gzip member of every .warc.gz
+    under `path` — the engine-built analog of Common Crawl's published
+    cluster.idx/CDX index. Building it costs one sequential decompress
+    pass per file (inherent: member boundaries are only discoverable by
+    decompressing), which is why CC publishes the index; consumers with
+    a published index should load THAT into this schema and skip the
+    build. Memory per task is one read chunk + zlib state — the member
+    walk never materializes plaintext or the whole blob twice."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob).load(path)
+             .select("path", "content"))
+
+    def run(batches):
+        import io
+
+        import pandas as pd
+        for pdf in batches:
+            for p, c in zip(pdf["path"], pdf["content"]):
+                rows = [(p, off, ln) for off, ln
+                        in _walk_gzip_members(io.BytesIO(bytes(c)))]
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["path", "offset", "length"])
+
+    return files.mapInPandas(run, "path string, offset long, length long")
+
+
+def coalesce_member_ranges(index: DataFrame,
+                           target_bytes: int = 1 << 20) -> DataFrame:
+    """Group CONTIGUOUS members of the same file into ~target_bytes fetch
+    ranges: (path, offset, length, n_members). Concatenated gzip members
+    decompress as one stream, so a ranged fetch spanning several members
+    parses exactly like the file would — this is how real CC consumers
+    batch record fetches (one ~1 MB range request instead of thousands of
+    tiny ones). The window sort is partition-local per file. Members of a
+    well-formed .warc.gz tile the file with no gaps; the grouped length
+    is max(offset+length)-min(offset), so a gap (filtered index rows)
+    widens the range to COVER it rather than corrupting framing — the
+    in-between members are simply parsed too."""
+    w = Window.partitionBy("path").orderBy("offset")
+    binned = index.withColumn(
+        "_bin", F.floor((F.sum("length").over(w) - F.col("length"))
+                        / F.lit(target_bytes)))
+    return (binned.groupBy("path", "_bin")
+            .agg(F.min("offset").alias("offset"),
+                 (F.max(F.col("offset") + F.col("length"))
+                  - F.min("offset")).alias("length"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .drop("_bin"))
+
+
+def read_warc_ranged(spark: SparkSession, index: DataFrame,
+                     opener=None, n_partitions: int | None = None
+                     ) -> DataFrame:
+    """WARC records from RANGED reads driven by a member index
+    (build_warc_member_index or coalesce_member_ranges output): each
+    (path, offset, length) row is fetched independently — seek + read of
+    the compressed extent, never the whole file — so parallelism is
+    record/range-level instead of file-level, and a 1000-executor
+    cluster saturates on a handful of huge crawl segments. Same output
+    schema and framing semantics as read_warc (the stream parser is
+    shared). `opener(path) -> file-like` is the remote-store seam (an
+    HTTP/S3 range client at production; default opens local paths).
+    `n_partitions` repartitions the index first — ranges, not files, are
+    the unit of work."""
+    cols = ["path", "offset", "length"]
+    idx = index.select(*cols)
+    if n_partitions:
+        idx = idx.repartition(n_partitions)
+    chunk_records = 64
+
+    def run(batches):
+        import gzip
+        import io
+
+        import pandas as pd
+        out_cols = ["path", "record_type", "target_uri", "warc_date",
+                    "content_type", "payload"]
+        for pdf in batches:
+            for p, off, ln in zip(pdf["path"], pdf["offset"],
+                                  pdf["length"]):
+                if opener is not None:
+                    fh = opener(p)
+                else:
+                    fh = open(_local_path(p), "rb")
+                try:
+                    fh.seek(int(off))
+                    raw = fh.read(int(ln))
+                finally:
+                    fh.close()
+                f = (gzip.GzipFile(fileobj=io.BytesIO(raw))
+                     if raw[:2] == b"\x1f\x8b" else io.BytesIO(raw))
+                rows = []
+                for rec in parse_warc_stream(f, p):
+                    rows.append(rec)
+                    if len(rows) >= chunk_records:
+                        yield pd.DataFrame(rows, columns=out_cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+    return idx.mapInPandas(run, WARC_RECORD_SCHEMA)
 
 
 def http_body(payload: Column) -> Column:

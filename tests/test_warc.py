@@ -177,3 +177,84 @@ def test_parse_warc_stream_bounded_on_hostile_input():
     big = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"Content-Length: 999999999999\r\n\r\n" + b"x" * 100)
     assert list(parse_warc_stream(CountingIO(big), "f")) == []
+
+
+def test_warc_member_index_and_ranged_read(spark, tmp_path):
+    """Record-level split points: the member index finds every gzip
+    member's compressed extent; ranged reads over the index reproduce
+    the whole-file read exactly, member by member."""
+    import gzip
+
+    from rassengine_spark.sources.warc import (build_warc_member_index,
+                                               read_warc_ranged)
+
+    members = [gzip.compress(_record("response", f"http://x/{i}", HTTP))
+               for i in range(5)]
+    blob = b"".join(members)
+    (tmp_path / "crawl.warc.gz").write_bytes(blob)
+
+    idx = build_warc_member_index(spark, str(tmp_path))
+    rows = sorted(idx.collect(), key=lambda r: r.offset)
+    # extents tile the file and match the per-member byte lengths
+    assert [r.length for r in rows] == [len(m) for m in members]
+    assert rows[0].offset == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.offset == a.offset + a.length
+
+    whole = {(r.target_uri, bytes(r.payload))
+             for r in read_warc(spark, str(tmp_path)).collect()}
+    ranged = read_warc_ranged(spark, idx, n_partitions=5)
+    assert ranged.rdd.getNumPartitions() == 5     # range = unit of work
+    assert {(r.target_uri, bytes(r.payload))
+            for r in ranged.collect()} == whole
+
+
+def test_warc_coalesced_ranges_parse_identically(spark, tmp_path):
+    """Adjacent members grouped into ~target_bytes ranges decompress as
+    one gzip stream — batched range fetches, same records."""
+    import gzip
+
+    from rassengine_spark.sources.warc import (build_warc_member_index,
+                                               coalesce_member_ranges,
+                                               read_warc_ranged)
+
+    blob = b"".join(
+        gzip.compress(_record("response", f"http://x/{i}", HTTP))
+        for i in range(6))
+    (tmp_path / "crawl.warc.gz").write_bytes(blob)
+
+    idx = build_warc_member_index(spark, str(tmp_path))
+    one = idx.collect()[0].length
+    # target of ~2 members per range -> 3 ranges covering all 6 members
+    ranges = coalesce_member_ranges(idx, target_bytes=2 * one)
+    got = sorted(ranges.collect(), key=lambda r: r.offset)
+    assert sum(r.n_members for r in got) == 6
+    assert len(got) == 3
+    assert sum(r.length for r in got) == len(blob)
+
+    urls = {r.target_uri
+            for r in read_warc_ranged(spark, ranges).collect()}
+    assert urls == {f"http://x/{i}" for i in range(6)}
+
+
+def test_warc_member_walk_bounds_and_truncation():
+    """The member walk discards plaintext (no decompressed buffering)
+    and drops a truncated final member instead of yielding garbage."""
+    import gzip
+    import io
+
+    from rassengine_spark.sources.warc import _walk_gzip_members
+
+    members = [gzip.compress(_record("response", f"http://x/{i}",
+                                     b"y" * 50000)) for i in range(3)]
+    blob = b"".join(members)
+    exts = list(_walk_gzip_members(io.BytesIO(blob)))
+    assert [ln for _, ln in exts] == [len(m) for m in members]
+
+    # truncated final member: first two still index, the partial is dropped
+    cut = blob[:len(members[0]) + len(members[1]) + 10]
+    exts = list(_walk_gzip_members(io.BytesIO(cut)))
+    assert [ln for _, ln in exts] == [len(members[0]), len(members[1])]
+
+    # non-gzip garbage yields nothing (and terminates)
+    assert list(_walk_gzip_members(io.BytesIO(b"not gzip at all"))) == []
