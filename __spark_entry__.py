@@ -870,6 +870,30 @@ ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
 """
 
 
+def _q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-one semantic dedup
+    (llmops/dedup.py::semantic_prune): every row keeps or drops by
+    whether a smaller-id row in its label block clears rounded cosine
+    >= 0.3 — the per-cluster representative-pruning step the pairs
+    entry (dedup_embedding_cosine) feeds in a real pipeline."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return DD.semantic_prune(emb, "embedding", "vec_id", "label",
+                             threshold=0.3)
+
+
+_SQL_DEDUP_SEMANTIC_PRUNE = f"""
+WITH dropped AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.3)
+SELECT e.vec_id AS id, e.label AS blk,
+       d.id IS NULL AS kept
+FROM embeddings e LEFT JOIN dropped d ON d.id = e.vec_id
+ORDER BY id
+"""
+
+
 def _q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs corpus."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5092,7 +5116,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-3 late additions
     "mine_hard_negatives", "corpus_cluster_profile", "text_span_dedup",
     "split_length_buckets", "url_canonicalize", "mine_triplets",
-    "sim_quantized_recall", "text_top_ngrams",
+    "sim_quantized_recall", "text_top_ngrams", "dedup_semantic_prune",
 ]
 
 
@@ -5132,6 +5156,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_semantic_prune": _q_dedup_semantic_prune,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
@@ -5280,6 +5305,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
+        "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),

@@ -585,6 +585,55 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
             .limit(top_n))
 
 
+def semantic_prune(df: DataFrame, vec_col: str, id_col: str,
+                   block_col: str, threshold: float = 0.3,
+                   round_to: int = 6) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (Abbas et al. 2023, public):
+    (id, blk, kept) for every row — a row is DROPPED iff ANY smaller-id
+    row in the same block has rounded cosine >= threshold (whether or
+    not that row itself survives). Deterministic keep-min-id (SemDeDup
+    keeps one representative per near-dup group; min id is the engine's
+    reproducible stand-in for its distance-to-centroid order) and a
+    conservative SUPERSET of greedy sequential pruning: chain A~B~C with
+    A!~C drops both B and C (greedy would keep C once B is gone). The
+    unconditional-pairwise rule is what makes the decision per-row
+    parallel and expressible as one anti-join/EXISTS — greedy
+    keeper-aware pruning is inherently sequential within a block.
+
+    Same per-block numpy gram pass as embedding_near_pairs_topn (block =
+    coarse cell; |block|^2 stays in one Arrow batch instead of a blocked
+    self-join of interpreted lambdas). Scale: one shuffle on the block
+    key; block skew is handled upstream by choosing finer blocks (at
+    production, the IVF quantizer cell — corpus_cluster_profile — is the
+    natural block)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    blk_type = df.schema[block_col].dataType.simpleString()
+    out_schema = f"id {id_type}, blk {blk_type}, kept boolean"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": ids, "blk": pdf["_blk"],
+                                 "kept": [True] * len(pdf)})
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        denom = np.outer(norms, norms) + 1e-9    # cosine eps (vector.cosine)
+        cos = np.round((m @ m.T) / denom, round_to)
+        # row i survives iff no smaller-id row j (strict lower triangle of
+        # the id-sorted gram) clears the threshold
+        kept = ~np.any(np.tril(cos >= threshold, k=-1), axis=1)
+        return pd.DataFrame({"id": ids, "blk": pdf["_blk"], "kept": kept})
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(block_col).alias("_blk"),
+                     F.col(vec_col).alias("_v"))
+    return base.groupBy("_blk").applyInPandas(per_block, out_schema)
+
+
 # ------------------------------------------------- connected components
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20,

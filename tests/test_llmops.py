@@ -184,6 +184,25 @@ def test_embedding_near_pairs(spark):
     assert (out[0]["id_a"], out[0]["id_b"]) == (0, 1)  # most similar in block
 
 
+def test_semantic_prune_keep_min_id_not_transitive(spark):
+    # chain: 0~1 and 1~2 similar, 0!~2 — the rule drops any row with a
+    # similar SMALLER id regardless of that row's own fate: 1 drops
+    # (dup of 0) and 2 ALSO drops (dup of dropped 1) — the conservative
+    # superset of greedy pruning the docstring spells out. Orthogonal 4
+    # in the same block and singleton block "y" are kept.
+    df = spark.createDataFrame(
+        [(0, "x", [1.0, 0.0]),
+         (1, "x", [0.9, 0.45]),       # cos(0,1)=.895, cos(1,2)=.893
+         (2, "x", [0.45, 0.9]),       # cos(0,2)=.447
+         (4, "x", [-1.0, 0.0]),       # cos vs 0/1/2 all <= 0
+         (3, "y", [1.0, 0.0])],
+        "vec_id long, label string, v array<double>")
+    got = {r.id: r.kept for r in
+           DD.semantic_prune(df, "v", "vec_id", "label",
+                             threshold=0.8).collect()}
+    assert got == {0: True, 1: False, 2: False, 4: True, 3: True}
+
+
 def test_text_analysis_columns(spark):
     d = docs(spark)
     lang = {r["id"]: r["lang_pred"] for r in d.select(

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Arrow/pandas is the *point* of these operators:
 PYTHON_OK = {
     "text_fingerprint", "dedup_simhash", "dedup_embedding_cosine",
+    # per-block gram-matrix prune (same numpy pass as the pairs entry):
+    "dedup_semantic_prune",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
@@ -86,6 +88,9 @@ SORT_OK = {
     # per-(shard, bucket) partition-local window sort — the
     # pack_sequences sharded shape, never a global order-by:
     "split_length_buckets",
+    # FlatMapGroupsInPandas's partition-local sort on the block key (the
+    # grouped-map contract), not a global order-by:
+    "dedup_semantic_prune",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "events_asof_join", "orders_running_total",
