@@ -94,20 +94,40 @@ def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
         pq_code_expr(F.col(vec_col), codebooks, round_to).alias("codes"))
 
 
+def _collect_query_rows(queries: DataFrame, vec_col: str,
+                        query_id_col: str) -> list[tuple[int, list[float]]]:
+    """ONE collect of the (bounded) query batch — every driver-side
+    query-derived artifact (ADC tables, probe pairs) is built from these
+    rows so a serve call scans the queries frame exactly once. The
+    float->double widening is exact, so downstream local-frame JVM
+    evaluation matches what an in-plan cast would have produced."""
+    return [(int(r[0]), [float(x) for x in r[1]])
+            for r in queries.select(F.col(query_id_col).cast("long"),
+                                    F.col(vec_col)).collect()]
+
+
+def _adc_tables_from_rows(spark, q_rows: list[tuple[int, list[float]]],
+                          cbs: list[list[list[float]]]) -> DataFrame:
+    """Each query's m x n_codes ADC lookup table from already-collected
+    rows, via the engine-exact driver-side fold; returns (query_id, tab)
+    ready to broadcast."""
+    sub = len(cbs[0][0])
+    tabs = [(qid,
+             [[_dot_py(v[j * sub:(j + 1) * sub], c)
+               for c in cbs[j]] for j in range(len(cbs))])
+            for qid, v in q_rows]
+    return spark.createDataFrame(
+        tabs, "query_id long, tab array<array<double>>")
+
+
 def _adc_query_tables(queries: DataFrame, vec_col: str, query_id_col: str,
                       cbs: list[list[list[float]]]) -> DataFrame:
     """Collect the (bounded) query batch and build each query's
     m x n_codes ADC lookup table with the engine-exact driver-side fold;
     returns (query_id, tab) ready to broadcast."""
-    q_rows = (queries.select(F.col(query_id_col).cast("long"),
-                             F.col(vec_col)).collect())
-    sub = len(cbs[0][0])
-    tabs = [(int(r[0]),
-             [[_dot_py([float(x) for x in r[1]][j * sub:(j + 1) * sub], c)
-               for c in cbs[j]] for j in range(len(cbs))])
-            for r in q_rows]
-    return queries.sparkSession.createDataFrame(
-        tabs, "query_id long, tab array<array<double>>")
+    return _adc_tables_from_rows(
+        queries.sparkSession,
+        _collect_query_rows(queries, vec_col, query_id_col), cbs)
 
 
 def _adc_score(round_to: int, base: Column | None = None):
@@ -125,16 +145,21 @@ def _adc_score(round_to: int, base: Column | None = None):
     return F.round(total, round_to)
 
 
-def _probe_cells(qprobe: DataFrame) -> list[int]:
-    """Distinct probe cells of a bounded query batch, collected
-    driver-side so the expensive encode projection can pre-filter to
-    probed cells. One tiny extra job per serve call — the price of
-    cutting encode work to O(N * n_probe / n_cells). Requires a
-    DETERMINISTIC queries frame (the serving contract of every *_topk
-    here): a nondeterministic one could disagree with the recomputed
-    qprobe branch inside the join."""
-    return sorted({r.cell for r in
-                   qprobe.select("cell").distinct().collect()})
+def _probe_pairs_local(q_rows: list[tuple[int, list[float]]],
+                       centroids: list[list[float]], n_probe: int,
+                       round_to: int) -> list[tuple[int, int]]:
+    """(query_id, cell) probe pairs for an already-collected query batch,
+    via the pure-Python affinity twin (cells_by_affinity_py — parity
+    with the in-plan JVM expressions pinned by tests/test_properties.py):
+    zero Spark evaluation per serve call, where the previous local-frame
+    JVM form still paid ~0.5 s of interpreted driver eval. The pairs
+    feed BOTH the broadcast probe frame and the encode prefilter, so the
+    two can never disagree (the old job-per-artifact shape had to
+    re-assert determinism of the queries frame instead)."""
+    from .similarity import cells_by_affinity_py
+
+    return [(qid, c) for qid, v in q_rows
+            for c in cells_by_affinity_py(v, centroids, round_to)[:n_probe]]
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
@@ -151,7 +176,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     rows of m bytes each — both axes of the 100 TB cost cut at once.
     Cell choice reuses the IVF rounded-cosine argmax; codes and ADC
     tables reuse the PQ machinery. Engine-exact end to end."""
-    from .similarity import _best_cell, _cells_by_affinity, md5_sample
+    from .similarity import _best_cell, md5_sample
 
     if centroids is None or codebooks is None:
         # centroids are a PREFIX of the codebook sample (same md5 order)
@@ -162,23 +187,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
         cbs = codebooks or split_codebooks(sample[:n_codes], m)
     else:
         cents, cbs = centroids, codebooks
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
-    qprobe = queries.select(
-        F.col(query_id_col).cast("long").alias("query_id"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    # ONE collect of the query batch seeds probe pairs (local-frame JVM
+    # eval, no job) and ADC tables; the queries frame is scanned once
+    spark = corpus.sparkSession
+    q_rows = _collect_query_rows(queries, vec_col, query_id_col)
+    pairs = _probe_pairs_local(q_rows, cents, n_probe, round_to)
+    probe_cells = sorted({c for _, c in pairs})
+    qprobe = spark.createDataFrame(pairs, "query_id long, cell int")
     # the EXPENSIVE encode projection runs on probed cells only: cell
     # assignment is 1 affinity pass/row, but the PQ encode is m x
     # n_codes of them — filtering between the two is what actually
     # delivers O(N * n_probe / n_cells) encode work
-    probe_cells = _probe_cells(qprobe)
     enc = (corpus.select(
                F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
            .filter(F.col("cell").isin(probe_cells))
            .select("id", "cell",
                    pq_code_expr(F.col("v"), cbs, round_to).alias("codes")))
-    qdf = _adc_query_tables(queries, vec_col, query_id_col, cbs)
+    qdf = _adc_tables_from_rows(spark, q_rows, cbs)
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
     return (_per_query_topk(
                 joined.withColumn("score", _adc_score(round_to)), k)
@@ -191,39 +217,31 @@ def residual_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
                        ) -> list[list[list[float]]]:
     """PQ codebooks trained on RESIDUALS (v - centroid[cell]) — the
     quantity residual-IVFADC actually encodes. Collects the md5 sample
-    from the corpus, then delegates to the local-frame path."""
+    from the corpus, then delegates to the driver-local twin path."""
     from .similarity import md5_sample
     sample = md5_sample(corpus, vec_col, id_col, n_codes)
-    return residual_codebooks_local(corpus.sparkSession, sample,
-                                    centroids, m, round_to)
+    return residual_codebooks_local(sample, centroids, m, round_to)
 
 
-def residual_codebooks_local(spark, sample: list[list[float]],
+def residual_codebooks_local(sample: list[list[float]],
                              centroids: list[list[float]], m: int,
                              round_to: int = 6
                              ) -> list[list[list[float]]]:
     """Residual codebooks from an ALREADY-COLLECTED md5-ordered sample:
-    the residuals run through the same JVM expressions that encode the
-    corpus (cell argmax + zip_with subtraction) — but on an n_codes-row
-    LOCAL frame, so seeding both quantizers costs ONE corpus TakeOrdered
-    scan instead of two (the round-2 bench's top cost in
-    sim_ivfpq_residual_topk). Bit-identical to the corpus-scan path: the
-    float->double cast is exact and the expressions are the same."""
-    from ..util import double_matrix_lit
-    from .similarity import _best_cell
+    cell assignment via the pure-Python affinity twin (parity with the
+    corpus-side _best_cell expression pinned by tests/test_properties.py)
+    and the elementwise double subtraction done in Python (IEEE-exact),
+    so seeding both quantizers costs ONE corpus TakeOrdered scan and
+    ZERO local Spark evaluation — the previous local-frame JVM form
+    (itself one scan cheaper than the round-2 two-scan shape) still paid
+    ~0.5 s of interpreted driver eval per build."""
+    from .similarity import cells_by_affinity_py
 
-    cent = double_matrix_lit(centroids)
-    df = spark.createDataFrame([(v,) for v in sample], "v array<double>")
-    cell = _best_cell(F.col("v"), centroids, round_to)
-    resid = F.zip_with(F.col("v"), F.element_at(cent, cell + 1),
-                       lambda x, c: x.cast("double") - c)
-    # No coalesce/repartition here: a bare Project over the LocalRelation
-    # lets ConvertToLocalRelation evaluate it eagerly on the driver
-    # (measured ~0.5 s vs ~7 s when a coalesce forces task execution +
-    # codegen of the matrix-literal HOFs). Row order of a local relation
-    # is the input order either way.
-    rows = df.select(resid.alias("r")).collect()
-    return split_codebooks([[float(x) for x in r.r] for r in rows], m)
+    resids = []
+    for v in sample:
+        cent = centroids[cells_by_affinity_py(v, centroids, round_to)[0]]
+        resids.append([x - c for x, c in zip(v, cent)])
+    return split_codebooks(resids, m)
 
 
 def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
@@ -243,7 +261,7 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
     Engine-exact: the base is added to the ADC sum AFTER the j-ordered
     fold (FP addition is commutative, so `sum + base` == the oracle's
     `base + sum` bit-for-bit)."""
-    from .similarity import _best_cell, _cells_by_affinity, md5_sample
+    from .similarity import _best_cell, md5_sample
 
     if centroids is None:
         # ONE TakeOrdered scan seeds both quantizers: centroids are a
@@ -252,8 +270,7 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
         sample = md5_sample(corpus, vec_col, id_col,
                             max(n_cells, n_codes))
         cents = sample[:n_cells]
-        rcbs = residual_codebooks_local(corpus.sparkSession,
-                                        sample[:n_codes], cents, m,
+        rcbs = residual_codebooks_local(sample[:n_codes], cents, m,
                                         round_to)
     else:
         cents = centroids
@@ -261,15 +278,18 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
                                   n_codes, round_to)
     cent = double_matrix_lit(cents)
 
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
-    qprobe = queries.select(
-        F.col(query_id_col).cast("long").alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+    # same one-collect serve shape as ivfpq_topk; probe pairs keep the
+    # query vector because the residual score's base term needs it
+    spark = corpus.sparkSession
+    q_rows = _collect_query_rows(queries, vec_col, query_id_col)
+    pairs = _probe_pairs_local(q_rows, cents, n_probe, round_to)
+    qv_by_id = dict(q_rows)
+    qprobe = spark.createDataFrame(
+        [(qid, c, qv_by_id[qid]) for qid, c in pairs],
+        "query_id long, cell int, qv array<double>")
     # same probe-cell prefilter as ivfpq_topk: residual encode (m x
     # n_codes affinity folds per row) runs on probed cells only
-    probe_cells = _probe_cells(qprobe)
+    probe_cells = sorted({c for _, c in pairs})
     with_cell = (corpus.select(
                      F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      _best_cell(F.col(vec_col), cents, round_to)
@@ -279,7 +299,7 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
                        lambda x, c: x.cast("double") - c)
     enc = with_cell.select(
         "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
-    qdf = _adc_query_tables(queries, vec_col, query_id_col, rcbs)
+    qdf = _adc_tables_from_rows(spark, q_rows, rcbs)
 
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
     base = dot(F.col("qv"), F.element_at(cent, F.col("cell") + 1))

@@ -145,6 +145,38 @@ def _best_cell(vec: Column, centroids: list[list[float]],
     return F.array_min(_cell_affinities(vec, centroids, round_to))["c"]
 
 
+def _cosine_py(a: list[float], b: list[float], eps: float = 1e-9) -> float:
+    """Driver-side twin of functions.vector.cosine — same left-fold
+    accumulation order, same eps; Python float ops ARE IEEE doubles, so
+    the result is bit-identical to the JVM expression on equal inputs."""
+    import math
+    dp = na = nb = 0.0
+    for x, y in zip(a, b):
+        dp += x * y
+        na += x * x
+        nb += y * y
+    return dp / (math.sqrt(na) * math.sqrt(nb) + eps)
+
+
+def cells_by_affinity_py(vec: list[float], centroids: list[list[float]],
+                         round_to: int) -> list[int]:
+    """Driver-side twin of _cells_by_affinity: cell indices sorted by
+    (rounded cosine desc, cell asc). Exactness is two-part — the score
+    via util.round_half_up (== JVM F.round, property-tested) and the
+    ORDER via java_double_sort_key (== java.lang.Double.compare, which
+    struct comparison uses; a plain Python tuple sort would tie -0.0
+    with 0.0 and mis-break on index). Twin parity is pinned by
+    tests/test_properties.py against the JVM expression. Exists so
+    bounded driver-side artifacts (probe lists, residual-codebook cell
+    picks) cost zero Spark evaluation per serve call."""
+    from ..util import java_double_sort_key, round_half_up
+    keyed = [(java_double_sort_key(-round_half_up(_cosine_py(vec, c),
+                                                  round_to)), i)
+             for i, c in enumerate(centroids)]
+    keyed.sort()
+    return [i for _, i in keyed]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
              id_col: str, query_id_col: str, k: int = 5,
              n_cells: int = 8, n_probe: int = 2, round_to: int = 6,

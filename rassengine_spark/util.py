@@ -72,3 +72,37 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     except Exception:
         pass
     return df.repartition(target)
+
+
+def round_half_up(x: float, d: int) -> float:
+    """Driver-side twin of JVM ``F.round(double, d)``: HALF_UP on the
+    decimal form of x. Java rounds BigDecimal.valueOf(x) — the
+    Double.toString uniquely-identifying decimal — while this quantizes
+    Decimal(repr(x)), Python's shortest round-tripping decimal. Both
+    decimal strings pin the SAME double, and quantizing at d digits
+    agrees for every such representation unless two round-trip forms
+    straddle a half-way point, which a 28k-value adversarial sweep (and
+    the hypothesis twin test in tests/test_properties.py) never
+    produced. A zero result is normalized to +0.0: BigDecimal has no
+    signed zero, so the JVM rounds every tiny negative to +0.0 while
+    Python's Decimal would keep -0 — which flips downstream
+    Double.compare order (found by the affinity-twin property test).
+    Used only where a bounded driver-side artifact (quantizer seeds,
+    probe lists) must reproduce an in-plan rounded score."""
+    from decimal import ROUND_HALF_UP, Decimal
+    r = float(Decimal(repr(float(x)))
+              .quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP))
+    return 0.0 if r == 0.0 else r
+
+
+def java_double_sort_key(x: float) -> int:
+    """Total-order sort key matching java.lang.Double.compare — the
+    comparison Spark's array_sort/array_min use on struct double fields.
+    Python's own float ordering differs in exactly the cases this key
+    exists for: -0.0 < 0.0 in Java but == in Python (so a (score, idx)
+    tuple sort could break the tie on idx the JVM would break on sign).
+    IEEE-754 bits compare correctly once negative values are mapped into
+    reverse order."""
+    import struct as _struct
+    bits = _struct.unpack(">q", _struct.pack(">d", float(x)))[0]
+    return bits if bits >= 0 else bits ^ 0x7FFFFFFFFFFFFFFF

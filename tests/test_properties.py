@@ -329,3 +329,66 @@ def test_canonical_url_idempotent_on_arbitrary_text(spark, urls):
     twice = once.select("id", canonical_url("c1").alias("c2"), "c1")
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == []
+
+
+# ------------------------------------------------ driver-side JVM-round twins
+# round_half_up and cells_by_affinity_py exist so bounded driver-side
+# artifacts (IVFPQ probe lists, residual codebooks) can skip Spark
+# evaluation; these tests pin them bit-for-bit to the JVM expressions
+# they replace. Each example is one local-frame JVM eval, so example
+# counts stay small but every example carries a batch of values.
+
+_doubles = st.floats(min_value=-1e6, max_value=1e6,
+                     allow_nan=False, allow_infinity=False)
+
+
+@given(xs=st.lists(_doubles, min_size=1, max_size=50),
+       d=st.integers(min_value=0, max_value=9))
+@settings(**_SETTINGS)
+def test_round_half_up_matches_jvm_round(spark, xs, d):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.util import round_half_up
+
+    # adversarial companions: exact half-way decimals at scale d around
+    # each drawn value, where HALF_UP vs HALF_EVEN actually diverge
+    half = 5.0 / (10 ** (d + 1))
+    batch = xs + [float(int(x * 10**d)) / 10**d + half for x in xs]
+    # tiny magnitudes that round to zero: the sign-of-zero case (JVM
+    # BigDecimal yields +0.0; naive Decimal would keep -0.0)
+    batch += [-half / 2, half / 2, -0.0, 0.0, -5e-324, 5e-324]
+    df = spark.createDataFrame([(x,) for x in batch], "x double")
+    got = [r.r for r in df.select(F.round("x", d).alias("r")).collect()]
+    want = [round_half_up(x, d) for x in batch]
+    # bit-exact, not ==: -0.0 == 0.0 would mask a sign divergence that
+    # flips Double.compare order downstream
+    import struct as _s
+    assert [_s.pack(">d", g) for g in got] == \
+           [_s.pack(">d", w) for w in want]
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_cells_by_affinity_py_matches_jvm(spark, data):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.similarity import (_cells_by_affinity,
+                                                    cells_by_affinity_py)
+
+    dim = data.draw(st.integers(min_value=1, max_value=8))
+    unit = st.floats(min_value=-1.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False)
+    vec_st = st.lists(unit, min_size=dim, max_size=dim)
+    cents = data.draw(st.lists(vec_st, min_size=1, max_size=6))
+    # duplicate a centroid so rounded-score ties are exercised (the
+    # java_double_sort_key -0.0/0.0 case needs equal scores to matter)
+    cents = cents + [cents[0]]
+    vecs = data.draw(st.lists(vec_st, min_size=1, max_size=6))
+    round_to = data.draw(st.integers(min_value=0, max_value=8))
+
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    expr = F.transform(_cells_by_affinity(F.col("v"), cents, round_to),
+                       lambda s: s["c"])
+    got = [list(r.o) for r in df.select(expr.alias("o")).collect()]
+    want = [cells_by_affinity_py(v, cents, round_to) for v in vecs]
+    assert got == want
