@@ -894,6 +894,70 @@ ORDER BY id
 """
 
 
+def _q_text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set (text_analysis.winnow_fingerprints —
+    Schleimer et al. MOSS scheme): min k-gram hash per w-shingle window,
+    distinct per doc. The index behind dedup_substring_pairs; Arrow
+    sweep parity-pinned to the expression form by tests/test_winnow.py."""
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .filter(F.col("doc_id") % 5 == 0)
+    return TA.winnow_fingerprints(docs, "text", "doc_id") \
+        .withColumnRenamed("id", "doc_id")
+
+
+def _sql_winnow_fps(src: str) -> str:
+    """Winnowing fingerprint set over `src` (a (doc_id, t)-normalized
+    relation): m = len-7 shingles, windows j=1..max(1,m-3) of width 4,
+    min md5 per window, distinct, hash60. Short docs (< k chars) fall
+    back to the whole-text hash60; NULL text yields one NULL fp."""
+    win_min = ("list_min(list_transform(range(j, least(j + 4, len(t) - 6)),"
+               " i -> md5(substr(t, i, 8))))")
+    return f"""
+  SELECT doc_id, unnest(CASE
+    WHEN t IS NULL THEN [CAST(NULL AS BIGINT)]
+    WHEN len(t) < 8 THEN [{_sql_hash60('t')}]
+    ELSE list_distinct(list_transform(
+           range(1, greatest(1, len(t) - 10) + 1),
+           j -> CAST('0x' || substr({win_min}, 1, 15) AS BIGINT)))
+    END) AS fp
+  FROM {src}"""
+
+
+_SQL_TEXT_WINNOW = f"""
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT * FROM ({_sql_winnow_fps('nrm')})
+ORDER BY doc_id, fp
+"""
+
+
+def _q_dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup pairs (dedup.substring_dup_pairs): docs
+    sharing >= 40 co-selected winnowing fingerprints, boilerplate
+    fingerprints capped at 100 postings — the bounded Lee-et-al
+    exact-substring pass (boundary-free, unlike line/span dedup; a
+    guarantee, unlike minhash)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.substring_dup_pairs(docs, "text", "doc_id", k=8, w=4,
+                                  min_shared=40, max_postings=100)
+
+
+_SQL_DEDUP_SUBSTRING = f"""
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents),
+fps AS ({_sql_winnow_fps('nrm')}),
+capped AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 100)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 40
+ORDER BY 1, 2
+"""
+
+
 def _q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs corpus."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5157,6 +5221,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_semantic_prune": _q_dedup_semantic_prune,
+        "text_winnow_fingerprints": _q_text_winnow_fps,
+        "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
@@ -5306,6 +5372,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
+        "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
+        "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),

@@ -535,6 +535,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select("id_a", "id_b", "jaccard"))
 
 
+def substring_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 8, w: int = 4, min_shared: int = 2,
+                        max_postings: int | None = None) -> DataFrame:
+    """Exact-substring near-dup candidates (id_a, id_b, shared) via
+    winnowing fingerprints — the bounded form of Lee et al.'s
+    ("Deduplicating Training Data Makes Language Models Better")
+    exact-substring pass: any two docs sharing >= k+w-1 normalized chars
+    share a fingerprint by the winnowing guarantee, so `shared` counts
+    distinct co-selected fingerprints. Differs from line/span dedup in
+    being boundary-free (matches need not align to lines or sentences)
+    and from minhash in being a guarantee, not an estimate.
+
+    Scale: identical inverted-index shape to ngram_jaccard_pairs — one
+    row per (pair, shared fp) through a codegen hash-aggregate, linear in
+    true overlap, never |corpus|²; the winnow index is ~2/(w+1) the size
+    of a full shingle index. Boilerplate fingerprints are the skew risk:
+    `max_postings` drops posting lists longer than the cap BEFORE the
+    self-join (shared becomes a lower bound; same documented trade as
+    ngram_jaccard_pairs). Suffix arrays (the paper's exact spans) don't
+    distribute; winnowing is the shuffle-friendly equivalent with a
+    tunable k+w-1 match-length floor."""
+    from .text_analysis import winnow_fingerprints
+    inv = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_postings is not None:
+        # the hot list is tiny by construction (only boilerplate fps
+        # exceed the cap), so it broadcasts — a stopword-list anti-join
+        # keeps the full index sort-free, where a count-over-window cap
+        # would sort every posting partition
+        hot = (inv.groupBy("fp")
+                  .agg(F.count(F.lit(1)).alias("_pl"))
+                  .filter(F.col("_pl") > max_postings)
+                  .select("fp"))
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (a.join(b, F.col("a.fp") == F.col("b.fp"))
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+
+
 # ---------------------------------------------------------------- embedding
 def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
                               block_col: str, top_n: int = 20,

@@ -425,6 +425,114 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
         run, schema=f"id {id_type}, fingerprint bigint")
 
 
+def winnow_expr(text_col: Column, k: int = 8, w: int = 4) -> Column:
+    """array<bigint> winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    scheme): the min k-char-shingle hash of every window of w consecutive
+    shingles, distinct. GUARANTEE: two documents sharing a normalized
+    substring of >= k+w-1 chars select at least one common fingerprint,
+    at ~2/(w+1) index density — the bounded form of Lee et al.'s
+    exact-substring dedup pass. fingerprint_expr is the degenerate
+    one-window case. Same engine-exact conventions as fingerprint_expr:
+    ASCII-\\s normalization, min over fixed-width md5 hex (= numeric
+    order), hash60 prefix conv only on the selected few."""
+    norm = F.regexp_replace(F.lower(text_col), "\\s+", " ")
+    n = F.length(norm)
+    m = F.greatest(n - (k - 1), F.lit(0))   # shingle count
+    # LINEAR construction throughout (the word_ngram_array lesson): an
+    # expression captured inside a HOF lambda body is re-evaluated PER
+    # ELEMENT (no subexpression sharing in interpreted HOFs), so the
+    # naive transform(seq, j -> array_min(slice(hs, j, w))) form costs
+    # O(m²) md5 evals per row. Shifted-slice zips keep every reuse an
+    # ARGUMENT expression (evaluated once per row per reference).
+    chars = F.split(norm, "")
+    grams = F.slice(chars, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(chars, j + 1, m),
+                           lambda a, b: F.concat(a, b))
+    hs = F.transform(grams, lambda g: F.md5(g))
+    # sliding min of width w == elementwise least of w shifted views;
+    # m < w degenerates to ONE window (short slices null-pad, least
+    # skips nulls). min over fixed-width hex == numeric min; conv only
+    # the selected few.
+    nwin = F.greatest(m - (w - 1), F.lit(1))
+    wins = F.slice(hs, 1, nwin)
+    for j in range(1, w):
+        wins = F.zip_with(wins, F.slice(hs, j + 1, nwin),
+                          lambda a, b: F.least(a, b))
+    fps = F.transform(F.array_distinct(wins),
+                      lambda h: F.conv(F.substring(h, 1, 15), 16, 10)
+                                 .cast("bigint"))
+    return F.when(n >= k, fps).otherwise(F.array(hash60(norm)))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """(id, fp) exploded winnowing fingerprint set — Arrow twin of
+    winnow_expr (parity-pinned by tests/test_winnow.py), same rationale
+    as fingerprints(): the shingle expansion crosses into Python once per
+    partition and the per-window min runs as a monotone-deque sweep —
+    O(m) digest comparisons per doc vs the expression form's O(m*w)
+    interpreted md5/array_min evals. Scale: per-partition, zero shuffle;
+    output is ~2/(w+1) rows per shingle."""
+    import hashlib
+    import re
+    from collections import deque
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    md5 = hashlib.md5
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    # expression-form parity: NULL text yields one NULL
+                    # fp row (which equality joins then drop) — not the
+                    # fingerprint of "", which would pair null with empty
+                    ids.append(rid)
+                    fps.append(None)
+                    continue
+                norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII)
+                if len(norm) < k:
+                    sel = {int(md5(norm.encode()).hexdigest()[:15], 16)}
+                else:
+                    # digest byte order == hex order (fingerprints() note)
+                    if norm.isascii():
+                        b = norm.encode()
+                        digs = [md5(b[i:i + k]).digest()
+                                for i in range(len(b) - k + 1)]
+                    else:
+                        digs = [md5(norm[i:i + k].encode()).digest()
+                                for i in range(len(norm) - k + 1)]
+                    if len(digs) <= w:
+                        mins = {min(digs)}
+                    else:
+                        mins, dq = set(), deque()
+                        for i, d in enumerate(digs):
+                            while dq and digs[dq[-1]] > d:
+                                dq.pop()
+                            dq.append(i)
+                            if dq[0] <= i - w:
+                                dq.popleft()
+                            if i >= w - 1:
+                                mins.add(digs[dq[0]])
+                    sel = {int.from_bytes(d[:8], "big") >> 4 for d in mins}
+                ids.extend([rid] * len(sel))
+                fps.extend(sorted(sel))
+            # dtype=object: a None (null-text row) in a plain list makes
+            # pandas coerce the column to float64, which ROUNDS 60-bit
+            # fingerprints (>2^53) — config-dependent and silent
+            yield pd.DataFrame({"id": ids,
+                                "fp": pd.Series(fps, dtype="object")})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        run, schema=f"id {id_type}, fp bigint")
+
+
 # ------------------------------------------------------------- PII scrub
 # Pattern dialect is the RE2/Java common subset (no lookaround, no \b
 # ambiguity differences for these shapes) so Spark and SQL oracles agree.

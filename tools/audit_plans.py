@@ -56,6 +56,10 @@ PYTHON_OK = {
     # expressions; batch==solo parity-tested); the known-item eval runs
     # the same batch scorer:
     "bm25_batch_ranked", "bm25_known_item_eval",
+    # winnowing fingerprint sweep (monotone-deque sliding min over md5
+    # digests — Arrow twin of winnow_expr, parity-tested); the pairs
+    # entry is the inverted-index join over the same sweep:
+    "text_winnow_fingerprints", "dedup_substring_pairs",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
