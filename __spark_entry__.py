@@ -4036,6 +4036,26 @@ def _q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day"))
 
 
+def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch under its own rank-error guarantee
+    (operators/sketches.py::quantile_sketch_bounds): per event_type
+    percentile_approx(p50/p95/p99, accuracy=100) verified with integer
+    rank arithmetic — the booleans are engine-exact and deterministic for
+    ANY guarantee-honoring sketch merge order, so sketch correctness is
+    driver-stampable (sketch_daily_rollup's VALUES stay rows-only by
+    nature; this is its oracle-visible twin)."""
+    from rassengine_spark.operators.sketches import quantile_sketch_bounds
+    ev = load_tables(spark, sf_dir)["events"]
+    return quantile_sketch_bounds(ev, "value", "event_type")
+
+
+_SQL_EVENTS_QSKETCH = """
+SELECT event_type, count(value) AS n,
+       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type: bucket =
     floor(value/width) clamped to [0, nbins-1] — engine-exact integer
@@ -5322,6 +5342,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_gapfill": _q_events_gapfill,
         "basket_part_lift": _q_basket_lift,
         "events_value_histogram": _q_events_histogram,
+        "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -5474,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "basket_part_lift": _SQL_BASKET_LIFT,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
+        "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,

@@ -1,0 +1,62 @@
+"""Sketch aggregates with driver-checkable guarantees.
+
+`sketch_daily_rollup` exposes raw sketch outputs (rows-only: the values
+are algorithm-specific), and tests/test_sketches.py pins error bounds in
+pytest. This module closes the remaining evidence gap: it wraps a sketch
+in its own published guarantee, evaluated with INTEGER arithmetic, so the
+result is a deterministic boolean row an SQL oracle can assert — sketch
+correctness becomes driver-stampable even though sketch values aren't
+SQL-reproducible. The booleans are also robust to sketch
+nondeterminism: any merge order that honors the rank-error contract
+yields the same TRUEs, so partitioning changes can't flake the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
+                           qs: tuple[int, ...] = (50, 95, 99),
+                           accuracy: int = 100) -> DataFrame:
+    """Per-key approximate percentiles (percentile_approx — the
+    Greenwald-Khanna-family quantile sketch, fixed memory one-pass)
+    checked against the sketch's own rank-error guarantee: the returned
+    value is an element of the group whose rank interval
+    [count(< v) + 1, count(<= v)] must intersect
+    [ceil(q·n) − tol, ceil(q·n) + tol], tol = n div accuracy + 1
+    (the published ε = 1/accuracy rank error, +1 slack for the rank
+    convention at ties). Everything is bigint arithmetic — count
+    comparisons, ceil via (n·q + 99) div 100 — so `ok_p*` booleans are
+    engine-exact and an oracle asserts them as literal TRUE alongside
+    the exact group count.
+
+    Plan shape at 100 TB: one sketch aggregate (fixed memory per key),
+    the |keys|-row result broadcast back for one conditional-count
+    aggregate — two shuffles on the group key, no sort, no per-group
+    collection. The rank-verification join is the check's cost, not the
+    sketch's; production rollups run the sketch aggregate alone."""
+    fracs = [q / 100 for q in qs]
+    apx = df.groupBy(key_col).agg(
+        F.count(value_col).alias("n"),
+        F.percentile_approx(value_col, fracs, accuracy).alias("_ap"))
+    j = df.join(F.broadcast(apx), key_col)
+    aggs = []
+    v = F.col(value_col)
+    for i, q in enumerate(qs):
+        a = F.element_at(F.col("_ap"), i + 1)
+        aggs += [F.sum(F.when(v < a, 1).otherwise(0)).alias(f"_lo{q}"),
+                 F.sum(F.when(v <= a, 1).otherwise(0)).alias(f"_hi{q}")]
+    g = j.groupBy(key_col, "n").agg(*aggs)
+    n = F.col("n")
+    # integer/100 division is exactly rounded and >1/100 away from any
+    # non-multiple integer, so floor over the double quotient is exact
+    tol = F.floor(n / accuracy).cast("long") + 1
+    out = [F.col(key_col), n]
+    for q in qs:
+        t = F.floor((n * q + 99) / 100).cast("long")     # ceil(q·n)
+        ok = ((F.col(f"_lo{q}") + 1 <= t + tol)
+              & (F.col(f"_hi{q}") >= t - tol))
+        out.append(ok.alias(f"ok_p{q}"))
+    return g.select(*out)

@@ -124,3 +124,27 @@ def test_histogram_quantile_rank_is_exact_on_fp_boundaries(spark, tmp_path):
     got = read_histogram_quantiles(spark, str(tmp_path / "h"), ["grp"],
                                    [0.55]).collect()[0]
     assert got.q_0_55 == 1.0      # upper edge of the 55-count bin
+
+
+def test_quantile_sketch_bounds_all_true(spark):
+    from rassengine_spark.operators.sketches import quantile_sketch_bounds
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 2654435761) % 97129).cast("double").alias("v"))
+    rows = quantile_sketch_bounds(df, "v", "g").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n == 10000
+        assert r.ok_p50 and r.ok_p95 and r.ok_p99
+
+
+def test_quantile_sketch_bounds_null_and_tiny_groups(spark):
+    from rassengine_spark.operators.sketches import quantile_sketch_bounds
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", None), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in quantile_sketch_bounds(df, "v", "g").collect()}
+    assert got["a"].n == 2 and got["a"].ok_p50
+    assert got["b"].n == 0 and got["b"].ok_p99   # all-null group holds
+    assert got["c"].n == 1 and got["c"].ok_p95
