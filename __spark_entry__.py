@@ -4138,6 +4138,48 @@ ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
+def _q_basket_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph
+    (operators/graph.py::pagerank_micro): 3 synchronous rounds in integer
+    micro-units — rank div degree contributions and a (85·Σ) div 100
+    damped update are order-free integer ops, so the iterative result is
+    bit-exact in any engine (the FP formulation would be shuffle-order
+    dependent). The authority-score complement to dup_clusters in the
+    iterative-graph family."""
+    from rassengine_spark.operators.graph import (cooccurrence_edges,
+                                                  pagerank_micro)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank_micro(edges, iters=3)
+
+
+def _sql_basket_pagerank(iters: int = 3) -> str:
+    # AS MATERIALIZED: e/deg/r{i} are each referenced twice per round —
+    # plain CTEs inline and double the tree per iteration (the BPE-oracle
+    # lesson, NOTES.md)
+    sql = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    AND a.l_partkey <> b.l_partkey),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+"""
+    for i in range(iters):
+        sql += f"""s{i} AS MATERIALIZED (
+  SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (
+  SELECT r{i}.node,
+         CAST(150000 + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM r{i} LEFT JOIN s{i} ON s{i}.dst = r{i}.node),
+"""
+    return (sql.rstrip(",\n")
+            + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node")
+
+
 def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, recency (days since last order),
     frequency (orders), monetary (total price) — each quartile-binned
@@ -5341,6 +5383,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_volume_anomaly": _q_events_anomaly,
         "events_daily_gapfill": _q_events_gapfill,
         "basket_part_lift": _q_basket_lift,
+        "basket_part_pagerank": _q_basket_pagerank,
         "events_value_histogram": _q_events_histogram,
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "customer_rfm_segments": _q_customer_rfm,
@@ -5494,6 +5537,7 @@ def oracle_sql() -> dict[str, str]:
         "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "basket_part_lift": _SQL_BASKET_LIFT,
+        "basket_part_pagerank": _sql_basket_pagerank(),
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,

@@ -1,0 +1,59 @@
+"""Integer-micro PageRank (operators/graph.py) vs a single-threaded
+reference with identical integer arithmetic."""
+
+from rassengine_spark.operators.graph import cooccurrence_edges, pagerank_micro
+
+
+def _reference(edges, iters=3, damping_pct=85):
+    from collections import defaultdict
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: 1000000 for n in deg}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {n: 150000 + damping_pct * s.get(n, 0) // 100 for n in r}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank_micro
+            for r in pagerank_micro(df, **kw).collect()}
+
+
+def test_pagerank_matches_reference(spark):
+    # a small asymmetric-degree graph (made symmetric edge-wise)
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 5), (5, 6)]
+    edges = und + [(b, a) for a, b in und]
+    assert _run(spark, edges) == _reference(edges)
+
+
+def test_pagerank_star_center_dominates(spark):
+    und = [(0, i) for i in range(1, 9)]
+    edges = und + [(b, a) for a, b in und]
+    got = _run(spark, edges)
+    assert got == _reference(edges)
+    assert got[0] > max(got[i] for i in range(1, 9))
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # truncating integer division only LOSES mass: total rank can never
+    # exceed n * 1e6 (teleport + damping preserve the invariant)
+    und = [(i, (i * 3 + 1) % 11) for i in range(11) if i != (i * 3 + 1) % 11]
+    edges = list({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    got = _run(spark, edges, iters=5)
+    assert sum(got.values()) <= len(got) * 1000000
+
+
+def test_cooccurrence_edges_symmetric(spark):
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 10), (3, 13)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {(r.src, r.dst)
+           for r in cooccurrence_edges(df, "g", "item").collect()}
+    assert got == {(10, 11), (11, 10), (10, 12), (12, 10), (11, 12),
+                   (12, 11)}   # order-2 dup collapses; singleton drops
+    # every edge present both ways -> every node has out-degree
+    assert {a for a, _ in got} == {b for _, b in got}

@@ -83,6 +83,9 @@ SORT_OK = {
     # SMJ per-partition sorts on the normalized-line join key (line stats
     # x exploded lines — both corpus-scale at 100 TB, broadcast is wrong):
     "text_line_dedup",
+    # SMJ sorts per PageRank round (edges x |V|-row rank/degree frames —
+    # every side is graph-scale at 100 TB, broadcast is wrong):
+    "basket_part_pagerank",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
