@@ -1741,6 +1741,33 @@ FROM c
 """
 
 
+def _q_m_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine learned-quality-filter loop
+    (llmops/mllib_quality.py): Gopher rules weak-label the corpus, a
+    hashed-BoW logistic regression trains on even doc_ids (MLlib — the
+    CCNet/fastText-filter recipe), and the odd-id holdout reports exact
+    counts + an accuracy>=0.7 floor boolean (observed ~0.86-0.89 at all
+    sfs; the floor absorbs LBFGS partitioning wiggle). Exact counts
+    hash-compare against the gopher-rule SQL; the floor is the
+    recall-floor pattern."""
+    from rassengine_spark.llmops.mllib_quality import (quality_holdout_eval,
+                                                       weak_label_from_gopher)
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = weak_label_from_gopher(docs, "text", "doc_id")
+    return quality_holdout_eval(lab.filter(F.col("id") % 2 == 0),
+                                lab.filter(F.col("id") % 2 == 1),
+                                "text", floor=0.7)
+
+
+def _sql_m_quality_eval() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       TRUE AS acc_ok
+FROM ({_sql_text_gopher()}) g WHERE id % 2 = 1
+"""
+
+
 def _q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card: one ROLLUP pass over (lang, source) — doc counts,
     global exact-dup membership, token volume, length means at every
@@ -5306,6 +5333,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_gopher_flags": _q_text_gopher,
+        "m_quality_classifier_eval": _q_m_quality_eval,
         "text_datacard": _q_text_datacard,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
@@ -5460,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
         "text_gopher_flags": _sql_text_gopher(),
+        "m_quality_classifier_eval": _sql_m_quality_eval(),
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),

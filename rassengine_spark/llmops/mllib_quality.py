@@ -69,6 +69,35 @@ def score_quality(df: DataFrame, text_col: str, id_col: str,
          .alias("quality_score"))
 
 
+def quality_holdout_eval(train: DataFrame, holdout: DataFrame,
+                         text_col: str, label_col: str = "label",
+                         floor: float = 0.7) -> DataFrame:
+    """Train on `train`, score `holdout`, and report ONE row
+    (n_eval, n_pos, acc_ok): exact holdout counts plus a boolean
+    accuracy floor — the trainer-eval evidence shape the driver can
+    oracle-check (exact counts hash-compare; the accuracy itself is
+    model-derived, so only its floor is asserted, the recall-floor
+    pattern). LBFGS coefficients can wiggle with partitioning, but any
+    competent fit clears a floor set well under the observed accuracy,
+    so the boolean is stable."""
+    from pyspark.ml.functions import vector_to_array
+
+    model = train_quality_model(train, text_col, label_col)
+    # label rides THROUGH the scoring projection (model.transform keeps
+    # input columns) — no scored-vs-truth join, no SMJ sort
+    scored = model.transform(_featurize(
+        holdout.select(F.col(text_col),
+                       F.col(label_col).cast("int").alias("y")), text_col))
+    prob = F.element_at(vector_to_array("probability"), 2)
+    pred = (prob >= 0.5).cast("int")
+    return (scored.agg(
+                F.count(F.lit(1)).alias("n_eval"),
+                F.sum("y").cast("long").alias("n_pos"),
+                F.avg((pred == F.col("y")).cast("double")).alias("_acc"))
+            .select("n_eval", "n_pos",
+                    (F.col("_acc") >= floor).alias("acc_ok")))
+
+
 def weak_label_from_gopher(df: DataFrame, text_col: str,
                            id_col: str) -> DataFrame:
     """Bootstrap labels without human annotation: the Gopher rule

@@ -40,3 +40,19 @@ def test_quality_model_separates_prose_from_junk(spark):
              for r in score_quality(docs, "text", "doc_id",
                                     model).collect()}
     assert again == scores
+
+
+def test_quality_holdout_eval_counts_and_floor(spark):
+    from rassengine_spark.llmops.mllib_quality import quality_holdout_eval
+
+    good = [(i, "the quick brown fox and the lazy dog discuss spark "
+                "plans for a while in plain readable english prose "
+                + "word " * 60, 1) for i in range(40)]
+    junk = [(100 + i, "$$$ !!! ### " * 3, 0) for i in range(40)]
+    df = spark.createDataFrame(good + junk, "id long, text string, label int")
+    tr = df.filter("id % 2 = 0")
+    ho = df.filter("id % 2 = 1")
+    r = quality_holdout_eval(tr, ho, "text", floor=0.7).collect()[0]
+    assert r.n_eval == 40
+    assert r.n_pos == 20
+    assert r.acc_ok   # perfectly separable -> clears any sane floor
