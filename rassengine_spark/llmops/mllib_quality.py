@@ -71,7 +71,8 @@ def score_quality(df: DataFrame, text_col: str, id_col: str,
 
 def quality_holdout_eval(train: DataFrame, holdout: DataFrame,
                          text_col: str, label_col: str = "label",
-                         floor: float = 0.7) -> DataFrame:
+                         floor: float = 0.7,
+                         max_iter: int = 15) -> DataFrame:
     """Train on `train`, score `holdout`, and report ONE row
     (n_eval, n_pos, acc_ok): exact holdout counts plus a boolean
     accuracy floor — the trainer-eval evidence shape the driver can
@@ -82,7 +83,10 @@ def quality_holdout_eval(train: DataFrame, holdout: DataFrame,
     so the boolean is stable."""
     from pyspark.ml.functions import vector_to_array
 
-    model = train_quality_model(train, text_col, label_col)
+    # max_iter=15 default: holdout accuracy plateaus by ~10 LBFGS
+    # iterations on weak-label fits while 50 costs ~3x the wall clock
+    model = train_quality_model(train, text_col, label_col,
+                                max_iter=max_iter)
     # label rides THROUGH the scoring projection (model.transform keeps
     # input columns) — no scored-vs-truth join, no SMJ sort
     scored = model.transform(_featurize(
