@@ -4083,6 +4083,25 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch under its error bound
+    (operators/sketches.py::distinct_sketch_bounds): per event_type, the
+    exact distinct-user count hash-compares while |approx − exact| <=
+    4σ·rsd·exact + 1 is asserted as a boolean — the distinct-count twin
+    of events_quantile_sketch_bounds (sketch_daily_rollup's HLL VALUES
+    stay rows-only by nature)."""
+    from rassengine_spark.operators.sketches import distinct_sketch_bounds
+    ev = load_tables(spark, sf_dir)["events"]
+    return distinct_sketch_bounds(ev, "user_id", "event_type")
+
+
+_SQL_EVENTS_DSKETCH = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+       TRUE AS err_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type: bucket =
     floor(value/width) clamped to [0, nbins-1] — engine-exact integer
@@ -5414,6 +5433,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_pagerank": _q_basket_pagerank,
         "events_value_histogram": _q_events_histogram,
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
+        "events_distinct_sketch_bounds": _q_events_distinct_sketch,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -5569,6 +5589,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_pagerank": _sql_basket_pagerank(),
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
+        "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,

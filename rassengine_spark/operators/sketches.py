@@ -60,3 +60,27 @@ def quantile_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
               & (F.col(f"_hi{q}") >= t - tol))
         out.append(ok.alias(f"ok_p{q}"))
     return g.select(*out)
+
+
+def distinct_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
+                           rsd: float = 0.05,
+                           sigmas: float = 4.0) -> DataFrame:
+    """Per-key HLL++ distinct count (approx_count_distinct) checked
+    against the exact distinct count in the same pass: emits the exact
+    count (hash-comparable) and an `err_ok` boolean asserting
+    |approx − exact| <= sigmas·rsd·exact + 1 (HLL++'s relative standard
+    deviation with wide-sigma slack, +1 for tiny groups). The relative
+    error bound is probabilistic, but the corpus is fixed, so the
+    realized boolean is deterministic — at 4 sigma the floor holds with
+    margin on any data the sketch isn't pathologically wrong about.
+    One hash-aggregate computes sketch AND exact twin together; the
+    exact side is the verification cost, production rollups run the
+    sketch alone (fixed memory per key vs a distinct-set per key)."""
+    g = df.groupBy(key_col).agg(
+        F.approx_count_distinct(value_col, rsd).alias("_a"),
+        F.countDistinct(value_col).alias("n_distinct"))
+    # integer comparison: |a - n| * 100 <= sigmas*rsd*100 * n + 100
+    tol_pct = int(round(sigmas * rsd * 100))
+    ok = (F.abs(F.col("_a") - F.col("n_distinct")) * 100
+          <= F.col("n_distinct") * tol_pct + 100)
+    return g.select(key_col, "n_distinct", ok.alias("err_ok"))

@@ -148,3 +148,27 @@ def test_quantile_sketch_bounds_null_and_tiny_groups(spark):
     assert got["a"].n == 2 and got["a"].ok_p50
     assert got["b"].n == 0 and got["b"].ok_p99   # all-null group holds
     assert got["c"].n == 1 and got["c"].ok_p95
+
+
+def test_distinct_sketch_bounds_all_true(spark):
+    from rassengine_spark.operators.sketches import distinct_sketch_bounds
+
+    df = spark.range(60000).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 31) % 5000).alias("u"))
+    rows = distinct_sketch_bounds(df, "u", "g").collect()
+    assert len(rows) == 4
+    for r in rows:
+        # ids of one residue class mod 4, scaled by 31 (invertible mod
+        # 5000) -> 1250 distinct values per group
+        assert r.n_distinct == 1250 and r.err_ok
+
+
+def test_distinct_sketch_bounds_tiny_groups(spark):
+    from rassengine_spark.operators.sketches import distinct_sketch_bounds
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "g string, u int")
+    got = {r.g: r for r in distinct_sketch_bounds(df, "u", "g").collect()}
+    assert got["a"].n_distinct == 1 and got["a"].err_ok
+    assert got["b"].n_distinct == 1 and got["b"].err_ok
