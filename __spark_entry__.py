@@ -1768,6 +1768,30 @@ FROM ({_sql_text_gopher()}) g WHERE id % 2 = 1
 """
 
 
+def _q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter words
+    (operators/sketches.py::heavy_hitters_mg): the frequency-sketch
+    family stamped like the quantile/HLL entries — exact top-10 words
+    hash-compare, and the deterministic MG undercount bound
+    (true − Σest)·(k+1) <= N holds for ANY partitioning, so the boolean
+    never flakes. The fixed-memory complement to the exact top_ngrams
+    aggregate when item cardinality explodes (n-grams at 100 TB)."""
+    from rassengine_spark.operators.sketches import heavy_hitters_mg
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.explode(words_of(F.col("text"))).alias("w"))
+    return heavy_hitters_mg(words, "w", k=64, top=10)
+
+
+_SQL_TEXT_HEAVY_HITTERS = f"""
+WITH w AS (
+  SELECT unnest({_SQL_WORDS.format(col="text")}) AS item
+  FROM documents WHERE text IS NOT NULL)
+SELECT item, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS mg_ok
+FROM w GROUP BY item
+ORDER BY n_exact DESC, item ASC LIMIT 10
+"""
+
+
 def _q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card: one ROLLUP pass over (lang, source) — doc counts,
     global exact-dup membership, token volume, length means at every
@@ -5434,6 +5458,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": _q_events_histogram,
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "events_distinct_sketch_bounds": _q_events_distinct_sketch,
+        "text_heavy_hitters_mg": _q_text_heavy_hitters,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -5590,6 +5615,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,
+        "text_heavy_hitters_mg": _SQL_TEXT_HEAVY_HITTERS,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,

@@ -84,3 +84,63 @@ def distinct_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
     ok = (F.abs(F.col("_a") - F.col("n_distinct")) * 100
           <= F.col("n_distinct") * tol_pct + 100)
     return g.select(key_col, "n_distinct", ok.alias("err_ok"))
+
+
+def heavy_hitters_mg(df: DataFrame, item_col: str, k: int = 64,
+                     top: int = 10) -> DataFrame:
+    """Misra-Gries heavy hitters with the DETERMINISTIC error bound —
+    the third stamped sketch family (quantile rank error, HLL relative
+    error, and here frequency undercount). Per partition, an MG summary
+    of k counters (fixed memory however many distinct items stream by —
+    the case exact hash aggregation can't bound, e.g. n-grams at 100 TB);
+    summaries merge by summing estimates, and the classic analysis gives
+    true − Σest <= N/(k+1) with Σest <= true, INDEPENDENT of the
+    partitioning. The output keeps only partitioning-independent values:
+    the exact top-`top` items (count desc, item asc — deterministic
+    rows that hash-compare) and `mg_ok`, the integer-arithmetic bound
+    check (true − est)·(k+1) <= N.
+
+    Plan: one Arrow pass for the summaries (zero shuffle), a |items
+    surviving MG| <= k·partitions aggregate, the exact top-k via
+    TakeOrdered, and a broadcast join — the exact side is the
+    verification cost; production runs the MG pass alone."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters),
+                            "est": pd.Series(list(counters.values()),
+                                             dtype="object")})
+
+    items = df.select(F.col(item_col).alias("item"))
+    mg = (items.mapInPandas(run, schema="item string, est long")
+               .groupBy("item").agg(F.sum("est").alias("est")))
+    exact = (items.filter(F.col("item").isNotNull())
+                  .groupBy("item")
+                  .agg(F.count(F.lit(1)).alias("n_exact")))
+    n_total = exact.agg(F.sum("n_exact").alias("_N"))
+    topk = (exact.orderBy(F.desc("n_exact"), F.asc("item")).limit(top)
+                 .join(mg, "item", "left")
+                 .crossJoin(F.broadcast(n_total)))
+    est = F.coalesce(F.col("est"), F.lit(0))
+    ok = ((est <= F.col("n_exact"))
+          & ((F.col("n_exact") - est) * (k + 1) <= F.col("_N")))
+    return topk.select("item", "n_exact", ok.alias("mg_ok"))

@@ -172,3 +172,26 @@ def test_distinct_sketch_bounds_tiny_groups(spark):
     got = {r.g: r for r in distinct_sketch_bounds(df, "u", "g").collect()}
     assert got["a"].n_distinct == 1 and got["a"].err_ok
     assert got["b"].n_distinct == 1 and got["b"].err_ok
+
+
+def test_heavy_hitters_mg_bound_holds(spark):
+    from rassengine_spark.operators.sketches import heavy_hitters_mg
+
+    # zipf-ish: item j appears ~30000/(j+1) times
+    rows = [(f"w{j}",) for j in range(200) for _ in range(3000 // (j + 1))]
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    got = heavy_hitters_mg(df, "w", k=32, top=5).collect()
+    assert [r.item for r in got] == ["w0", "w1", "w2", "w3", "w4"]
+    assert got[0].n_exact == 3000
+    assert all(r.mg_ok for r in got)
+
+
+def test_heavy_hitters_mg_ties_and_nulls(spark):
+    from rassengine_spark.operators.sketches import heavy_hitters_mg
+
+    rows = [("a",), ("b",), ("a",), ("b",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, "w string")
+    got = heavy_hitters_mg(df, "w", k=4, top=2).collect()
+    # tie on count=2 breaks item asc; null never counts
+    assert [(r.item, r.n_exact) for r in got] == [("a", 2), ("b", 2)]
+    assert all(r.mg_ok for r in got)

@@ -60,6 +60,9 @@ PYTHON_OK = {
     # digests — Arrow twin of winnow_expr, parity-tested); the pairs
     # entry is the inverted-index join over the same sweep:
     "text_winnow_fingerprints", "dedup_substring_pairs",
+    # Misra-Gries summaries ARE the per-partition Arrow pass (fixed k
+    # counters per partition — the point of the sketch):
+    "text_heavy_hitters_mg",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
