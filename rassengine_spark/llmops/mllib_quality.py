@@ -32,7 +32,10 @@ N_FEATURES = 1 << 18
 def _featurize(df: DataFrame, text_col: str):
     from pyspark.ml.feature import HashingTF
 
-    toks = df.withColumn("_toks", tokenize(F.col(text_col)))
+    # NULL text would make tokenize yield a NULL array and HashingTF
+    # throw (NPE inside the UDF); the SQL oracle coalesces the same way
+    toks = df.withColumn("_toks",
+                         tokenize(F.coalesce(F.col(text_col), F.lit(""))))
     tf = HashingTF(inputCol="_toks", outputCol="features",
                    numFeatures=N_FEATURES)
     return tf.transform(toks).drop("_toks")

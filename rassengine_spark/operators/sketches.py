@@ -41,7 +41,11 @@ def quantile_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
     apx = df.groupBy(key_col).agg(
         F.count(value_col).alias("n"),
         F.percentile_approx(value_col, fracs, accuracy).alias("_ap"))
-    j = df.join(F.broadcast(apx), key_col)
+    # null-SAFE join key: a NULL group exists in both the aggregate and
+    # a GROUP BY oracle, but a plain equi-join would silently drop it
+    apx = apx.withColumnRenamed(key_col, "_k")
+    j = df.join(F.broadcast(apx),
+                F.col(key_col).eqNullSafe(F.col("_k"))).drop("_k")
     aggs = []
     v = F.col(value_col)
     for i, q in enumerate(qs):
@@ -108,6 +112,8 @@ def heavy_hitters_mg(df: DataFrame, item_col: str, k: int = 64,
 
     import pandas as pd
 
+    from ..util import spread
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
@@ -130,8 +136,12 @@ def heavy_hitters_mg(df: DataFrame, item_col: str, k: int = 64,
                             "est": pd.Series(list(counters.values()),
                                              dtype="object")})
 
-    items = df.select(F.col(item_col).alias("item"))
-    mg = (items.mapInPandas(run, schema="item string, est long")
+    item_type = df.schema[item_col].dataType.simpleString()
+    # spread(): a single-file input otherwise streams every item through
+    # ONE Python worker; extra partitions only add MG summaries, and the
+    # bound is partitioning-independent by design
+    items = spread(df.select(F.col(item_col).alias("item")))
+    mg = (items.mapInPandas(run, schema=f"item {item_type}, est long")
                .groupBy("item").agg(F.sum("est").alias("est")))
     exact = (items.filter(F.col("item").isNotNull())
                   .groupBy("item")
@@ -143,4 +153,7 @@ def heavy_hitters_mg(df: DataFrame, item_col: str, k: int = 64,
     est = F.coalesce(F.col("est"), F.lit(0))
     ok = ((est <= F.col("n_exact"))
           & ((F.col("n_exact") - est) * (k + 1) <= F.col("_N")))
-    return topk.select("item", "n_exact", ok.alias("mg_ok"))
+    # re-sort after the join: the limit's order does not survive it, and
+    # the docstring promises deterministic (count desc, item asc) rows
+    return (topk.select("item", "n_exact", ok.alias("mg_ok"))
+                .orderBy(F.desc("n_exact"), F.asc("item")))

@@ -56,3 +56,15 @@ def test_quality_holdout_eval_counts_and_floor(spark):
     assert r.n_eval == 40
     assert r.n_pos == 20
     assert r.acc_ok   # perfectly separable -> clears any sane floor
+
+
+def test_quality_eval_tolerates_null_text(spark):
+    from rassengine_spark.llmops.mllib_quality import quality_holdout_eval
+
+    rows = [(i, "plain useful english prose " + "word " * 40, 1)
+            for i in range(20)] + [(50, None, 0), (51, None, 0)]
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    r = quality_holdout_eval(df.filter("id % 2 = 0"),
+                             df.filter("id % 2 = 1"),
+                             "text", floor=0.5).collect()[0]
+    assert r.n_eval == 11   # 10 prose + 1 null-text doc, no crash

@@ -195,3 +195,13 @@ def test_heavy_hitters_mg_ties_and_nulls(spark):
     # tie on count=2 breaks item asc; null never counts
     assert [(r.item, r.n_exact) for r in got] == [("a", 2), ("b", 2)]
     assert all(r.mg_ok for r in got)
+
+
+def test_quantile_sketch_bounds_null_key_group(spark):
+    from rassengine_spark.operators.sketches import quantile_sketch_bounds
+
+    rows = [("a", 1.0), (None, 2.0), (None, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in quantile_sketch_bounds(df, "v", "g").collect()}
+    assert set(got) == {"a", None}      # NULL group survives the re-join
+    assert got[None].n == 2 and got[None].ok_p50
