@@ -958,6 +958,40 @@ ORDER BY 1, 2
 """
 
 
+def _q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-k
+    (llmops/similarity.py::maxsim_topk): docs are 10-vector bags
+    (vec_id div 10), queries are the label 0/1 token sets thinned to
+    ~1-in-12; score = Σ_token max_docvec rounded cosine, token sum as
+    DECIMAL (order-free) — the multi-vector retrieval family."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    docs = emb.filter(F.col("label") >= 2).select(
+        F.expr("vec_id div 10").alias("doc"), "embedding")
+    qs = emb.filter((F.col("label") < 2) & (F.col("vec_id") % 12 == 0))
+    return SIM.maxsim_topk(docs, qs, "embedding", "doc", "vec_id",
+                           "label", k=5)
+
+
+_SQL_SIM_MAXSIM = f"""
+WITH d AS (SELECT vec_id // 10 AS id, embedding AS v
+           FROM embeddings WHERE label >= 2),
+q AS (SELECT label AS query_id, vec_id AS qtok, embedding AS qv
+      FROM embeddings WHERE label < 2 AND vec_id % 12 = 0),
+mx AS (
+  SELECT query_id, qtok, id,
+         max({_SQL_COS.format(a='d.v', b='q.qv')}) AS m
+  FROM d CROSS JOIN q GROUP BY 1, 2, 3),
+sm AS (
+  SELECT query_id, id,
+         CAST(SUM(CAST(m AS DECIMAL(16,6))) AS DOUBLE) AS score
+  FROM mx GROUP BY 1, 2)
+SELECT query_id, id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM sm QUALIFY rank <= 5
+"""
+
+
 def _q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs corpus."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5356,6 +5390,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": _q_text_winnow_fps,
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
+        "sim_maxsim_topk": _q_sim_maxsim,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_store_topk": _q_sim_ivf_store,
@@ -5512,6 +5547,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
+        "sim_maxsim_topk": _SQL_SIM_MAXSIM,
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_ivf_store_topk": _sql_sim_ivf(),

@@ -308,6 +308,41 @@ def mine_triplets(corpus: DataFrame, queries: DataFrame, vec_col: str,
                         F.col("pos_score") - F.col("neg_score")))
 
 
+def maxsim_topk(doc_vecs: DataFrame, query_vecs: DataFrame, vec_col: str,
+                doc_col: str, qtok_col: str, query_id_col: str,
+                k: int = 5, round_to: int = 6) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+    public): documents and queries are BAGS of vectors, and
+    score(q, d) = Σ over query tokens of max over d's vectors of the
+    rounded cosine — the multi-vector family single-vector kNN can't
+    express (a token-level match counts even when pooled embeddings
+    disagree). Engine-exact: the per-token max of rounded doubles is
+    order-free, and the token sum folds as DECIMAL then casts to double
+    (the money-sum rule), so no ordered-fold machinery is needed.
+
+    Plan shape at 100 TB: one corpus-vector scan against the BROADCAST
+    query-token batch (bounded — the serving contract), a codegen cosine
+    per pair, then two hash aggregates keyed on (query, token, doc) and
+    (query, doc); the per-query k-heap is the only other shuffle. Doc
+    token-bag size is the per-row cost knob, corpus size never enters a
+    join key."""
+    d = doc_vecs.select(F.col(doc_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    q = query_vecs.select(F.col(query_id_col).alias("query_id"),
+                          F.col(qtok_col).alias("qtok"),
+                          F.col(vec_col).alias("qv"))
+    pairs = d.crossJoin(F.broadcast(q))
+    s = F.round(cosine(F.col("v"), F.col("qv")), round_to)
+    mx = (pairs.withColumn("s", s)
+               .groupBy("query_id", "qtok", "id")
+               .agg(F.max("s").alias("m")))
+    score = (F.sum(F.col("m").cast("decimal(16,6)"))
+              .cast("double").alias("score"))
+    sm = mx.groupBy("query_id", "id").agg(score)
+    return (_per_query_topk(sm, k)
+            .select("query_id", "id", "score", "rank"))
+
+
 def cluster_profile(corpus: DataFrame, vec_col: str, id_col: str,
                     n_cells: int = 8, round_to: int = 6,
                     centroids: list[list[float]] | None = None) -> DataFrame:

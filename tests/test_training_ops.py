@@ -169,3 +169,47 @@ def test_top_ngrams_counts_and_short_doc_guard(spark):
             top_ngrams(docs, "text", n=3, k=2).collect()]
     assert got3[0] == ("the cat sat", 2)
     assert got3[1] == ("cat sat on", 1)
+
+
+def test_maxsim_topk_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.similarity import maxsim_topk
+
+    import math
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb + 1e-9)
+
+    docs = [(d, [float((d * 7 + i * 3 + j) % 5 - 2) for j in range(4)])
+            for d in range(6) for i in range(3)]
+    qs = [(0, t, [float((t + j) % 3 - 1) for j in range(4)])
+          for t in range(2)] + [(1, 9, [1.0, 0.0, -1.0, 0.5])]
+    ddf = spark.createDataFrame(docs, "doc long, v array<double>")
+    qdf = spark.createDataFrame(qs, "qid long, tok long, v array<double>")
+    got = {(r.query_id, r.id): (r.score, r.rank)
+           for r in maxsim_topk(ddf, qdf, "v", "doc", "tok", "qid",
+                                k=3).collect()}
+
+    # reference: sum over tokens of max over doc vectors of round(cos, 6)
+    from collections import defaultdict
+    by_doc = defaultdict(list)
+    for d, v in docs:
+        by_doc[d].append(v)
+    by_q = defaultdict(list)
+    for qid, _, v in qs:
+        by_q[qid].append(v)
+    want = {}
+    for qid, toks in by_q.items():
+        scored = sorted(
+            ((sum(max(round(cos(t, v), 6) for v in vs) for t in toks), -d)
+             for d, vs in by_doc.items()), reverse=True)
+        for rank, (s, negd) in enumerate(scored[:3], 1):
+            want[(qid, -negd)] = (round(s, 10), rank)
+    assert set(got) == set(want)
+    for key, (s, rank) in want.items():
+        assert got[key][1] == rank
+        assert abs(got[key][0] - s) < 1e-9
