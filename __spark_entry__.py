@@ -382,6 +382,51 @@ def _q_q3_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "score")
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and vector routes
+    (operators/search.py::rrf_fuse): BM25 top-20 and dot-product top-20
+    fused by Σ 1/(60+rank) — the zero-tuning alternative to Q3's
+    weighted should-sum; ranks are integers, so the fused score is
+    engine-exact by construction."""
+    from pyspark.sql.window import Window
+
+    from rassengine_spark.functions.bm25 import bm25_topk
+    t = load_tables(spark, sf_dir)
+    lex = bm25_topk(t["documents"], "text", "doc_id",
+                    "spark join query", k=20)
+    wr = Window.orderBy(F.desc("score"), F.asc("id"))     # 20-row frame
+    lex_r = lex.select("id", F.row_number().over(wr).alias("rank"))
+    sem = (t["embeddings"]
+           .select(F.col("vec_id").alias("id"),
+                   F.round(V.dot_literal(F.col("embedding"), QVEC), 6)
+                    .alias("score"))
+           .orderBy(F.desc("score"), F.asc("id")).limit(20))
+    sem_r = sem.select("id", F.row_number().over(wr).alias("rank"))
+    return ops.rrf_fuse(lex_r, sem_r, rrf_k=60, top=10) \
+              .withColumnRenamed("id", "doc_id")
+
+
+def _sql_hybrid_rrf() -> str:
+    from rassengine_spark.functions.bm25 import bm25_sql
+    lex = bm25_sql("documents", "text", "doc_id", "spark join query", k=20)
+    return f"""
+WITH lex AS ({lex}),
+lexr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+                         AS INT) AS r FROM lex),
+sem AS (
+  SELECT vec_id AS id, round({_sql_dot('embedding', QVEC_SQL)}, 6) AS score
+  FROM embeddings ORDER BY score DESC, id ASC LIMIT 20),
+semr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+                         AS INT) AS r FROM sem),
+f AS (
+  SELECT COALESCE(a.id, b.id) AS doc_id,
+         round(COALESCE(1.0 / (60 + a.r), 0)
+               + COALESCE(1.0 / (60 + b.r), 0), 6) AS score
+  FROM lexr a FULL JOIN semr b ON a.id = b.id)
+SELECT doc_id, score FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 _T3 = ["hash", "join", "stream"]
 _SQL_Q3_HYBRID = f"""
 WITH joined AS (
@@ -5370,6 +5415,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_has_data": _q_q14_has_data,
         "s8_l2_normalize": _q_s8_normalize,
         "q3_hybrid_search": _q_q3_hybrid,
+        "hybrid_rrf_fusion": _q_hybrid_rrf,
         "q4_structured_prefix": _q_q4_structured,
         "q5_hybrid_structured": _q_q5_hybrid_structured,
         "q7_comparison": _q_q7_comparison,
@@ -5527,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_has_data": _SQL_Q14_HAS_DATA,
         "s8_l2_normalize": _SQL_S8_NORMALIZE,
         "q3_hybrid_search": _SQL_Q3_HYBRID,
+        "hybrid_rrf_fusion": _sql_hybrid_rrf(),
         "q4_structured_prefix": _SQL_Q4_STRUCTURED,
         "q5_hybrid_structured": _SQL_Q5_HYBRID_STRUCTURED,
         "q7_comparison": _SQL_Q7_COMPARISON,

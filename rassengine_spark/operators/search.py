@@ -334,3 +334,33 @@ def has_any_data(df: DataFrame) -> bool:
     """Q14 existence probe (reference `has_any_data`, app/main.py:1470-1478).
     limit(1) stops the scan at the first non-empty partition."""
     return df.limit(1).count() > 0
+
+
+# ---------------------------------------------------------------- RRF
+def rrf_fuse(a: DataFrame, b: DataFrame, rrf_k: int = 60, top: int = 10,
+             round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    ranked lists — each (id, rank): score = Σ 1/(rrf_k + rank) over the
+    lists the id appears in. Rank-based fusion is immune to the
+    score-scale mismatch between lexical and vector systems (the
+    reference's HYBRID should-sum, app/main.py:1562-1615, needs tuned
+    per-clause weights; RRF needs none) — the standard zero-tuning
+    alternative for the same route.
+
+    Engine-exact: 1/(rrf_k+rank) is the correctly-rounded double of two
+    exact integers — identical in any engine — and the two-term sum is
+    one FP add. Scale: inputs are top-k lists (bounded by contract), so
+    the fuse is a full-outer join of k-row frames; the expensive part is
+    producing the input rankings, which keep their own plans."""
+    ra = a.select("id", F.col("rank").alias("_ra"))
+    rb = b.select("id", F.col("rank").alias("_rb"))
+    j = ra.join(rb, "id", "full")
+
+    def term(c: str) -> Column:
+        return F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col(c)),
+                          F.lit(0.0))
+
+    score = F.round(term("_ra") + term("_rb"), round_to)
+    return (j.select("id", score.alias("score"))
+             .orderBy(F.col("score").desc(), F.col("id").asc())
+             .limit(top))
