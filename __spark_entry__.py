@@ -4861,6 +4861,39 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
 """
 
 
+def _q_table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption between snapshots
+    (pipeline/maintenance.py::read_snapshot_diff — the append-only CDF
+    read): write half, publish v1, append the rest, publish v2; the diff
+    read plans EXACTLY the files v2 records beyond v1 (metadata-only set
+    difference), so a downstream job consumes "what's new since v1"
+    without rescanning or diffing data. Oracle = the appended half's
+    predicate."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.pipeline.maintenance import (publish_snapshot,
+                                                       read_snapshot_diff)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_snapdiff_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "lang", "n_chars")
+    docs.filter(F.col("doc_id") < 300).write.parquet(path)
+    v1 = publish_snapshot(spark, path)
+    docs.filter(F.col("doc_id") >= 300).write.mode("append").parquet(path)
+    v2 = publish_snapshot(spark, path)
+    return read_snapshot_diff(spark, path, v1, v2)
+
+
+_SQL_TABLE_SNAPSHOT_DIFF = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 300
+"""
+
+
 def _q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance as a driver-checkable query
     (pipeline/ingest.py::merge_rollup — the serving-freshness pattern):
@@ -5554,6 +5587,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_clean": _q_text_unicode_clean,
         "events_rollup_merge": _q_events_rollup_merge,
         "table_snapshot_read": _q_table_snapshot_read,
+        "table_snapshot_diff": _q_table_snapshot_diff,
         "m1_intent_route": _q_m1_intent_route,
         "s7_embed_hash_ngram": _q_s7_embed,
     }
@@ -5711,6 +5745,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unicode_clean": _SQL_TEXT_UNICODE_CLEAN,
         "events_rollup_merge": _SQL_EVENTS_ROLLUP_MERGE,
         "table_snapshot_read": _SQL_TABLE_SNAPSHOT_READ,
+        "table_snapshot_diff": _SQL_TABLE_SNAPSHOT_DIFF,
         # golden-by-construction oracle: the bundles are deterministic
         # functions of (doc_id, text), so the expected parse output is
         # derivable in SQL without a JSON parser — validates the whole

@@ -77,6 +77,30 @@ def read_snapshot(spark: SparkSession, path: str, name: str) -> DataFrame:
     return spark.read.parquet(*manifest["files"])
 
 
+def read_snapshot_diff(spark: SparkSession, path: str,
+                       since: str, until: str) -> DataFrame:
+    """Rows APPENDED between two snapshots — incremental consumption
+    (the Delta/Iceberg CDF "what's new since v7" read, append-only
+    form): scan exactly the files `until` records that `since` does not.
+    Metadata-only planning (a set difference of manifest file lists);
+    correct for the append-only ingest this pipeline runs because
+    appends only add files. A compaction between the snapshots breaks
+    file-identity — publish diffs from the same epoch, or re-baseline
+    after compacting (compaction renames are intra-version moves
+    recorded in the manifests, so pre/post lists stay literal)."""
+    path = os.path.abspath(path)
+
+    def files_of(name: str) -> list[str]:
+        with open(os.path.join(path, "_snapshots", f"{name}.json")) as f:
+            return json.load(f)["files"]
+
+    new = sorted(set(files_of(until)) - set(files_of(since)))
+    if not new:
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], StructType([]))
+    return spark.read.parquet(*new)
+
+
 def list_snapshots(path: str) -> list[str]:
     snap_dir = os.path.join(path, "_snapshots")
     if not os.path.isdir(snap_dir):

@@ -65,3 +65,20 @@ def test_prune_versions_respects_manifests(spark, tmp_path):
     assert glob.glob(path + "/.versions/*/*") == []
     assert {r.id for r in spark.read.parquet(path).collect()} \
         == set(range(20))
+
+
+def test_snapshot_diff_returns_only_appended_rows(spark, tmp_path):
+    from rassengine_spark.pipeline.maintenance import (publish_snapshot,
+                                                       read_snapshot_diff)
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    v1 = publish_snapshot(spark, path)
+    spark.range(10, 25).write.mode("append").parquet(path)
+    v2 = publish_snapshot(spark, path)
+    got = sorted(r.id for r in read_snapshot_diff(spark, path, v1, v2)
+                 .collect())
+    assert got == list(range(10, 25))
+    # no appends between snapshots -> empty frame, no crash
+    v3 = publish_snapshot(spark, path)
+    assert read_snapshot_diff(spark, path, v2, v3).count() == 0
