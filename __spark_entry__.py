@@ -1037,6 +1037,71 @@ FROM sm QUALIFY rank <= 5
 """
 
 
+def _q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (llmops/similarity.py::mmr_rerank): per
+    query, cosine top-8 candidates greedily reranked by
+    0.5·rel − 0.5·max-sim-to-selected, k=3 — the rerank pass that stops
+    a result list being near-duplicates of one hit. Fixed-k greedy steps
+    unroll into a SQL oracle; the Arrow pass uses the HALF_UP driver
+    twin so the penalties are engine-exact."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 2) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cand = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                "qid", k=8)
+    withv = emb.select(F.col("vec_id").alias("id"), "embedding") \
+               .join(F.broadcast(cand), "id")
+    return SIM.mmr_rerank(withv, "embedding", "id", "query_id",
+                          rel_col="score", k=3) \
+              .orderBy("query_id", "mmr_rank")
+
+
+def _sql_sim_mmr() -> str:
+    cos = _SQL_COS.format
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 2),
+c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+      WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, id, {cos(a='c.v', b='q.qv')} AS rel, v
+  FROM c CROSS JOIN q),
+cand AS MATERIALIZED (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, id ASC) <= 8),
+s1 AS MATERIALIZED (
+  SELECT query_id, id, v FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, id ASC) = 1),
+r2 AS (
+  SELECT c.query_id, c.id, c.rel, c.v,
+         0.5 * c.rel - 0.5 * {cos(a='c.v', b='s1.v')} AS sc
+  FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.id <> s1.id),
+s2 AS MATERIALIZED (
+  SELECT query_id, id, v FROM r2
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sc DESC, id ASC) = 1),
+r3 AS (
+  SELECT c.query_id, c.id,
+         0.5 * c.rel - 0.5 * greatest({cos(a='c.v', b='s1.v')},
+                                      {cos(a='c.v', b='s2.v')}) AS sc
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id
+  JOIN s2 ON c.query_id = s2.query_id
+  WHERE c.id <> s1.id AND c.id <> s2.id),
+s3 AS (
+  SELECT query_id, id FROM r3
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sc DESC, id ASC) = 1)
+SELECT query_id, id, CAST(1 AS INT) AS mmr_rank FROM s1
+UNION ALL SELECT query_id, id, 2 FROM s2
+UNION ALL SELECT query_id, id, 3 FROM s3
+ORDER BY query_id, mmr_rank
+"""
+
+
 def _q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: 5 query vectors vs corpus."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5470,6 +5535,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_maxsim_topk": _q_sim_maxsim,
+        "sim_mmr_rerank": _q_sim_mmr,
         "sim_lsh_bucketed_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_store_topk": _q_sim_ivf_store,
@@ -5629,6 +5695,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,
         "sim_bruteforce_topk": _SQL_SIM_BRUTEFORCE,
         "sim_maxsim_topk": _SQL_SIM_MAXSIM,
+        "sim_mmr_rerank": _sql_sim_mmr(),
         "sim_lsh_bucketed_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_ivf_store_topk": _sql_sim_ivf(),

@@ -343,6 +343,56 @@ def maxsim_topk(doc_vecs: DataFrame, query_vecs: DataFrame, vec_col: str,
             .select("query_id", "id", "score", "rank"))
 
 
+def mmr_rerank(candidates: DataFrame, vec_col: str, id_col: str,
+               query_id_col: str, rel_col: str = "score", k: int = 3,
+               lam: float = 0.5, round_to: int = 6) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    public) — the diversity pass after any top-N retrieval: greedily
+    select k of the candidates, each step maximizing
+    lam·rel(d) − (1−lam)·max_{s∈selected} cos(d, s), ties to the lower
+    id. Returns (query_id, id, mmr_rank) in selection order.
+
+    Runs as applyInPandas per query over the BOUNDED candidate set (the
+    rerank contract — candidates are a prior top-N, so the group never
+    exceeds N rows; this is the same bounded-group shape as the
+    per-block gram passes). Engine-exact: rel comes in pre-rounded,
+    pairwise cosines go through the driver-twin fold + HALF_UP rounding
+    (bit-equal to F.round/DuckDB round on these inputs), and the MMR
+    combination is plain double arithmetic any engine reproduces, so a
+    fixed-k SQL unroll is a valid oracle."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(zip(pdf[id_col], pdf[rel_col],
+                        [list(map(float, v)) for v in pdf[vec_col]]))
+        rows.sort(key=lambda r: r[0])
+        selected: list[tuple] = []
+        remaining = list(rows)
+        while remaining and len(selected) < k:
+            best = None
+            for rid, rel, v in remaining:
+                pen = max((round_half_up(_cosine_py(v, sv), round_to)
+                           for _, _, sv in selected), default=0.0)
+                sc = lam * rel - (1 - lam) * pen
+                # ties to the LOWER id: strict > keeps the first (rows
+                # are id-ascending)
+                if best is None or sc > best[0]:
+                    best = (sc, rid, rel, v)
+            selected.append((best[1], best[2], best[3]))
+            remaining = [r for r in remaining if r[0] != best[1]]
+        return pd.DataFrame({
+            "query_id": [pdf[query_id_col].iloc[0]] * len(selected),
+            "id": [s[0] for s in selected],
+            "mmr_rank": list(range(1, len(selected) + 1))})
+
+    qt = candidates.schema[query_id_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    return candidates.groupBy(query_id_col).applyInPandas(
+        run, schema=f"query_id {qt}, id {it}, mmr_rank int")
+
+
 def cluster_profile(corpus: DataFrame, vec_col: str, id_col: str,
                     n_cells: int = 8, round_to: int = 6,
                     centroids: list[list[float]] | None = None) -> DataFrame:

@@ -213,3 +213,35 @@ def test_maxsim_topk_matches_reference(spark):
     for key, (s, rank) in want.items():
         assert got[key][1] == rank
         assert abs(got[key][0] - s) < 1e-9
+
+
+def test_mmr_rerank_diversifies(spark):
+    from rassengine_spark.llmops.similarity import mmr_rerank
+
+    # two near-identical high-rel candidates + one orthogonal lower-rel:
+    # plain top-2 keeps the twins; MMR must swap the duplicate out
+    rows = [
+        (0, 1, 0.9, [1.0, 0.0, 0.0]),
+        (0, 2, 0.89, [1.0, 0.001, 0.0]),   # near-dup of id 1
+        (0, 3, 0.5, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, cid long, score double, v array<double>")
+    got = [(r.id, r.mmr_rank)
+           for r in mmr_rerank(df, "v", "cid", "qid", k=2)
+           .orderBy("mmr_rank").collect()]
+    assert got == [(1, 1), (3, 2)]
+
+
+def test_mmr_rerank_ties_and_small_groups(spark):
+    from rassengine_spark.llmops.similarity import mmr_rerank
+
+    rows = [(0, 7, 0.5, [1.0, 0.0]), (0, 4, 0.5, [0.0, 1.0]),
+            (1, 9, 0.1, [1.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "qid long, cid long, score double, v array<double>")
+    got = {(r.query_id, r.mmr_rank): r.id
+           for r in mmr_rerank(df, "v", "cid", "qid", k=5).collect()}
+    assert got[(0, 1)] == 4          # rel tie -> lower id first
+    assert (0, 2) in got
+    assert got[(1, 1)] == 9          # group smaller than k just ends

@@ -63,6 +63,10 @@ PYTHON_OK = {
     # Misra-Gries summaries ARE the per-partition Arrow pass (fixed k
     # counters per partition — the point of the sketch):
     "text_heavy_hitters_mg",
+    # MMR greedy rerank over the BOUNDED per-query candidate set — the
+    # applyInPandas group never exceeds the prior top-N (same bounded-
+    # group shape as the per-block gram passes):
+    "sim_mmr_rerank",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
