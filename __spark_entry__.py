@@ -1694,6 +1694,41 @@ def _q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
+def _q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension retrieval eval (Kusupati et al.
+    2022, public): search with only the FIRST 16 of 64 dims (4x narrower
+    scan/shuffle — the same storage lever as int8/PQ, traded along the
+    dimension axis) and measure per-query recall@5 against full-dim
+    exact top-k. Fully oracled: the prefix search is a plain slice, so
+    BOTH sides of the recall are SQL-expressible — no floor needed."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    pref = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    approx = SIM.brute_force_topk(
+        corpus.select("vec_id", pref),
+        queries_df.select("qid", pref), "embedding", "vec_id", "qid", k=5)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=5)
+    return SIM.recall_at_k(approx, exact)
+
+
+def _sql_sim_matryoshka_recall() -> str:
+    cos16 = _SQL_COS.format(a="(c.v[1:16])", b="(q.qv[1:16])")
+    approx = f"""
+  SELECT query_id, id FROM (
+    SELECT q.query_id, c.id, {cos16} AS score
+    FROM (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id >= 5) c
+    CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5) q)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, id ASC) <= 5"""
+    return _sql_recall_oracle(
+        approx, _SQL_COS.format(a="c.v", b="q.qv"), 5)
+
+
 def _sql_recall_oracle(approx_sql: str, score_expr: str, k: int) -> str:
     """Shared recall@k oracle scaffold: exact top-k by `score_expr`
     (cosine or dot), LEFT JOIN against the given approx CTE, per-query
@@ -5578,6 +5613,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_hard_negatives": _q_mine_hard_negatives,
         "mine_triplets": _q_mine_triplets,
         "sim_quantized_recall": _q_sim_quantized_recall,
+        "sim_matryoshka_recall": _q_sim_matryoshka_recall,
         "corpus_cluster_profile": _q_corpus_cluster_profile,
         "text_pii_redact": _q_text_pii,
         "mm_binary_metadata": _q_mm_metadata,
@@ -5739,6 +5775,7 @@ def oracle_sql() -> dict[str, str]:
         "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
         "mine_triplets": _SQL_MINE_TRIPLETS,
         "sim_quantized_recall": _sql_sim_quantized_recall(),
+        "sim_matryoshka_recall": _sql_sim_matryoshka_recall(),
         "corpus_cluster_profile": _SQL_CORPUS_CLUSTER_PROFILE,
         "text_pii_redact": _sql_text_pii(),
         "mm_binary_metadata": _SQL_MM_METADATA,
