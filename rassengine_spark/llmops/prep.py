@@ -46,6 +46,8 @@ def prepare_training_corpus(
         redact: bool = True,
         unicode_normalize: bool = False,
         drop_boilerplate_lines: bool = False,
+        substring_min_shared: int | None = None,
+        substring_max_postings: int | None = 100,
         split_weights: dict[str, float] | None = None,
         count_stages: bool = True,
         materialize: bool = False,
@@ -110,6 +112,20 @@ def prepare_training_corpus(
               .filter(F.col("node") != F.col("root"))
               .select(F.col("node").alias(id_col)))
     df = mark("near_dedup", pin(df.join(losers, id_col, "left_anti")))
+
+    # 2b. opt-in exact-substring pass: winnowing pairs catch copies the
+    # LSH threshold misses (long verbatim passages inside otherwise-
+    # different docs — boundary-free, a guarantee not an estimate);
+    # min-id keeper per pair, transitively via the loser side
+    if substring_min_shared is not None:
+        from .dedup import substring_dup_pairs
+        sub_pairs = substring_dup_pairs(
+            df, text_col, id_col, min_shared=substring_min_shared,
+            max_postings=substring_max_postings)
+        sub_losers = sub_pairs.select(F.col("id_b").alias(id_col)) \
+                              .distinct()
+        df = mark("substring_dedup",
+                  pin(df.join(sub_losers, id_col, "left_anti")))
 
     # 3. decontamination — scrub TRAIN docs that overlap the eval set:
     # per-train-doc n-gram overlap against the eval vocabulary (roles of

@@ -18,6 +18,7 @@ Delta). Writes partition by ``user_id`` — the per-user-index analog
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,6 +158,44 @@ def bucketed_lookup(spark: SparkSession, path: str, keys: list,
             .filter(F.col("kb").isin(kbs))
             .filter(F.col(key_col).isin(list(keys)))
             .drop("kb"))
+
+
+def bucketed_delete(spark: SparkSession, path: str, keys: list,
+                    key_col: str = "doc_id") -> None:
+    """Erasure by key against a bucketed_upsert table (the GDPR/right-
+    to-be-forgotten job a corpus store needs): compute the keys' buckets
+    DRIVER-side (md5 twin — no planning job), read back ONLY those
+    bucket directories (PartitionFilters), drop the keys' rows, and
+    dynamic-partition-overwrite just the touched buckets. Untouched
+    buckets are never read or rewritten — same |touched|/n_buckets write
+    amplification as the upsert. Deleting keys that don't exist is a
+    no-op rewrite of their buckets (idempotent)."""
+    from ..operators.index_store import term_bucket_py
+
+    data_p = os.path.join(path, "data")
+    n_buckets = int(spark.read.parquet(os.path.join(path, "_upsert_meta"))
+                    .collect()[0]["n_buckets"])
+    kbs = sorted({term_bucket_py(str(k), n_buckets) for k in keys})
+    keep = (spark.read.parquet(data_p)
+            .filter(F.col("kb").isin(kbs))
+            .filter(~F.col(key_col).isin(list(keys)))
+            .localCheckpoint())   # must not lazily re-read the
+    #                               partitions the write replaces
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        (keep.repartition("kb").write.mode("overwrite")
+             .partitionBy("kb").parquet(data_p))
+    finally:
+        spark.conf.set(conf, prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame: a bucket whose every row was deleted writes nothing and its
+    # old directory would silently survive — remove emptied buckets
+    survived = {r[0] for r in keep.select("kb").distinct().collect()}
+    for kb in set(kbs) - survived:
+        shutil.rmtree(os.path.join(data_p, f"kb={kb}"),
+                      ignore_errors=True)
 
 
 def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,

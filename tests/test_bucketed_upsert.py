@@ -105,3 +105,58 @@ def test_first_write_creates_meta(spark, tmp_path):
     assert got.count() == 2
     kbs = {r.kb for r in got.select("kb").collect()}
     assert all(0 <= kb < N_BUCKETS for kb in kbs)
+
+
+def test_bucketed_delete_removes_keys_only_touched_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    from rassengine_spark.pipeline.ingest import (bucketed_delete,
+                                                  bucketed_lookup,
+                                                  bucketed_upsert)
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(50)],
+                               "doc_id long, text string")
+    bucketed_upsert(df, path, "doc_id", n_buckets=8)
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(path, "data", "kb=*",
+                                              "*.parquet"))}
+    from rassengine_spark.operators.index_store import term_bucket_py
+    victims = [3, 17]
+    victim_kbs = {term_bucket_py(str(k), 8) for k in victims}
+    bucketed_delete(spark, path, victims, "doc_id")
+
+    remaining = spark.read.parquet(os.path.join(path, "data"))
+    ids = {r.doc_id for r in remaining.collect()}
+    assert ids == set(range(50)) - set(victims)
+    # untouched bucket files stay byte-identical (same path, same mtime)
+    for p, mt in before.items():
+        kb = int(p.split("kb=")[1].split("/")[0])
+        if kb not in victim_kbs:
+            assert os.path.getmtime(p) == mt
+    # lookup of a deleted key returns nothing; idempotent re-delete
+    assert bucketed_lookup(spark, path, victims, "doc_id").count() == 0
+    bucketed_delete(spark, path, victims, "doc_id")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 48
+
+
+def test_bucketed_delete_empties_whole_bucket(spark, tmp_path):
+    import os
+
+    from rassengine_spark.operators.index_store import term_bucket_py
+    from rassengine_spark.pipeline.ingest import (bucketed_delete,
+                                                  bucketed_upsert)
+
+    path = str(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(30)]
+    bucketed_upsert(spark.createDataFrame(rows, "doc_id long, text string"),
+                    path, "doc_id", n_buckets=4)
+    # delete EVERY key of one bucket: its directory must disappear (a
+    # dynamic overwrite alone would silently leave it)
+    kb0 = [i for i in range(30) if term_bucket_py(str(i), 4) == 0]
+    bucketed_delete(spark, path, kb0, "doc_id")
+    assert not os.path.exists(os.path.join(path, "data", "kb=0"))
+    got = {r.doc_id for r in
+           spark.read.parquet(os.path.join(path, "data")).collect()}
+    assert got == set(range(30)) - set(kb0)

@@ -92,3 +92,27 @@ def test_prep_line_dedup_stage_strips_boilerplate(spark):
     assert texts[1].startswith("(c) SAME BOILERPLATE HEADER")
     assert not texts[2].startswith("(c)")
     assert not texts[3].startswith("(c)")
+
+
+def test_prep_substring_stage_drops_verbatim_copies(spark):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+
+    passage = ("a long verbatim passage that appears word for word inside "
+               "two otherwise very different documents " * 3)
+    filler = " ".join(f"unique{i} filler words around here" for i in range(12))
+    rows = [
+        (1, "first doc intro " + passage + " first doc tail " + filler),
+        (2, "second doc " + " ".join(f"other{i}" for i in range(40))
+            + " " + passage),
+        (3, "completely unrelated " + " ".join(f"w{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        df, None, text_col="text", id_col="doc_id",
+        substring_min_shared=5, min_quality=0.0, redact=False)
+    ids = {r.doc_id for r in out.collect()}
+    assert 2 not in ids            # copy loses to the lower id
+    assert {1, 3} <= ids
+    assert dict(report)["substring_dedup"] == 2

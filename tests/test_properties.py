@@ -392,3 +392,24 @@ def test_cells_by_affinity_py_matches_jvm(spark, data):
     got = [list(r.o) for r in df.select(expr.alias("o")).collect()]
     want = [cells_by_affinity_py(v, cents, round_to) for v in vecs]
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2060),
+            max_size=80),
+    min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_winnow_expr_arrow_parity(spark, texts):
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops.text_analysis import (winnow_expr,
+                                                       winnow_fingerprints)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    e = set(map(tuple, df.select(
+        "id", F.explode(winnow_expr(F.col("text"), 8, 4)).alias("fp"))
+        .collect()))
+    a = set(map(tuple,
+                winnow_fingerprints(df, "text", "id", 8, 4).collect()))
+    assert e == a
