@@ -113,3 +113,45 @@ def test_segments_are_immutable_and_replay_is_noop(spark, tmp_path):
     with pytest.raises(Exception, match="checkpoint lineage"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_delete_docs_then_resurrect_by_reingest(spark, tmp_path):
+    from rassengine_spark.streaming.index import delete_docs_from_segments
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
+    os.makedirs(dirs["in"])
+    _write(os.path.join(dirs["in"], "a.json"), WAVE1)
+    _run(spark, dirs)
+    _write(os.path.join(dirs["in"], "b.json"), WAVE2)
+    _run(spark, dirs)
+
+    seg_files = sorted(glob.glob(
+        os.path.join(dirs["idx"], "postings", "**", "*.parquet"),
+        recursive=True))
+    delete_docs_from_segments(spark, dirs["idx"], [1, 4])
+
+    # served results == a scan of the corpus WITHOUT the deleted docs
+    live = [r for r in WAVE1 + WAVE2 if r["doc_id"] not in (1, 4)]
+    _assert_matches_scan(spark, dirs["idx"], live,
+                         ("spark shuffles", "bm25 term rarity"))
+    # terms only the deleted docs contained return nothing
+    assert bm25_topk_from_segments(spark, dirs["idx"],
+                                   "stages").count() == 0
+    # marker stats exclude deleted docs; history files byte-untouched
+    m = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
+    assert m["n_docs"] == len(live)
+    assert seg_files == sorted(glob.glob(
+        os.path.join(dirs["idx"], "postings", "**", "*.parquet"),
+        recursive=True))
+    # idempotent re-delete
+    delete_docs_from_segments(spark, dirs["idx"], [1])
+    _assert_matches_scan(spark, dirs["idx"], live, ("spark",))
+
+    # re-ingesting doc 1 in a LATER segment resurrects it
+    _write(os.path.join(dirs["in"], "c.json"),
+           [{"doc_id": 1, "text": "doc one returns to the index"}])
+    _run(spark, dirs)
+    live2 = live + [{"doc_id": 1, "text": "doc one returns to the index"}]
+    _assert_matches_scan(spark, dirs["idx"], live2, ("returns", "spark"))
+    m2 = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
+    assert m2["n_docs"] == len(live2)
