@@ -156,3 +156,38 @@ def test_in_batch_duplicates_and_null_rows(spark, tmp_path):
     # the kept copy is the greatest embedding (deterministic rule)
     kept = [r.v for r in asg.filter("id = 7").collect()][0]
     assert list(kept) == max(_vec(7), _vec(8))
+
+
+def test_vector_delete_then_resurrect(spark, tmp_path):
+    import shutil
+
+    from rassengine_spark.streaming.vectors import (
+        delete_vectors_from_segments, ivf_topk_from_segments)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
+    os.makedirs(dirs["in"])
+    _write(os.path.join(dirs["in"], "a.json"), WAVE1)
+    _run(spark, dirs)
+    _write(os.path.join(dirs["in"], "b.json"), WAVE2)
+    _run(spark, dirs)
+
+    victims = [1, 25]
+    delete_vectors_from_segments(spark, dirs["idx"], victims)
+    q = _queries(spark)
+    served = sorted(map(tuple, ivf_topk_from_segments(
+        spark, dirs["idx"], q, "embedding", "qid", k=3,
+        n_probe=2).collect()))
+    live = [r for r in WAVE1 + WAVE2 if r["vec_id"] not in victims]
+    assert served == _store_results(spark, tmp_path, live, q)
+    assert not any(r[1] in victims for r in served)
+
+    # re-ingest vec 1 in a later segment: it serves again
+    shutil.rmtree(str(tmp_path / "batch_store"))
+    _write(os.path.join(dirs["in"], "c.json"),
+           [{"vec_id": 1, "embedding": _vec(71)}])
+    _run(spark, dirs)
+    live2 = live + [{"vec_id": 1, "embedding": _vec(71)}]
+    served2 = sorted(map(tuple, ivf_topk_from_segments(
+        spark, dirs["idx"], q, "embedding", "qid", k=3,
+        n_probe=2).collect()))
+    assert served2 == _store_results(spark, tmp_path, live2, q)
