@@ -181,6 +181,19 @@ def bucketed_delete(spark: SparkSession, path: str, keys: list,
             .filter(~F.col(key_col).isin(list(keys)))
             .localCheckpoint())   # must not lazily re-read the
     #                               partitions the write replaces
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame: a bucket whose every row was deleted writes nothing, so its
+    # directory must go explicitly — BEFORE the overwrite and WITHOUT
+    # swallowing errors, or a crash/failed rmtree after a "successful"
+    # return would leave every erased key readable in that bucket.
+    # (Crash between rmtree and overwrite: emptied buckets are already
+    # erased, surviving buckets still hold victims — but the call never
+    # reported success, and the rerun is idempotent.)
+    survived = {r[0] for r in keep.select("kb").distinct().collect()}
+    for kb in set(kbs) - survived:
+        d = os.path.join(data_p, f"kb={kb}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
     conf = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf, "static")
     spark.conf.set(conf, "dynamic")
@@ -189,13 +202,6 @@ def bucketed_delete(spark: SparkSession, path: str, keys: list,
              .partitionBy("kb").parquet(data_p))
     finally:
         spark.conf.set(conf, prev)
-    # dynamic overwrite only replaces partitions PRESENT in the written
-    # frame: a bucket whose every row was deleted writes nothing and its
-    # old directory would silently survive — remove emptied buckets
-    survived = {r[0] for r in keep.select("kb").distinct().collect()}
-    for kb in set(kbs) - survived:
-        shutil.rmtree(os.path.join(data_p, f"kb={kb}"),
-                      ignore_errors=True)
 
 
 def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,

@@ -96,6 +96,12 @@ def read_snapshot_diff(spark: SparkSession, path: str,
 
     new = sorted(set(files_of(until)) - set(files_of(since)))
     if not new:
+        # an empty diff is the STEADY STATE of an incremental consumer —
+        # it must keep the table's schema (a zero-column frame would
+        # crash the consumer's select on the routine no-appends cycle)
+        until_files = files_of(until)
+        if until_files:
+            return spark.read.parquet(*until_files).limit(0)
         from pyspark.sql.types import StructType
         return spark.createDataFrame([], StructType([]))
     return spark.read.parquet(*new)

@@ -53,55 +53,56 @@ def _live_doclens(doclens: DataFrame) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def _apply_deletes(spark: SparkSession, index_dir: str,
-                   live: DataFrame) -> DataFrame:
-    """Drop docs deleted at-or-after their live segment: a tombstone
-    (id, at_seg) kills the doc iff its live copy is from seg <= at_seg,
-    so re-ingesting the id in a LATER segment resurrects it (the
-    document lifecycle of the reference's DELETE+re-upload). Tombstones
-    live in their own table — not the seg= namespace — so they can never
-    collide with a future streaming batch id. The delete list is small
-    by nature (erasure requests, not data), hence the broadcast."""
-    dpath = os.path.join(index_dir, "deletes")
-    if not os.path.isdir(dpath):
-        return live
-    tomb = (spark.read.parquet(dpath)
-            .groupBy("id").agg(F.max("at_seg").alias("_at")))
-    return (live.join(F.broadcast(tomb), "id", "left")
-                .filter(F.col("_at").isNull()
-                        | (F.col("seg") > F.col("_at")))
-                .drop("_at"))
+def _live_stats(live: DataFrame) -> dict:
+    """Exact integer corpus stats of a live doclens frame — the ONE
+    place the convention lives (avgdl divides by the NON-NULL dl count,
+    F.avg semantics; sum guards the all-null corpus)."""
+    agg = live.agg(F.count(F.lit(1)).alias("n"),
+                   F.count("dl").alias("n_dl"),
+                   F.sum("dl").alias("s")).collect()[0]
+    return {"n_docs": int(agg["n"]), "n_dl": int(agg["n_dl"]),
+            "sum_dl": int(agg["s"] or 0)}
+
+
+def _live_view(spark: SparkSession, index_dir: str, segs: list[int],
+               delete_epochs: list[int]) -> DataFrame:
+    """Live doclens under the committed segments AND committed delete
+    watermarks — the single definition of 'the corpus' that serving,
+    ingest stats, and delete recommits all share."""
+    from .deletes import apply_delete_watermarks
+    live = _live_doclens(
+        spark.read.parquet(os.path.join(index_dir, "doclens"))
+             .filter(F.col("seg").isin(segs)))
+    return apply_delete_watermarks(spark, index_dir, live, delete_epochs)
 
 
 def delete_docs_from_segments(spark: SparkSession, index_dir: str,
                               doc_ids: list) -> None:
     """Doc-level DELETE against the segment index (the erasure twin of
     the tier's upsert, completing the reference's document lifecycle):
-    appends (id, at_seg = highest committed segment) tombstones —
-    history stays byte-untouched, like every other append here — and
-    recommits the marker with exact live-corpus stats excluding the
-    deleted docs, so served idf/avgdl reflect the deletion immediately.
-    Idempotent: re-deleting appends an equal-or-lower watermark, which
-    changes nothing."""
+    writes an (id, at_seg = highest committed segment) watermark epoch
+    and recommits the marker with it plus exact live-corpus stats — the
+    epoch is INVISIBLE until that commit (same crash discipline as
+    segments: a crash between the two leaves serving on the old marker,
+    stats and live set still consistent with each other). History stays
+    byte-untouched; re-deleting appends an equal-or-lower watermark
+    (no-op); re-ingesting a deleted id in a later segment resurrects
+    it."""
+    if not doc_ids:
+        return
+    from .deletes import write_delete_epoch
     state = load_marker(index_dir)
     if state is None or not state["segments"]:
         raise FileNotFoundError(f"no committed segments in {index_dir}")
-    at_seg = max(state["segments"])
-    (spark.createDataFrame([(int(d), at_seg) for d in doc_ids],
-                           "id long, at_seg long")
-     .repartition(1).write.mode("append")
-     .parquet(os.path.join(index_dir, "deletes")))
-    live = _apply_deletes(spark, index_dir, _live_doclens(
-        spark.read.parquet(os.path.join(index_dir, "doclens"))
-             .filter(F.col("seg").isin(state["segments"]))))
-    agg = live.agg(F.count(F.lit(1)).alias("n"),
-                   F.count("dl").alias("n_dl"),
-                   F.sum("dl").alias("s")).collect()[0]
+    committed = state.get("deletes", [])
+    epoch = write_delete_epoch(spark, index_dir, doc_ids,
+                               max(state["segments"]), committed)
+    epochs = sorted(committed + [epoch])
+    live = _live_view(spark, index_dir, state["segments"], epochs)
     commit_marker(index_dir, {
         "segments": state["segments"],
-        "n_docs": int(agg["n"]),
-        "n_dl": int(agg["n_dl"]),
-        "sum_dl": int(agg["s"] or 0),
+        "deletes": epochs,
+        **_live_stats(live),
         "stream_id": state["stream_id"]})
 
 
@@ -165,17 +166,12 @@ def stream_index_ingest(spark: SparkSession, input_dir: str,
         # as exact integers — avgdl divides by the NON-NULL dl count
         # (F.avg semantics, the batch tier's stats convention)
         segs = (state["segments"] if state else []) + [batch_id]
-        live = _apply_deletes(sp, index_dir, _live_doclens(
-            sp.read.parquet(os.path.join(index_dir, "doclens"))
-              .filter(F.col("seg").isin(segs))))
-        agg = live.agg(F.count(F.lit(1)).alias("n"),
-                       F.count("dl").alias("n_dl"),
-                       F.sum("dl").alias("s")).collect()[0]
+        epochs = state.get("deletes", []) if state else []
+        live = _live_view(sp, index_dir, segs, epochs)
         commit_marker(index_dir, {
             "segments": sorted(segs),
-            "n_docs": int(agg["n"]),
-            "n_dl": int(agg["n_dl"]),
-            "sum_dl": int(agg["s"] or 0),
+            "deletes": epochs,      # the marker REPLACES — preserve them
+            **_live_stats(live),
             "stream_id": sid})
 
     writer = (raw.writeStream
@@ -204,9 +200,7 @@ def bm25_topk_from_segments(spark: SparkSession, index_dir: str,
         raise ValueError("no tokenizable terms in query")
     buckets = sorted({term_bucket_py(t, _N_BUCKETS) for t in terms})
     segs = state["segments"]
-    doclens = (spark.read.parquet(os.path.join(index_dir, "doclens"))
-               .filter(F.col("seg").isin(segs)))
-    live = _apply_deletes(spark, index_dir, _live_doclens(doclens))
+    live = _live_view(spark, index_dir, segs, state.get("deletes", []))
     postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
                 .filter(F.col("seg").isin(segs))
                 .filter(F.col("tb").isin(buckets))

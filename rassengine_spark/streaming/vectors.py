@@ -128,6 +128,8 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
         commit_marker(index_dir, {
             "segments": sorted(prior_segs + [batch_id]),
             "tombstones": sorted(tomb_segs),
+            # the marker REPLACES — committed delete epochs must survive
+            "deletes": state.get("deletes", []) if state else [],
             "stream_id": sid})
 
     writer = (raw.writeStream
@@ -144,39 +146,27 @@ def _read_centroids(spark: SparkSession,
     return read_ivf_centroids(spark, index_dir)
 
 
-def _apply_vector_deletes(spark: SparkSession, index_dir: str,
-                          live: DataFrame) -> DataFrame:
-    """Drop embeddings deleted at-or-after their live segment — the same
-    (id, at_seg) watermark rule as the term-index tier
-    (streaming/index.py::_apply_deletes): tombstone tables stay in the
-    seg= batch namespace, DELETES live in their own table, so a delete
-    can never collide with a future batch id, and re-ingesting the id in
-    a later segment resurrects it."""
-    dpath = os.path.join(index_dir, "deletes")
-    if not os.path.isdir(dpath):
-        return live
-    tomb = (spark.read.parquet(dpath)
-            .groupBy("id").agg(F.max("at_seg").alias("_at")))
-    return (live.join(F.broadcast(tomb), "id", "left")
-                .filter(F.col("_at").isNull()
-                        | (F.col("seg") > F.col("_at")))
-                .drop("_at"))
-
-
 def delete_vectors_from_segments(spark: SparkSession, index_dir: str,
                                  ids: list) -> None:
-    """Erasure for the vector segment index: append (id, at_seg =
-    highest committed segment) watermarks; history and the marker stay
-    untouched (this tier keeps no corpus stats), serving filters the
-    dead ids. Idempotent; a later re-ingest of the id resurrects it."""
+    """Erasure for the vector segment index — the shared (id, at_seg)
+    watermark protocol (streaming/deletes.py): write the epoch, then
+    recommit the marker with it; the epoch is invisible until that
+    commit (segment crash discipline). History untouched; idempotent;
+    a later re-ingest of the id resurrects it."""
+    if not ids:
+        return
+    from .deletes import write_delete_epoch
     state = load_marker(index_dir)
     if state is None or not state["segments"]:
         raise FileNotFoundError(f"no committed segments in {index_dir}")
-    at_seg = max(state["segments"])
-    (spark.createDataFrame([(int(d), at_seg) for d in ids],
-                           "id long, at_seg long")
-     .repartition(1).write.mode("append")
-     .parquet(os.path.join(index_dir, "deletes")))
+    committed = state.get("deletes", [])
+    epoch = write_delete_epoch(spark, index_dir, ids,
+                               max(state["segments"]), committed)
+    commit_marker(index_dir, {
+        "segments": state["segments"],
+        "tombstones": state["tombstones"],
+        "deletes": sorted(committed + [epoch]),
+        "stream_id": state["stream_id"]})
 
 
 def ivf_topk_from_segments(spark: SparkSession, index_dir: str,
@@ -208,5 +198,7 @@ def ivf_topk_from_segments(spark: SparkSession, index_dir: str,
                  .filter(F.col("seg").isin(state["tombstones"]))
                  .select("id", F.col("tseg").alias("seg")))
         live = live.join(F.broadcast(tombs), ["id", "seg"], "left_anti")
-    live = _apply_vector_deletes(spark, index_dir, live)
+    from .deletes import apply_delete_watermarks
+    live = apply_delete_watermarks(spark, index_dir, live,
+                                   state.get("deletes", []))
     return ivf_score_topk(live, q, k, round_to)

@@ -82,3 +82,15 @@ def test_snapshot_diff_returns_only_appended_rows(spark, tmp_path):
     # no appends between snapshots -> empty frame, no crash
     v3 = publish_snapshot(spark, path)
     assert read_snapshot_diff(spark, path, v2, v3).count() == 0
+
+
+def test_snapshot_diff_empty_keeps_schema(spark, tmp_path):
+    from rassengine_spark.pipeline.maintenance import (publish_snapshot,
+                                                       read_snapshot_diff)
+
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path)
+    v1 = publish_snapshot(spark, path)
+    v2 = publish_snapshot(spark, path)
+    diff = read_snapshot_diff(spark, path, v1, v2)
+    assert diff.select("id").count() == 0   # column exists, no rows

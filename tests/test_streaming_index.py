@@ -155,3 +155,19 @@ def test_delete_docs_then_resurrect_by_reingest(spark, tmp_path):
     _assert_matches_scan(spark, dirs["idx"], live2, ("returns", "spark"))
     m2 = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
     assert m2["n_docs"] == len(live2)
+
+
+def test_uncommitted_delete_epoch_is_invisible(spark, tmp_path):
+    from rassengine_spark.streaming.deletes import write_delete_epoch
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "idx", "ckpt")}
+    os.makedirs(dirs["in"])
+    _write(os.path.join(dirs["in"], "a.json"), WAVE1)
+    _run(spark, dirs)
+    # simulate a crash AFTER the epoch write but BEFORE the marker
+    # recommit: serving must be completely unaffected
+    write_delete_epoch(spark, dirs["idx"], [1, 2, 3], at_seg=0,
+                       committed=[])
+    _assert_matches_scan(spark, dirs["idx"], WAVE1, ("spark", "bm25"))
+    m = json.load(open(os.path.join(dirs["idx"], "LATEST.json")))
+    assert m["n_docs"] == len(WAVE1)
