@@ -474,7 +474,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     partition and the per-window min runs as a monotone-deque sweep —
     O(m) digest comparisons per doc vs the expression form's O(m*w)
     interpreted md5/array_min evals. Scale: per-partition, zero shuffle;
-    output is ~2/(w+1) rows per shingle."""
+    output is ~2/(w+1) rows per shingle. Parity boundary (all .lower()
+    twins share it): codepoints whose case mappings were added in a
+    newer Unicode version than Python's tables diverge from the JVM
+    (e.g. U+1C89 under JDK-vs-Unicode-14) — unreachable for real
+    corpora, pinned in the property test's alphabet bound."""
     import hashlib
     import re
     from collections import deque
