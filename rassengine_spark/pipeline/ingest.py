@@ -384,6 +384,103 @@ def read_histogram_quantiles(spark: SparkSession, rollup_path: str,
     return cum.groupBy(*group_cols).agg(*aggs)
 
 
+def merge_mg_rollup(spark: SparkSession, rollup_path: str,
+                    delta: DataFrame, group_cols: list[str],
+                    item_col: str, k: int = 64,
+                    src_path: str | None = None) -> None:
+    """merge_rollup's HEAVY-HITTER sibling: maintain persisted per-group
+    Misra-Gries summaries (<= k (item, est) counters per group) and fold
+    each micro-batch in by counter-merging the touched groups only —
+    the frequency member of the incremental family (additive counts /
+    HLL distinct / histogram quantiles / MG heavy hitters). MG summaries
+    are MERGEABLE (Agarwal et al., "Mergeable Summaries", public): sum
+    matched counters, then if more than k survive, subtract the
+    (k+1)-th largest and drop non-positives — the deterministic
+    undercount bound true − est <= N_group/(k+1) holds after ANY fold
+    sequence, so the serving read needs no history rescan. k is
+    persisted on first write and reused (summaries of mixed k don't
+    compose into one bound)."""
+    import pandas as pd
+
+    src = src_path if src_path is not None else rollup_path
+    src_meta = os.path.join(src, "_mg_meta")
+    meta_p = os.path.join(rollup_path, "_mg_meta")
+    data_p = os.path.join(rollup_path, "data")
+    if os.path.exists(src_meta):
+        k = int(spark.read.parquet(src_meta).collect()[0]["k"])
+    if not os.path.exists(meta_p):
+        (spark.createDataFrame([(k,)], "k int")
+         .repartition(1).write.mode("overwrite").parquet(meta_p))
+
+    gtypes = ", ".join(
+        f"{c} {delta.schema[c].dataType.simpleString()}"
+        for c in group_cols)
+    itype = delta.schema[item_col].dataType.simpleString()
+    schema = f"{gtypes}, item {itype}, est long"
+
+    def _emit(pdf: pd.DataFrame, counters: dict) -> pd.DataFrame:
+        return pd.DataFrame({
+            **{c: [pdf[c].iloc[0]] * len(counters) for c in group_cols},
+            "item": list(counters),
+            "est": pd.Series(list(counters.values()), dtype="object")})
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters: dict = {}
+        for it in pdf[item_col]:
+            if it is None:
+                continue
+            if it in counters:
+                counters[it] += 1
+            elif len(counters) < k:
+                counters[it] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+        return _emit(pdf, counters)
+
+    def merge_counters(pdf: pd.DataFrame) -> pd.DataFrame:
+        sums: dict = {}
+        for it, est in zip(pdf["item"], pdf["est"]):
+            sums[it] = sums.get(it, 0) + int(est)
+        if len(sums) > k:
+            # mergeable-summaries prune: subtract the (k+1)-th largest,
+            # drop non-positives — boundary ties fall to exactly 0 and
+            # drop, so the result is order-independent
+            offset = sorted(sums.values(), reverse=True)[k]
+            sums = {it: est - offset for it, est in sums.items()
+                    if est - offset > 0}
+        return _emit(pdf, sums)
+
+    part = (delta.select(*group_cols, item_col)
+            .groupBy(group_cols).applyInPandas(summarize, schema))
+    src_data = os.path.join(src, "data")
+    if os.path.exists(src_data):
+        existing = spark.read.parquet(src_data)
+        touched = part.select(group_cols).distinct()
+        affected = existing.join(touched, group_cols, "left_semi")
+        untouched = existing.join(touched, group_cols, "left_anti")
+        merged = (affected.unionByName(part)
+                  .groupBy(group_cols)
+                  .applyInPandas(merge_counters, schema))
+        out = untouched.unionByName(merged).localCheckpoint()
+    else:
+        out = part.localCheckpoint()
+    out.write.mode("overwrite").parquet(data_p)
+
+
+def read_mg_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The serving view of a merge_mg_rollup table: per group, the
+    surviving heavy-hitter candidates with their (under-)estimates —
+    every item with true frequency > N_group/(k+1) is guaranteed
+    present."""
+    return spark.read.parquet(os.path.join(rollup_path, "data"))
+
+
 def read_hll_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The serving view of a merge_hll_rollup table: groups + the
     approximate distinct count decoded from the persisted sketch."""

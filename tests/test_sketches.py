@@ -205,3 +205,59 @@ def test_quantile_sketch_bounds_null_key_group(spark):
     got = {r.g: r for r in quantile_sketch_bounds(df, "v", "g").collect()}
     assert set(got) == {"a", None}      # NULL group survives the re-join
     assert got[None].n == 2 and got[None].ok_p50
+
+
+def test_mg_rollup_incremental_bound_holds(spark, tmp_path):
+    """The heavy-hitter rollup invariant: after any fold sequence, every
+    estimate undercounts, the undercount is <= N_group/(k+1), and items
+    above that threshold are guaranteed present."""
+    from collections import Counter
+
+    from rassengine_spark.pipeline.ingest import (merge_mg_rollup,
+                                                  read_mg_rollup)
+
+    path = str(tmp_path / "mg")
+    k = 8
+    batches = [
+        [("g1", f"w{j}") for j in range(40) for _ in range(400 // (j + 1))],
+        [("g1", "w0")] * 120 + [("g2", "x")] * 30 + [("g2", "y")] * 5,
+        [("g1", f"rare{j}") for j in range(60)] + [("g2", "x")] * 20,
+    ]
+    for b in batches:
+        merge_mg_rollup(spark, path,
+                        spark.createDataFrame(b, "g string, w string"),
+                        ["g"], "w", k=k)
+
+    got = {}
+    for r in read_mg_rollup(spark, path).collect():
+        got.setdefault(r.g, {})[r.item] = r.est
+
+    truth, totals = {}, Counter()
+    for b in batches:
+        for g, w in b:
+            truth.setdefault(g, Counter())[w] += 1
+            totals[g] += 1
+    for g, cnt in truth.items():
+        assert len(got[g]) <= k
+        bound = totals[g] // (k + 1)
+        for item, est in got[g].items():
+            assert est <= cnt[item]                   # never overcounts
+            assert cnt[item] - est <= bound
+        for item, true in cnt.items():                # guarantee clause
+            if true > bound:
+                assert item in got[g]
+    # the dominant items survive as the per-group argmax
+    assert max(got["g1"], key=got["g1"].get) == "w0"
+    assert max(got["g2"], key=got["g2"].get) == "x"
+
+
+def test_mg_rollup_persists_k(spark, tmp_path):
+    from rassengine_spark.pipeline.ingest import merge_mg_rollup, read_mg_rollup
+
+    path = str(tmp_path / "mg")
+    df1 = spark.createDataFrame([("g", f"w{i % 3}") for i in range(30)],
+                                "g string, w string")
+    merge_mg_rollup(spark, path, df1, ["g"], "w", k=4)
+    # a later batch passing a DIFFERENT k: the persisted k must win
+    merge_mg_rollup(spark, path, df1, ["g"], "w", k=999)
+    assert read_mg_rollup(spark, path).count() <= 4
