@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.ingest import (merge_histogram_rollup, merge_hll_rollup,
+                               merge_mg_rollup,
                                merge_rollup)
 from .commitlog import commit_marker as _commit_marker
 from .commitlog import load_marker as _load_marker
@@ -54,7 +55,8 @@ def read_stream_rollup(spark: SparkSession, rollup_dir: str,
     """Read the COMMITTED version of a maintained rollup table
     ('counts' -> the additive table, 'users' -> the HLL table with its
     decoded approx_distinct column, 'values' -> per-type p50/p95/p99
-    interpolated from the maintained histogram bins)."""
+    interpolated from the maintained histogram bins, 'hitters' -> the
+    per-type Misra-Gries heavy-user summaries)."""
     state = _load_marker(rollup_dir)
     if state is None:
         raise FileNotFoundError(f"no committed rollup in {rollup_dir}")
@@ -67,6 +69,9 @@ def read_stream_rollup(spark: SparkSession, rollup_dir: str,
         from ..pipeline.ingest import read_histogram_quantiles
         return read_histogram_quantiles(spark, vdir, ["event_type"],
                                         [0.5, 0.95, 0.99])
+    if table == "hitters":
+        from ..pipeline.ingest import read_mg_rollup
+        return read_mg_rollup(spark, vdir)
     return spark.read.parquet(vdir)
 
 
@@ -133,6 +138,13 @@ def stream_rollup_maintenance(spark: SparkSession, input_dir: str,
                                width=0.5,
                                src_path=(os.path.join(prev, "values")
                                          if prev else None))
+        merge_mg_rollup(sp, os.path.join(vdir, "hitters"),
+                        batch_df.select(
+                            "event_type",
+                            F.col("user_id").cast("string").alias("u")),
+                        ["event_type"], "u", k=32,
+                        src_path=(os.path.join(prev, "hitters")
+                                  if prev else None))
         _commit_marker(rollup_dir, {"version": n, "max_batch_id": batch_id,
                                     "stream_id": sid})
         # retention: keep the committed version and its parent only

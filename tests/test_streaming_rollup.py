@@ -99,3 +99,37 @@ def test_stream_rollup_rejects_foreign_checkpoint(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_stream_rollup_hitters_table_tracks_heavy_users(spark, tmp_path):
+    import json as _json
+    import os
+
+    from rassengine_spark.streaming.rollup import (read_stream_rollup,
+                                                   stream_rollup_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "roll", "ckpt")}
+    os.makedirs(dirs["in"])
+    # user 7 dominates clicks across two batches
+    w1 = [{"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": 7,
+           "event_type": "click", "value": 1.0} for i in range(40)] + \
+         [{"event_id": 100 + i, "ts": "2024-01-01T00:00:00", "user_id": i,
+           "event_type": "click", "value": 1.0} for i in range(10)]
+    w2 = [{"event_id": 200 + i, "ts": "2024-01-01T01:00:00", "user_id": 7,
+           "event_type": "click", "value": 2.0} for i in range(25)]
+    for name, rows in (("a", w1), ("b", w2)):
+        with open(os.path.join(dirs["in"], f"{name}.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = stream_rollup_maintenance(spark, dirs["in"], dirs["roll"],
+                                      dirs["ckpt"])
+        q.awaitTermination(120)
+
+    hitters = {(r.event_type, r.item): r.est
+               for r in read_stream_rollup(spark, dirs["roll"],
+                                           "hitters").collect()}
+    clicks = {i: e for (t, i), e in hitters.items() if t == "click"}
+    assert max(clicks, key=clicks.get) == "7"
+    # user 7 truly appears 66 times (40 + 1 in the filler range + 25);
+    # MG undercount bound: 75 click events, k=32 -> N/(k+1) = 2
+    assert 66 - 2 <= clicks["7"] <= 66
