@@ -29,7 +29,8 @@ from ..functions.text import tokenize
 N_FEATURES = 1 << 18
 
 
-def _featurize(df: DataFrame, text_col: str):
+def _featurize(df: DataFrame, text_col: str,
+               n_features: int = N_FEATURES):
     from pyspark.ml.feature import HashingTF
 
     # NULL text would make tokenize yield a NULL array and HashingTF
@@ -37,20 +38,21 @@ def _featurize(df: DataFrame, text_col: str):
     toks = df.withColumn("_toks",
                          tokenize(F.coalesce(F.col(text_col), F.lit(""))))
     tf = HashingTF(inputCol="_toks", outputCol="features",
-                   numFeatures=N_FEATURES)
+                   numFeatures=n_features)
     return tf.transform(toks).drop("_toks")
 
 
 def train_quality_model(labeled: DataFrame, text_col: str,
                         label_col: str, reg: float = 1e-4,
-                        max_iter: int = 50):
+                        max_iter: int = 50,
+                        n_features: int = N_FEATURES):
     """Fit the classifier on (text, label in {0,1}) rows — label 1 =
     reference-quality. Returns the fitted LogisticRegressionModel."""
     from pyspark.ml.classification import LogisticRegression
 
     feats = _featurize(
         labeled.withColumn("label", F.col(label_col).cast("double")),
-        text_col)
+        text_col, n_features)
     lr = LogisticRegression(featuresCol="features", labelCol="label",
                             regParam=reg, maxIter=max_iter)
     return lr.fit(feats)
@@ -74,8 +76,8 @@ def score_quality(df: DataFrame, text_col: str, id_col: str,
 
 def quality_holdout_eval(train: DataFrame, holdout: DataFrame,
                          text_col: str, label_col: str = "label",
-                         floor: float = 0.7,
-                         max_iter: int = 15) -> DataFrame:
+                         floor: float = 0.7, max_iter: int = 15,
+                         n_features: int = N_FEATURES) -> DataFrame:
     """Train on `train`, score `holdout`, and report ONE row
     (n_eval, n_pos, acc_ok): exact holdout counts plus a boolean
     accuracy floor — the trainer-eval evidence shape the driver can
@@ -89,12 +91,14 @@ def quality_holdout_eval(train: DataFrame, holdout: DataFrame,
     # max_iter=15 default: holdout accuracy plateaus by ~10 LBFGS
     # iterations on weak-label fits while 50 costs ~3x the wall clock
     model = train_quality_model(train, text_col, label_col,
-                                max_iter=max_iter)
+                                max_iter=max_iter,
+                                n_features=n_features)
     # label rides THROUGH the scoring projection (model.transform keeps
     # input columns) — no scored-vs-truth join, no SMJ sort
     scored = model.transform(_featurize(
         holdout.select(F.col(text_col),
-                       F.col(label_col).cast("int").alias("y")), text_col))
+                       F.col(label_col).cast("int").alias("y")),
+        text_col, n_features))
     prob = F.element_at(vector_to_array("probability"), 2)
     pred = (prob >= 0.5).cast("int")
     return (scored.agg(
