@@ -65,9 +65,13 @@ def score_quality(df: DataFrame, text_col: str, id_col: str,
     (compose with splits.token_budget_take for 'best N tokens')."""
     from pyspark.ml.functions import vector_to_array
 
+    # featurize at the MODEL's width, not the module default — a model
+    # trained at a custom n_features would otherwise hit a BLAS size
+    # mismatch (or silently mis-score)
     scored = model.transform(
         _featurize(df.select(F.col(id_col).alias("id"),
-                             F.col(text_col).alias("_txt")), "_txt"))
+                             F.col(text_col).alias("_txt")), "_txt",
+                   model.numFeatures))
     return scored.select(
         "id",
         F.element_at(vector_to_array("probability"), 2)

@@ -221,6 +221,22 @@ def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,
     return out
 
 
+def _split_touched(existing: DataFrame, touched: DataFrame,
+                   group_cols: list[str]) -> tuple[DataFrame, DataFrame]:
+    """(affected, untouched) split of a rollup table by the batch's
+    group keys, NULL-SAFE: a plain equi-semi-join would route an
+    existing NULL-group row to 'untouched' while the batch's NULL-group
+    partial lands in 'merged' — duplicate un-merged rows per fold (the
+    eqNullSafe lesson from quantile_sketch_bounds, found again in
+    merge_mg_rollup by review)."""
+    e, t = existing.alias("e"), touched.alias("t")
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & F.col(f"e.{c}").eqNullSafe(F.col(f"t.{c}"))
+    return (e.join(t, cond, "left_semi"),
+            e.join(t, cond, "left_anti"))
+
+
 def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
                  group_cols: list[str], agg_exprs: dict[str, str],
                  src_path: str | None = None) -> None:
@@ -247,8 +263,7 @@ def merge_rollup(spark: SparkSession, rollup_path: str, delta: DataFrame,
     if os.path.exists(src):
         existing = spark.read.parquet(src)
         touched = partial.select(group_cols).distinct()
-        affected = existing.join(touched, group_cols, "left_semi")
-        untouched = existing.join(touched, group_cols, "left_anti")
+        affected, untouched = _split_touched(existing, touched, group_cols)
         merged = (affected.unionByName(partial)
                   .groupBy(group_cols)
                   .agg(*[F.expr(f"{fn}({c})").alias(c)
@@ -297,8 +312,7 @@ def merge_hll_rollup(spark: SparkSession, rollup_path: str,
     if os.path.exists(src_data):
         existing = spark.read.parquet(src_data)
         touched = part.select(group_cols).distinct()
-        affected = existing.join(touched, group_cols, "left_semi")
-        untouched = existing.join(touched, group_cols, "left_anti")
+        affected, untouched = _split_touched(existing, touched, group_cols)
         merged = (affected.unionByName(part)
                   .groupBy(group_cols)
                   .agg(F.hll_union_agg("sketch").alias("sketch")))
@@ -424,24 +438,45 @@ def merge_mg_rollup(spark: SparkSession, rollup_path: str,
             "item": list(counters),
             "est": pd.Series(list(counters.values()), dtype="object")})
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        counters: dict = {}
-        for it in pdf[item_col]:
-            if it is None:
-                continue
-            if it in counters:
-                counters[it] += 1
-            elif len(counters) < k:
-                counters[it] = 1
-            else:
-                dead = []
-                for key in counters:
-                    counters[key] -= 1
-                    if counters[key] == 0:
-                        dead.append(key)
-                for key in dead:
-                    del counters[key]
-        return _emit(pdf, counters)
+    def summarize(it):
+        # PER-PARTITION partial summaries (mapInPandas), not per-group
+        # applyInPandas: heavy-hitter workloads are skewed by definition,
+        # and shuffling a whole group to one pandas task defeats the
+        # mergeability this function exists for — partials fold in
+        # merge_counters under the same bound
+        by_group: dict = {}
+        last = None
+        for pdf in it:
+            last = pdf
+            for row in zip(*([pdf[c] for c in group_cols]
+                             + [pdf[item_col]])):
+                gk, item = row[:-1], row[-1]
+                if item is None:
+                    continue
+                counters = by_group.setdefault(gk, {})
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if last is None:
+            return
+        rows = [(gk, item, est) for gk, cs in by_group.items()
+                for item, est in cs.items()]
+        # dtype=object everywhere: a None (null group/item) in a plain
+        # list coerces numeric columns to float64 (the winnow lesson)
+        yield pd.DataFrame({
+            **{c: pd.Series([r[0][i] for r in rows], dtype="object")
+               for i, c in enumerate(group_cols)},
+            "item": pd.Series([r[1] for r in rows], dtype="object"),
+            "est": pd.Series([r[2] for r in rows], dtype="object")})
 
     def merge_counters(pdf: pd.DataFrame) -> pd.DataFrame:
         sums: dict = {}
@@ -456,14 +491,18 @@ def merge_mg_rollup(spark: SparkSession, rollup_path: str,
                     if est - offset > 0}
         return _emit(pdf, sums)
 
+    # pin: part feeds the touched-split semi/anti joins AND the merge
+    # union (the bucketed_upsert lesson — unpinned lineage re-runs the
+    # Python pass per consumer)
     part = (delta.select(*group_cols, item_col)
-            .groupBy(group_cols).applyInPandas(summarize, schema))
+            .mapInPandas(summarize, schema)
+            .groupBy(group_cols).applyInPandas(merge_counters, schema)
+            .localCheckpoint(eager=False))
     src_data = os.path.join(src, "data")
     if os.path.exists(src_data):
         existing = spark.read.parquet(src_data)
         touched = part.select(group_cols).distinct()
-        affected = existing.join(touched, group_cols, "left_semi")
-        untouched = existing.join(touched, group_cols, "left_anti")
+        affected, untouched = _split_touched(existing, touched, group_cols)
         merged = (affected.unionByName(part)
                   .groupBy(group_cols)
                   .applyInPandas(merge_counters, schema))

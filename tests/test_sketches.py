@@ -261,3 +261,20 @@ def test_mg_rollup_persists_k(spark, tmp_path):
     # a later batch passing a DIFFERENT k: the persisted k must win
     merge_mg_rollup(spark, path, df1, ["g"], "w", k=999)
     assert read_mg_rollup(spark, path).count() <= 4
+
+
+def test_mg_rollup_merges_null_group(spark, tmp_path):
+    # a NULL group key must merge across folds like any other group (a
+    # null-unsafe semi-join would accumulate duplicate summaries)
+    from rassengine_spark.pipeline.ingest import merge_mg_rollup, read_mg_rollup
+
+    path = str(tmp_path / "mg")
+    for _ in range(2):
+        df = spark.createDataFrame([(None, "a"), (None, "a"), ("g", "b")],
+                                   "g string, w string")
+        merge_mg_rollup(spark, path, df, ["g"], "w", k=4)
+    rows = read_mg_rollup(spark, path).collect()
+    got = {(r.g, r.item): r.est for r in rows}
+    assert len(rows) == 2                      # ONE row per (group, item)
+    assert got[(None, "a")] == 4
+    assert got[("g", "b")] == 2
