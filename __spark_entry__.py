@@ -4309,6 +4309,67 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_events_mg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted heavy-hitter rollup under its own bound
+    (pipeline/ingest.py::merge_mg_rollup): events fold in TWO batches
+    split by event-id parity into per-type Misra-Gries summaries; for
+    the exact top-5 users per type (hash-comparable rows), the summary
+    must satisfy est <= true and (true − est)·(k+1) <= N — the
+    mergeable-summaries guarantee holds for ANY fold sequence and
+    partitioning, so the boolean never flakes even though est itself
+    isn't SQL-reproducible."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from rassengine_spark.pipeline.ingest import (merge_mg_rollup,
+                                                  read_mg_rollup)
+    k = 32
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_mg_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_tables(spark, sf_dir)["events"] \
+        .select("event_id", "event_type",
+                F.col("user_id").cast("string").alias("u"))
+    for par in (0, 1):
+        merge_mg_rollup(spark, path,
+                        ev.filter(F.col("event_id") % 2 == par)
+                          .select("event_type", "u"),
+                        ["event_type"], "u", k=k)
+    mg = read_mg_rollup(spark, path) \
+        .withColumnRenamed("est", "_est")
+    exact = (ev.groupBy("event_type", "u")
+               .agg(F.count(F.lit(1)).alias("n_exact")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_exact"),
+                                                 F.asc("u"))
+    top = exact.withColumn("_rn", F.row_number().over(w)) \
+               .filter(F.col("_rn") <= 5).drop("_rn")
+    n_tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_N"))
+    j = (top.join(mg, (top.event_type == mg.event_type)
+                  & (top.u == mg.item), "left")
+            .select(top.event_type, top.u, "n_exact",
+                    F.coalesce(F.col("_est"), F.lit(0)).alias("_e"))
+            .join(F.broadcast(n_tot), "event_type"))
+    ok = ((F.col("_e") <= F.col("n_exact"))
+          & ((F.col("n_exact") - F.col("_e")) * (k + 1) <= F.col("_N")))
+    return (j.select("event_type", "u", "n_exact", ok.alias("mg_ok"))
+             .orderBy("event_type", F.desc("n_exact"), F.asc("u")))
+
+
+_SQL_EVENTS_MG_ROLLUP = """
+WITH c AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+         CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1, 2)
+SELECT event_type, u, n_exact, TRUE AS mg_ok FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n_exact DESC, u ASC) <= 5
+ORDER BY event_type, n_exact DESC, u ASC
+"""
+
+
 def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type: bucket =
     floor(value/width) clamped to [0, nbins-1] — engine-exact integer
@@ -5679,6 +5740,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "events_distinct_sketch_bounds": _q_events_distinct_sketch,
         "text_heavy_hitters_mg": _q_text_heavy_hitters,
+        "events_mg_rollup_bounds": _q_events_mg_rollup,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -5841,6 +5903,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,
         "text_heavy_hitters_mg": _SQL_TEXT_HEAVY_HITTERS,
+        "events_mg_rollup_bounds": _SQL_EVENTS_MG_ROLLUP,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,
