@@ -82,6 +82,54 @@ def hash_ngram_embedder(dim: int = 64, seed: int = 42,
     return embed
 
 
+def md5_ngram_embedder(dim: int = 16, ngram: int = 3) -> EmbedFn:
+    """Oracle-exact sibling of `hash_ngram_embedder`: CHARACTER n-grams
+    (not bytes — `substr` in every SQL dialect is character-based) hashed
+    with md5, bucket = first-15-hex-digits % dim, sign = parity of hex
+    digit 16. The output is the UNNORMALIZED integer count vector (exact
+    in float32 up to 2^24 grams/doc), so every component, the squared
+    norm, and md5(concat_ws(',', components)) are integer-exact and
+    reproducible in ANSI SQL via the repo's established
+    `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)` pattern — this is
+    what lets the S7 embedding entry carry a full value-hash oracle
+    instead of a rows-only stamp.
+
+    Blank handling matches the default embedder's zero-vector contract
+    (app/main.py:227-228) but with an EXPLICIT whitespace set
+    (space/tab/CR/LF): Python's argless str.strip() also eats exotic
+    Unicode spaces, which SQL trim() does not — the parity boundary is
+    pinned to the four ASCII whitespace chars both engines agree on.
+
+    Per-gram hashlib is the slow path (~1 µs/gram) — fine for the
+    oracle entry's corpus; the splitmix64 embedder stays the default for
+    every other pipeline. Grams memoized per batch (texts share grams
+    heavily, the minhash memo lesson)."""
+    import hashlib
+
+    def embed(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        memo: dict[str, tuple[int, float]] = {}
+        for row, text in enumerate(texts):
+            t = text or ""
+            if t.strip(" \t\r\n") == "":
+                continue                     # zero vector, like the default
+            p = f" {t} "
+            vec = out[row]
+            for i in range(len(p) - ngram + 1):
+                g = p[i:i + ngram]
+                hit = memo.get(g)
+                if hit is None:
+                    hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+                    hit = (int(hx[:15], 16) % dim,
+                           1.0 if int(hx[15], 16) % 2 else -1.0)
+                    if len(memo) < 1_000_000:
+                        memo[g] = hit
+                vec[hit[0]] += hit[1]
+        return out
+
+    return embed
+
+
 def embed_query(text: str, embed_fn: EmbedFn | None = None,
                 dim: int = 64) -> list[float]:
     """M5 single-query embedding (app/main.py:266-274)."""

@@ -95,17 +95,25 @@ def interval_join(probe: DataFrame, intervals: DataFrame, on: list[str],
     ceil(width / bucket) + 1 exploded rows.
     """
     bus = F.lit(int(bucket_seconds) * 1_000_000)
+    # explicit aliases: probe and intervals usually derive from the SAME
+    # source table (two filters of one event stream), so pr[k] and iv[k]
+    # share an expression id — Spark resolves the self-join anyway but
+    # WARNs "trivially true equals predicate" on every run, which buries
+    # real accidental-cross-join warnings in bench logs
     iv = intervals.withColumn(
         "_bk",
         F.explode(F.sequence(
             F.floor(micros(F.col(start_col)) / bus),
             # end is exclusive: the last covered microsecond is end - 1
-            F.floor((micros(F.col(end_col)) - 1) / bus))))
+            F.floor((micros(F.col(end_col)) - 1) / bus)))).alias("_iv")
     pr = probe.withColumn(
-        "_bk", F.floor(micros(F.col(probe_ts)) / bus))
-    cond = [pr[k] == iv[k] for k in on] + [pr["_bk"] == iv["_bk"]]
+        "_bk", F.floor(micros(F.col(probe_ts)) / bus)).alias("_pr")
+    cond = ([F.col(f"_pr.{k}") == F.col(f"_iv.{k}") for k in on]
+            + [F.col("_pr._bk") == F.col("_iv._bk")])
     joined = pr.join(iv, cond).where(
-        (pr[probe_ts] >= iv[start_col]) & (pr[probe_ts] < iv[end_col]))
-    out_cols = ([pr[c] for c in probe.columns]
-                + [iv[c] for c in intervals.columns if c not in on])
+        (F.col(f"_pr.{probe_ts}") >= F.col(f"_iv.{start_col}"))
+        & (F.col(f"_pr.{probe_ts}") < F.col(f"_iv.{end_col}")))
+    out_cols = ([F.col(f"_pr.{c}") for c in probe.columns]
+                + [F.col(f"_iv.{c}") for c in intervals.columns
+                   if c not in on])
     return joined.select(*out_cols)

@@ -417,8 +417,19 @@ def merge_mg_rollup(spark: SparkSession, rollup_path: str,
     import pandas as pd
 
     src = src_path if src_path is not None else rollup_path
-    src_meta = os.path.join(src, "_mg_meta")
-    meta_p = os.path.join(rollup_path, "_mg_meta")
+    # meta lives OUTSIDE any underscore-prefixed dir: Spark's file index
+    # treats "_name" paths as hidden, so reading "_mg_meta" worked only
+    # via its leaf files and WARNed "All paths were ignored" every run
+    # (masking real ignored-path warnings). "mg_meta" is a sibling of
+    # data/, never inside a scanned root. Stores written before the
+    # rename still read through the fallback.
+    def _meta_dir(root: str) -> str:
+        new = os.path.join(root, "mg_meta")
+        old = os.path.join(root, "_mg_meta")
+        return old if (os.path.exists(old) and not os.path.exists(new)) \
+            else new
+    src_meta = _meta_dir(src)
+    meta_p = _meta_dir(rollup_path)
     data_p = os.path.join(rollup_path, "data")
     if os.path.exists(src_meta):
         k = int(spark.read.parquet(src_meta).collect()[0]["k"])

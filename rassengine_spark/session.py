@@ -42,7 +42,22 @@ def get_spark(app_name: str = "rassengine-spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # WindowExec WARNs "No Partition Defined" on EVERY run of the repo's
+    # two deliberately-unpartitioned bounded windows (<=256-row offset
+    # cumsums, <=20-row rank frames) — noise that buries real warnings in
+    # bench logs. A constant partition key can't help (Catalyst folds it
+    # away), so silence this one logger; the guard moves to
+    # tools/audit_plans.py's WINDOW_GLOBAL flag, which fails the audit
+    # for any NEW unpartitioned window outside its bounded whitelist.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # logging backend differs — cosmetic only, never fail startup
+    return spark
 
 
 def _read_parquet_ns_safe(spark: SparkSession, path: str):

@@ -12,20 +12,18 @@ def test_queries_and_oracles_consistent():
     assert len(set(q)) == len(q)
     # every oracle refers to a real query
     assert set(o) <= set(q)
-    # rows-only remainder is the documented pair, nothing else
-    assert set(q) - set(o) == {"s7_embed_hash_ngram", "sketch_daily_rollup"}
+    # round 4 retired the last rows-only entries: EVERY query has a twin
+    assert set(q) - set(o) == set()
 
 
 def test_driver_cap_window_is_fully_oracle_checked():
     """The driver hash-compares the FIRST 50 entries; every one of them
-    must have a SQL twin, EXCEPT the two documented rows-only entries
-    which are rotated in during round 3 to collect their (weaker)
-    rows-only driver stamp — they had none in r1/r2."""
+    must have a SQL twin (round 4 converted the last two rows-only
+    entries, so the whole contract is hash-checkable)."""
     q = list(entrymod.queries())
     o = entrymod.oracle_sql()
     missing = [n for n in q[:50] if n not in o]
-    assert set(missing) <= {"s7_embed_hash_ngram", "sketch_daily_rollup"}, \
-        missing
+    assert not missing, missing
 
 
 def test_priority_names_exist():

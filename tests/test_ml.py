@@ -20,6 +20,36 @@ def test_embedder_deterministic_and_normalized():
     assert np.all(a[2] == 0)            # empty -> zero vector (S7)
 
 
+def test_md5_ngram_embedder_matches_reference_twin():
+    """The oracle-exact embedder must agree with an unmemoized
+    straight-line reference (guards the memo path and the hex-digit
+    bucket/sign conventions the DuckDB twin in __spark_entry__ uses)."""
+    import hashlib
+
+    from rassengine_spark.ml.embed import md5_ngram_embedder
+
+    def ref(text, dim=16):
+        out = [0] * dim
+        t = text or ""
+        if t.strip(" \t\r\n") == "":
+            return out
+        p = f" {t} "
+        for i in range(len(p) - 2):
+            hx = hashlib.md5(p[i:i + 3].encode("utf-8")).hexdigest()
+            out[int(hx[:15], 16) % dim] += 1 if int(hx[15], 16) % 2 else -1
+        return out
+
+    fn = md5_ngram_embedder(dim=16)
+    texts = ["hello world", "hello world", "", "   ", "\t\n",
+             "a", "naïve café ünïcode", "x\x0by",  # \x0b is NOT blank
+             "the patient has severe hypertension"]
+    got = fn(texts)
+    for t, row in zip(texts, got):
+        assert [int(x) for x in row] == ref(t), t
+    assert np.all(got[2] == 0) and np.all(got[3] == 0) and np.all(got[4] == 0)
+    assert np.any(got[7] != 0)
+
+
 def test_embedder_similarity_ordering():
     fn = hash_ngram_embedder(dim=64)
     v = fn(["the patient has severe hypertension",

@@ -12,6 +12,11 @@ Flags per query:
 - PYTHON: ArrowEvalPython / BatchEvalPython / FlatMapsInPandas outside the
   whitelist of deliberately-Arrow operators.
 - SORT_ALL: a global Sort with no limit anywhere (full-data sort).
+- WINDOW_GLOBAL: a Window with an EMPTY partition spec (single-partition
+  execution of the whole input). This is the auditable replacement for
+  WindowExec's per-run WARN, which session.py silences: the two
+  whitelisted sites run over provably bounded frames (<=256-row shard
+  offsets, <=20-row rank frames); anything new fails the audit.
 Exit code 1 if any non-whitelisted flag fires.
 """
 
@@ -130,6 +135,23 @@ SORT_OK = {
     # customer-count rows (already reduced), not the orders fact table:
     "customer_rfm_segments",
 }
+# unpartitioned windows over provably BOUNDED frames (constant partition
+# keys get folded away by Catalyst, so these are structural):
+WINDOW_OK = {
+    # <=256-row shard-offset cumsum (the two-phase global-rank shape):
+    "split_epoch_shuffle",
+    # <=`bins`-row bin-offset cumsums (token-budget two-phase shape):
+    "split_token_budget", "split_mixture_token_budget",
+    # 20-row rank frames over the two already-top-k routes:
+    "hybrid_rrf_fusion",
+    # global ntile over the <=|customers|-row aggregate (also SORT_OK):
+    "customer_rfm_segments",
+    # <=|shards| and <=|bins| offset frames (pack/bucket accounting):
+    "pack_sequences", "split_length_buckets",
+    # order-only frames over the DAILY pre-aggregate (<= #calendar-days
+    # rows at any corpus size — the aggregate is the reduction):
+    "events_moving_avg_7d", "events_volume_anomaly",
+}
 
 
 def main() -> int:
@@ -156,6 +178,18 @@ def main() -> int:
         if ("Sort " in plan and "TakeOrdered" not in plan
                 and "Limit" not in plan and name not in SORT_OK):
             flags.append("SORT_ALL")
+        # "Window [fns], [part], [order]" prints 3 bracket groups; with 2
+        # the second is EITHER a partition spec (partition-only window,
+        # fine) or an order spec (unpartitioned window — single-partition
+        # execution); order specs are the ones carrying ASC/DESC
+        def _window_unpartitioned(line: str) -> bool:
+            groups = line.split("], [")
+            return (len(groups) == 2
+                    and (" ASC" in groups[1] or " DESC" in groups[1]))
+        if (any(_window_unpartitioned(w) for w in plan.splitlines()
+                if w.lstrip("+- :*").startswith("Window "))
+                and name not in WINDOW_OK):
+            flags.append("WINDOW_GLOBAL")
         n_ex = plan.count("Exchange hashpartitioning")
         status = ",".join(flags) if flags else "ok"
         print(f"{status:10s} exchanges={n_ex:2d}  {name}")
