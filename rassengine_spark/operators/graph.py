@@ -63,15 +63,23 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
 
 
 def cooccurrence_edges(df: DataFrame, group_col: str,
-                       item_col: str) -> DataFrame:
+                       item_col: str,
+                       max_group_size: int | None = None) -> DataFrame:
     """Distinct directed (src, dst) pairs of items sharing a group —
     the symmetric co-occurrence graph (both directions materialize, so
     every node with any edge has out-degree >= 1, as pagerank_micro
     requires). Scale: the self-join shuffles on the group key; a group
-    of g items emits g·(g−1) pairs, so pathological baskets are the skew
-    to cap upstream (same note as basket lift)."""
+    of g items emits g·(g−1) pairs. `max_group_size` caps that g² skew:
+    groups larger than the cap are dropped BEFORE the self-join (one
+    count aggregate + semi-join — the LSH max_bucket_size trade: a
+    10^6-item pathological group is 10^12 pairs, and such groups are
+    boilerplate, not signal). None = exact graph (oracle-checkable)."""
     a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src"))
-    b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst"))
+    if max_group_size is not None:
+        ok = (a.groupBy("g").agg(F.count(F.lit(1)).alias("_gs"))
+               .filter(F.col("_gs") <= max_group_size).select("g"))
+        a = a.join(ok, "g", "left_semi")
+    b = a.select("g", F.col("src").alias("dst"))
     # distinct the src<dst half then mirror: the dedup shuffle carries
     # half the pairs and the union is shuffle-free
     half = (a.join(b, "g")

@@ -129,7 +129,8 @@ class AskPipeline:
                  embed_fn: EmbedFn | None = None, dim: int = 64,
                  generate_fn: GenerateFn = _echo_generate,
                  rerank: bool | object = False,
-                 rerank_depth: int = 4):
+                 rerank_depth: int = 4,
+                 hybrid_fusion: str = "should_sum"):
         self.documents = documents
         self.chunks = chunks
         self.chats = chats
@@ -144,6 +145,13 @@ class AskPipeline:
         # scoring. First stage over-fetches k*rerank_depth candidates.
         self.rerank = rerank
         self.rerank_depth = rerank_depth
+        # HYBRID route fusion: "should_sum" = the reference's weighted
+        # clause sum (app/main.py:1562-1615); "rrf" = zero-tuning
+        # reciprocal-rank fusion of the lexical and vector routes
+        # (operators/search.py::hybrid_rrf_search)
+        if hybrid_fusion not in ("should_sum", "rrf"):
+            raise ValueError("hybrid_fusion must be 'should_sum' or 'rrf'")
+        self.hybrid_fusion = hybrid_fusion
         # union view: the reference queries ONE index holding both kinds
         self.corpus = documents.unionByName(
             chunks, allowMissingColumns=True)
@@ -182,6 +190,15 @@ class AskPipeline:
                  k: int, filter_expr: Column | None,
                  patient_id: str | None) -> DataFrame:
         c, s = self.corpus, self.spec
+
+        def hybrid(frame):
+            if self.hybrid_fusion == "rrf":
+                return ops.hybrid_rrf_search(frame, s, query, qvec, k,
+                                             filter_expr, patient_id,
+                                             round_to=6)
+            return ops.hybrid_search(frame, s, query, qvec, k, filter_expr,
+                                     patient_id, round_to=6)
+
         if intent == "KEYWORD":
             return ops.exact_match_search(c, s, query, k, filter_expr,
                                           patient_id)
@@ -191,8 +208,7 @@ class AskPipeline:
             return ops.semantic_search(c, s, qvec, k, filter_expr,
                                        patient_id, round_to=6)
         if intent == "HYBRID":
-            return ops.hybrid_search(c, s, query, qvec, k, filter_expr,
-                                     patient_id, round_to=6)
+            return hybrid(c)
         structured = c.filter(F.col("doc_type") == "structured")  # P3
         if intent == "STRUCTURED":
             return ops.structured_search(structured, s, query, k,
@@ -227,8 +243,7 @@ class AskPipeline:
             phrase = persons[0] if persons else query
             return ops.entity_specific_search(c, s, phrase, k, filter_expr,
                                               patient_id)
-        return ops.hybrid_search(c, s, query, qvec, k, filter_expr,
-                                 patient_id, round_to=6)   # default route
+        return hybrid(c)                                   # default route
 
     def ask(self, query: str, user_id: str = "", chat_id: str | None = None,
             top_k: int | None = None) -> AskResult:

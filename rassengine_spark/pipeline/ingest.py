@@ -30,6 +30,18 @@ from ..sources.textfiles import (list_ingest_paths, read_text_files,
                                  text_chunk_documents)
 
 
+def _meta_dir(root: str, name: str) -> str:
+    """Resolve a store's sidecar-metadata dir. Metadata must NOT live in
+    an underscore-prefixed dir: Spark's file index treats "_name" paths
+    as hidden, so reading them worked only via their leaf files and
+    WARNed "All paths were ignored" on every run — noise that buries real
+    ignored-path warnings. Stores written before the rename (leading
+    underscore) still resolve through the fallback."""
+    new = os.path.join(root, name)
+    old = os.path.join(root, "_" + name)
+    return old if (os.path.exists(old) and not os.path.exists(new)) else new
+
+
 def ingest_directory(spark: SparkSession, root: str, user_id: str,
                      chunk_size: int = 512, embed_fn: EmbedFn | None = None,
                      dim: int = 64) -> tuple[DataFrame, DataFrame]:
@@ -103,7 +115,7 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
     spark = df.sparkSession
     from ..operators.index_store import term_bucket_expr
 
-    meta_p = os.path.join(path, "_upsert_meta")
+    meta_p = _meta_dir(path, "upsert_meta")
     data_p = os.path.join(path, "data")
     if os.path.exists(meta_p):
         n_buckets = int(spark.read.parquet(meta_p)
@@ -151,7 +163,7 @@ def bucketed_lookup(spark: SparkSession, path: str, keys: list,
     (app/main.py:1178-1190) at table scale."""
     from ..operators.index_store import term_bucket_py
 
-    n_buckets = int(spark.read.parquet(os.path.join(path, "_upsert_meta"))
+    n_buckets = int(spark.read.parquet(_meta_dir(path, "upsert_meta"))
                     .collect()[0]["n_buckets"])
     kbs = sorted({term_bucket_py(str(k), n_buckets) for k in keys})
     return (spark.read.parquet(os.path.join(path, "data"))
@@ -173,7 +185,7 @@ def bucketed_delete(spark: SparkSession, path: str, keys: list,
     from ..operators.index_store import term_bucket_py
 
     data_p = os.path.join(path, "data")
-    n_buckets = int(spark.read.parquet(os.path.join(path, "_upsert_meta"))
+    n_buckets = int(spark.read.parquet(_meta_dir(path, "upsert_meta"))
                     .collect()[0]["n_buckets"])
     kbs = sorted({term_bucket_py(str(k), n_buckets) for k in keys})
     keep = (spark.read.parquet(data_p)
@@ -417,19 +429,8 @@ def merge_mg_rollup(spark: SparkSession, rollup_path: str,
     import pandas as pd
 
     src = src_path if src_path is not None else rollup_path
-    # meta lives OUTSIDE any underscore-prefixed dir: Spark's file index
-    # treats "_name" paths as hidden, so reading "_mg_meta" worked only
-    # via its leaf files and WARNed "All paths were ignored" every run
-    # (masking real ignored-path warnings). "mg_meta" is a sibling of
-    # data/, never inside a scanned root. Stores written before the
-    # rename still read through the fallback.
-    def _meta_dir(root: str) -> str:
-        new = os.path.join(root, "mg_meta")
-        old = os.path.join(root, "_mg_meta")
-        return old if (os.path.exists(old) and not os.path.exists(new)) \
-            else new
-    src_meta = _meta_dir(src)
-    meta_p = _meta_dir(rollup_path)
+    src_meta = _meta_dir(src, "mg_meta")
+    meta_p = _meta_dir(rollup_path, "mg_meta")
     data_p = os.path.join(rollup_path, "data")
     if os.path.exists(src_meta):
         k = int(spark.read.parquet(src_meta).collect()[0]["k"])

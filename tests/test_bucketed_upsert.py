@@ -93,10 +93,22 @@ def test_lookup_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "kb" in plan
 
 
+def test_legacy_underscore_meta_still_reads(spark, tmp_path):
+    """Stores written before the meta-dir rename (leading underscore)
+    must keep resolving through _meta_dir's fallback."""
+    path = str(tmp_path / "tbl")
+    bucketed_upsert(_mkdf(spark, [("a", 1)]), path, n_buckets=N_BUCKETS)
+    os.rename(os.path.join(path, "upsert_meta"),
+              os.path.join(path, "_upsert_meta"))
+    bucketed_upsert(_mkdf(spark, [("b", 2)]), path, n_buckets=999)
+    got = _read(spark, path)
+    assert got.count() == 2
+
+
 def test_first_write_creates_meta(spark, tmp_path):
     path = str(tmp_path / "tbl")
     bucketed_upsert(_mkdf(spark, [("a", 1)]), path, n_buckets=N_BUCKETS)
-    meta = spark.read.parquet(os.path.join(path, "_upsert_meta")).collect()
+    meta = spark.read.parquet(os.path.join(path, "upsert_meta")).collect()
     assert meta[0]["n_buckets"] == N_BUCKETS
     # later upserts must reuse the persisted bucket count even if the
     # caller passes a different one

@@ -57,3 +57,18 @@ def test_cooccurrence_edges_symmetric(spark):
                    (12, 11)}   # order-2 dup collapses; singleton drops
     # every edge present both ways -> every node has out-degree
     assert {a for a, _ in got} == {b for _, b in got}
+
+
+def test_cooccurrence_edges_group_size_cap(spark):
+    """max_group_size drops oversized groups BEFORE the self-join (the
+    g² skew cap): the size-3 group's pairs vanish, the size-2 group
+    survives, and None keeps the exact graph."""
+    rows = [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    capped = {(r.src, r.dst)
+              for r in cooccurrence_edges(df, "g", "item",
+                                          max_group_size=2).collect()}
+    assert capped == {(20, 21), (21, 20)}
+    full = {(r.src, r.dst)
+            for r in cooccurrence_edges(df, "g", "item").collect()}
+    assert {(10, 11), (11, 12), (20, 21)} <= full

@@ -195,6 +195,24 @@ def test_ask_ner_filter_routes(pipeline):
             or r.doc_type == "unstructured"
 
 
+def test_ask_hybrid_rrf_fusion_route(spark, corpus_dir):
+    """hybrid_fusion='rrf' swaps the HYBRID route for rank fusion: same
+    lifecycle, hits non-empty, and the score column carries RRF values
+    (sums of 1/(60+rank) — bounded by 2/61)."""
+    _, out, _ = corpus_dir
+    docs = spark.read.parquet(str(out / "documents"))
+    chunks = spark.read.parquet(str(out / "chunks"))
+    p = AskPipeline(docs, chunks, dim=16, hybrid_fusion="rrf")
+    res = p.ask("Find patients with hypertension", "u1")
+    assert res.intent == "HYBRID"
+    rows = res.hits.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.score <= round(2 / 61, 6) + 1e-9
+    with pytest.raises(ValueError):
+        AskPipeline(docs, chunks, dim=16, hybrid_fusion="bogus")
+
+
 # ------------------------------------------------------------ streaming
 def test_streaming_ingest(spark, tmp_path):
     from rassengine_spark.streaming.ingest import stream_fhir_uploads
