@@ -891,6 +891,52 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+_NGRAM_CAP = 20
+
+
+def _q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard's 100 TB form: tools/scale_probe.py measured
+    the exact pairwise entry 3.3x SUPERLINEAR at 10x near-dup-heavy data
+    (intersection rows grow with posting-length² — the boilerplate
+    blowup), which is precisely what the max_postings stopword cap
+    exists for. This entry stamps the mitigation itself: shingles in
+    more than {_NGRAM_CAP} docs of a block leave the index BEFORE the
+    self-join, Jaccard degrades to a documented lower bound (denominator
+    stays exact), and the oracle recomputes the capped semantics
+    exactly — so the knob production runs with is itself
+    oracle-checked, not just the exact baseline."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                                  n=2, threshold=0.15,
+                                  max_postings=_NGRAM_CAP)
+
+
+def _sql_dedup_ngram_capped() -> str:
+    words = _SQL_WORDS.format(col="text")
+    jac = ("round(CAST(inter AS DOUBLE)"
+           " / CAST(sz_a + sz_b - inter AS DOUBLE), 6)")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id, lang, {_sql_shingles(2)} AS sh
+  FROM (SELECT doc_id, lang, {words} AS words FROM documents)),
+inv AS MATERIALIZED (
+  SELECT id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+kept AS MATERIALIZED (
+  SELECT id, lang, sz, s FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY lang, s) AS pl FROM inv)
+  WHERE pl <= {_NGRAM_CAP}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS inter,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, {jac} AS jaccard
+FROM pairs WHERE {jac} >= 0.15
+"""
+
+
 _SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
             " list_transform({b}, x -> CAST(x AS DOUBLE)))"
             " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -5371,6 +5417,46 @@ FROM cassign GROUP BY cell
 """
 
 
+def _q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine's 100 TB form: the scale probe measured the
+    label-blocked gram matrix ~1.5x SUPERLINEAR at 10x rows — labels are
+    fixed-cardinality, so per-block gram work grows O(rows²). Sub-block
+    by the deterministic md5-sampled IVF cell (the operator docstring's
+    'choose finer blocks' knob, here stamped): block = (label, cell)
+    bounds every gram matrix at cell size; pairs split across cells are
+    missed by design — the same recall trade as ivf_topk's probe list,
+    and the cell count is the dial."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
+    blk = F.concat_ws(
+        "#", F.col("label").cast("string"),
+        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
+    blocked = emb.withColumn("_lc", blk)
+    return DD.embedding_near_pairs_topn(blocked, "embedding", "vec_id",
+                                        "_lc", top_n=20)
+
+
+_SQL_DEDUP_EMBEDDING_CELLS = f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PROFILE_CELLS}),
+cassign AS MATERIALIZED (
+  SELECT id, v, concat_ws('#', label, cell) AS blk FROM (
+    SELECT c0.id, c0.v, c0.label, cent.cell,
+           row_number() OVER (
+               PARTITION BY c0.id
+               ORDER BY {_SQL_COS.format(a='cent.cv', b='c0.v')} DESC,
+                        cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1)
+SELECT a.id AS id_a, b.id AS id_b,
+       {_SQL_COS.format(a='a.v', b='b.v')} AS cos
+FROM cassign a JOIN cassign b ON a.blk = b.blk AND a.id < b.id
+ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
 _SPAN_BOILERPLATE = ("This corpus is synthetic. "
                      "It exists for parity tests. "
                      "Boilerplate ends here. ")
@@ -5489,6 +5575,50 @@ def _q_sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_sim_quantized_recall() -> str:
     return _sql_recall_oracle(_SQL_SIM_QUANTIZED,
                               _SQL_COS.format(a="v", b="qv"), 5)
+
+
+_DSIR_BUCKETS = 8192
+
+
+def _q_split_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (llmops/dsir.py::importance_weights,
+    Xie et al. 2023): every raw doc (doc_id % 97 != 0 — the same
+    train/eval split prep and decontam use) scored by how target-like
+    its hashed word-bigram buckets are, with add-1-smoothed integer
+    micro-ratios replacing the paper's log-ratio so the sum is
+    order-free and engine-exact (deviation documented in the module).
+    Data selection for domain-targeted pretraining, oracle-recomputed
+    end-to-end in SQL."""
+    from rassengine_spark.llmops.dsir import importance_weights
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.filter(F.col("doc_id") % 97 != 0)
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    out = importance_weights(raw, target, "text", "doc_id",
+                             n=2, n_buckets=_DSIR_BUCKETS)
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "imp_micro")
+
+
+def _sql_split_dsir_weights() -> str:
+    words = _SQL_WORDS.format(col="text")
+    bucket = (f"CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+              f" % {_DSIR_BUCKETS}")
+    gram_cte = (f"SELECT doc_id AS id, {bucket} AS b "
+                f"FROM (SELECT doc_id, unnest({_sql_shingles(2)}) AS g "
+                f"FROM (SELECT doc_id, {words} AS words FROM {{src}}))")
+    return f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+rg AS MATERIALIZED ({gram_cte.format(src='raw')}),
+tg AS MATERIALIZED ({gram_cte.format(src='tgt')}),
+rc AS (SELECT b, COUNT(*) AS _rc FROM rg GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS _tc FROM tg GROUP BY b),
+ratio AS (SELECT rc.b,
+                 ((COALESCE(tc._tc, 0) + 1) * 1000000) // (rc._rc + 1) AS w
+          FROM rc LEFT JOIN tc USING (b))
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w) AS BIGINT) AS imp_micro
+FROM rg JOIN ratio USING (b) GROUP BY id
+"""
 
 
 def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5654,6 +5784,9 @@ _DRIVER_CHECK_PRIORITY = [
     # former rows-only entries, converted to full oracles this round
     # (VERDICT r3 #2) — need their first hash stamp
     "sketch_daily_rollup", "s7_embed_hash_ngram",
+    # round-4 additions
+    "dedup_ngram_jaccard_capped", "split_dsir_weights",
+    "dedup_embedding_cosine_cells",
 ]
 
 
@@ -5693,8 +5826,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_semantic_prune": _q_dedup_semantic_prune,
+        "dedup_embedding_cosine_cells": _q_dedup_embedding_cells,
         "text_winnow_fingerprints": _q_text_winnow_fps,
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
@@ -5738,6 +5873,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_mixture_token_budget": _q_split_mixture_budget,
         "split_epoch_shuffle": _q_split_epoch_shuffle,
         "split_length_buckets": _q_split_length_buckets,
+        "split_dsir_weights": _q_split_dsir_weights,
         "pack_sequences": _q_pack_sequences,
         "mine_hard_negatives": _q_mine_hard_negatives,
         "mine_triplets": _q_mine_triplets,
@@ -5855,7 +5991,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram(),
+        "dedup_ngram_jaccard_capped": _sql_dedup_ngram_capped(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_cosine_cells": _SQL_DEDUP_EMBEDDING_CELLS,
         "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
         "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,
@@ -5901,6 +6039,7 @@ def oracle_sql() -> dict[str, str]:
         "split_mixture_token_budget": _sql_split_mixture_budget(),
         "split_epoch_shuffle": _SQL_SPLIT_EPOCH_SHUFFLE,
         "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
+        "split_dsir_weights": _sql_split_dsir_weights(),
         "pack_sequences": _sql_pack_sequences(),
         "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
         "mine_triplets": _SQL_MINE_TRIPLETS,

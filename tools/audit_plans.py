@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Arrow/pandas is the *point* of these operators:
 PYTHON_OK = {
     "text_fingerprint", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_cells",
     # per-block gram-matrix prune (same numpy pass as the pairs entry):
     "dedup_semantic_prune",
     "s7_embed_hash_ngram", "mm_binary_metadata",
@@ -37,6 +38,7 @@ PYTHON_OK = {
     # interpreted expression forms — deliberate, see llmops/dedup.py);
     # dedup_incremental signatures both sides with the same pass:
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental",
+    "dedup_ngram_jaccard_capped",
     # per-partition graph build is the point (recall variant walks the
     # graphs for real, plus the exact brute-force comparison arm; the
     # store variant serves persisted graphs through the cogroup pass):
@@ -127,6 +129,8 @@ SORT_OK = {
     # window COUNT over md5(text) partitions (the dup flag): the Sort is
     # partition-local on the window key, not a global order-by:
     "text_datacard",
+    # same shape on the shingle key (posting-length cap's COUNT window):
+    "dedup_ngram_jaccard_capped",
     # SortMergeJoin's per-partition sorts on the cluster-map join (the map
     # comes from driver union-find -> createDataFrame, so no stats for a
     # broadcast decision); not a global result sort:
