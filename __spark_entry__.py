@@ -2550,6 +2550,32 @@ def _q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("root", "node"))
 
 
+def _q_dedup_cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster store
+    (llmops/dedup.py::merge_cluster_store): the SAME LSH pairs as
+    dedup_cc_clusters fold in TWO batches (split by pair-id parity) into
+    a persisted (node, root) spanning forest — each fold re-clusters
+    only TOUCHED components over |forest|+|batch| edges, never the
+    historical pair set. Read-back must equal the one-shot batch
+    clustering exactly, so the oracle is dedup_cc_clusters' recursive-CTE
+    CC verbatim — the fold sequence is provably invisible."""
+    import shutil
+    import tempfile
+    pairs = DD.minhash_lsh_pairs(_minhash_input(spark, sf_dir), "text",
+                                 "doc_id", shingle_n=3, num_hashes=16,
+                                 bands=4, threshold=0.5) \
+              .localCheckpoint(eager=False)   # feeds two parity folds
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_ccstore_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    for par in (0, 1):
+        DD.merge_cluster_store(
+            spark, path,
+            pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == par))
+    return DD.read_cluster_store(spark, path).orderBy("root", "node")
+
+
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split: near-duplicate documents hash to the SAME split
     by keying the assignment on their duplicate-cluster root (the
@@ -5786,7 +5812,7 @@ _DRIVER_CHECK_PRIORITY = [
     "sketch_daily_rollup", "s7_embed_hash_ngram",
     # round-4 additions
     "dedup_ngram_jaccard_capped", "split_dsir_weights",
-    "dedup_embedding_cosine_cells",
+    "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
 ]
 
 
@@ -5863,6 +5889,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_segment_hi": _q_tokenizer_bpe_segment_hi,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
+        "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
@@ -6029,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_segment_hi": _sql_tokenizer_bpe_segment_hi(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
+        "dedup_cluster_store_merge": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),

@@ -772,3 +772,59 @@ def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     cc = connected_components(pairs, src, dst, max_iter)
     sizes = cc.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "root").select("node", "root", "cluster_size")
+
+
+def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
+                        src: str = "id_a", dst: str = "id_b",
+                        max_iter: int = 20) -> None:
+    """Incremental duplicate-CLUSTER maintenance — the cluster-resolution
+    member of the incremental family (signature store =
+    incremental_minhash_pairs finds each batch's pairs; this folds them
+    into persisted clusters without ever re-clustering history).
+
+    The store holds (node, root). Those rows ARE a spanning forest: each
+    non-root node carries one (node, root) edge, which preserves the
+    connectivity of every pair ever folded exactly — so a fold runs
+    connected components over |forest| + |batch| edges, never over the
+    historical pair set, and only for TOUCHED components: components
+    containing no batch node pass through byte-identical (the rollup
+    family's _split_touched discipline). Root ids can only DECREASE
+    across folds (min-id union), so keeper decisions are stable unless a
+    merge genuinely links clusters."""
+    import os
+
+    data_p = os.path.join(path, "data")
+    pairs = new_pairs.select(F.col(src).alias("id_a"),
+                             F.col(dst).alias("id_b"))
+    if os.path.exists(data_p):
+        existing = spark.read.parquet(data_p)
+        batch_nodes = (pairs.select(F.col("id_a").alias("node"))
+                       .unionAll(pairs.select(F.col("id_b").alias("node")))
+                       .distinct())
+        troots = (existing.join(batch_nodes, "node", "left_semi")
+                          .select("root").distinct())
+        affected = existing.join(troots, "root", "left_semi")
+        untouched = existing.join(troots, "root", "left_anti")
+        forest = (affected.filter(F.col("node") != F.col("root"))
+                          .select(F.col("node").alias("id_a"),
+                                  F.col("root").alias("id_b")))
+        merged = connected_components(forest.unionByName(pairs),
+                                      max_iter=max_iter)
+        # pin before overwrite: untouched lazily reads the very path the
+        # write replaces (the upsert lesson)
+        out = untouched.unionByName(merged).localCheckpoint()
+    else:
+        out = connected_components(pairs, max_iter=max_iter) \
+            .localCheckpoint()
+    out.write.mode("overwrite").parquet(data_p)
+
+
+def read_cluster_store(spark, path: str) -> DataFrame:
+    """Serving view of a merge_cluster_store table: (node, root,
+    cluster_size) — same shape as dup_clusters, sizes derived at read
+    (one aggregate over the |clustered nodes|-row store)."""
+    import os
+
+    nr = spark.read.parquet(os.path.join(path, "data"))
+    sizes = nr.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return nr.join(sizes, "root").select("node", "root", "cluster_size")

@@ -1,0 +1,69 @@
+"""llmops/dedup.py::merge_cluster_store — the incremental cluster tier.
+Invariant under test: ANY fold sequence of a pair set must read back
+equal to the one-shot dup_clusters over the union (the spanning-forest
+argument), including batches that MERGE previously separate clusters."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops.dedup import (dup_clusters, merge_cluster_store,
+                                           read_cluster_store)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _store(spark, path, batches):
+    for b in batches:
+        merge_cluster_store(spark, str(path), _pairs_df(spark, b))
+    return {(r.node, r.root, r.cluster_size)
+            for r in read_cluster_store(spark, str(path)).collect()}
+
+
+def _batch(spark, pairs):
+    return {(r.node, r.root, r.cluster_size)
+            for r in dup_clusters(_pairs_df(spark, pairs)).collect()}
+
+
+def test_second_batch_merges_two_clusters(spark, tmp_path):
+    b1 = [(1, 2), (10, 11)]          # two clusters
+    b2 = [(2, 10)]                   # bridges them
+    got = _store(spark, tmp_path / "s", [b1, b2])
+    assert got == _batch(spark, b1 + b2)
+    # everything collapsed to root 1, size 4
+    assert got == {(1, 1, 4), (2, 1, 4), (10, 1, 4), (11, 1, 4)}
+
+
+def test_untouched_components_pass_through(spark, tmp_path):
+    b1 = [(1, 2), (10, 11), (20, 21), (20, 22)]
+    b2 = [(2, 3)]                    # touches ONLY the {1,2} cluster
+    got = _store(spark, tmp_path / "s", [b1, b2])
+    assert got == _batch(spark, b1 + b2)
+    assert (10, 10, 2) in got and (20, 20, 3) in got
+
+
+def test_random_fold_sequences_equal_batch(spark, tmp_path):
+    rng = random.Random(7)
+    nodes = list(range(40))
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(60)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    want = _batch(spark, pairs)
+    for trial in range(2):
+        rng.shuffle(pairs)
+        cut1, cut2 = len(pairs) // 3, 2 * len(pairs) // 3
+        batches = [pairs[:cut1], pairs[cut1:cut2], pairs[cut2:]]
+        got = _store(spark, tmp_path / f"t{trial}", batches)
+        assert got == want, trial
+
+
+def test_new_nodes_only_batch(spark, tmp_path):
+    got = _store(spark, tmp_path / "s", [[(1, 2)], [(100, 101)]])
+    assert got == {(1, 1, 2), (2, 1, 2), (100, 100, 2), (101, 100, 2)}
+
+
+def test_duplicate_pairs_are_idempotent(spark, tmp_path):
+    got = _store(spark, tmp_path / "s", [[(1, 2)], [(1, 2), (2, 1)]])
+    assert got == {(1, 1, 2), (2, 1, 2)}

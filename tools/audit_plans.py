@@ -115,6 +115,8 @@ SORT_OK = {
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "events_asof_join", "orders_running_total",
+    # store read-back display sort (|clustered nodes| rows, reduced table):
+    "dedup_cluster_store_merge",
     # bounded few-group aggregates with display order:
     "tpch_q5_region_revenue", "j1_semi_join_resolved",
     "sketch_daily_rollup",
