@@ -239,6 +239,10 @@ def _cmd_stream(args) -> int:
         from .streaming.rollup import stream_rollup_maintenance
         q = stream_rollup_maintenance(spark, args.src, args.out,
                                       args.checkpoint)
+    elif kind == "clusters":
+        from .streaming.clusters import stream_cluster_maintenance
+        q = stream_cluster_maintenance(spark, args.src, args.out,
+                                       args.checkpoint)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -315,9 +319,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser(
         "stream",
-        help="streaming maintainers: index / vectors / rollup / dedup")
+        help="streaming maintainers: index / vectors / rollup / dedup / clusters")
     ps.add_argument("--kind", required=True,
-                    choices=["index", "vectors", "rollup", "dedup"])
+                    choices=["index", "vectors", "rollup", "dedup", "clusters"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

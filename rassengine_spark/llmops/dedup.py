@@ -776,7 +776,8 @@ def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
 
 def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
                         src: str = "id_a", dst: str = "id_b",
-                        max_iter: int = 20) -> None:
+                        max_iter: int = 20,
+                        src_path: str | None = None) -> None:
     """Incremental duplicate-CLUSTER maintenance — the cluster-resolution
     member of the incremental family (signature store =
     incremental_minhash_pairs finds each batch's pairs; this folds them
@@ -790,14 +791,22 @@ def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
     containing no batch node pass through byte-identical (the rollup
     family's _split_touched discipline). Root ids can only DECREASE
     across folds (min-id union), so keeper decisions are stable unless a
-    merge genuinely links clusters."""
+    merge genuinely links clusters.
+
+    ``src_path`` reads the previous state from a DIFFERENT root (the
+    streaming tier's copy-on-write versioning — streaming/clusters.py
+    folds v{n} from committed v{n-1}); default in-place. Re-folding the
+    same pairs is a NO-OP by construction (edges are idempotent for
+    connectivity), which is what makes crash replay safe."""
     import os
 
+    read_root = src_path if src_path is not None else path
+    src_data = os.path.join(read_root, "data")
     data_p = os.path.join(path, "data")
     pairs = new_pairs.select(F.col(src).alias("id_a"),
                              F.col(dst).alias("id_b"))
-    if os.path.exists(data_p):
-        existing = spark.read.parquet(data_p)
+    if os.path.exists(src_data):
+        existing = spark.read.parquet(src_data)
         batch_nodes = (pairs.select(F.col("id_a").alias("node"))
                        .unionAll(pairs.select(F.col("id_b").alias("node")))
                        .distinct())

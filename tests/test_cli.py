@@ -144,3 +144,28 @@ def test_cli_stream_index(spark, tmp_path, capsys):
     from rassengine_spark.streaming.index import bm25_topk_from_segments
     got = bm25_topk_from_segments(spark, out, "segments").collect()
     assert [r.id for r in got] == [1]
+
+
+def test_cli_stream_clusters(spark, tmp_path, capsys):
+    """stream: one availableNow pass of the cluster maintainer."""
+    import os
+
+    src = tmp_path / "pairs_in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        json.dumps({"id_a": 1, "id_b": 2}) + "\n"
+        + json.dumps({"id_a": 2, "id_b": 3}) + "\n")
+    out = str(tmp_path / "clusters")
+    ckpt = str(tmp_path / "clckpt")
+
+    from rassengine_spark.__main__ import main
+    assert main(["stream", "--kind", "clusters", "--src", str(src),
+                 "--out", out, "--checkpoint", ckpt]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kind"] == "clusters"
+    assert os.path.exists(os.path.join(out, "LATEST.json"))
+
+    from rassengine_spark.streaming.clusters import read_stream_clusters
+    got = {(r.node, r.root, r.cluster_size)
+           for r in read_stream_clusters(spark, out).collect()}
+    assert got == {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
