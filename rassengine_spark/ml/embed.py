@@ -146,6 +146,8 @@ def with_embeddings(df: DataFrame, text_col: str,
     vectorized. At 100 TB this is the one place Python touches the corpus —
     everything downstream (normalize, dot, topk) is JVM expressions.
     """
+    from ..util import spread
+
     fn = embed_fn or hash_ngram_embedder(dim)
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in df.schema.fields)
@@ -158,7 +160,10 @@ def with_embeddings(df: DataFrame, text_col: str,
             pdf[out_col] = [v.tolist() for v in vecs]
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    # spread(): a small-file corpus otherwise embeds on 1-2 Python
+    # workers while the rest idle (the _shingle_index_pandas lesson);
+    # no-op at real scale where input splits >= cores
+    return spread(df).mapInPandas(run, schema=out_schema)
 
 
 def with_embeddings_incremental(df: DataFrame, existing: DataFrame,

@@ -33,6 +33,12 @@ QUERIES = [
     "corpus_cluster_profile",
     "mine_triplets",
     "text_top_ngrams",
+    # round-4 ops: posting-cap window, cell-blocked gram matrices,
+    # integer micro-ratio sums, spanning-forest fold sequences:
+    "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine_cells",
+    "split_dsir_weights",
+    "dedup_cluster_store_merge",
 ]
 
 
