@@ -3479,22 +3479,31 @@ WHERE rank <= 10""")
     return " UNION ALL ".join(parts)
 
 
+_KNOWN_ITEM_Q = 50
+
+
 def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality eval (known-item search): every 50th doc becomes
-    a query (its first 4 tokens) and BM25 must find the source doc —
-    per-query src_rank / hit@1 / hit@10, the IR measurement loop the
-    reference's search quality would be tuned with. ONE tokenize scan of
-    the corpus total: a lazily-checkpointed (id, toks) frame feeds the
-    bounded query-sample collect (|docs|/50 rows) AND the inverted-index
-    build; scoring runs from the index frames (bm25_batch_topk_from_index
-    — the LARGE-Q shape whose plan is sized by candidates, not |Q|)."""
+    """Retrieval-quality eval (known-item search): a FIXED-SIZE
+    md5-sampled query set (the 50 docs whose md5(id) sorts lowest — the
+    same deterministic-sample pattern the quantizers use) becomes
+    queries (first 4 tokens each) and BM25 must find the source doc —
+    per-query src_rank / hit@1 / hit@10. Round-4 change: the old 'every
+    50th doc' selection grew the QUERY SET with the corpus, which the
+    10x scale probe showed as the eval's entire cost growth —
+    production evals pin the query set, so this one does too (eval cost
+    is now index build + 50 scorings at any corpus size).
+    ONE tokenize scan total: a lazily-checkpointed (id, toks) frame
+    feeds the bounded sample collect AND the index build; scoring runs
+    from the index frames (bm25_batch_topk_from_index — the LARGE-Q
+    shape whose plan is sized by candidates, not |Q|)."""
     from rassengine_spark.operators.inverted_index import (
         bm25_batch_topk_from_index, build_term_index_from_tokens,
         tokenize_corpus)
     docs = load_tables(spark, sf_dir)["documents"]
     toks = tokenize_corpus(docs, "text", "doc_id") \
         .localCheckpoint(eager=False)
-    sample = (toks.filter(F.col("id") % 50 == 0)
+    sample = (toks.orderBy(F.md5(F.col("id").cast("string")))
+              .limit(_KNOWN_ITEM_Q)
               .select("id",
                       F.array_join(F.slice(F.col("_toks"), 1, 4),
                                    " ").alias("q"))
@@ -3525,8 +3534,10 @@ def _sql_bm25_known_item() -> str:
     tf = "len(list_filter(tok.toks, x -> x = o.t))"
     return f"""
 WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+qsample AS (SELECT id, toks FROM tok
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_KNOWN_ITEM_Q}),
 q AS (SELECT id AS qid, list_slice(toks, 1, 4) AS qterms
-      FROM tok WHERE id % 50 = 0 AND len(toks) > 0),
+      FROM qsample WHERE len(toks) > 0),
 qocc AS (SELECT qid, j AS pos, qterms[j] AS t
          FROM q, UNNEST(generate_series(1, len(qterms))) s(j)),
 qt AS (SELECT DISTINCT t FROM qocc),
@@ -5813,6 +5824,8 @@ _DRIVER_CHECK_PRIORITY = [
     # round-4 additions
     "dedup_ngram_jaccard_capped", "split_dsir_weights",
     "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
+    # round-4 semantic change (fixed-size md5 query sample) — re-stamp
+    "bm25_known_item_eval",
 ]
 
 
