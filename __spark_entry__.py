@@ -3084,6 +3084,49 @@ ORDER BY p.event_id
 """
 
 
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance — stamps the other half of
+    asof_join's surface (events_asof_join covers backward/no-tolerance):
+    each purchase joined to the user's NEXT error at-or-after it, only
+    within 3 days. Same plan both directions (one union + one sorted
+    window pass, the sort just flips). Both sides pre-collapse to one
+    event per (user, ts) — min event_id — so the at-equal-ts pick is
+    deterministic on any engine (the tie among same-ts build rows is the
+    one thing the window's 'nearest' cannot order)."""
+    from rassengine_spark.operators.temporal_join import asof_join
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def one_per_ts(etype):
+        return (ev.filter(F.col("event_type") == etype)
+                  .groupBy("user_id", "ts")
+                  .agg(F.min("event_id").alias("event_id")))
+
+    purchases = one_per_ts("purchase").select("event_id", "user_id", "ts")
+    errs = one_per_ts("error")
+    out = asof_join(purchases, errs, ["user_id"], "ts", "ts",
+                    {"event_id": "err_event_id", "ts": "err_ts"},
+                    direction="forward",
+                    tolerance_seconds=3 * 86400)
+    gap = F.floor((micros("err_ts") - micros("ts")) / 1_000_000)
+    return out.select("event_id", "user_id", gap.alias("gap_sec"),
+                      "err_event_id").orderBy("event_id")
+
+
+_SQL_EVENTS_ASOF_FORWARD = """
+WITH p AS (SELECT MIN(event_id) AS event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+e AS (SELECT MIN(event_id) AS event_id, user_id, ts FROM events
+      WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+       (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS gap_sec,
+       e.event_id AS err_event_id
+FROM p ASOF JOIN e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+WHERE epoch_us(e.ts) - epoch_us(p.ts) <= CAST(259200 AS BIGINT) * 1000000
+ORDER BY p.event_id
+"""
+
+
 def _q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: clicks falling inside any same-user 1-day
     error window [error.ts, error.ts + 1 day). Bucketized equi-join on
@@ -5825,7 +5868,7 @@ _DRIVER_CHECK_PRIORITY = [
     "dedup_ngram_jaccard_capped", "split_dsir_weights",
     "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
     # round-4 semantic change (fixed-size md5 query sample) — re-stamp
-    "bm25_known_item_eval",
+    "bm25_known_item_eval", "events_asof_forward_tol",
 ]
 
 
@@ -5930,6 +5973,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_tumbling_counts": _q_events_tumbling,
         "events_asof_join": _q_events_asof,
+        "events_asof_forward_tol": _q_events_asof_forward,
         "events_interval_join": _q_events_interval,
         "events_rollup_multigrain": _q_events_rollup,
         "lineitem_quantity_percentiles": _q_lineitem_percentiles,
@@ -6097,6 +6141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "events_tumbling_counts": _SQL_EVENTS_TUMBLING,
         "events_asof_join": _SQL_EVENTS_ASOF,
+        "events_asof_forward_tol": _SQL_EVENTS_ASOF_FORWARD,
         "events_interval_join": _SQL_EVENTS_INTERVAL,
         "events_rollup_multigrain": _SQL_EVENTS_ROLLUP,
         "lineitem_quantity_percentiles": _SQL_LINEITEM_PERCENTILES,

@@ -108,12 +108,15 @@ def interval_join(probe: DataFrame, intervals: DataFrame, on: list[str],
             F.floor((micros(F.col(end_col)) - 1) / bus)))).alias("_iv")
     pr = probe.withColumn(
         "_bk", F.floor(micros(F.col(probe_ts)) / bus)).alias("_pr")
-    cond = ([F.col(f"_pr.{k}") == F.col(f"_iv.{k}") for k in on]
-            + [F.col("_pr._bk") == F.col("_iv._bk")])
+    def _pr(c: str):
+        return F.col(f"_pr.`{c}`")
+
+    def _iv(c: str):
+        return F.col(f"_iv.`{c}`")
+
+    cond = ([_pr(k) == _iv(k) for k in on] + [_pr("_bk") == _iv("_bk")])
     joined = pr.join(iv, cond).where(
-        (F.col(f"_pr.{probe_ts}") >= F.col(f"_iv.{start_col}"))
-        & (F.col(f"_pr.{probe_ts}") < F.col(f"_iv.{end_col}")))
-    out_cols = ([F.col(f"_pr.{c}") for c in probe.columns]
-                + [F.col(f"_iv.{c}") for c in intervals.columns
-                   if c not in on])
+        (_pr(probe_ts) >= _iv(start_col)) & (_pr(probe_ts) < _iv(end_col)))
+    out_cols = ([_pr(c) for c in probe.columns]
+                + [_iv(c) for c in intervals.columns if c not in on])
     return joined.select(*out_cols)

@@ -114,7 +114,8 @@ SORT_OK = {
     "dedup_semantic_prune",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
-    "dedup_cc_clusters", "events_asof_join", "orders_running_total",
+    "dedup_cc_clusters", "events_asof_join", "events_asof_forward_tol",
+    "orders_running_total",
     # store read-back display sort (|clustered nodes| rows, reduced table):
     "dedup_cluster_store_merge",
     # bounded few-group aggregates with display order:
