@@ -2844,6 +2844,72 @@ def _q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "media_type", "n_bytes", "sha256")
 
 
+def _q_mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup — the image-dedup primitive of the media
+    tier (llmops/multimodal.py::with_ahash_bands + ahash_near_pairs):
+    64-bit average hash in 4 Hamming bands, banded equi-join
+    recall-complete for distance <= 3 by pigeonhole (the deterministic
+    sibling of minhash banding). The stub pixel source is character
+    codes of the payload (Spark ascii == DuckDB unicode == Python ord,
+    astral-verified), so the WHOLE pipeline is integer-exact and
+    oracle-recomputed; real images run the same pairs operator over
+    ahash_ppm_bands (unit-tested kernel). Every 25th doc gains a
+    re-crawl copy with its first char replaced — the length-preserving
+    perturbation aHash absorbs — so the join has non-trivial work."""
+    from rassengine_spark.llmops import multimodal as MM
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select(F.col("doc_id").alias("id"), "text")
+    copies = (docs.filter(F.col("id") % 25 == 0)
+              .select((F.col("id") + 10_000_000).alias("id"),
+                      F.expr("concat('Z', substring(text, 2))")
+                      .alias("text")))
+    hashed = MM.with_ahash_bands(docs.unionByName(copies), "text")
+    return MM.ahash_near_pairs(hashed, "id", max_hamming=3)
+
+
+_SQL_MM_AHASH = """
+WITH d AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'Z' || substr(text, 2)
+  FROM documents WHERE doc_id % 25 = 0),
+cs AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN t IS NULL OR length(t) = 0 THEN NULL ELSE
+           list_transform(range(0, 64), k ->
+             CAST(unicode(substr(t,
+               1 + CAST(floor(k * length(t) / 64) AS INT), 1)) AS BIGINT))
+         END AS cs
+  FROM d),
+tot AS (SELECT id, cs, CAST(list_sum(cs) AS BIGINT) AS tot
+        FROM cs WHERE cs IS NOT NULL),
+bands AS MATERIALIZED (
+  SELECT id,
+         list_transform(range(0, 4), i ->
+           CAST(list_sum(list_transform(range(0, 16), j ->
+             CASE WHEN cs[CAST(16 * i + j + 1 AS INT)] * 64 >= tot
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS b
+  FROM tot
+  UNION ALL
+  SELECT id, [CAST(0 AS BIGINT), 0, 0, 0] FROM cs WHERE cs IS NULL),
+expl AS (SELECT id, b, u.i AS bi, b[CAST(u.i + 1 AS INT)] AS bv
+         FROM bands, UNNEST(range(0, 4)) u(i)),
+cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         FROM expl a JOIN expl c
+           ON a.bi = c.bi AND a.bv = c.bv AND a.id < c.id)
+SELECT cand.id_a, cand.id_b,
+       CAST(list_sum(list_transform(range(0, 4), i ->
+         bit_count(xor(ba.b[CAST(i + 1 AS INT)],
+                       bb.b[CAST(i + 1 AS INT)])))) AS BIGINT) AS hamming
+FROM cand JOIN bands ba ON ba.id = cand.id_a
+          JOIN bands bb ON bb.id = cand.id_b
+WHERE CAST(list_sum(list_transform(range(0, 4), i ->
+        bit_count(xor(ba.b[CAST(i + 1 AS INT)],
+                      bb.b[CAST(i + 1 AS INT)])))) AS BIGINT) <= 3
+"""
+
+
 _SQL_MM_METADATA = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        'image' AS media_type,
@@ -5869,6 +5935,7 @@ _DRIVER_CHECK_PRIORITY = [
     "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
     # round-4 semantic change (fixed-size md5 query sample) — re-stamp
     "bm25_known_item_eval", "events_asof_forward_tol",
+    "mm_ahash_near_dup",
 ]
 
 
@@ -5967,6 +6034,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_metadata": _q_mm_metadata,
         "mm_resize_meta": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
+        "mm_ahash_near_dup": _q_mm_ahash,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
         "j2_content_join": _q_j2_content_join,
@@ -6135,6 +6203,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_binary_metadata": _SQL_MM_METADATA,
         "mm_resize_meta": _SQL_MM_RESIZE,
         "mm_frame_sample": _SQL_MM_FRAMES,
+        "mm_ahash_near_dup": _SQL_MM_AHASH,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,
         "j2_content_join": _SQL_J2_CONTENT,

@@ -386,3 +386,144 @@ def audio_features_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------ perceptual hash (aHash)
+# The canonical crawl-pipeline image-dedup primitive this tier was
+# missing: a 64-bit average hash per image and a banded Hamming join for
+# near-duplicate pairs. Two sources produce the SAME band layout:
+#   - ahash_ppm_bands: the REAL kernel over P6 PPM payloads (decode →
+#     8x8 nearest-neighbor sample → r+g+b gray → threshold on the mean);
+#   - ahash_bands_expr: the JVM-expression twin over the stub media
+#     source (character-code "pixels" from the text payload) — pure
+#     integer arithmetic, so the whole near-dup pipeline is
+#     oracle-checkable end to end (Spark ascii == DuckDB unicode ==
+#     Python ord, verified incl. astral code points; substring is
+#     code-point-based on both engines).
+# The mean threshold uses integer CROSS-MULTIPLICATION (v*64 >= total),
+# never a float mean — bit-exact on any engine.
+
+AHASH_BITS = 64
+
+
+def _pack_ahash_bits(vals: list, n_bands: int) -> list:
+    """64 sample values -> n_bands little-endian band ints (Python twin
+    of the expression packing; shared by the PPM kernel and tests)."""
+    total = sum(vals)
+    bits = [1 if v * AHASH_BITS >= total else 0 for v in vals]
+    per = AHASH_BITS // n_bands
+    return [sum(bits[per * i + j] << j for j in range(per))
+            for i in range(n_bands)]
+
+
+def ahash_bands_expr(text_col: str, n_bands: int = 4):
+    """array<bigint> of n_bands Hamming bands from character-code pixels:
+    64 code points sampled at 1 + floor(k*len/64), bit_k set when
+    c_k*64 >= sum(c). Built as HOFs over ONE materialized sample array
+    (a 64-site flat projection would risk the codegen method-size
+    limit — the ner_corpus lesson); empty/NULL text packs all-zero
+    bands. Plan size is O(1) in the sample count."""
+    per = AHASH_BITS // n_bands
+    c = text_col
+    cs = (f"transform(sequence(0, {AHASH_BITS - 1}), k -> "
+          f"ascii(substring({c}, "
+          f"1 + CAST(floor(k * length({c}) / {AHASH_BITS}) AS INT), 1)))")
+    zero = f"array_repeat(CAST(0 AS BIGINT), {n_bands})"
+    bands = (f"transform(sequence(0, {n_bands - 1}), i -> "
+             f"aggregate(sequence(0, {per - 1}), CAST(0 AS BIGINT), "
+             f"(a, j) -> a + CASE WHEN element_at(_cs, "
+             f"CAST({per} * i + j + 1 AS INT)) * {AHASH_BITS} >= _tot "
+             f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) "
+             f"END))")
+    return cs, bands, zero
+
+
+def with_ahash_bands(df: DataFrame, text_col: str, out_col: str = "bands",
+                     n_bands: int = 4) -> DataFrame:
+    """Attach the character-code aHash bands column (expression path)."""
+    cs, bands, zero = ahash_bands_expr(text_col, n_bands)
+    return (df.withColumn("_cs", F.expr(cs))
+              .withColumn("_tot", F.expr(
+                  "aggregate(_cs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+              .withColumn(out_col, F.when(
+                  F.coalesce(F.length(F.col(text_col)), F.lit(0)) > 0,
+                  F.expr(bands)).otherwise(F.expr(zero)))
+              .drop("_cs", "_tot"))
+
+
+def ahash_bands_py(text: str | None, n_bands: int = 4) -> list:
+    """Pure-Python twin of with_ahash_bands (parity-tested)."""
+    t = text or ""
+    n = len(t)
+    if n == 0:
+        return [0] * n_bands
+    vals = [ord(t[(k * n) // AHASH_BITS]) for k in range(AHASH_BITS)]
+    return _pack_ahash_bits(vals, n_bands)
+
+
+def ahash_ppm_bands(media: DataFrame, n_bands: int = 4,
+                    out_col: str = "bands") -> DataFrame:
+    """REAL aHash over P6 PPM payloads: decode, sample an 8x8 grid
+    (nearest neighbor, same index math as resize_images_ppm), gray =
+    r+g+b (no division), threshold on the integer mean. Same band
+    layout as the expression path, so ahash_near_pairs serves both.
+    Undecodable rows get NULL bands (excluded from pairing)."""
+    import numpy as np
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            ids, bandl = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                try:
+                    arr = _decode_ppm(bytes(c) if c is not None else b"")
+                    g = 8
+                    ys = (np.arange(g) * arr.shape[0]) // g
+                    xs = (np.arange(g) * arr.shape[1]) // g
+                    px = arr[ys][:, xs].astype(np.int64)
+                    gray = px.sum(axis=2).reshape(-1).tolist()
+                    bandl.append(_pack_ahash_bits(gray, n_bands))
+                except (ValueError, IndexError):
+                    bandl.append(None)
+            yield pd.DataFrame({"media_id": ids,
+                                out_col: pd.Series(bandl, dtype="object")})
+
+    return media.mapInPandas(
+        batches, schema=f"media_id string, {out_col} array<bigint>")
+
+
+def ahash_near_pairs(df: DataFrame, id_col: str,
+                     bands_col: str = "bands",
+                     max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash_a, hash_b) <=
+    max_hamming, via the banded equi-join: by pigeonhole, two 64-bit
+    hashes within distance d share at least one identical band whenever
+    d < n_bands — so with the default 4x16-bit bands the join is
+    RECALL-COMPLETE for d <= 3 (the deterministic sibling of minhash
+    banding). Scale: the only shuffles key on (band_idx, band_value)
+    (2^16 values per band) and the verify join carries just the two
+    band arrays; a boilerplate band value (all-black images) is the
+    LSH hot-bucket skew — cap upstream like max_bucket_size."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(bands_col).alias("_b"))
+              .filter(F.col("_b").isNotNull()))
+    expl = base.select(
+        "id", "_b", F.posexplode("_b").alias("_bi", "_bv"))
+    a, b = expl.alias("_pa"), expl.alias("_pb")
+    cand = (a.join(b, (F.col("_pa._bi") == F.col("_pb._bi"))
+                   & (F.col("_pa._bv") == F.col("_pb._bv"))
+                   & (F.col("_pa.id") < F.col("_pb.id")))
+             .select(F.col("_pa.id").alias("id_a"),
+                     F.col("_pa._b").alias("_ba"),
+                     F.col("_pb.id").alias("id_b"),
+                     F.col("_pb._b").alias("_bb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.aggregate(
+        F.zip_with("_ba", "_bb",
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                   .cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,94 @@
+"""Perceptual-hash tier (llmops/multimodal.py): expression-vs-Python
+parity for the character-code aHash, the REAL PPM kernel, and the banded
+Hamming join's recall-completeness guarantee (d < n_bands)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from rassengine_spark.llmops import multimodal as MM
+
+
+def test_ahash_expression_matches_python_twin(spark):
+    texts = ["hello world this is a longer document about spark",
+             "hello world this is a longer document about spark!",
+             "short", "", None, "a", "naïve café ünïcode 中文 €",
+             "x" * 200, "x" * 199 + "y"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, t string")
+    got = {r.id: list(r.bands)
+           for r in MM.with_ahash_bands(df, "t").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == MM.ahash_bands_py(t), (i, t)
+    assert got[3] == [0, 0, 0, 0] and got[4] == [0, 0, 0, 0]
+    # every band fits 16 bits
+    for bands in got.values():
+        assert all(0 <= b < (1 << 16) for b in bands)
+
+
+def test_ahash_ppm_kernel(spark):
+    def ppm(w, h, rgb):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+    # half-dark half-bright image: bright half's bits set, dark half's not
+    half = (b"P6\n8 8\n255\n"
+            + bytes((0, 0, 0)) * 32 + bytes((200, 200, 200)) * 32)
+    media = spark.createDataFrame(
+        [("u", "image", bytearray(ppm(16, 16, (5, 5, 5))), 0, "x"),
+         ("h", "image", bytearray(half), 0, "y"),
+         ("bad", "image", bytearray(b"nope"), 4, "z")],
+        "media_id string, media_type string, content binary, "
+        "n_bytes long, sha256 string")
+    rows = {r.media_id: (list(r.bands) if r.bands is not None else None)
+            for r in MM.ahash_ppm_bands(media).collect()}
+    # uniform image: every v*64 == total -> all bits set
+    assert rows["u"] == [0xFFFF] * 4
+    # half image: exactly the bright rows' 32 bits set
+    assert sum(bin(b).count("1") for b in rows["h"]) == 32
+    assert rows["bad"] is None
+
+
+def test_near_pairs_guarantee_vs_brute_force(spark):
+    """Banded join must find EVERY pair with hamming <= 3 (pigeonhole:
+    d < 4 bands) — compared against an exhaustive check over random
+    64-bit hashes engineered to contain close pairs."""
+    rng = random.Random(11)
+    hashes = []
+    for i in range(30):
+        h = rng.getrandbits(64)
+        hashes.append(h)
+        # a sibling within 0-3 flipped bits
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        s = h
+        for f in flips:
+            s ^= 1 << f
+        hashes.append(s)
+
+    def bands_of(h):
+        return [(h >> (16 * i)) & 0xFFFF for i in range(4)]
+
+    rows = [(i, bands_of(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "id long, bands array<bigint>")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in MM.ahash_near_pairs(df, "id",
+                                        max_hamming=3).collect()}
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+
+
+def test_near_pairs_end_to_end_on_text(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "the quick brown fox jumps over the lazy dog " * 4),
+         (3, "completely different content about financial markets " * 4)],
+        "id long, t string")
+    hashed = MM.with_ahash_bands(df, "t")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.ahash_near_pairs(hashed, "id").collect()}
+    assert pairs.get((1, 2)) == 0          # identical docs: distance 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

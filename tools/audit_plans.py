@@ -97,6 +97,9 @@ SORT_OK = {
     # SMJ per-partition sorts on the normalized-line join key (line stats
     # x exploded lines — both corpus-scale at 100 TB, broadcast is wrong):
     "text_line_dedup",
+    # SMJ sorts on the (band_idx, band_value) self-join key (both sides
+    # are the exploded corpus — broadcast is wrong), not a result sort:
+    "mm_ahash_near_dup",
     # SMJ sorts per PageRank round (edges x |V|-row rank/degree frames —
     # every side is graph-scale at 100 TB, broadcast is wrong):
     "basket_part_pagerank",
