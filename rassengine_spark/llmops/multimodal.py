@@ -505,25 +505,37 @@ def ahash_near_pairs(df: DataFrame, id_col: str,
     (2^16 values per band) and the verify join carries just the two
     band arrays; a boilerplate band value (all-black images) is the
     LSH hot-bucket skew — cap upstream like max_bucket_size."""
+    # pin: base feeds THREE consumers (the exploded self-join's two sides
+    # and the two verify joins), and the upstream bands projection is an
+    # interpreted 64-sample HOF that Catalyst otherwise COLLAPSES into
+    # every consumer's projection — measured 197 s vs 3 s at sf0.1
+    # (the dedup-signature materialization lesson, README design notes)
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(bands_col).alias("_b"))
-              .filter(F.col("_b").isNotNull()))
-    expl = base.select(
-        "id", "_b", F.posexplode("_b").alias("_bi", "_bv"))
+              .filter(F.col("_b").isNotNull())
+              .localCheckpoint(eager=False))
+    expl = base.select("id", F.posexplode("_b").alias("_bi", "_bv"))
     a, b = expl.alias("_pa"), expl.alias("_pb")
+    # dedup candidate pairs on SCALARS, then re-join the band arrays for
+    # the verify: carrying the arrays through the dedup would make it a
+    # first(array) SortAggregate (the dedup_incremental lesson) and ship
+    # both arrays once per matching band instead of once per pair
     cand = (a.join(b, (F.col("_pa._bi") == F.col("_pb._bi"))
                    & (F.col("_pa._bv") == F.col("_pb._bv"))
                    & (F.col("_pa.id") < F.col("_pb.id")))
              .select(F.col("_pa.id").alias("id_a"),
-                     F.col("_pa._b").alias("_ba"),
-                     F.col("_pb.id").alias("id_b"),
-                     F.col("_pb._b").alias("_bb"))
-             .dropDuplicates(["id_a", "id_b"]))
+                     F.col("_pb.id").alias("id_b"))
+             .distinct())
+    joined = (cand
+              .join(base.select(F.col("id").alias("id_a"),
+                                F.col("_b").alias("_ba")), "id_a")
+              .join(base.select(F.col("id").alias("id_b"),
+                                F.col("_b").alias("_bb")), "id_b"))
     ham = F.aggregate(
         F.zip_with("_ba", "_bb",
                    lambda x, y: F.bit_count(x.bitwiseXOR(y))
                    .cast("bigint")),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    return (cand.withColumn("hamming", ham)
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+    return (joined.withColumn("hamming", ham)
+                  .filter(F.col("hamming") <= max_hamming)
+                  .select("id_a", "id_b", "hamming"))
