@@ -420,3 +420,23 @@ def test_winnow_expr_arrow_parity(spark, texts):
     a = set(map(tuple,
                 winnow_fingerprints(df, "text", "id", 8, 4).collect()))
     assert e == a
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=150),
+    min_size=1, max_size=10))
+def test_ahash_expression_matches_python_twin_random(spark, texts):
+    """with_ahash_bands (JVM HOF expressions) vs ahash_bands_py on random
+    unicode — the integer cross-multiplication threshold, code-point
+    sampling, and band packing must agree exactly (ascii == ord parity
+    holds for any code point; astral verified in test_ahash.py)."""
+    from rassengine_spark.llmops.multimodal import (ahash_bands_py,
+                                                    with_ahash_bands)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, t string")
+    got = {r.id: list(r.bands)
+           for r in with_ahash_bands(df, "t").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ahash_bands_py(t), (i, repr(t))
