@@ -48,6 +48,8 @@ def prepare_training_corpus(
         drop_boilerplate_lines: bool = False,
         substring_min_shared: int | None = None,
         substring_max_postings: int | None = 100,
+        dsir_target: DataFrame | None = None,
+        dsir_keep_pct: int = 25,
         split_weights: dict[str, float] | None = None,
         count_stages: bool = True,
         materialize: bool = False,
@@ -145,6 +147,18 @@ def prepare_training_corpus(
                .filter(F.col("quality") >= min_quality)
                .select(F.col("id").alias(id_col)))
     df = mark("quality", df.join(quality, id_col, "left_semi"))
+
+    # 4b. opt-in DSIR selection (llmops/dsir.py): keep only the most
+    # target-like fraction by hashed-bigram importance — domain-targeted
+    # curation AFTER the generic quality floor (quality drops garbage,
+    # DSIR then shapes the mixture toward `dsir_target`). Off by default
+    # so the composed oracle is unchanged.
+    if dsir_target is not None:
+        from .dsir import select_target_like
+        keep = select_target_like(df, dsir_target, text_col, id_col,
+                                  keep_fraction_pct=dsir_keep_pct) \
+            .select(F.col("id").alias(id_col))
+        df = mark("dsir_select", df.join(keep, id_col, "left_semi"))
 
     # 5. PII redaction — in-place projection on the text column
     if redact:

@@ -116,3 +116,28 @@ def test_prep_substring_stage_drops_verbatim_copies(spark):
     assert 2 not in ids            # copy loses to the lower id
     assert {1, 3} <= ids
     assert dict(report)["substring_dedup"] == 2
+
+
+def test_prep_dsir_stage_keeps_target_like_docs(spark):
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+
+    target = spark.createDataFrame(
+        [(100, "patient has severe hypertension and treatment")],
+        "doc_id long, text string")
+    rows = [
+        (1, "patient has severe hypertension and treatment"),
+        # target-like topic but NOT a near-dup of doc 1 (near-dedup runs
+        # before the DSIR stage and would otherwise eat the copy)
+        (2, "clinic notes say severe hypertension needs treatment plans"),
+        (3, "stock market news " + " ".join(f"w{i}" for i in range(20))),
+        (4, "weather report " + " ".join(f"v{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = prepare_training_corpus(
+        df, None, text_col="text", id_col="doc_id",
+        dsir_target=target, dsir_keep_pct=25,
+        min_quality=0.0, redact=False)
+    ids = {r.doc_id for r in out.collect()}
+    # the two target-like docs survive; the unrelated pair drops
+    assert {1, 2} <= ids and 3 not in ids and 4 not in ids
+    assert dict(report)["dsir_select"] == len(ids)
