@@ -90,8 +90,11 @@ def _cmd_prep(args) -> int:
 
     spark = get_spark("cli-prep")
     docs = spark.read.parquet(args.src)
+    target = (spark.read.parquet(args.dsir_target)
+              if args.dsir_target else None)
     out, report = prepare_training_corpus(
         docs, None, text_col=args.text_col, id_col=args.id_col,
+        dsir_target=target, dsir_keep_pct=args.dsir_keep_pct,
         materialize=True)
     (out.write.mode("overwrite").partitionBy("split").parquet(args.out))
     n = spark.read.parquet(args.out).count()
@@ -282,6 +285,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--out", required=True)
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain docs: keep only the "
+                         "most target-like fraction (DSIR stage)")
+    pp.add_argument("--dsir-keep-pct", type=int, default=25)
     pp.set_defaults(fn=_cmd_prep)
 
     px = sub.add_parser("index", help="build + persist serving index tiers")
