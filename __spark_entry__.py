@@ -4580,6 +4580,47 @@ ORDER BY event_type, n_exact DESC, u ASC
 """
 
 
+def _q_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the support-pruned co-purchase graph
+    (operators/graph.py::triangle_counts): per-part community density —
+    the local-clustering member of the graph family (pagerank =
+    authority, connected components = identity, triangles = cohesion).
+    Edges = part pairs co-purchased in >= 2 orders (the basket-lift
+    noise prune; the unpruned graph's triangles are ~40x as many and
+    all noise). The engine counts via degree orientation (post-orient
+    out-degree is O(sqrt(m)), so wedges are O(m^1.5) on ANY graph — the
+    celebrity-node guard); the oracle counts the identical quantity
+    with the id-ordered three-way join."""
+    from rassengine_spark.operators.graph import triangle_counts
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("src", "dst"))
+    return triangle_counts(edges)
+
+
+_SQL_BASKET_TRIANGLES = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node
+"""
+
+
 def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type: bucket =
     floor(value/width) clamped to [0, nbins-1] — engine-exact integer
@@ -5935,7 +5976,7 @@ _DRIVER_CHECK_PRIORITY = [
     "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
     # round-4 semantic change (fixed-size md5 query sample) — re-stamp
     "bm25_known_item_eval", "events_asof_forward_tol",
-    "mm_ahash_near_dup",
+    "mm_ahash_near_dup", "basket_part_triangles",
 ]
 
 
@@ -6088,6 +6129,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_gapfill": _q_events_gapfill,
         "basket_part_lift": _q_basket_lift,
         "basket_part_pagerank": _q_basket_pagerank,
+        "basket_part_triangles": _q_basket_triangles,
         "events_value_histogram": _q_events_histogram,
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "events_distinct_sketch_bounds": _q_events_distinct_sketch,
@@ -6257,6 +6299,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "basket_part_lift": _SQL_BASKET_LIFT,
         "basket_part_pagerank": _sql_basket_pagerank(),
+        "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,

@@ -88,3 +88,57 @@ def cooccurrence_edges(df: DataFrame, group_col: str,
              .distinct())
     return half.union(half.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """(node, n_tri) per triangle-participating node over an undirected
+    graph (input edge list may carry either or both directions; it is
+    canonicalized first) — the local-clustering member of the graph
+    family (pagerank = authority, connected components = identity,
+    triangles = community density).
+
+    Scale plan (the classic degree-orientation): every undirected edge
+    is oriented from the smaller (degree, node) endpoint to the larger,
+    making the orientation a TOTAL order — each triangle then appears as
+    exactly one wedge (a→b, a→c with b before c) whose closing edge
+    (b→c) carries the same orientation, so one self-join on the wedge
+    apex plus one equi-join on the closing pair counts every triangle
+    once. Post-orientation out-degree is bounded by O(sqrt(m)) on any
+    graph, so wedge count is O(m^1.5) worst case instead of Σdeg² —
+    the difference between celebrity nodes exploding the join and not.
+    All joins are id-keyed shuffles; no windows, no collects. The
+    id-ordered formulation (a<b<c) counts identically — that is what
+    the SQL oracle uses."""
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+    deg = (und.select(F.col("u").alias("n"))
+              .unionAll(und.select(F.col("v").alias("n")))
+              .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    d_u = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    d_v = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    keyed = und.join(d_u, "u").join(d_v, "v")
+    fwd = (F.col("_du") < F.col("_dv")) | \
+          ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+    o = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_db"))
+    # wedge (a->b, a->c) once per unordered pair: b strictly before c in
+    # the SAME (degree, node) total order the orientation uses
+    w1 = o.select(F.col("a"), F.col("b"), F.col("_db"))
+    w2 = o.select(F.col("a"), F.col("b").alias("c"),
+                  F.col("_db").alias("_dc"))
+    wedges = (w1.join(w2, "a")
+                .filter((F.col("_db") < F.col("_dc"))
+                        | ((F.col("_db") == F.col("_dc"))
+                           & (F.col("b") < F.col("c"))))
+                .select("a", "b", "c"))
+    closing = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    nodes = (tri.select(F.col("a").alias("node"))
+                .unionAll(tri.select(F.col("b").alias("node")))
+                .unionAll(tri.select(F.col("c").alias("node"))))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

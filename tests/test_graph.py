@@ -59,6 +59,40 @@ def test_cooccurrence_edges_symmetric(spark):
     assert {a for a, _ in got} == {b for _, b in got}
 
 
+def test_triangle_counts_reference(spark):
+    """Degree-oriented count == brute-force enumeration on a known graph:
+    K4 on {1,2,3,4} (4 triangles, 3 per node) + a pendant edge + an
+    isolated edge (no triangles)."""
+    from rassengine_spark.operators.graph import triangle_counts
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (10, 11)]
+    # feed BOTH directions plus duplicates: canonicalization is part of
+    # the contract
+    edges = und + [(b, a) for a, b in und] + und[:3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    import itertools
+    import random
+    from rassengine_spark.operators.graph import triangle_counts
+    rng = random.Random(5)
+    nodes = list(range(18))
+    und = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                  for _ in range(40)})
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    es = set(und)
+    want: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
 def test_cooccurrence_edges_group_size_cap(spark):
     """max_group_size drops oversized groups BEFORE the self-join (the
     g² skew cap): the size-3 group's pairs vanish, the size-2 group

@@ -103,6 +103,9 @@ SORT_OK = {
     # SMJ sorts per PageRank round (edges x |V|-row rank/degree frames —
     # every side is graph-scale at 100 TB, broadcast is wrong):
     "basket_part_pagerank",
+    # same class: SMJ sorts on the oriented-edge wedge/closing joins
+    # (edges x edges — both graph-scale), not a result sort:
+    "basket_part_triangles",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
