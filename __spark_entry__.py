@@ -4519,6 +4519,54 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_CM_WIDTH, _CM_DEPTH = 256, 2
+
+
+def _q_events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates per event type
+    (operators/sketches.py::count_min_estimates): the overcount mirror
+    of Misra-Gries completes the stamped sketch quartet — and with
+    deterministic md5 row hashes the ESTIMATES themselves reproduce in
+    SQL (counters are hash-aggregates on md5 buckets, est = min over
+    depth rows), so the driver hash-compares the sketch state directly
+    instead of a bound boolean. Exact top-5 users per type ride along
+    as the comparison baseline (est >= n_exact always)."""
+    from rassengine_spark.operators.sketches import count_min_estimates
+    ev = load_tables(spark, sf_dir)["events"] \
+        .select("event_type", F.col("user_id").cast("string").alias("u"))
+    return count_min_estimates(ev, "u", "event_type",
+                               width=_CM_WIDTH, depth=_CM_DEPTH, top=5)
+
+
+_SQL_EVENTS_COUNTMIN = f"""
+WITH base AS (SELECT event_type AS k, CAST(user_id AS VARCHAR) AS it
+              FROM events WHERE user_id IS NOT NULL),
+expl AS (SELECT k, it, u.j
+         FROM base, UNNEST(range(0, {_CM_DEPTH})) u(j)),
+counters AS MATERIALIZED (
+  SELECT k, j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || it), 1, 15)
+              AS BIGINT) % {_CM_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM expl GROUP BY 1, 2, 3),
+exact AS (SELECT k, it, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM base GROUP BY 1, 2),
+topk AS (SELECT k, it, n_exact FROM exact
+         QUALIFY row_number() OVER (PARTITION BY k
+                                    ORDER BY n_exact DESC, it ASC) <= 5),
+probes AS (
+  SELECT t.k, t.it, t.n_exact, u.j,
+         CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || '#' || t.it),
+                             1, 15) AS BIGINT) % {_CM_WIDTH} AS b
+  FROM topk t, UNNEST(range(0, {_CM_DEPTH})) u(j))
+SELECT p.k AS event_type, p.it AS item, p.n_exact,
+       CAST(MIN(c.c) AS BIGINT) AS est
+FROM probes p JOIN counters c ON c.k = p.k AND c.j = p.j AND c.b = p.b
+GROUP BY 1, 2, 3
+ORDER BY event_type, n_exact DESC, item
+"""
+
+
 def _q_events_mg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted heavy-hitter rollup under its own bound
     (pipeline/ingest.py::merge_mg_rollup): events fold in TWO batches
@@ -5977,6 +6025,7 @@ _DRIVER_CHECK_PRIORITY = [
     # round-4 semantic change (fixed-size md5 query sample) — re-stamp
     "bm25_known_item_eval", "events_asof_forward_tol",
     "mm_ahash_near_dup", "basket_part_triangles",
+    "events_countmin_est",
 ]
 
 
@@ -6135,6 +6184,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_sketch_bounds": _q_events_distinct_sketch,
         "text_heavy_hitters_mg": _q_text_heavy_hitters,
         "events_mg_rollup_bounds": _q_events_mg_rollup,
+        "events_countmin_est": _q_events_countmin,
         "customer_rfm_segments": _q_customer_rfm,
         "events_retention_cohorts": _q_events_retention,
         "events_except_buyers": _q_events_except,
@@ -6305,6 +6355,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,
         "text_heavy_hitters_mg": _SQL_TEXT_HEAVY_HITTERS,
         "events_mg_rollup_bounds": _SQL_EVENTS_MG_ROLLUP,
+        "events_countmin_est": _SQL_EVENTS_COUNTMIN,
         "customer_rfm_segments": _SQL_CUSTOMER_RFM,
         "events_retention_cohorts": _SQL_EVENTS_RETENTION,
         "events_except_buyers": _SQL_EVENTS_EXCEPT,

@@ -90,6 +90,59 @@ def distinct_sketch_bounds(df: DataFrame, value_col: str, key_col: str,
     return g.select(key_col, "n_distinct", ok.alias("err_ok"))
 
 
+def count_min_estimates(df: DataFrame, item_col: str, key_col: str,
+                        width: int = 256, depth: int = 2,
+                        top: int = 5) -> DataFrame:
+    """Count-Min sketch per key, evaluated ENGINE-EXACTLY — the fourth
+    stamped sketch family (quantile rank error, HLL relative error, MG
+    undercount, and here CM's overcount mirror: est >= true always,
+    est - true bounded by bucket collisions). With deterministic md5 row
+    hashes the whole sketch state is plain relational algebra: counters
+    are hash-aggregates on bucket_j = md5(j # item) % width and
+    est(x) = min_j counter_j[bucket_j(x)] — so unlike the other three
+    families the estimates THEMSELVES reproduce in SQL and value-hash
+    compare; no bound boolean is needed.
+
+    Output: per key, the exact top-`top` items (count desc, item asc)
+    with (n_exact, est). Plan at 100 TB: the d x width counter table is
+    ONE hash-aggregate over a depth-exploded scan (fixed d·width longs
+    per key however many distinct items stream by — the case exact
+    aggregation can't bound); the exact side and the top-k probe join
+    are the verification cost, production runs the counter aggregate
+    alone."""
+    from pyspark.sql.window import Window
+
+    base = (df.select(F.col(key_col).alias("_k"),
+                      F.col(item_col).cast("string").alias("_it"))
+              .filter(F.col("_it").isNotNull()))
+
+    def bucket(j_col, item_col_):
+        return (F.conv(F.substring(
+            F.md5(F.concat(j_col.cast("string"), F.lit("#"), item_col_)),
+            1, 15), 16, 10).cast("bigint") % width).cast("int")
+
+    expl = base.select(
+        "_k", "_it",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"))
+    counters = (expl.groupBy("_k", "_j",
+                             bucket(F.col("_j"), F.col("_it")).alias("_b"))
+                    .agg(F.count(F.lit(1)).alias("_c")))
+    exact = base.groupBy("_k", "_it").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("_k").orderBy(F.desc("n_exact"), F.asc("_it"))
+    topk = (exact.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= top).drop("_rn"))
+    probes = topk.select(
+        "_k", "_it", "n_exact",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"))
+    probes = probes.withColumn("_b", bucket(F.col("_j"), F.col("_it")))
+    est = (probes.join(counters, ["_k", "_j", "_b"])
+                 .groupBy("_k", "_it", "n_exact")
+                 .agg(F.min("_c").alias("est")))
+    return (est.select(F.col("_k").alias(key_col),
+                       F.col("_it").alias("item"), "n_exact", "est")
+               .orderBy(key_col, F.desc("n_exact"), F.asc("item")))
+
+
 def heavy_hitters_mg(df: DataFrame, item_col: str, k: int = 64,
                      top: int = 10) -> DataFrame:
     """Misra-Gries heavy hitters with the DETERMINISTIC error bound —

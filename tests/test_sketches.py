@@ -278,3 +278,39 @@ def test_mg_rollup_merges_null_group(spark, tmp_path):
     assert len(rows) == 2                      # ONE row per (group, item)
     assert got[(None, "a")] == 4
     assert got[("g", "b")] == 2
+
+
+def test_count_min_estimates_reference(spark):
+    """CM estimates vs a plain-Python Count-Min with the same md5 row
+    hashes: est must MATCH the reference sketch exactly and satisfy the
+    overcount-only guarantee (est >= true) on a skewed stream."""
+    import hashlib
+
+    from rassengine_spark.operators.sketches import count_min_estimates
+
+    width, depth = 16, 2                  # narrow width FORCES collisions
+    items = (["hot"] * 50 + ["warm"] * 20
+             + [f"cold{i}" for i in range(30)])
+    df = spark.createDataFrame([("k", it) for it in items],
+                               "g string, it string")
+    got = {r.item: (r.n_exact, r.est)
+           for r in count_min_estimates(df, "it", "g", width=width,
+                                        depth=depth, top=5).collect()}
+
+    def bucket(j, it):
+        return int(hashlib.md5(f"{j}#{it}".encode()).hexdigest()[:15],
+                   16) % width
+
+    counters = [[0] * width for _ in range(depth)]
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+        for j in range(depth):
+            counters[j][bucket(j, it)] += 1
+    assert got["hot"][0] == 50 and got["warm"][0] == 20
+    for it, (n_exact, est) in got.items():
+        assert n_exact == true[it]
+        assert est == min(counters[j][bucket(j, it)] for j in range(depth))
+        assert est >= n_exact             # overcount-only, always
+    # the narrow sketch really collided somewhere (the test has teeth)
+    assert any(est > n for n, est in got.values())
