@@ -868,10 +868,13 @@ SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs inside language blocks."""
+    """Exact word-bigram Jaccard near-dup pairs inside language blocks.
+    max_postings=None is the EXPLICIT exact escape hatch — since round 5
+    the API default is the capped 100 TB-safe plan (the sibling entry
+    dedup_ngram_jaccard_capped stamps that default's semantics)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
-                                  n=2, threshold=0.15)
+                                  n=2, threshold=0.15, max_postings=None)
 
 
 def _sql_dedup_ngram() -> str:
@@ -946,10 +949,12 @@ _SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most-similar pairs within label
-    blocks."""
+    blocks. max_block=None is the EXPLICIT exact escape hatch — since
+    round 5 the API default sub-divides oversized blocks by md5-IVF cell
+    (dedup_embedding_cosine_cells stamps that celled path)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return DD.embedding_near_pairs_topn(emb, "embedding", "vec_id", "label",
-                                        top_n=20)
+                                        top_n=20, max_block=None)
 
 
 _SQL_DEDUP_EMBEDDING = f"""
@@ -969,7 +974,7 @@ def _q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry (dedup_embedding_cosine) feeds in a real pipeline."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return DD.semantic_prune(emb, "embedding", "vec_id", "label",
-                             threshold=0.3)
+                             threshold=0.3, max_block=None)
 
 
 _SQL_DEDUP_SEMANTIC_PRUNE = f"""
@@ -5662,13 +5667,13 @@ def _q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed by design — the same recall trade as ivf_topk's probe list,
     and the cell count is the dial."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
-    blk = F.concat_ws(
-        "#", F.col("label").cast("string"),
-        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
-    blocked = emb.withColumn("_lc", blk)
-    return DD.embedding_near_pairs_topn(blocked, "embedding", "vec_id",
-                                        "_lc", top_n=20)
+    # Since round 5 the md5-IVF cell refinement is BUILT IN
+    # (embedding_near_pairs_topn's max_block/sub_cells default); this
+    # entry pins sub_cells so the stamped result is sf-independent, and
+    # so the integrated default path itself carries the oracle stamp.
+    return DD.embedding_near_pairs_topn(emb, "embedding", "vec_id",
+                                        "label", top_n=20,
+                                        sub_cells=_PROFILE_CELLS)
 
 
 _SQL_DEDUP_EMBEDDING_CELLS = f"""
@@ -6002,36 +6007,58 @@ FROM norm
 
 
 # The driver's correctness harness checks the FIRST 50 queries() entries
-# per round. Rounds 1-3 rotated every earlier entry through the window
-# (142/157 green cumulatively, 0 ever failing). Round-4 rotation: the 13
-# round-3 additions that have never been sampled go first, then the two
-# former rows-only entries (converted this round to full oracles — their
-# first value-hash stamp), then round-4 additions. Slots through 50 fill
-# from the base map order (r1-green — harmless re-stamps).
-_DRIVER_CHECK_PRIORITY = [
-    # round-3 additions never inside the driver window (VERDICT r3 #1)
-    "hybrid_rrf_fusion", "text_winnow_fingerprints",
-    "dedup_substring_pairs", "sim_maxsim_topk", "sim_mmr_rerank",
-    "m_quality_classifier_eval", "sim_matryoshka_recall",
-    "basket_part_pagerank", "events_quantile_sketch_bounds",
-    "events_distinct_sketch_bounds", "text_heavy_hitters_mg",
-    "events_mg_rollup_bounds", "table_snapshot_diff",
-    # former rows-only entries, converted to full oracles this round
-    # (VERDICT r3 #2) — need their first hash stamp
-    "sketch_daily_rollup", "s7_embed_hash_ngram",
-    # round-4 additions
-    "dedup_ngram_jaccard_capped", "split_dsir_weights",
-    "dedup_embedding_cosine_cells", "dedup_cluster_store_merge",
-    # round-4 semantic change (fixed-size md5 query sample) — re-stamp
-    "bm25_known_item_eval", "events_asof_forward_tol",
-    "mm_ahash_near_dup", "basket_part_triangles",
-    "events_countmin_est",
+# per round. After round 4 every entry has been stamped green at least
+# once (165/165 cumulatively, 0 ever failing), so round-5 rotation is a
+# FRESHNESS pass (VERDICT r4 #1): new round-5 entries lead (never
+# stamped), then the 24 entries whose latest stamp is round 1, then the
+# 45 whose latest stamp is round 2 — oldest first; the driver's 50-slot
+# window covers the new entries plus the stalest ~40.
+_ROUND5_NEW: list[str] = [
+    # round-5 additions — first driver stamp (names appended as each
+    # entry lands; kept ahead of the freshness rotation)
 ]
+
+_STALE_R1 = [
+    "decontam_ngram_overlap", "dedup_cc_clusters",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "pack_sequences",
+    "prep_training_corpus", "sim_bruteforce_topk", "sim_hnsw_topk",
+    "sim_ivf_recall", "sim_ivf_topk", "sim_lsh_bucketed_topk",
+    "sim_quantized_topk", "split_hash_assign", "split_hash_sample",
+    "split_leakage_safe", "split_mixture_resample",
+    "split_stratified_take", "text_fingerprint", "text_langid",
+    "text_lm_score", "text_pii_redact", "text_quality",
+    "text_repetition", "text_token_counts",
+]
+
+_STALE_R2 = [
+    "bm25_batch_ranked", "bm25_index_ranked", "bm25_ranked",
+    "events_asof_join", "events_cube_dow_type", "events_distinct_daily",
+    "events_grouping_sets", "events_interval_join",
+    "events_moving_avg_7d", "events_rollup_multigrain",
+    "events_tumbling_counts", "events_zorder_code",
+    "j1_semi_join_resolved", "j2_content_join",
+    "lineitem_quantity_percentiles", "m1_intent_route",
+    "m_synth_intent_corpus", "mm_binary_metadata", "mm_frame_sample",
+    "mm_resize_meta", "orders_running_total", "rerank_lexical",
+    "s1_fhir_parse", "s3_markdown_strip", "skew_salted_agg",
+    "text_datacard", "tpch_q10_returned_items",
+    "tpch_q11_important_parts", "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts", "tpch_q17_small_qty_revenue",
+    "tpch_q18_big_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_heavy_shippers", "tpch_q21_waiting_orders",
+    "tpch_q22_inactive_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_orders", "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+]
+
+_DRIVER_CHECK_PRIORITY = _ROUND5_NEW + _STALE_R1 + _STALE_R2
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    prio = {n: base[n] for n in _DRIVER_CHECK_PRIORITY}
+    prio = {n: base[n] for n in _DRIVER_CHECK_PRIORITY if n in base}
     return {**prio, **{n: f for n, f in base.items() if n not in prio}}
 
 

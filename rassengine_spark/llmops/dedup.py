@@ -479,7 +479,7 @@ def _shingle_index_pandas(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, n: int = 2, threshold: float = 0.2,
                         round_to: int = 6,
-                        max_postings: int | None = None) -> DataFrame:
+                        max_postings: int | None = 20) -> DataFrame:
     """Exact pairwise word-n-gram Jaccard within blocks (e.g. language),
     via an inverted shingle index: explode shingles, self-join on
     (block, shingle) to COUNT intersections, then derive Jaccard from
@@ -498,7 +498,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Trade-off: intersections through dropped shingles are undercounted,
     so Jaccard becomes a lower bound and borderline pairs can be missed;
     the loss concentrates on pairs whose ONLY overlap is boilerplate.
-    Off by default so results stay exact (and oracle-checkable)."""
+
+    The cap is ON BY DEFAULT (max_postings=20): the round-4 scale probe
+    measured the uncapped form ~2x of linear at 10x on boilerplate-heavy
+    corpora (posting² intersection rows), so the 100 TB-safe plan is
+    what a caller gets unless they opt out. Pass ``max_postings=None``
+    for the exact semantics (oracle-checkable, small/clean corpora
+    only)."""
     # 64-bit join keys: codegen bigint compares instead of string compares;
     # a collision inflating a count is ~2^-64 per pair. |sh| rides along
     # (8 bytes/row) so the pair aggregation below emits both set sizes
@@ -578,9 +584,48 @@ def substring_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------- embedding
+_MAX_SUB_CELLS = 4096   # matrix-literal plan stays O(1) nodes; driver RAM
+
+
+def _cell_refined_block(df: DataFrame, vec_col: str, id_col: str,
+                        block_col: str, round_to: int,
+                        max_block: int | None,
+                        sub_cells: int | None) -> Column:
+    """Block expression for the gram-matrix embedding ops, optionally
+    refined by the deterministic md5-sampled IVF cell so no single gram
+    matrix outgrows executor memory (the 'choose finer blocks' knob,
+    built in). Returns the raw block column when no refinement applies.
+
+    - ``sub_cells=k``: exactly k cells (pin this for reproducible runs —
+      the stamped dedup_embedding_cosine_cells entry uses 8).
+    - else ``max_block=m``: k = ceil(count/m) clamped to [1, 4096]; tiny
+      frames get k=1 — i.e. refinement self-disables and results stay
+      exact — while big frames get bounded gram blocks. Costs one count
+      job + one bounded collect (k x dim floats, same driver footprint
+      as a fitted k-means model).
+    - both None: exact per-block semantics.
+
+    Pairs split across cells are missed by design — the same recall
+    trade as ivf_topk's probe list; cell count is the dial."""
+    if sub_cells is None:
+        if max_block is None:
+            return F.col(block_col)
+        n = df.count()
+        sub_cells = min(_MAX_SUB_CELLS, max(1, -(-n // max_block)))
+        if sub_cells == 1:
+            return F.col(block_col)
+    from .similarity import _best_cell, ivf_centroids
+    cents = ivf_centroids(df, vec_col, id_col, sub_cells)
+    return F.concat_ws(
+        "#", F.col(block_col).cast("string"),
+        _best_cell(F.col(vec_col), cents, round_to).cast("string"))
+
+
 def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
                               block_col: str, top_n: int = 20,
-                              round_to: int = 6) -> DataFrame:
+                              round_to: int = 6,
+                              max_block: int | None = 4096,
+                              sub_cells: int | None = None) -> DataFrame:
     """Top-N most-similar pairs by cosine within blocks.
 
     Per-block pairwise cosine as a numpy gram matrix inside applyInPandas:
@@ -589,13 +634,19 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
     Arrow moves each block's vectors into Python exactly once. Per-block
     top-N candidates then reduce to the global top-N via
     TakeOrderedAndProject. Scale: one shuffle on the block key (this IS the
-    IVF pattern — block = coarse quantizer cell); block skew is the risk,
-    handled upstream by choosing finer blocks."""
+    IVF pattern — block = coarse quantizer cell); per-block gram work is
+    quadratic in block size, so blocks are sub-divided by md5-IVF cell BY
+    DEFAULT once they can exceed `max_block` rows (the round-4 scale
+    probe measured the unrefined label-blocked form superlinear at 10x).
+    See _cell_refined_block for the knobs; ``max_block=None`` is the
+    exact escape hatch (oracle-checkable, bounded corpora only)."""
     import numpy as np
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    blk = _cell_refined_block(df, vec_col, id_col, block_col, round_to,
+                              max_block, sub_cells)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -618,7 +669,7 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
                                ascending=[False, True, True]).head(top_n)
 
     base = df.select(F.col(id_col).alias("_id"),
-                     F.col(block_col).alias("_blk"),
+                     blk.alias("_blk"),
                      F.col(vec_col).alias("_v"))
     per_block_top = base.groupBy("_blk").applyInPandas(per_block, out_schema)
     return (per_block_top
@@ -629,7 +680,9 @@ def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,
 
 def semantic_prune(df: DataFrame, vec_col: str, id_col: str,
                    block_col: str, threshold: float = 0.3,
-                   round_to: int = 6) -> DataFrame:
+                   round_to: int = 6,
+                   max_block: int | None = 4096,
+                   sub_cells: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup decision (Abbas et al. 2023, public):
     (id, blk, kept) for every row — a row is DROPPED iff ANY smaller-id
     row in the same block has rounded cosine >= threshold (whether or
@@ -645,15 +698,19 @@ def semantic_prune(df: DataFrame, vec_col: str, id_col: str,
     Same per-block numpy gram pass as embedding_near_pairs_topn (block =
     coarse cell; |block|^2 stays in one Arrow batch instead of a blocked
     self-join of interpreted lambdas). Scale: one shuffle on the block
-    key; block skew is handled upstream by choosing finer blocks (at
-    production, the IVF quantizer cell — corpus_cluster_profile — is the
-    natural block)."""
+    key; blocks are sub-divided by md5-IVF cell BY DEFAULT once they can
+    exceed `max_block` rows (see _cell_refined_block; the grouping uses
+    the refined block but the emitted `blk` column stays the caller's —
+    a near-dup split across cells is kept on both sides, the documented
+    recall trade). ``max_block=None`` is the exact escape hatch."""
     import numpy as np
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
     blk_type = df.schema[block_col].dataType.simpleString()
     out_schema = f"id {id_type}, blk {blk_type}, kept boolean"
+    gblk = _cell_refined_block(df, vec_col, id_col, block_col, round_to,
+                               max_block, sub_cells)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id")
@@ -672,8 +729,9 @@ def semantic_prune(df: DataFrame, vec_col: str, id_col: str,
 
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(block_col).alias("_blk"),
+                     gblk.alias("_gblk"),
                      F.col(vec_col).alias("_v"))
-    return base.groupBy("_blk").applyInPandas(per_block, out_schema)
+    return base.groupBy("_gblk").applyInPandas(per_block, out_schema)
 
 
 # ------------------------------------------------- connected components

