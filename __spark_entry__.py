@@ -2860,12 +2860,17 @@ def _q_mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-recomputed; real images run the same pairs operator over
     ahash_ppm_bands (unit-tested kernel). Every 25th doc gains a
     re-crawl copy with its first char replaced — the length-preserving
-    perturbation aHash absorbs — so the join has non-trivial work."""
+    perturbation aHash absorbs — so the join has non-trivial work. The
+    synthetic copy ids offset by max(doc_id)+1 (one bounded agg job,
+    oracle recomputes the same scalar) so they are collision-free at ANY
+    corpus size — a fixed constant would collide once real ids reach it
+    and silently corrupt the eval while the stamp stayed green."""
     from rassengine_spark.llmops import multimodal as MM
     docs = load_tables(spark, sf_dir)["documents"] \
         .select(F.col("doc_id").alias("id"), "text")
+    off = docs.agg(F.max("id")).first()[0] + 1
     copies = (docs.filter(F.col("id") % 25 == 0)
-              .select((F.col("id") + 10_000_000).alias("id"),
+              .select((F.col("id") + F.lit(off)).alias("id"),
                       F.expr("concat('Z', substring(text, 2))")
                       .alias("text")))
     hashed = MM.with_ahash_bands(docs.unionByName(copies), "text")
@@ -2876,7 +2881,8 @@ _SQL_MM_AHASH = """
 WITH d AS (
   SELECT doc_id AS id, text AS t FROM documents
   UNION ALL
-  SELECT doc_id + 10000000, 'Z' || substr(text, 2)
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         'Z' || substr(text, 2)
   FROM documents WHERE doc_id % 25 = 0),
 cs AS MATERIALIZED (
   SELECT id,

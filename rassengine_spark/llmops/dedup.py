@@ -855,10 +855,20 @@ def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
     streaming tier's copy-on-write versioning — streaming/clusters.py
     folds v{n} from committed v{n-1}); default in-place. Re-folding the
     same pairs is a NO-OP by construction (edges are idempotent for
-    connectivity), which is what makes crash replay safe."""
+    connectivity), which is what makes crash replay safe. In-place folds
+    never overwrite the previous state while the job runs: the new
+    forest writes to a temp sibling of data/ and swaps in with two
+    directory renames (data -> bak, tmp -> data) — a Spark failure
+    mid-write leaves data/ untouched, and a driver crash between the
+    renames is repaired by _heal_cluster_store on the next open (bak is
+    restored if data/ is missing, discarded otherwise)."""
     import os
+    import shutil
 
     read_root = src_path if src_path is not None else path
+    _heal_cluster_store(read_root)
+    if path != read_root:
+        _heal_cluster_store(path)
     src_data = os.path.join(read_root, "data")
     data_p = os.path.join(path, "data")
     pairs = new_pairs.select(F.col(src).alias("id_a"),
@@ -877,13 +887,39 @@ def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
                                   F.col("root").alias("id_b")))
         merged = connected_components(forest.unionByName(pairs),
                                       max_iter=max_iter)
-        # pin before overwrite: untouched lazily reads the very path the
-        # write replaces (the upsert lesson)
-        out = untouched.unionByName(merged).localCheckpoint()
+        out = untouched.unionByName(merged)
     else:
-        out = connected_components(pairs, max_iter=max_iter) \
-            .localCheckpoint()
-    out.write.mode("overwrite").parquet(data_p)
+        out = connected_components(pairs, max_iter=max_iter)
+    # write-then-swap: the job reads the STILL-INTACT data/ while writing
+    # the sibling (no localCheckpoint pin needed — executor-memory blocks
+    # are non-replicated, so pinning was the weaker crash story anyway)
+    tmp_p = data_p + ".__fold_tmp"
+    bak_p = data_p + ".__fold_bak"
+    shutil.rmtree(tmp_p, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp_p)
+    if os.path.exists(data_p):
+        os.rename(data_p, bak_p)
+    os.rename(tmp_p, data_p)
+    shutil.rmtree(bak_p, ignore_errors=True)
+
+
+def _heal_cluster_store(path: str) -> None:
+    """Repair a cluster store whose last in-place fold crashed between
+    the two swap renames: if data/ is gone but the bak sibling exists,
+    the bak IS the previous committed state — restore it. If both exist
+    the swap completed and only the cleanup was lost — discard bak."""
+    import os
+    import shutil
+
+    data_p = os.path.join(path, "data")
+    bak_p = data_p + ".__fold_bak"
+    if os.path.exists(bak_p):
+        if os.path.exists(data_p):
+            shutil.rmtree(bak_p, ignore_errors=True)
+        else:
+            os.rename(bak_p, data_p)
+    # a dangling tmp sibling is always garbage (never committed)
+    shutil.rmtree(data_p + ".__fold_tmp", ignore_errors=True)
 
 
 def read_cluster_store(spark, path: str) -> DataFrame:
@@ -892,6 +928,7 @@ def read_cluster_store(spark, path: str) -> DataFrame:
     (one aggregate over the |clustered nodes|-row store)."""
     import os
 
+    _heal_cluster_store(path)
     nr = spark.read.parquet(os.path.join(path, "data"))
     sizes = nr.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
     return nr.join(sizes, "root").select("node", "root", "cluster_size")

@@ -495,7 +495,8 @@ def ahash_ppm_bands(media: DataFrame, n_bands: int = 4,
 
 def ahash_near_pairs(df: DataFrame, id_col: str,
                      bands_col: str = "bands",
-                     max_hamming: int = 3) -> DataFrame:
+                     max_hamming: int = 3,
+                     max_bucket_size: int | None = None) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(hash_a, hash_b) <=
     max_hamming, via the banded equi-join: by pigeonhole, two 64-bit
     hashes within distance d share at least one identical band whenever
@@ -503,8 +504,14 @@ def ahash_near_pairs(df: DataFrame, id_col: str,
     RECALL-COMPLETE for d <= 3 (the deterministic sibling of minhash
     banding). Scale: the only shuffles key on (band_idx, band_value)
     (2^16 values per band) and the verify join carries just the two
-    band arrays; a boilerplate band value (all-black images) is the
-    LSH hot-bucket skew — cap upstream like max_bucket_size."""
+    band arrays; a boilerplate band value (all-zero bands from empty/
+    NULL payloads, all-black images) is the LSH hot-bucket skew —
+    `max_bucket_size` drops (band_idx, band_value) buckets with more
+    than that many members BEFORE the self-join (a k-member bucket is
+    k²/2 candidate rows), mirroring minhash_lsh_pairs. Trade: a pair
+    whose EVERY shared band is boilerplate is missed, weakening the
+    pigeonhole guarantee to non-dropped bands — boilerplate-heavy media
+    corpora want the cap, clean ones keep the exact guarantee (None)."""
     # pin: base feeds THREE consumers (the exploded self-join's two sides
     # and the two verify joins), and the upstream bands projection is an
     # interpreted 64-sample HOF that Catalyst otherwise COLLAPSES into
@@ -515,6 +522,15 @@ def ahash_near_pairs(df: DataFrame, id_col: str,
               .filter(F.col("_b").isNotNull())
               .localCheckpoint(eager=False))
     expl = base.select("id", F.posexplode("_b").alias("_bi", "_bv"))
+    if max_bucket_size is not None:
+        # hot list is tiny by construction (only boilerplate values
+        # exceed the cap) so it broadcasts; anti-join keeps the index
+        # sort-free (the substring_dup_pairs lesson vs window caps)
+        hot = (expl.groupBy("_bi", "_bv")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > max_bucket_size)
+                   .select("_bi", "_bv"))
+        expl = expl.join(F.broadcast(hot), ["_bi", "_bv"], "left_anti")
     a, b = expl.alias("_pa"), expl.alias("_pb")
     # dedup candidate pairs on SCALARS, then re-join the band arrays for
     # the verify: carrying the arrays through the dedup would make it a

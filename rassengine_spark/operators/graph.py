@@ -70,13 +70,16 @@ def cooccurrence_edges(df: DataFrame, group_col: str,
     every node with any edge has out-degree >= 1, as pagerank_micro
     requires). Scale: the self-join shuffles on the group key; a group
     of g items emits g·(g−1) pairs. `max_group_size` caps that g² skew:
-    groups larger than the cap are dropped BEFORE the self-join (one
-    count aggregate + semi-join — the LSH max_bucket_size trade: a
-    10^6-item pathological group is 10^12 pairs, and such groups are
-    boilerplate, not signal). None = exact graph (oracle-checkable)."""
+    groups with more than the cap's DISTINCT items are dropped BEFORE
+    the self-join (one count-distinct aggregate + semi-join — the LSH
+    max_bucket_size trade: a 10^6-item pathological group is 10^12
+    pairs, and such groups are boilerplate, not signal). Distinct items,
+    not raw rows: pair blowup is driven by distinct items (the self-join
+    half distincts its output), so duplicated (group, item) rows must
+    not evict a small group. None = exact graph (oracle-checkable)."""
     a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src"))
     if max_group_size is not None:
-        ok = (a.groupBy("g").agg(F.count(F.lit(1)).alias("_gs"))
+        ok = (a.groupBy("g").agg(F.countDistinct("src").alias("_gs"))
                .filter(F.col("_gs") <= max_group_size).select("g"))
         a = a.join(ok, "g", "left_semi")
     b = a.select("g", F.col("src").alias("dst"))

@@ -81,6 +81,27 @@ def test_near_pairs_guarantee_vs_brute_force(spark):
     assert got == want
 
 
+def test_near_pairs_hot_bucket_cap(spark):
+    """max_bucket_size drops boilerplate (band_idx, band_value) buckets
+    before the self-join (ADVICE r4: all-zero bands from empty payloads
+    otherwise produce O(k²) hamming-0 pairs). The planted zero-band
+    cohort pairs vanish under the cap; the genuine near pair — whose
+    shared bands are NOT hot — survives with its exact distance."""
+    zero = [0, 0, 0, 0]
+    near_a = [7, 11, 13, 17]
+    near_b = [7, 11, 13, 16]               # hamming 1 (band 3: 17^16)
+    rows = [(i, zero) for i in range(10)]
+    rows += [(100, near_a), (101, near_b)]
+    df = spark.createDataFrame(rows, "id long, bands array<bigint>")
+    capped = {(r.id_a, r.id_b): r.hamming
+              for r in MM.ahash_near_pairs(
+                  df, "id", max_hamming=3, max_bucket_size=5).collect()}
+    assert capped == {(100, 101): 1}
+    full = {(r.id_a, r.id_b)
+            for r in MM.ahash_near_pairs(df, "id", max_hamming=3).collect()}
+    assert len(full) == 45 + 1              # C(10,2) zero pairs + the near
+
+
 def test_near_pairs_end_to_end_on_text(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog " * 4),

@@ -67,3 +67,33 @@ def test_new_nodes_only_batch(spark, tmp_path):
 def test_duplicate_pairs_are_idempotent(spark, tmp_path):
     got = _store(spark, tmp_path / "s", [[(1, 2)], [(1, 2), (2, 1)]])
     assert got == {(1, 1, 2), (2, 1, 2)}
+
+
+def test_fold_crash_leaves_previous_state_intact(spark, tmp_path):
+    """In-place folds write-then-swap: simulate each crash point the swap
+    can leave behind and assert the store heals to a committed state."""
+    import os
+    import shutil
+
+    p = tmp_path / "s"
+    _store(spark, p, [[(1, 2)]])
+    data = str(p / "data")
+    committed = {(1, 1, 2), (2, 1, 2)}
+
+    # crash DURING the sibling write (garbage tmp, data intact)
+    os.makedirs(data + ".__fold_tmp/partial", exist_ok=True)
+    assert _store(spark, p, [[(10, 11)]]) == committed | {
+        (10, 10, 2), (11, 10, 2)}
+
+    # crash BETWEEN the two renames (data gone, bak = committed state)
+    shutil.move(data, data + ".__fold_bak")
+    got = {(r.node, r.root, r.cluster_size)
+           for r in read_cluster_store(spark, str(p)).collect()}
+    assert got == committed | {(10, 10, 2), (11, 10, 2)}
+    assert not os.path.exists(data + ".__fold_bak")
+
+    # crash AFTER the swap, before cleanup (bak is stale — discarded)
+    os.makedirs(data + ".__fold_bak/stale", exist_ok=True)
+    assert _store(spark, p, [[(2, 3)]]) == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)}
+    assert not os.path.exists(data + ".__fold_bak")

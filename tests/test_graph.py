@@ -97,7 +97,10 @@ def test_cooccurrence_edges_group_size_cap(spark):
     """max_group_size drops oversized groups BEFORE the self-join (the
     g² skew cap): the size-3 group's pairs vanish, the size-2 group
     survives, and None keeps the exact graph."""
-    rows = [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)]
+    rows = [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21),
+            # duplicated (group, item) rows must NOT evict group 2: the
+            # cap counts DISTINCT items (pair blowup is item-driven)
+            (2, 20), (2, 21), (2, 20)]
     df = spark.createDataFrame(rows, "g long, item long")
     capped = {(r.src, r.dst)
               for r in cooccurrence_edges(df, "g", "item",
