@@ -4650,16 +4650,10 @@ def _q_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree is O(sqrt(m)), so wedges are O(m^1.5) on ANY graph — the
     celebrity-node guard); the oracle counts the identical quantity
     with the id-ordered three-way join."""
-    from rassengine_spark.operators.graph import triangle_counts
-    li = (load_tables(spark, sf_dir)["lineitem"]
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .groupBy(F.col("a.l_partkey").alias("src"),
-                      F.col("b.l_partkey").alias("dst"))
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") >= 2).select("src", "dst"))
+    from rassengine_spark.operators.graph import basket_edges, triangle_counts
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = basket_edges(li, "l_orderkey", "l_partkey", min_support=2) \
+        .select("src", "dst")
     return triangle_counts(edges)
 
 
@@ -4677,6 +4671,110 @@ tri AS MATERIALIZED (
 nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node
+"""
+
+
+# ceil(frac * n_baskets): 2 at sf0.1 (150k orders — the absolute floor
+# region; TPC-H grows the part catalog with sf so supports stay flat) and
+# 54+ in the 30x densified probe corpus (fixed catalog — where the
+# fraction must take over or the graph explodes)
+_BASKET_SUPPORT_FRAC = 1.2e-05
+
+
+def _q_basket_triangles_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation under the SUPPORT-FRACTION prune
+    (operators/graph.py::basket_edges, VERDICT r4 #3): threshold =
+    max(2, ceil(frac * n_baskets)) instead of a fixed absolute support.
+    A constant bar stops pruning as co-occurrence densifies (bounded
+    catalog, growing corpus: every pair's count grows with basket count,
+    so at 1000x all noise clears support>=2 and the wedge join
+    explodes); the fraction keeps prune selectivity stable at any
+    scale. The oracle recomputes the dynamic threshold — the FORMULA is
+    what this entry stamps (at sf0.01 the absolute floor binds, at
+    larger corpora the fraction takes over)."""
+    from rassengine_spark.operators.graph import basket_edges, triangle_counts
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = basket_edges(li, "l_orderkey", "l_partkey", min_support=2,
+                         support_frac=_BASKET_SUPPORT_FRAC) \
+        .select("src", "dst")
+    return triangle_counts(edges)
+
+
+_SQL_BASKET_TRIANGLES_FRAC = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ng AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= GREATEST(
+    CAST(2 AS BIGINT),
+    CAST(CEIL({_BASKET_SUPPORT_FRAC} * (SELECT n FROM ng)) AS BIGINT))),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node
+"""
+
+
+def _q_basket_lift_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift under the support-fraction prune: the
+    basket_part_lift shape with threshold = max(2, ceil(frac *
+    n_baskets)) (basket_edges carries the support count through, so the
+    lift math reuses it as n_ab). Same scale rationale as
+    basket_part_triangles_frac; at sf0.01 the floor of 2 admits the
+    support-2 pairs the absolute entry (>=3) prunes, so the two entries
+    stamp distinct paths."""
+    from rassengine_spark.operators.graph import basket_edges
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = basket_edges(li, "l_orderkey", "l_partkey", min_support=2,
+                         support_frac=_BASKET_SUPPORT_FRAC) \
+        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"),
+                F.col("support").alias("n_ab"))
+    out = (pairs
+           .join(part_n.select(F.col("l_partkey").alias("pa"),
+                               F.col("n_p").alias("n_a")), "pa")
+           .join(part_n.select(F.col("l_partkey").alias("pb"),
+                               F.col("n_p").alias("n_b")), "pb")
+           .crossJoin(F.broadcast(n_orders))
+           .withColumn(
+               "lift",
+               F.round(F.col("n_ab").cast("double")
+                       * F.col("n_orders").cast("double")
+                       / (F.col("n_a") * F.col("n_b")), 4)))
+    return (out.select("pa", "pb", "n_ab", "lift")
+               .orderBy(F.col("lift").desc(), "pa", "pb").limit(20))
+
+
+_SQL_BASKET_LIFT_FRAC = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ng AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pn AS (SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= GREATEST(
+    CAST(2 AS BIGINT),
+    CAST(CEIL({_BASKET_SUPPORT_FRAC} * (SELECT n_orders FROM ng))
+         AS BIGINT)))
+SELECT pa, pb, n_ab,
+       round(CAST(n_ab AS DOUBLE) * ng.n_orders
+             / (na.n_p * nb.n_p), 4) AS lift
+FROM pairs
+JOIN pn na ON na.l_partkey = pa
+JOIN pn nb ON nb.l_partkey = pb
+CROSS JOIN ng
+ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
@@ -6022,6 +6120,8 @@ FROM norm
 _ROUND5_NEW: list[str] = [
     # round-5 additions — first driver stamp (names appended as each
     # entry lands; kept ahead of the freshness rotation)
+    "basket_part_triangles_frac",
+    "basket_part_lift_frac",
 ]
 
 _STALE_R1 = [
@@ -6210,8 +6310,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_volume_anomaly": _q_events_anomaly,
         "events_daily_gapfill": _q_events_gapfill,
         "basket_part_lift": _q_basket_lift,
+        "basket_part_lift_frac": _q_basket_lift_frac,
         "basket_part_pagerank": _q_basket_pagerank,
         "basket_part_triangles": _q_basket_triangles,
+        "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
         "events_quantile_sketch_bounds": _q_events_quantile_sketch,
         "events_distinct_sketch_bounds": _q_events_distinct_sketch,
@@ -6381,8 +6483,10 @@ def oracle_sql() -> dict[str, str]:
         "events_volume_anomaly": _SQL_EVENTS_ANOMALY,
         "events_daily_gapfill": _SQL_EVENTS_GAPFILL,
         "basket_part_lift": _SQL_BASKET_LIFT,
+        "basket_part_lift_frac": _SQL_BASKET_LIFT_FRAC,
         "basket_part_pagerank": _sql_basket_pagerank(),
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
+        "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "events_quantile_sketch_bounds": _SQL_EVENTS_QSKETCH,
         "events_distinct_sketch_bounds": _SQL_EVENTS_DSKETCH,

@@ -93,6 +93,46 @@ def cooccurrence_edges(df: DataFrame, group_col: str,
                                   F.col("src").alias("dst")))
 
 
+def basket_edges(df: DataFrame, group_col: str, item_col: str,
+                 min_support: int = 2,
+                 support_frac: float | None = None) -> DataFrame:
+    """Support-pruned co-occurrence pairs (src, dst, support): item pairs
+    sharing at least threshold groups, where threshold =
+    max(min_support, ceil(support_frac * n_groups)).
+
+    The fraction is the scale knob (VERDICT r4 #3, NOTES §19): a FIXED
+    absolute support stops pruning as co-occurrence densifies — with a
+    bounded item catalog, every pair's count grows with the basket
+    count, so at 1000x the corpus all noise clears any constant bar and
+    the pair table (and every triangle/lift consumer) explodes. Tying
+    the bar to n_groups keeps prune selectivity stable: a pair must
+    appear in a fixed FRACTION of baskets, which noise does not do at
+    any scale. n_groups rides in as a 1-row broadcast cross-join (no
+    eager count at plan-build); the pair self-join keys on the group, so
+    blowup is items-per-group², never corpus².
+
+    support_frac=None keeps the absolute threshold (exact,
+    oracle-checkable at fixed scale; the basket_part_lift /
+    basket_part_triangles entries)."""
+    li = (df.select(F.col(group_col).alias("g"),
+                    F.col(item_col).alias("i"))
+            .distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.i") < F.col("b.i")))
+              .groupBy(F.col("a.i").alias("src"),
+                       F.col("b.i").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("support")))
+    if support_frac is None:
+        return pairs.filter(F.col("support") >= min_support)
+    ng = li.agg(F.countDistinct("g").alias("_ng"))
+    thr = F.greatest(F.lit(min_support).cast("long"),
+                     F.ceil(F.lit(float(support_frac)) * F.col("_ng")))
+    return (pairs.crossJoin(F.broadcast(ng))
+                 .filter(F.col("support") >= thr)
+                 .drop("_ng"))
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """(node, n_tri) per triangle-participating node over an undirected

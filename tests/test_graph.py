@@ -93,6 +93,29 @@ def test_triangle_counts_random_vs_bruteforce(spark):
     assert got == want
 
 
+def test_basket_edges_support_fraction(spark):
+    """threshold = max(min_support, ceil(frac * n_groups)): with 10
+    groups and frac=0.25 the bar is ceil(2.5)=3, so the support-2 pair
+    drops and the support-3 pair survives; with frac=None the absolute
+    floor of 2 keeps both. Duplicated (group,item) rows don't inflate
+    support (pre-distinct)."""
+    from rassengine_spark.operators.graph import basket_edges
+    rows = []
+    for g in range(1, 4):                     # (1,2) support 3
+        rows += [(g, 1), (g, 2)]
+    rows += [(4, 3), (4, 4), (5, 3), (5, 4), (5, 4)]   # (3,4) support 2
+    rows += [(6, 9), (7, 9), (8, 9), (9, 9), (10, 9)]  # pad to 10 groups
+    df = spark.createDataFrame(rows, "g long, item long")
+    frac = {(r.src, r.dst): r.support
+            for r in basket_edges(df, "g", "item", min_support=2,
+                                  support_frac=0.25).collect()}
+    assert frac == {(1, 2): 3}
+    absolute = {(r.src, r.dst): r.support
+                for r in basket_edges(df, "g", "item",
+                                      min_support=2).collect()}
+    assert absolute == {(1, 2): 3, (3, 4): 2}
+
+
 def test_cooccurrence_edges_group_size_cap(spark):
     """max_group_size drops oversized groups BEFORE the self-join (the
     g² skew cap): the size-3 group's pairs vanish, the size-2 group

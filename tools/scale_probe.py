@@ -62,6 +62,8 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 # default probe set: the entries whose cost class could go nonlinear
 DEFAULT_ENTRIES = [
     "prep_training_corpus", "basket_part_pagerank", "basket_part_lift",
+    "basket_part_lift_frac", "basket_part_triangles",
+    "basket_part_triangles_frac",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
     "dedup_cc_clusters",
     "dedup_incremental", "dedup_substring_pairs", "dedup_embedding_cosine",
