@@ -5965,6 +5965,47 @@ FROM rg JOIN ratio USING (b) GROUP BY id
 """
 
 
+def _q_split_dsir_weights_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_dsir_weights served from PERSISTED density tables
+    (llmops/dsir.py::merge_gram_counts + importance_weights_from_counts,
+    streaming/dsir.py's batch twin): the target corpus folds into the
+    (b, c) store in two parity-split batches, the raw side in two more,
+    and the weights come off the stores — bit-identical to the live
+    two-corpus computation because the counts are additive integers, so
+    any fold sequence equals the one-shot aggregate. Shares
+    split_dsir_weights' oracle verbatim: FOLD INVISIBILITY is the
+    stamped property (the dedup_cluster_store_merge pattern). At scale
+    this is how DSIR runs: target densities maintained by the stream as
+    curators bless domains, raw densities by the ingest — scoring never
+    re-shingles history."""
+    import os
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.dsir import (importance_weights_from_counts,
+                                              merge_gram_counts,
+                                              read_gram_counts)
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.filter(F.col("doc_id") % 97 != 0)
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rass_dsir_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for side, frame in (("t", target), ("r", raw)):
+        for par in (0, 1):
+            merge_gram_counts(spark, os.path.join(root, side),
+                              frame.filter(F.col("doc_id") % 2 == par),
+                              "text", "doc_id", n=2,
+                              n_buckets=_DSIR_BUCKETS)
+    out = importance_weights_from_counts(
+        raw, "text", "doc_id",
+        read_gram_counts(spark, os.path.join(root, "r")),
+        read_gram_counts(spark, os.path.join(root, "t")),
+        n=2, n_buckets=_DSIR_BUCKETS)
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "imp_micro")
+
+
 def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-triplet assembly (llmops/similarity.py::mine_triplets):
     per anchor, the hardest same-label positive and hardest other-label
@@ -6122,6 +6163,7 @@ _ROUND5_NEW: list[str] = [
     # entry lands; kept ahead of the freshness rotation)
     "basket_part_triangles_frac",
     "basket_part_lift_frac",
+    "split_dsir_weights_fold",
 ]
 
 _STALE_R1 = [
@@ -6247,6 +6289,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_epoch_shuffle": _q_split_epoch_shuffle,
         "split_length_buckets": _q_split_length_buckets,
         "split_dsir_weights": _q_split_dsir_weights,
+        "split_dsir_weights_fold": _q_split_dsir_weights_fold,
         "pack_sequences": _q_pack_sequences,
         "mine_hard_negatives": _q_mine_hard_negatives,
         "mine_triplets": _q_mine_triplets,
@@ -6420,6 +6463,8 @@ def oracle_sql() -> dict[str, str]:
         "split_epoch_shuffle": _SQL_SPLIT_EPOCH_SHUFFLE,
         "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
         "split_dsir_weights": _sql_split_dsir_weights(),
+        # fold invisibility IS the stamped property: same oracle verbatim
+        "split_dsir_weights_fold": _sql_split_dsir_weights(),
         "pack_sequences": _sql_pack_sequences(),
         "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
         "mine_triplets": _SQL_MINE_TRIPLETS,

@@ -246,6 +246,10 @@ def _cmd_stream(args) -> int:
         from .streaming.clusters import stream_cluster_maintenance
         q = stream_cluster_maintenance(spark, args.src, args.out,
                                        args.checkpoint)
+    elif kind == "dsir":
+        from .streaming.dsir import stream_gram_counts_maintenance
+        q = stream_gram_counts_maintenance(spark, args.src, args.out,
+                                           args.checkpoint)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -326,9 +330,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser(
         "stream",
-        help="streaming maintainers: index / vectors / rollup / dedup / clusters")
+        help="streaming maintainers: index / vectors / rollup / dedup /"
+             " clusters / dsir")
     ps.add_argument("--kind", required=True,
-                    choices=["index", "vectors", "rollup", "dedup", "clusters"])
+                    choices=["index", "vectors", "rollup", "dedup",
+                             "clusters", "dsir"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

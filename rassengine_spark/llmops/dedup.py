@@ -863,7 +863,6 @@ def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
     renames is repaired by _heal_cluster_store on the next open (bak is
     restored if data/ is missing, discarded otherwise)."""
     import os
-    import shutil
 
     read_root = src_path if src_path is not None else path
     _heal_cluster_store(read_root)
@@ -893,33 +892,18 @@ def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
     # write-then-swap: the job reads the STILL-INTACT data/ while writing
     # the sibling (no localCheckpoint pin needed — executor-memory blocks
     # are non-replicated, so pinning was the weaker crash story anyway)
-    tmp_p = data_p + ".__fold_tmp"
-    bak_p = data_p + ".__fold_bak"
-    shutil.rmtree(tmp_p, ignore_errors=True)
-    out.write.mode("overwrite").parquet(tmp_p)
-    if os.path.exists(data_p):
-        os.rename(data_p, bak_p)
-    os.rename(tmp_p, data_p)
-    shutil.rmtree(bak_p, ignore_errors=True)
+    from ..util import swap_commit_dir
+    swap_commit_dir(
+        lambda tmp: out.write.mode("overwrite").parquet(tmp), data_p)
 
 
 def _heal_cluster_store(path: str) -> None:
-    """Repair a cluster store whose last in-place fold crashed between
-    the two swap renames: if data/ is gone but the bak sibling exists,
-    the bak IS the previous committed state — restore it. If both exist
-    the swap completed and only the cleanup was lost — discard bak."""
+    """Repair a cluster store whose last in-place fold crashed mid-swap
+    (util.heal_swapped_dir on the data/ dir)."""
     import os
-    import shutil
 
-    data_p = os.path.join(path, "data")
-    bak_p = data_p + ".__fold_bak"
-    if os.path.exists(bak_p):
-        if os.path.exists(data_p):
-            shutil.rmtree(bak_p, ignore_errors=True)
-        else:
-            os.rename(bak_p, data_p)
-    # a dangling tmp sibling is always garbage (never committed)
-    shutil.rmtree(data_p + ".__fold_tmp", ignore_errors=True)
+    from ..util import heal_swapped_dir
+    heal_swapped_dir(os.path.join(path, "data"))
 
 
 def read_cluster_store(spark, path: str) -> DataFrame:

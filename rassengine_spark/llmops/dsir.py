@@ -49,6 +49,42 @@ def hashed_gram_buckets(df: DataFrame, text_col: str, id_col: str,
                       .alias("b")))
 
 
+def gram_bucket_counts(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 2, n_buckets: int = 8192) -> DataFrame:
+    """(b, c): bucket frequencies of a corpus's per-doc-distinct grams —
+    the <= n_buckets-row sufficient statistic DSIR needs from either
+    side. ADDITIVE: counts over doc-disjoint corpus slices sum to the
+    union's counts, which is what makes the persisted fold
+    (merge_gram_counts / streaming/dsir.py) exactly equal a one-shot
+    rebuild."""
+    gb = hashed_gram_buckets(df, text_col, id_col, n, n_buckets)
+    return gb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _weights_from_counts(rb: DataFrame, raw_counts: DataFrame,
+                         tgt_counts: DataFrame,
+                         weight_fn: Callable[[Column, Column], Column]
+                         | None) -> DataFrame:
+    """Score the (id, b) raw gram table against two (b, c) count tables.
+    The ratio table is raw-side buckets only (every probed gram comes
+    FROM raw, so a left join covers it; missing target counts coalesce
+    to 0) and broadcasts at <= n_buckets rows."""
+    raw_c = raw_counts.select("b", F.col("c").alias("_rc"))
+    tgt_c = tgt_counts.select("b", F.col("c").alias("_tc"))
+    ratio = (raw_c.join(tgt_c, "b", "left")
+             .select("b", F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+                     F.col("_rc")))
+    if weight_fn is None:
+        w = F.expr(f"(( _tc + 1) * {MICRO}) div (_rc + 1)").alias("_w")
+    else:
+        w = weight_fn(F.col("_tc"), F.col("_rc")).alias("_w")
+    ratio = ratio.select("b", w)
+    return (rb.join(F.broadcast(ratio), "b")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("_w").alias("imp_micro")))
+
+
 def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
                        id_col: str, n: int = 2, n_buckets: int = 8192,
                        weight_fn: Callable[[Column, Column], Column]
@@ -63,23 +99,78 @@ def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
     (e.g. the paper's log-ratio) when exact cross-engine reproducibility
     is not required."""
     rb = hashed_gram_buckets(raw, text_col, id_col, n, n_buckets)
-    tb = hashed_gram_buckets(target, text_col, id_col, n, n_buckets)
-    raw_c = rb.groupBy("b").agg(F.count(F.lit(1)).alias("_rc"))
-    tgt_c = tb.groupBy("b").agg(F.count(F.lit(1)).alias("_tc"))
-    # raw-side buckets only: every probed gram comes FROM raw, so a
-    # left join covers it; missing target counts coalesce to 0
-    ratio = (raw_c.join(tgt_c, "b", "left")
-             .select("b", F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
-                     F.col("_rc")))
-    if weight_fn is None:
-        w = F.expr(f"(( _tc + 1) * {MICRO}) div (_rc + 1)").alias("_w")
+    raw_c = gram_bucket_counts(raw, text_col, id_col, n, n_buckets)
+    tgt_c = gram_bucket_counts(target, text_col, id_col, n, n_buckets)
+    return _weights_from_counts(rb, raw_c, tgt_c, weight_fn)
+
+
+def importance_weights_from_counts(
+        raw: DataFrame, text_col: str, id_col: str,
+        raw_counts: DataFrame, tgt_counts: DataFrame,
+        n: int = 2, n_buckets: int = 8192,
+        weight_fn: Callable[[Column, Column], Column]
+        | None = None) -> DataFrame:
+    """importance_weights served from PERSISTED density tables: both
+    sides' (b, c) counts come from merge_gram_counts stores (or any
+    precomputed aggregate), so scoring a corpus costs ONE gram scan of
+    the docs being scored plus the broadcast ratio join — the target
+    history (and, with a maintained raw store, the raw history) is never
+    re-shingled. Counts must use the same n / n_buckets as this call.
+    Since the fold equals a rebuild exactly (additive integers), weights
+    from folded stores are bit-identical to importance_weights on the
+    union corpora — the property the split_dsir_weights_fold entry
+    stamps."""
+    rb = hashed_gram_buckets(raw, text_col, id_col, n, n_buckets)
+    return _weights_from_counts(rb, raw_counts, tgt_counts, weight_fn)
+
+
+def merge_gram_counts(spark, path: str, batch: DataFrame, text_col: str,
+                      id_col: str, n: int = 2, n_buckets: int = 8192,
+                      src_path: str | None = None) -> None:
+    """Incremental DSIR density maintenance: fold a doc batch's gram
+    bucket counts into the persisted (b, c) table — the DSIR member of
+    the incremental rollup family (counts are additive integers, so any
+    fold sequence equals the one-shot aggregate over the union exactly,
+    like merge_rollup's DECIMAL sums). The table is <= n_buckets rows
+    (64 KiB at the default width): whole-table rewrite per fold is the
+    right plan at any corpus size. ``src_path`` reads the previous state
+    from a different root (streaming/dsir.py's copy-on-write
+    versioning); default in-place, crash-safe via util.swap_commit_dir.
+    NOT idempotent under replay (counts double) — replay protection is
+    the streaming tier's marker discipline, exactly as with
+    merge_rollup."""
+    import os
+
+    from ..util import heal_swapped_dir, swap_commit_dir
+
+    read_root = src_path if src_path is not None else path
+    heal_swapped_dir(os.path.join(read_root, "data"))
+    if path != read_root:
+        heal_swapped_dir(os.path.join(path, "data"))
+    src_data = os.path.join(read_root, "data")
+    data_p = os.path.join(path, "data")
+    bc = gram_bucket_counts(batch, text_col, id_col, n, n_buckets)
+    if os.path.exists(src_data):
+        prev = spark.read.parquet(src_data) \
+                    .select("b", F.col("c").alias("_pc"))
+        out = (prev.join(bc, "b", "full_outer")
+                   .select("b",
+                           (F.coalesce(F.col("_pc"), F.lit(0))
+                            + F.coalesce(F.col("c"), F.lit(0))).alias("c")))
     else:
-        w = weight_fn(F.col("_tc"), F.col("_rc")).alias("_w")
-    ratio = ratio.select("b", w)
-    return (rb.join(F.broadcast(ratio), "b")
-              .groupBy("id")
-              .agg(F.count(F.lit(1)).alias("n_grams"),
-                   F.sum("_w").alias("imp_micro")))
+        out = bc
+    swap_commit_dir(
+        lambda tmp: out.repartition(1).write.mode("overwrite").parquet(tmp),
+        data_p)
+
+
+def read_gram_counts(spark, path: str) -> DataFrame:
+    """(b, c) from a merge_gram_counts store."""
+    import os
+
+    from ..util import heal_swapped_dir
+    heal_swapped_dir(os.path.join(path, "data"))
+    return spark.read.parquet(os.path.join(path, "data"))
 
 
 def select_target_like(raw: DataFrame, target: DataFrame, text_col: str,

@@ -153,10 +153,18 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     All joins are id-keyed shuffles; no windows, no collects. The
     id-ordered formulation (a<b<c) counts identically — that is what
     the SQL oracle uses."""
+    # pin the canonical edge frame: it feeds deg (twice via the union),
+    # the degree joins, and through `o` the wedge/closing consumers —
+    # without the pin Catalyst re-plans the WHOLE upstream (including an
+    # expensive support-pruning aggregate when basket_edges feeds this)
+    # once per consumer: measured 274 exchanges / 8x duplicated pair aggs
+    # on basket_part_triangles_frac vs ~15 pinned (the pagerank edge-pin
+    # lesson)
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                         F.greatest(F.col(src), F.col(dst)).alias("v"))
                  .filter(F.col("u") != F.col("v"))
-                 .distinct())
+                 .distinct()
+                 .localCheckpoint(eager=False))
     deg = (und.select(F.col("u").alias("n"))
               .unionAll(und.select(F.col("v").alias("n")))
               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -165,10 +173,12 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     keyed = und.join(d_u, "u").join(d_v, "v")
     fwd = (F.col("_du") < F.col("_dv")) | \
           ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+    # o feeds three consumers (wedge sides + closing edges): pin it too
     o = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_db"))
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_db")) \
+        .localCheckpoint(eager=False)
     # wedge (a->b, a->c) once per unordered pair: b strictly before c in
     # the SAME (degree, node) total order the orientation uses
     w1 = o.select(F.col("a"), F.col("b"), F.col("_db"))

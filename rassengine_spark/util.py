@@ -106,3 +106,42 @@ def java_double_sort_key(x: float) -> int:
     import struct as _struct
     bits = _struct.unpack(">q", _struct.pack(">d", float(x)))[0]
     return bits if bits >= 0 else bits ^ 0x7FFFFFFFFFFFFFFF
+
+
+def swap_commit_dir(write, data_p: str) -> None:
+    """Crash-safe in-place overwrite of a small persisted table dir:
+    ``write(tmp_path)`` materializes the NEW contents into a temp
+    sibling (the job may lazily read the still-intact ``data_p``), then
+    two directory renames swap it in. A Spark failure mid-write leaves
+    ``data_p`` untouched; a driver crash between the renames is repaired
+    by heal_swapped_dir on the next open. Shared by the in-place fold
+    stores (cluster forest, DSIR gram counts)."""
+    import os
+    import shutil
+
+    tmp_p = data_p + ".__fold_tmp"
+    bak_p = data_p + ".__fold_bak"
+    shutil.rmtree(tmp_p, ignore_errors=True)
+    write(tmp_p)
+    if os.path.exists(data_p):
+        os.rename(data_p, bak_p)
+    os.rename(tmp_p, data_p)
+    shutil.rmtree(bak_p, ignore_errors=True)
+
+
+def heal_swapped_dir(data_p: str) -> None:
+    """Repair a swap_commit_dir target whose last fold crashed between
+    the two renames: if ``data_p`` is gone but the bak sibling exists,
+    the bak IS the previous committed state — restore it. If both exist
+    the swap completed and only the cleanup was lost — discard bak. A
+    dangling tmp sibling is always garbage (never committed)."""
+    import os
+    import shutil
+
+    bak_p = data_p + ".__fold_bak"
+    if os.path.exists(bak_p):
+        if os.path.exists(data_p):
+            shutil.rmtree(bak_p, ignore_errors=True)
+        else:
+            os.rename(bak_p, data_p)
+    shutil.rmtree(data_p + ".__fold_tmp", ignore_errors=True)

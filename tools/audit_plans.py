@@ -106,6 +106,7 @@ SORT_OK = {
     # same class: SMJ sorts on the oriented-edge wedge/closing joins
     # (edges x edges — both graph-scale), not a result sort:
     "basket_part_triangles",
+    "basket_part_triangles_frac",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",

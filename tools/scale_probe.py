@@ -59,6 +59,61 @@ FACT_SHIFT = {
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
+# Result-stability invariants (VERDICT r4 #4): wall-time ratios catch
+# slow-at-scale; these catch WRONG-at-scale. Evaluated on a per-run
+# summary (row count + boolean-guarantee violations) so the probe never
+# retains a scaled result set.
+#
+# Entries whose row count must NOT scale with the factor: pinned query
+# sets (md5-sampled or literal), fixed grouping cardinality, fixed top-N.
+FIXED_ROWS = {
+    "bm25_known_item_eval",        # md5-pinned 50-query sample
+    "sim_hnsw_recall",             # fixed query set
+    "sim_bruteforce_topk",         # |Q| x k, both fixed
+    "sim_ivfpq_residual_topk",
+    "m_quality_classifier_eval",   # 1 summary row
+    "tpch_q1_pricing",             # grouping cardinality <= 6
+    "events_mg_rollup_bounds",     # top-5 per event type
+    "text_heavy_hitters_mg",       # top-10
+}
+# Entries with a LIMIT N contract: row count <= cap at every factor.
+TOPK_CAP = {
+    "basket_part_lift": 20,
+    "basket_part_lift_frac": 20,
+    "dedup_embedding_cosine": 20,
+    "dedup_embedding_cosine_cells": 20,
+}
+
+
+def summarize_rows(rows) -> dict:
+    """Bounded per-run summary: row count + violations of boolean
+    guarantee columns (recall floors, sketch bounds, eval accuracy all
+    surface as *_ok booleans in this contract)."""
+    ok_false = 0
+    for r in rows:
+        d = r.asDict()
+        for k, v in d.items():
+            if (k == "ok" or k.endswith("_ok")) and v is False:
+                ok_false += 1
+    return {"n_rows": len(rows), "ok_false": ok_false}
+
+
+def invariant_fails(name: str, s1: dict, sN: dict, factor: int) -> list:
+    fails = []
+    for tag, s in (("1x", s1), (f"{factor}x", sN)):
+        if s["ok_false"]:
+            fails.append(f"{tag}: {s['ok_false']} *_ok rows are False")
+    if name in FIXED_ROWS and s1["n_rows"] != sN["n_rows"]:
+        fails.append(f"fixed-cardinality entry scaled: "
+                     f"{s1['n_rows']} -> {sN['n_rows']} rows")
+    cap = TOPK_CAP.get(name)
+    if cap is not None:
+        for tag, s in (("1x", s1), (f"{factor}x", sN)):
+            if s["n_rows"] > cap:
+                fails.append(f"{tag}: {s['n_rows']} rows > top-{cap} cap")
+    return fails
+
+
 # default probe set: the entries whose cost class could go nonlinear
 DEFAULT_ENTRIES = [
     "prep_training_corpus", "basket_part_pagerank", "basket_part_lift",
@@ -152,11 +207,16 @@ def main() -> int:
     results = {}
     for name in names:
         row = {}
+        sums = {}
         for tag, d in (("t1", args.src), ("tN", dst)):
             t0 = time.perf_counter()
             try:
-                qs[name](spark, d).collect()
+                rows = qs[name](spark, d).collect()
                 row[tag] = round(time.perf_counter() - t0, 2)
+                # summarize immediately and drop: never retain a scaled
+                # result set on the driver
+                sums[tag] = summarize_rows(rows)
+                del rows
             except Exception as e:  # noqa: BLE001
                 row[tag] = None
                 row["err"] = f"{tag}: {e}"
@@ -164,9 +224,17 @@ def main() -> int:
         if row.get("t1") and row.get("tN"):
             row["ratio"] = round(row["tN"] / row["t1"], 2)
             row["vs_linear"] = round(row["ratio"] / args.factor, 2)
+            fails = invariant_fails(name, sums["t1"], sums["tN"],
+                                    args.factor)
+            row["rows_1x"] = sums["t1"]["n_rows"]
+            row["rows_Nx"] = sums["tN"]["n_rows"]
+            row["invariants_ok"] = not fails
+            if fails:
+                row["invariant_fails"] = fails
         results[name] = row
         print(f"{name:32s} t1={row.get('t1')}s tN={row.get('tN')}s "
               f"ratio={row.get('ratio')} vs_linear={row.get('vs_linear')}"
+              f" inv={'OK' if row.get('invariants_ok', True) else 'FAIL'}"
               + (f" ERR {row.get('err')}" if row.get("err") else ""),
               file=sys.stderr)
 
@@ -185,11 +253,15 @@ def main() -> int:
         merged[n] = {**r, "factor": args.factor, "src": args.src}
     flagged = [n for n, r in merged.items()
                if r.get("vs_linear") and r["vs_linear"] > args.flag_ratio]
+    inv_failed = [n for n, r in merged.items()
+                  if r.get("invariants_ok") is False]
     out = {"factor": args.factor, "src": args.src, "results": merged,
-           "flagged_superlinear": flagged}
+           "flagged_superlinear": flagged,
+           "invariant_failures": inv_failed}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"flagged_superlinear": flagged,
+                      "invariant_failures": inv_failed,
                       "n_probed": len(results)}))
     if not args.keep:
         shutil.rmtree(dst, ignore_errors=True)
