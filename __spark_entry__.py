@@ -331,6 +331,49 @@ WHERE score > 0 ORDER BY score DESC, c_custkey ASC LIMIT 3
 """
 
 
+_TRIGRAM_QUERY = "Custmer#000000042"      # dropped 'o': defeats tiers 1-3
+
+
+def _q_q13_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-tolerant name resolution (operators/search.py::
+    resolve_ids_trigram, the pg_trgm technique): a typo INSIDE a token
+    defeats Q13's exact and phrase tiers, and its prefix-fuzzy tier
+    (reference app/main.py:2637-2744) degenerates to an all-ties 1.0
+    (every name matches, min-id wins — measured: ids 0,1,2 for
+    'Custmer#...042'), while trigram Jaccard still ranks the intended
+    customer FIRST (42 at 0.64 vs 0.60 runners-up). Scoring is one
+    codegen projection against the query's literal trigram set + a
+    top-k heap; the oracle recomputes the trigram sets and Jaccard from
+    the same literal."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    return ops.resolve_ids_trigram(cust, "c_name", "c_custkey",
+                                   _TRIGRAM_QUERY, k=3)
+
+
+_SQL_Q13_FUZZY_TRIGRAM = f"""
+WITH qg AS (
+  SELECT list_distinct(CASE WHEN len(qn) < 3 THEN [qn]
+           ELSE list_transform(range(1, len(qn) - 1),
+                               i -> substr(qn, CAST(i AS INT), 3)) END) AS g
+  FROM (SELECT lower('{_TRIGRAM_QUERY}') AS qn)),
+tg AS (
+  SELECT c_custkey,
+         list_distinct(CASE WHEN len(n) < 3 THEN [n]
+           ELSE list_transform(range(1, len(n) - 1),
+                               i -> substr(n, CAST(i AS INT), 3)) END) AS g
+  FROM (SELECT c_custkey, lower(COALESCE(c_name, '')) AS n FROM customer)),
+s AS (
+  SELECT c_custkey,
+         round(CAST(len(list_intersect(tg.g, qg.g)) AS DOUBLE)
+               / CAST(len(tg.g) + len(qg.g)
+                      - len(list_intersect(tg.g, qg.g)) AS DOUBLE), 6)
+           AS score
+  FROM tg CROSS JOIN qg)
+SELECT c_custkey, score FROM s WHERE score > 0
+ORDER BY score DESC, c_custkey ASC LIMIT 3
+"""
+
+
 def _q_q14_has_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 existence probe (app/main.py:1470-1478)."""
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -2275,6 +2318,41 @@ SELECT doc_id,
        CAST(CAST('0x' || substr(k, 1, 2) AS BIGINT) AS INT) AS shard,
        CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
 FROM k
+"""
+
+
+def _q_split_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (llmops/splits.py::curriculum_order,
+    Bengio et al. 2009): step = dense global rank under (difficulty
+    level asc, md5(id#e0)) — short docs first, deterministically
+    shuffled within each level, re-shuffled per epoch. Difficulty here =
+    least(7, word_count div 32), the standard length curriculum. Same
+    two-phase global-rank shape as epoch_shuffle (partition-local ranks
+    per (level, md5-byte shard) + one <= 8x256-row offset cumsum); the
+    oracle states the equivalent global ORDER BY directly."""
+    from rassengine_spark.llmops.splits import curriculum_order
+    docs = load_tables(spark, sf_dir)["documents"]
+    nw = F.size(words_of(F.coalesce(F.col("text"), F.lit(""))))
+    d = (docs.withColumn("_nw", nw.cast("long"))
+             .withColumn("_diff", F.least(F.lit(7).cast("long"),
+                                          F.expr("_nw div 32"))))
+    return curriculum_order(d, "doc_id", "_diff", epoch=0) \
+        .withColumnRenamed("id", "doc_id")
+
+
+def _sql_split_curriculum() -> str:
+    words = _SQL_WORDS.format(col="COALESCE(text, '')")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         LEAST(CAST(7 AS BIGINT), CAST(len({words}) // 32 AS BIGINT))
+           AS difficulty,
+         md5(CAST(doc_id AS VARCHAR) || '#e0') AS k
+  FROM documents)
+SELECT doc_id, difficulty,
+       CAST(row_number() OVER (ORDER BY difficulty, k, doc_id) - 1
+            AS BIGINT) AS step
+FROM d
 """
 
 
@@ -4902,6 +4980,64 @@ r{i + 1} AS MATERIALIZED (
             + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node")
 
 
+def _q_orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (pipeline/scd2.py, Kimball type-2 / the
+    lakehouse MERGE-with-history recipe): each customer's order-priority
+    regime as interval rows (valid_from, valid_to, is_current), built by
+    folding the observation stream (o_custkey, o_orderpriority,
+    o_orderdate, seq=o_orderkey) into the persisted store in two
+    date-split batches — the CDC contract (append-only change-log
+    order). The oracle reconstructs the whole table from the raw
+    observations with lag/lead windows, so FOLD INVISIBILITY is the
+    stamped property: untouched keys and closed rows pass through, only
+    touched keys' current rows recompute (fold cost tracks batch size,
+    not history). scd2_as_of serves the point-in-time join a
+    reproducible training run makes against dimension state."""
+    import os
+    import shutil
+    import tempfile
+
+    from rassengine_spark.pipeline.scd2 import merge_scd2, read_scd2
+    o = load_tables(spark, sf_dir)["orders"]
+    obs = o.select("o_custkey", "o_orderpriority",
+                   F.to_date("o_orderdate").alias("ts"),
+                   F.col("o_orderkey").alias("seq"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_scd2_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    pivot = "1995-06-17"
+    for part in (obs.filter(F.col("ts") < F.lit(pivot)),
+                 obs.filter(F.col("ts") >= F.lit(pivot))):
+        merge_scd2(spark, path, part, ["o_custkey"], ["o_orderpriority"],
+                   "ts", "seq")
+    return (read_scd2(spark, path)
+            .select("o_custkey", "o_orderpriority", "valid_from",
+                    "valid_to", "is_current"))
+
+
+_SQL_ORDERS_SCD2 = """
+WITH obs AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(o_orderdate AS DATE) AS ts, o_orderkey AS seq
+  FROM orders),
+d AS (
+  SELECT *, lag(o_orderpriority) OVER (
+      PARTITION BY o_custkey ORDER BY ts, seq) AS _prev,
+    CAST(lag(1) OVER (PARTITION BY o_custkey ORDER BY ts, seq)
+         AS BIGINT) AS _has_prev
+  FROM obs),
+chg AS (
+  SELECT o_custkey, o_orderpriority, ts, seq FROM d
+  WHERE _has_prev IS NULL OR o_orderpriority IS DISTINCT FROM _prev)
+SELECT o_custkey, o_orderpriority, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, seq) AS valid_to,
+       lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, seq) IS NULL
+         AS is_current
+FROM chg
+"""
+
+
 def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, recency (days since last order),
     frequency (orders), monetary (total price) — each quartile-binned
@@ -6164,6 +6300,9 @@ _ROUND5_NEW: list[str] = [
     "basket_part_triangles_frac",
     "basket_part_lift_frac",
     "split_dsir_weights_fold",
+    "orders_scd2_priority",
+    "split_curriculum_order",
+    "q13_fuzzy_trigram",
 ]
 
 _STALE_R1 = [
@@ -6221,6 +6360,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_collapse_best_per_key": _q_q12_collapse,
         "w2_last_n_per_key": _q_w2_history,
         "q13_name_resolution": _q_q13_resolve,
+        "q13_fuzzy_trigram": _q_q13_fuzzy_trigram,
         "q14_has_data": _q_q14_has_data,
         "s8_l2_normalize": _q_s8_normalize,
         "q3_hybrid_search": _q_q3_hybrid,
@@ -6287,6 +6427,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_token_budget": _q_split_token_budget,
         "split_mixture_token_budget": _q_split_mixture_budget,
         "split_epoch_shuffle": _q_split_epoch_shuffle,
+        "split_curriculum_order": _q_split_curriculum,
         "split_length_buckets": _q_split_length_buckets,
         "split_dsir_weights": _q_split_dsir_weights,
         "split_dsir_weights_fold": _q_split_dsir_weights_fold,
@@ -6315,6 +6456,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _q_tpch_q10,
         "tpch_q14_promo_revenue": _q_tpch_q14,
         "orders_running_total": _q_orders_running_total,
+        "orders_scd2_priority": _q_orders_scd2_priority,
         "skew_salted_agg": _q_skew_salted_agg,
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
@@ -6394,6 +6536,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_collapse_best_per_key": _SQL_Q12_COLLAPSE,
         "w2_last_n_per_key": _SQL_W2_HISTORY,
         "q13_name_resolution": _SQL_Q13_RESOLVE,
+        "q13_fuzzy_trigram": _SQL_Q13_FUZZY_TRIGRAM,
         "q14_has_data": _SQL_Q14_HAS_DATA,
         "s8_l2_normalize": _SQL_S8_NORMALIZE,
         "q3_hybrid_search": _SQL_Q3_HYBRID,
@@ -6461,6 +6604,7 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": _sql_split_token_budget(),
         "split_mixture_token_budget": _sql_split_mixture_budget(),
         "split_epoch_shuffle": _SQL_SPLIT_EPOCH_SHUFFLE,
+        "split_curriculum_order": _sql_split_curriculum(),
         "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
         "split_dsir_weights": _sql_split_dsir_weights(),
         # fold invisibility IS the stamped property: same oracle verbatim
@@ -6490,6 +6634,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_returned_items": _SQL_TPCH_Q10,
         "tpch_q14_promo_revenue": _SQL_TPCH_Q14,
         "orders_running_total": _SQL_ORDERS_RUNNING,
+        "orders_scd2_priority": _SQL_ORDERS_SCD2,
         "skew_salted_agg": _SQL_SKEW_SALTED,
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),

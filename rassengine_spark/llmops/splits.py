@@ -321,3 +321,42 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
             .withColumn("pos",
                         F.row_number().over(win) - 1 + F.col("_off"))
             .select("id", "shard", "pos"))
+
+
+def curriculum_order(df: DataFrame, id_col: str, difficulty_col: str,
+                     epoch: int = 0) -> DataFrame:
+    """(id, difficulty, step): dense global training order for curriculum
+    learning (Bengio et al. 2009, public technique) — easy examples
+    first, hard ones later, with a deterministic reproducible shuffle
+    WITHIN each difficulty level (md5(id#e<epoch>), the epoch_shuffle
+    key, so each epoch re-shuffles within levels while the easy->hard
+    pacing is preserved).
+
+    `difficulty_col` is a modest-cardinality integer level (bucket
+    upstream — e.g. least(7, n_tokens div 32); a continuous score would
+    make the offset table corpus-sized). step = dense rank under
+    (difficulty, md5key, id).
+
+    Scale: a global ORDER BY is a single-partition sort at 100 TB —
+    this is epoch_shuffle's two-phase shape keyed one level up: ranks
+    are partition-local windows per (difficulty, md5-byte shard) and the
+    global offsets come from one cumsum over a <= levels x 256-row
+    aggregate. Repartition-invariant, engine-exact."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f"#e{epoch}")))
+    shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(difficulty_col).cast("long").alias("difficulty"),
+                  key.alias("_k"), shard.alias("shard"))
+    counts = d.groupBy("difficulty", "shard") \
+              .agg(F.count(F.lit(1)).alias("_c"))
+    woff = (Window.orderBy("difficulty", "shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+    win = Window.partitionBy("difficulty", "shard").orderBy("_k", "id")
+    return (d.join(F.broadcast(offs.select("difficulty", "shard", "_off")),
+                   ["difficulty", "shard"])
+            .withColumn("step",
+                        F.row_number().over(win) - 1 + F.col("_off"))
+            .select("id", "difficulty", "step"))

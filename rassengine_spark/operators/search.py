@@ -329,6 +329,52 @@ def resolve_ids_from_name(df: DataFrame, name_col: str, id_col: str,
                 .limit(k).select(id_col, "score"))
 
 
+def _char_trigrams(s) -> "F.Column":
+    """Distinct lowercase character trigrams of a string column/expr;
+    strings shorter than 3 chars collapse to one whole-string gram (so
+    every non-NULL name has >= 1 gram). substring/length are
+    code-point-based in both Spark and DuckDB, keeping the oracle
+    exact."""
+    n = F.lower(F.coalesce(s, F.lit("")))
+    grams = F.when(
+        F.length(n) < 3, F.array(n)
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(n) - 2),
+                    lambda i: F.substring(n, i, 3)))
+    return F.array_distinct(grams)
+
+
+def resolve_ids_trigram(df: DataFrame, name_col: str, id_col: str,
+                        query_name: str, k: int = 3,
+                        round_to: int = 6) -> DataFrame:
+    """Edit-tolerant name -> id resolution: the trigram-Jaccard tier
+    BELOW Q13's 3-tier resolver — a typo inside a token ("o" for "0")
+    defeats exact/phrase/prefix-fuzzy matching entirely, while trigram
+    overlap degrades gracefully (the pg_trgm / OpenSearch ngram-analyzer
+    technique, both public). score = Jaccard of distinct lowercase char
+    trigrams, rounded; top-k by (score desc, id asc).
+
+    Scale: the query's trigram set is a plan literal, scoring is one
+    codegen projection over the scan (array_intersect against a <=
+    |name| element literal), and the only 'shuffle' is the
+    TakeOrderedAndProject k-heap — the brute_force_topk contract. At
+    very large k x corpus, block with an ngram inverted index (the
+    bm25_store pattern) — this operator is the exact-scoring tier."""
+    qn = query_name.lower()
+    qg = sorted({qn} if len(qn) < 3 else
+                {qn[i:i + 3] for i in range(len(qn) - 2)})
+    from ..util import string_array_lit
+    qlit = string_array_lit(qg)
+    tg = _char_trigrams(F.col(name_col))
+    inter = F.size(F.array_intersect(tg, qlit))
+    union = F.size(tg) + F.lit(len(qg)) - inter
+    score = F.round(inter.cast("double") / union.cast("double"), round_to)
+    return (df.select(F.col(id_col), score.alias("score"))
+              .filter(F.col("score") > 0)
+              .orderBy(F.col("score").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
 # ---------------------------------------------------------------- Q14
 def has_any_data(df: DataFrame) -> bool:
     """Q14 existence probe (reference `has_any_data`, app/main.py:1470-1478).

@@ -252,3 +252,34 @@ def test_epoch_shuffle_dense_permutation(spark):
     again = {r.id: r.pos for r in
              epoch_shuffle(df.repartition(13), "doc_id", epoch=1).collect()}
     assert again == e1
+
+
+def test_curriculum_order_easy_first_dense_and_invariant(spark):
+    """step is a dense 0..N-1 rank, monotone in difficulty (every easier
+    doc precedes every harder one), shuffled within a level by the epoch
+    key, and invariant under repartitioning."""
+    import hashlib
+
+    from rassengine_spark.llmops.splits import curriculum_order
+    rows = [(i, i % 4) for i in range(200)]      # 4 difficulty levels
+    df = spark.createDataFrame(rows, "doc_id long, d long")
+    got = {r.id: (r.difficulty, r.step)
+           for r in curriculum_order(df, "doc_id", "d", epoch=1).collect()}
+    assert sorted(s for _, s in got.values()) == list(range(200))
+    # monotone pacing: steps of level k all precede steps of level k+1
+    by_level = {}
+    for i, (d, s) in got.items():
+        by_level.setdefault(d, []).append(s)
+    for d in range(3):
+        assert max(by_level[d]) < min(by_level[d + 1])
+    # within-level order is exactly the md5(id#e1) order
+    for d in range(4):
+        ids = [i for i in range(200) if i % 4 == d]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"{i}#e1".encode()).hexdigest(), i))
+        by_step = sorted(((got[i][1], i) for i in ids))
+        assert [i for _, i in by_step] == want
+    again = {r.id: (r.difficulty, r.step)
+             for r in curriculum_order(df.repartition(7), "doc_id", "d",
+                                       epoch=1).collect()}
+    assert again == got

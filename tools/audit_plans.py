@@ -91,6 +91,9 @@ SORT_OK = {
     # 256-shard range buckets: per-shard partition-local rank sorts + one
     # <=256-row offset cumsum — the global-order-without-global-sort shape:
     "split_epoch_shuffle",
+    # same shape keyed one level up: (difficulty, shard) partition-local
+    # ranks + one <= levels x 256-row offset cumsum:
+    "split_curriculum_order",
     # sort-merge-join sorts on the w join key (corpus words x segmented
     # vocab — both corpus-scale, broadcast is wrong at 100 TB):
     "tokenizer_bpe_token_counts",
@@ -154,6 +157,8 @@ SORT_OK = {
 WINDOW_OK = {
     # <=256-row shard-offset cumsum (the two-phase global-rank shape):
     "split_epoch_shuffle",
+    # <= levels x 256-row offset cumsum (curriculum two-phase shape):
+    "split_curriculum_order",
     # <=`bins`-row bin-offset cumsums (token-budget two-phase shape):
     "split_token_budget", "split_mixture_token_budget",
     # 20-row rank frames over the two already-top-k routes:
