@@ -5937,6 +5937,54 @@ ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
 """
 
 
+def _q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction (llmops/similarity.py::
+    knn_graph_blocks): each embedding's top-3 in-cell neighbors, kept
+    only when reciprocated — the noise-robust graph behind clustering /
+    label propagation / manifold methods (a hub's one-way edges drop
+    out). Blocks = (label, md5-IVF cell): the per-block gram matrix is
+    bounded by cell size, the IVF recall trade. Oracle recomputes the
+    cells, per-src ranks, and the reciprocity join."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
+    blk = F.concat_ws(
+        "#", F.col("label").cast("string"),
+        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
+    blocked = emb.withColumn("_lc", blk)
+    return SIM.knn_graph_blocks(blocked, "embedding", "vec_id", "_lc",
+                                k=3, mutual=True)
+
+
+_SQL_SIM_KNN_GRAPH = f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PROFILE_CELLS}),
+cassign AS MATERIALIZED (
+  SELECT id, v, concat_ws('#', label, cell) AS blk FROM (
+    SELECT c0.id, c0.v, c0.label, cent.cell,
+           row_number() OVER (
+               PARTITION BY c0.id
+               ORDER BY {_SQL_COS.format(a='cent.cv', b='c0.v')} DESC,
+                        cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+ranked AS MATERIALIZED (
+  SELECT src, dst, cos, CAST(rnk AS INT) AS rank FROM (
+    SELECT a.id AS src, b.id AS dst,
+           {_SQL_COS.format(a='a.v', b='b.v')} AS cos,
+           row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY {_SQL_COS.format(a='a.v', b='b.v')} DESC,
+                        b.id ASC) AS rnk
+    FROM cassign a JOIN cassign b ON a.blk = b.blk AND a.id <> b.id)
+  WHERE rnk <= 3)
+SELECT r1.src, r1.dst, r1.cos, r1.rank
+FROM ranked r1 SEMI JOIN ranked r2
+  ON r1.src = r2.dst AND r1.dst = r2.src
+"""
+
+
 _SPAN_BOILERPLATE = ("This corpus is synthetic. "
                      "It exists for parity tests. "
                      "Boilerplate ends here. ")
@@ -6303,6 +6351,7 @@ _ROUND5_NEW: list[str] = [
     "orders_scd2_priority",
     "split_curriculum_order",
     "q13_fuzzy_trigram",
+    "sim_knn_graph_mutual",
 ]
 
 _STALE_R1 = [
@@ -6384,6 +6433,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_semantic_prune": _q_dedup_semantic_prune,
         "dedup_embedding_cosine_cells": _q_dedup_embedding_cells,
+        "sim_knn_graph_mutual": _q_sim_knn_graph,
         "text_winnow_fingerprints": _q_text_winnow_fps,
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
@@ -6559,6 +6609,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _sql_dedup_ngram_capped(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "dedup_embedding_cosine_cells": _SQL_DEDUP_EMBEDDING_CELLS,
+        "sim_knn_graph_mutual": _SQL_SIM_KNN_GRAPH,
         "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
         "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,

@@ -250,6 +250,10 @@ def _cmd_stream(args) -> int:
         from .streaming.dsir import stream_gram_counts_maintenance
         q = stream_gram_counts_maintenance(spark, args.src, args.out,
                                            args.checkpoint)
+    elif kind == "scd2":
+        from .streaming.scd2 import stream_scd2_maintenance
+        q = stream_scd2_maintenance(spark, args.src, args.out,
+                                    args.checkpoint)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -331,10 +335,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser(
         "stream",
         help="streaming maintainers: index / vectors / rollup / dedup /"
-             " clusters / dsir")
+             " clusters / dsir / scd2")
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
-                             "clusters", "dsir"])
+                             "clusters", "dsir", "scd2"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

@@ -450,3 +450,62 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
         "recall",
         F.round(F.col("n_matched").cast("double") / F.col("n_exact"),
                 round_to))
+
+
+def knn_graph_blocks(corpus: DataFrame, vec_col: str, id_col: str,
+                     block_col: str, k: int = 3, round_to: int = 6,
+                     mutual: bool = False) -> DataFrame:
+    """(src, dst, cos, rank): each row's top-k most-similar OTHER rows
+    within its block — the kNN-graph construction primitive behind
+    graph clustering, label propagation, and UMAP-style manifold
+    methods (all public techniques). ``mutual=True`` keeps only edges
+    whose reverse edge is also a kNN edge (mutual-kNN, the standard
+    noise-robust variant: a hub's one-way edges to everything drop out).
+
+    Per-block numpy gram matrix inside applyInPandas (the
+    embedding_near_pairs_topn plan: one shuffle on the block key, the
+    |block|² work stays in one Arrow batch); block = the md5-IVF cell
+    at scale, so per-block cost is bounded by cell size — pairs split
+    across cells are missed, the documented IVF recall trade. The
+    mutual filter is one self-join on the (already tiny) edge list.
+    Determinism: cosine rounded BEFORE ranking; ties break on dst id."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"src {id_type}, dst {id_type}, cos double, rank int"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos": [],
+                                 "rank": []})
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        denom = np.outer(norms, norms) + 1e-9   # cosine eps (vector.cosine)
+        cos = np.round((m @ m.T) / denom, round_to)
+        srcs, dsts, sims, ranks = [], [], [], []
+        kk = min(k, n - 1)
+        for i in range(n):
+            row = cos[i].copy()
+            row[i] = -np.inf                     # never self
+            # (cos desc, id asc): lexsort's LAST key is primary
+            order = np.lexsort((ids, -row))[:kk]
+            srcs.extend([ids[i]] * kk)
+            dsts.extend(ids[order])
+            sims.extend(row[order])
+            ranks.extend(range(1, kk + 1))
+        return pd.DataFrame({"src": srcs, "dst": dsts, "cos": sims,
+                             "rank": ranks})
+
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(block_col).alias("_blk"),
+                         F.col(vec_col).alias("_v"))
+    edges = base.groupBy("_blk").applyInPandas(per_block, out_schema)
+    if mutual:
+        rev = edges.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+        edges = edges.join(rev, ["src", "dst"], "left_semi")
+    return edges

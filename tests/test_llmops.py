@@ -798,3 +798,22 @@ def test_line_dedup_paragraph_variant(spark):
     assert out[2].text == "unique article two"
     assert out[3].text == "standalone piece"
     assert out[2].n_dropped == 1 and out[3].n_dropped == 1
+
+
+def test_knn_graph_blocks_mutual(spark):
+    """Top-k edges per row within blocks; the mutual filter drops
+    one-way edges (2's nearest is 1, but 0 and 1 prefer each other)."""
+    df = spark.createDataFrame(
+        [(0, "x", [1.0, 0.0]),
+         (1, "x", [0.95, 0.05]),
+         (2, "x", [0.5, 0.8]),
+         (3, "y", [1.0, 0.0])],          # other block: never an edge
+        "vec_id long, label string, v array<double>")
+    e = {(r.src, r.dst): r.rank
+         for r in SIM.knn_graph_blocks(df, "v", "vec_id", "label",
+                                       k=1).collect()}
+    assert e == {(0, 1): 1, (1, 0): 1, (2, 1): 1}
+    m = {(r.src, r.dst)
+         for r in SIM.knn_graph_blocks(df, "v", "vec_id", "label",
+                                       k=1, mutual=True).collect()}
+    assert m == {(0, 1), (1, 0)}         # 2's one-way edge dropped

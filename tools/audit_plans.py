@@ -33,6 +33,8 @@ PYTHON_OK = {
     "dedup_embedding_cosine_cells",
     # per-block gram-matrix prune (same numpy pass as the pairs entry):
     "dedup_semantic_prune",
+    # per-block gram-matrix kNN edges (same numpy pass, per-row top-k):
+    "sim_knn_graph_mutual",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
@@ -110,6 +112,9 @@ SORT_OK = {
     # (edges x edges — both graph-scale), not a result sort:
     "basket_part_triangles",
     "basket_part_triangles_frac",
+    # mutual-reciprocity self-join of the k*N-row edge list (graph-scale
+    # at 100 TB, broadcast is wrong), not a result sort:
+    "sim_knn_graph_mutual",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
