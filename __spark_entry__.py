@@ -5344,6 +5344,71 @@ SELECT day, day_value,
 FROM daily ORDER BY day
 """
 
+def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of daily value per event type
+    (operators/windows.py::ewma_half): decay exactly 1/2 so every
+    weight is a power of two (exact fp scaling via an integer shift, no
+    pow()), both folds in explicit day order — a plain window SUM would
+    let each engine associate the additions differently. The trend
+    baseline next to the 7-day moving average; 50-row truncation is far
+    below the 4-dp rounding."""
+    from rassengine_spark.operators.windows import ewma_half
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).cast("date")
+                        .alias("day"))
+               .agg(F.round(F.sum("value"), 4).alias("day_value")))
+    return ewma_half(daily, "event_type", "day", "day_value")
+
+
+_SQL_EVENTS_EWMA = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(SUM(value), 4) AS day_value
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day) - 1 AS BIGINT) AS t
+  FROM daily),
+j AS (
+  SELECT a.event_type, a.day, a.day_value, b.t AS s,
+         b.day_value / CAST(1 << CAST(a.t - b.t AS INT) AS DOUBLE) AS term,
+         1.0 / CAST(1 << CAST(a.t - b.t AS INT) AS DOUBLE) AS w
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND b.t <= a.t AND a.t - b.t <= 50)
+SELECT event_type, day, day_value,
+       round(SUM(term ORDER BY s) / SUM(w ORDER BY s), 4) AS ewma
+FROM j GROUP BY event_type, day, day_value
+"""
+
+
+def _q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius retrieval (llmops/similarity.py::range_search): every
+    corpus vector with cosine >= 0.2 against each query — the
+    fixed-threshold sibling of brute_force_topk for recall-critical
+    pulls where a top-k cut would silently drop qualifying rows. One
+    broadcast scoring projection + a scan-fused filter; no window, no
+    pre-result shuffle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5) \
+           .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.range_search(corpus, q, "embedding", "vec_id", "qid",
+                            min_score=0.2)
+
+
+_SQL_SIM_RANGE_SEARCH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, embedding AS v
+      FROM embeddings WHERE vec_id >= 5)
+SELECT q.query_id, c.id,
+       {_SQL_COS.format(a='c.v', b='q.qv')} AS score
+FROM c CROSS JOIN q
+WHERE {_SQL_COS.format(a='c.v', b='q.qv')} >= 0.2
+"""
+
+
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics: typed `from_json` extraction of the
     events.props payload feeding a grouped aggregate — the JSON parse is a
@@ -6352,6 +6417,8 @@ _ROUND5_NEW: list[str] = [
     "split_curriculum_order",
     "q13_fuzzy_trigram",
     "sim_knn_graph_mutual",
+    "events_ewma_daily",
+    "sim_range_search",
 ]
 
 _STALE_R1 = [
@@ -6434,6 +6501,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_prune": _q_dedup_semantic_prune,
         "dedup_embedding_cosine_cells": _q_dedup_embedding_cells,
         "sim_knn_graph_mutual": _q_sim_knn_graph,
+        "sim_range_search": _q_sim_range_search,
         "text_winnow_fingerprints": _q_text_winnow_fps,
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
@@ -6538,6 +6606,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": _q_events_pivot,
         "events_cube_dow_type": _q_events_cube,
         "events_moving_avg_7d": _q_events_moving_avg,
+        "events_ewma_daily": _q_events_ewma,
         "events_zorder_code": _q_events_zorder,
         "events_json_extract": _q_events_json,
         "events_grouping_sets": _q_events_grouping_sets,
@@ -6610,6 +6679,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "dedup_embedding_cosine_cells": _SQL_DEDUP_EMBEDDING_CELLS,
         "sim_knn_graph_mutual": _SQL_SIM_KNN_GRAPH,
+        "sim_range_search": _SQL_SIM_RANGE_SEARCH,
         "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
         "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,
@@ -6717,6 +6787,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _sql_events_pivot(),
         "events_cube_dow_type": _sql_events_cube(),
         "events_moving_avg_7d": _SQL_EVENTS_MOVING_AVG,
+        "events_ewma_daily": _SQL_EVENTS_EWMA,
         "events_zorder_code": _sql_events_zorder(),
         "events_json_extract": _SQL_EVENTS_JSON,
         "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,

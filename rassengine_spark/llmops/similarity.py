@@ -509,3 +509,31 @@ def knn_graph_blocks(corpus: DataFrame, vec_col: str, id_col: str,
                            F.col("src").alias("dst"))
         edges = edges.join(rev, ["src", "dst"], "left_semi")
     return edges
+
+
+def range_search(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                 id_col: str, query_id_col: str, min_score: float,
+                 metric: str = "cosine",
+                 round_to: int | None = 6) -> DataFrame:
+    """Radius search: EVERY corpus row scoring >= min_score against each
+    query (query_id, id, score) — the fixed-threshold sibling of
+    brute_force_topk for recall-critical retrieval (dedup candidate
+    pulls, policy screens) where "all matches above τ" is the contract
+    and a top-k cut would silently drop qualifying rows.
+
+    Same plan as brute_force_topk minus the rank window: corpus scan x
+    broadcast query batch, one codegen scoring projection, a scan-fused
+    FILTER — no window, no shuffle before the (already filtered) result.
+    Compose with the IVF cell pruners when the corpus is indexed; this
+    is the exact-scoring tier."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    joined = c.crossJoin(F.broadcast(q))
+    score: Column = (cosine(F.col("v"), F.col("qv")) if metric == "cosine"
+                     else dot(F.col("v"), F.col("qv")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (joined.withColumn("score", score)
+                  .filter(F.col("score") >= min_score)
+                  .select("query_id", "id", "score"))

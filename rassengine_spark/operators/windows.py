@@ -109,3 +109,50 @@ def running_total(df: DataFrame, key_col: str, time_col: str, id_col: str,
     return df.withColumn(
         "running_total",
         F.sum(F.col(value_col).cast(dec)).over(w).cast("double"))
+
+
+def ewma_half(df: DataFrame, part_col: str, order_col: str, val_col: str,
+              max_lag: int = 50, round_to: int = 4) -> DataFrame:
+    """Exponentially-weighted moving average with decay 1/2 over each
+    partition's ordered rows: ewma_t = Σ_{s<=t} x_s·2^(s−t) / Σ 2^(s−t),
+    truncated at `max_lag` trailing rows (2^-50 is far below any
+    rounding anyway, and it bounds the shift) — the smoothing baseline
+    for trend/anomaly monitors.
+
+    Engine-exactness is the design driver (the reason for decay = 1/2
+    exactly): each weight is a power of two, so x·w is an EXACT fp
+    scaling (integer shift, no pow()), and both folds run in explicit
+    s-order (array_sort + F.aggregate here, SUM(... ORDER BY s) in the
+    SQL twin) — a plain window SUM would let each engine associate the
+    additions differently. Scale: one hash-agg shuffle is assumed done
+    upstream (df is the per-(part, step) frame, e.g. a daily rollup);
+    the self-join fans each row out max_lag+1 times and re-aggregates —
+    rows here are partitions x steps, tiny relative to the fact table.
+    Returns (part, order, val, ewma)."""
+    w = Window.partitionBy("_p").orderBy("_o")
+    idx = df.select(F.col(part_col).alias("_p"),
+                    F.col(order_col).alias("_o"),
+                    F.col(val_col).alias("_x")) \
+            .withColumn("_t", F.row_number().over(w) - 1)
+    a = idx.select(F.col("_p"), F.col("_o"), F.col("_x"), F.col("_t"))
+    b = idx.select(F.col("_p").alias("_bp"), F.col("_t").alias("_s"),
+                   F.col("_x").alias("_bx"))
+    # 1 << lag as an expression (F.shiftleft takes only a literal count)
+    wgt = F.lit(1.0) / F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(_t - _s as int)) as double)")
+    j = (a.join(b, (F.col("_p") == F.col("_bp"))
+                & (F.col("_s") <= F.col("_t"))
+                & (F.col("_t") - F.col("_s") <= max_lag))
+          .select("_p", "_o", "_x", "_s",
+                  (F.col("_bx") * wgt).alias("_term"),
+                  wgt.alias("_w")))
+    g = (j.groupBy("_p", "_o", "_x")
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("_s"), F.col("_term"), F.col("_w"))))
+              .alias("_arr")))
+    num = F.aggregate("_arr", F.lit(0.0), lambda acc, e: acc + e["_term"])
+    den = F.aggregate("_arr", F.lit(0.0), lambda acc, e: acc + e["_w"])
+    return g.select(F.col("_p").alias(part_col),
+                    F.col("_o").alias(order_col),
+                    F.col("_x").alias(val_col),
+                    F.round(num / den, round_to).alias("ewma"))

@@ -245,3 +245,47 @@ def test_mmr_rerank_ties_and_small_groups(spark):
     assert got[(0, 1)] == 4          # rel tie -> lower id first
     assert (0, 2) in got
     assert got[(1, 1)] == 9          # group smaller than k just ends
+
+
+def test_ewma_half_matches_python_reference(spark):
+    """ewma_half == the adjusted-EWMA closed form with decay 1/2,
+    truncated at max_lag; repartition-invariant (the ordered fold is
+    explicit, not a window SUM's association order)."""
+    from rassengine_spark.operators.windows import ewma_half
+    rows = [("a", t, float((t * 37) % 11) + 0.25) for t in range(20)]
+    rows += [("b", t, 100.0 - t) for t in range(5)]
+    df = spark.createDataFrame(rows, "p string, o int, x double")
+
+    def ref(xs, t, lag):
+        lo = max(0, t - lag)
+        num = sum(xs[s] * 2.0 ** (s - t) for s in range(lo, t + 1))
+        den = sum(2.0 ** (s - t) for s in range(lo, t + 1))
+        return round(num / den, 4)
+
+    for lag in (50, 3):
+        got = {(r.p, r.o): r.ewma
+               for r in ewma_half(df, "p", "o", "x",
+                                  max_lag=lag).collect()}
+        xs_a = [x for _, _, x in rows[:20]]
+        xs_b = [x for _, _, x in rows[20:]]
+        for t in range(20):
+            assert got[("a", t)] == ref(xs_a, t, lag), (lag, t)
+        for t in range(5):
+            assert got[("b", t)] == ref(xs_b, t, lag), (lag, t)
+    rep = {(r.p, r.o): r.ewma
+           for r in ewma_half(df.repartition(9), "p", "o", "x").collect()}
+    assert rep == {(r.p, r.o): r.ewma
+                   for r in ewma_half(df, "p", "o", "x").collect()}
+
+
+def test_range_search_returns_all_above_threshold(spark):
+    from rassengine_spark.llmops.similarity import range_search
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+         (4, [-1.0, 0.0])], "id long, v array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, v array<double>")
+    got = {r.id: r.score
+           for r in range_search(corpus, q, "v", "id", "qid",
+                                 min_score=0.5).collect()}
+    assert set(got) == {1, 2}            # 3 orthogonal, 4 opposite
+    assert got[1] == 1.0 and got[2] > 0.99

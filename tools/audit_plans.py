@@ -115,6 +115,9 @@ SORT_OK = {
     # mutual-reciprocity self-join of the k*N-row edge list (graph-scale
     # at 100 TB, broadcast is wrong), not a result sort:
     "sim_knn_graph_mutual",
+    # SMJ sorts of the (partitions x steps)-row daily-rollup self-join +
+    # the partition-local row_number sort; never a corpus-scale sort:
+    "events_ewma_daily",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
