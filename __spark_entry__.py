@@ -6050,6 +6050,66 @@ FROM ranked r1 SEMI JOIN ranked r2
 """
 
 
+def _q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering = mutual-kNN graph -> connected components
+    (the standard density-free clustering composition: SemDeDup prunes
+    pairs, THIS groups them): (node, root, cluster_size) over the
+    reciprocated in-cell top-3 edges. Both stages are stamped operators
+    (knn_graph_blocks + the dedup tier's connected_components); this
+    entry stamps the composition, oracle = the knn SQL feeding the
+    recursive-CTE reachability used by dedup_cc_clusters."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
+    blk = F.concat_ws(
+        "#", F.col("label").cast("string"),
+        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
+    blocked = emb.withColumn("_lc", blk)
+    edges = SIM.knn_graph_blocks(blocked, "embedding", "vec_id", "_lc",
+                                 k=3, mutual=True)
+    return DD.dup_clusters(edges, "src", "dst")
+
+
+_SQL_SIM_SEMANTIC_CLUSTERS = f"""
+WITH RECURSIVE
+c0 AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cell,
+         v AS cv
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_PROFILE_CELLS}),
+cassign AS MATERIALIZED (
+  SELECT id, v, concat_ws('#', label, cell) AS blk FROM (
+    SELECT c0.id, c0.v, c0.label, cent.cell,
+           row_number() OVER (
+               PARTITION BY c0.id
+               ORDER BY {_SQL_COS.format(a='cent.cv', b='c0.v')} DESC,
+                        cent.cell ASC) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+ranked AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.id AS src, b.id AS dst,
+           row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY {_SQL_COS.format(a='a.v', b='b.v')} DESC,
+                        b.id ASC) AS rnk
+    FROM cassign a JOIN cassign b ON a.blk = b.blk AND a.id <> b.id)
+  WHERE rnk <= 3),
+mut AS MATERIALIZED (
+  SELECT r1.src, r1.dst
+  FROM ranked r1 SEMI JOIN ranked r2
+    ON r1.src = r2.dst AND r1.dst = r2.src),
+sym AS (SELECT src AS u, dst AS v FROM mut
+        UNION SELECT dst, src FROM mut),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS cluster_size FROM cc GROUP BY root)
+SELECT cc.node, cc.root, sizes.cluster_size
+FROM cc JOIN sizes USING (root)
+"""
+
+
 _SPAN_BOILERPLATE = ("This corpus is synthetic. "
                      "It exists for parity tests. "
                      "Boilerplate ends here. ")
@@ -6419,6 +6479,7 @@ _ROUND5_NEW: list[str] = [
     "sim_knn_graph_mutual",
     "events_ewma_daily",
     "sim_range_search",
+    "sim_semantic_clusters",
 ]
 
 _STALE_R1 = [
@@ -6502,6 +6563,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_cells": _q_dedup_embedding_cells,
         "sim_knn_graph_mutual": _q_sim_knn_graph,
         "sim_range_search": _q_sim_range_search,
+        "sim_semantic_clusters": _q_sim_semantic_clusters,
         "text_winnow_fingerprints": _q_text_winnow_fps,
         "dedup_substring_pairs": _q_dedup_substring_pairs,
         "sim_bruteforce_topk": _q_sim_bruteforce,
@@ -6680,6 +6742,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine_cells": _SQL_DEDUP_EMBEDDING_CELLS,
         "sim_knn_graph_mutual": _SQL_SIM_KNN_GRAPH,
         "sim_range_search": _SQL_SIM_RANGE_SEARCH,
+        "sim_semantic_clusters": _SQL_SIM_SEMANTIC_CLUSTERS,
         "dedup_semantic_prune": _SQL_DEDUP_SEMANTIC_PRUNE,
         "text_winnow_fingerprints": _SQL_TEXT_WINNOW,
         "dedup_substring_pairs": _SQL_DEDUP_SUBSTRING,

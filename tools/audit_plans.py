@@ -35,6 +35,8 @@ PYTHON_OK = {
     "dedup_semantic_prune",
     # per-block gram-matrix kNN edges (same numpy pass, per-row top-k):
     "sim_knn_graph_mutual",
+    # same kNN-edge Arrow pass feeding component resolution:
+    "sim_semantic_clusters",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
@@ -118,6 +120,9 @@ SORT_OK = {
     # SMJ sorts of the (partitions x steps)-row daily-rollup self-join +
     # the partition-local row_number sort; never a corpus-scale sort:
     "events_ewma_daily",
+    # knn-edge reciprocity join sorts (edge list is graph-scale at
+    # 100 TB); component resolution is the dedup CC tier:
+    "sim_semantic_clusters",
     # same shape one level up (normalized SPAN stats join) + the
     # sort-based min(struct) aggregate's partition-local sorts:
     "text_span_dedup",
