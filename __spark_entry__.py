@@ -3008,6 +3008,102 @@ FROM documents
 """
 
 
+def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash near-dup (llmops/multimodal.py::
+    with_phash_bands): the structure-sensitive sibling of mm_ahash —
+    256 stub pixels, integer 2D DCT over the fixed-point cosine basis
+    (every coefficient BIGINT-exact: libm cos never touches either
+    engine's data path; the basis ints interpolate into the oracle),
+    bit = low-frequency coefficient > lower median, packed in the aHash
+    band layout so ahash_near_pairs serves BOTH hash families. Same
+    copy-id discipline as mm_ahash (max(doc_id)+1 offset). The planted
+    near-dups flip ONE bit of band 0 post-hash (deterministic hamming-1
+    pairs — a text perturbation either vanishes entirely under the DCT,
+    brightness shifts hash identically as the unit test pins, or blows
+    past the d<4 pigeonhole guarantee; the bit flip plants pairs the
+    banded join MUST recover). Engine side is two 8x16 int64 matmuls
+    per row in Arrow; the oracle recomputes the whole pipeline as 64 x
+    256-term BIGINT list folds."""
+    from rassengine_spark.llmops import multimodal as MM
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select(F.col("doc_id").alias("id"), "text")
+    off = docs.agg(F.max("id")).first()[0] + 1
+    hashed = MM.with_phash_bands(docs, "text")
+    copies = (hashed.filter(F.col("id") % 25 == 0)
+              .filter(F.col("bands").isNotNull())
+              .select((F.col("id") + F.lit(off)).alias("id"),
+                      F.col("text"),
+                      F.expr("transform(bands, (x, i) -> CASE WHEN i = 0"
+                             " THEN CAST(x ^ 1 AS BIGINT) ELSE x END)")
+                      .alias("bands")))
+    return MM.ahash_near_pairs(hashed.unionByName(copies), "id",
+                               max_hamming=3)
+
+
+def _sql_mm_phash() -> str:
+    from rassengine_spark.llmops.multimodal import (PHASH_BLOCK, PHASH_C,
+                                                    PHASH_GRID)
+    n2 = PHASH_GRID * PHASH_GRID
+    b2 = PHASH_BLOCK * PHASH_BLOCK
+    cmat = ("[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in PHASH_C)
+        + "]")
+    return f"""
+WITH cs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_transform(range(0, {n2}), k ->
+           CAST(unicode(substr(text,
+             1 + CAST(floor(k * length(text) / {n2}) AS INT), 1))
+             AS BIGINT)) AS cs
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+cm AS MATERIALIZED (SELECT {cmat} AS c),
+co AS MATERIALIZED (
+  -- the basis rides in via a 1-row cross join: INLINING the 128-int
+  -- literal into the fold body makes DuckDB rebuild it per term
+  -- (measured: >400 s vs 0.7 s at sf0.001)
+  SELECT id,
+         list_transform(range(0, {b2}), uv ->
+           CAST(list_sum(list_transform(range(0, {n2}), k ->
+             cm.c[CAST(uv // {PHASH_BLOCK} + 1 AS INT)]
+                 [CAST(k // {PHASH_GRID} + 1 AS INT)]
+             * cs[CAST(k + 1 AS INT)]
+             * cm.c[CAST(uv % {PHASH_BLOCK} + 1 AS INT)]
+                   [CAST(k % {PHASH_GRID} + 1 AS INT)]))
+            AS BIGINT)) AS co
+  FROM cs CROSS JOIN cm),
+med AS MATERIALIZED (
+  SELECT id, co, list_sort(co)[{b2 // 2}] AS med FROM co),
+base_bands AS MATERIALIZED (
+  SELECT id,
+         list_transform(range(0, 4), i ->
+           CAST(list_sum(list_transform(range(0, {b2 // 4}), j ->
+             CASE WHEN co[CAST({b2 // 4} * i + j + 1 AS INT)] > med
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS b
+  FROM med),
+bands AS MATERIALIZED (
+  SELECT id, b FROM base_bands
+  UNION ALL
+  SELECT id + (SELECT MAX(doc_id) + 1 FROM documents),
+         [CAST(xor(b[1], 1) AS BIGINT), b[2], b[3], b[4]]
+  FROM base_bands WHERE id % 25 = 0),
+expl AS (SELECT id, b, u.i AS bi, b[CAST(u.i + 1 AS INT)] AS bv
+         FROM bands, UNNEST(range(0, 4)) u(i)),
+cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         FROM expl a JOIN expl c
+           ON a.bi = c.bi AND a.bv = c.bv AND a.id < c.id)
+SELECT cand.id_a, cand.id_b,
+       CAST(list_sum(list_transform(range(0, 4), i ->
+         bit_count(xor(ba.b[CAST(i + 1 AS INT)],
+                       bb.b[CAST(i + 1 AS INT)])))) AS BIGINT) AS hamming
+FROM cand JOIN bands ba ON ba.id = cand.id_a
+          JOIN bands bb ON bb.id = cand.id_b
+WHERE CAST(list_sum(list_transform(range(0, 4), i ->
+        bit_count(xor(ba.b[CAST(i + 1 AS INT)],
+                      bb.b[CAST(i + 1 AS INT)])))) AS BIGINT) <= 3
+"""
+
+
 def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub image resize over mapInPandas (llmops.multimodal.resize_images):
     binary in → bounded binary out, one row per image. Blob column is
@@ -6480,6 +6576,7 @@ _ROUND5_NEW: list[str] = [
     "events_ewma_daily",
     "sim_range_search",
     "sim_semantic_clusters",
+    "mm_phash_near_dup",
 ]
 
 _STALE_R1 = [
@@ -6622,6 +6719,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_meta": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
         "mm_ahash_near_dup": _q_mm_ahash,
+        "mm_phash_near_dup": _q_mm_phash,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
         "j2_content_join": _q_j2_content_join,
@@ -6804,6 +6902,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_meta": _SQL_MM_RESIZE,
         "mm_frame_sample": _SQL_MM_FRAMES,
         "mm_ahash_near_dup": _SQL_MM_AHASH,
+        "mm_phash_near_dup": _sql_mm_phash(),
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,
         "j2_content_join": _SQL_J2_CONTENT,

@@ -555,3 +555,78 @@ def ahash_near_pairs(df: DataFrame, id_col: str,
     return (joined.withColumn("hamming", ham)
                   .filter(F.col("hamming") <= max_hamming)
                   .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------------- pHash (DCT)
+PHASH_GRID = 16           # pixel grid side (16x16 = 256 samples)
+PHASH_BLOCK = 8           # low-frequency block side (8x8 = 64 bits)
+PHASH_SCALE = 1 << 14     # fixed-point cosine scale
+
+
+def _phash_cos_matrix() -> list:
+    """The 8x16 fixed-point DCT-II basis: C[u][x] =
+    round(cos(pi*(2x+1)*u/32) * 2^14). Only the PHASH_BLOCK lowest
+    frequencies are kept, so only those rows exist. Integers by
+    construction — the SQL oracle interpolates the SAME literal, so
+    every coefficient is engine-exact BIGINT arithmetic (libm cos never
+    runs on either engine's data path)."""
+    import math
+    n = PHASH_GRID
+    return [[round(math.cos(math.pi * (2 * x + 1) * u / (2 * n))
+                   * PHASH_SCALE)
+             for x in range(n)] for u in range(PHASH_BLOCK)]
+
+
+PHASH_C = _phash_cos_matrix()
+
+
+def phash_bands_py(text: str | None, n_bands: int = 4) -> list:
+    """Python/numpy twin of the pHash pipeline (also THE engine kernel —
+    with_phash_bands maps this over Arrow batches): 256 code-point stub
+    pixels on a 16x16 grid, integer 2D DCT (C·P·Cᵀ over the fixed-point
+    basis), keep the 8x8 low-frequency block, bit = coefficient >
+    lower-median, packed in the aHash band layout (4 x 16-bit bands) so
+    ahash_near_pairs serves both hash families. All int64: |C·P·Cᵀ| <=
+    2^14·2^21·2^14·256 ≈ 2^57. Empty/NULL -> None (excluded from
+    pairing). Unlike aHash's mean threshold, the DCT block captures
+    STRUCTURE (low-frequency layout), so global brightness/contrast
+    shifts (uniform code-point offsets) barely move it."""
+    if not text:
+        return None
+    import numpy as np
+
+    n, b = PHASH_GRID, PHASH_BLOCK
+    ln = len(text)
+    cs = np.array([ord(text[(k * ln) // (n * n)]) for k in range(n * n)],
+                  dtype=np.int64).reshape(n, n)
+    c = np.array(PHASH_C, dtype=np.int64)
+    d = c @ cs @ c.T                     # (8x16)·(16x16)·(16x8) -> 8x8
+    flat = d.reshape(-1)
+    med = np.sort(flat, kind="stable")[flat.size // 2 - 1]  # lower median
+    bits = [1 if v > med else 0 for v in flat.tolist()]
+    per = flat.size // n_bands
+    return [sum(bits[per * i + j] << j for j in range(per))
+            for i in range(n_bands)]
+
+
+def with_phash_bands(df: DataFrame, text_col: str, out_col: str = "bands",
+                     n_bands: int = 4) -> DataFrame:
+    """DataFrame form of phash_bands_py over Arrow batches (mapInPandas —
+    two 8x16 int64 matmuls per row; the 16k-term expression form would
+    be interpreted-HOF slow, and integer exactness means the numpy path
+    needs no expression twin for the oracle). Preserves all columns."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} array<bigint>"
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                [phash_bands_py(t, n_bands) for t in pdf[text_col]],
+                dtype="object", index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)

@@ -113,3 +113,29 @@ def test_near_pairs_end_to_end_on_text(spark):
              for r in MM.ahash_near_pairs(hashed, "id").collect()}
     assert pairs.get((1, 2)) == 0          # identical docs: distance 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_brightness_invariant_structure_sensitive(spark):
+    """The DCT hash's reason to exist beside aHash: a uniform code-point
+    shift (brightness) leaves the hash IDENTICAL (only the DC
+    coefficient moves and it never crosses the AC median comparisons in
+    these fixtures), while structural scrambles move many bits."""
+    t = "the quick brown fox jumps over the lazy dog " * 8
+    up = "".join(chr(ord(c) + 1) for c in t)
+    scrambled = t[::-1]
+    h, hu, hs = (MM.phash_bands_py(x) for x in (t, up, scrambled))
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham(h, hu) == 0
+    assert ham(h, hs) > 3
+    assert MM.phash_bands_py(None) is None and MM.phash_bands_py("") is None
+
+
+def test_with_phash_bands_matches_python_twin(spark):
+    rows = [(1, "hello world " * 20), (2, "abc"), (3, None),
+            (4, "日本語テキスト" * 30), (5, "𝔘nicode 𝖆stral " * 12)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.bands for r in
+           MM.with_phash_bands(df, "t").collect()}
+    for i, t in rows:
+        assert got[i] == MM.phash_bands_py(t), (i, t)

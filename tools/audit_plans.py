@@ -50,6 +50,10 @@ PYTHON_OK = {
     "sim_hnsw_store_append_recall",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
+    # int64 DCT kernel over mapInPandas (BIGINT-exact, oracle recomputes
+    # it relationally); the lazy checkpoint in ahash_near_pairs hides it
+    # from the displayed plan, listed here for robustness:
+    "mm_phash_near_dup",
     # Arrow-batched integer-stats / gram-hash passes (expression twins
     # parity-tested):
     "text_repetition", "decontam_ngram_overlap", "text_quality",
