@@ -2434,8 +2434,10 @@ def _q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, docs, "text", n_merges=_BPE_MERGES)
 
 
-def _sql_bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
-    """CTE chain: s0 (w, seq, n) then p{i}/b{i}/s{i} per merge step."""
+def _sql_bpe_ctes(n_merges: int = _BPE_MERGES,
+                  src: str = "documents") -> str:
+    """CTE chain: s0 (w, seq, n) then p{i}/b{i}/s{i} per merge step;
+    ``src`` is the training relation (a CTE name for sliced training)."""
     toks = _SQL_WORDS.format(col="lower(text)").replace(
         "'\\s+'", "'[^a-z0-9]+'")
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
@@ -2447,7 +2449,7 @@ def _sql_bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
          substring(regexp_replace(w, '(.)', '__\\1', 'g'), 2) || '_' AS seq,
          n
   FROM (SELECT w, COUNT(*) AS n
-        FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w))"""]
+        FROM (SELECT unnest({toks}) AS w FROM {src}) GROUP BY w))"""]
     for i in range(1, n_merges + 1):
         parts.append(f"""p{i} AS MATERIALIZED (
   SELECT syms[j] AS lhs, syms[j+1] AS rhs, SUM(n) AS cnt
@@ -2505,6 +2507,65 @@ per AS (
 SELECT d.doc_id AS id,
        CAST(COALESCE(per.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
 FROM documents d LEFT JOIN per ON per.id = d.doc_id
+"""
+
+
+def _q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer QUALITY eval — holdout compression rate: train the BPE
+    merges on doc_id % 5 != 0, tokenize the held-out fifth, report
+    per-lang words/chars/tokens and integer-micro chars-per-token (the
+    standard fertility/compression metric a tokenizer is judged by;
+    train/eval split prevents the vocabulary from grading itself on its
+    own training text). OOV holdout words fall back to one token per
+    CHARACTER (byte-fallback convention), so unseen vocabulary honestly
+    degrades the score instead of vanishing from it. One corpus re-scan
+    joins holdout words against the segmented vocab (w-keyed SMJ — the
+    vocab outgrows broadcast at web scale); the oracle retrains the
+    same merges on the same slice and recomputes every total."""
+    from rassengine_spark.functions.text import tokenize
+    from rassengine_spark.llmops.tokenizer import _syms, bpe_train
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    hold = docs.filter(F.col("doc_id") % 5 == 0)
+    _, seqs = bpe_train(train, "text", n_merges=_BPE_MERGES)
+    vocab = seqs.select("w", F.size(_syms("seq")).alias("_nsub"))
+    words = hold.select("lang",
+                        F.explode(tokenize(F.col("text"))).alias("w"))
+    j = (words.join(vocab, "w", "left")
+              .withColumn("_tok",
+                          F.coalesce(F.col("_nsub"),
+                                     F.length("w").cast("int"))))
+    agg = (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("w")).alias("n_chars"),
+                 F.sum("_tok").cast("long").alias("n_tokens")))
+    return agg.select(
+        "lang", "n_words", "n_chars", "n_tokens",
+        F.expr("(n_chars * 1000000) div n_tokens").alias("cpt_micro"))
+
+
+def _sql_tokenizer_compression() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    return f"""
+WITH train AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0),
+{_sql_bpe_ctes(src='train')},
+vocab AS (
+  SELECT w, len(string_split(trim(seq, '_'), '__')) AS nsub
+  FROM s{_BPE_MERGES}),
+docw AS (
+  SELECT lang, unnest({toks}) AS w
+  FROM documents WHERE doc_id % 5 = 0),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+         CAST(SUM(COALESCE(vocab.nsub, length(w))) AS BIGINT) AS n_tokens
+  FROM docw LEFT JOIN vocab USING (w) GROUP BY lang)
+SELECT lang, n_words, n_chars, n_tokens,
+       CAST((n_chars * 1000000) // n_tokens AS BIGINT) AS cpt_micro
+FROM agg
 """
 
 
@@ -6577,6 +6638,7 @@ _ROUND5_NEW: list[str] = [
     "sim_range_search",
     "sim_semantic_clusters",
     "mm_phash_near_dup",
+    "tokenizer_compression_eval",
 ]
 
 _STALE_R1 = [
@@ -6692,6 +6754,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
         "tokenizer_bpe_segment_hi": _q_tokenizer_bpe_segment_hi,
+        "tokenizer_compression_eval": _q_tokenizer_compression,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "dedup_cluster_store_merge": _q_dedup_cluster_store,
@@ -6874,6 +6937,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
         "tokenizer_bpe_segment_hi": _sql_tokenizer_bpe_segment_hi(),
+        "tokenizer_compression_eval": _sql_tokenizer_compression(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
         "dedup_cluster_store_merge": _sql_dedup_cc(),
