@@ -2937,6 +2937,74 @@ FROM c ORDER BY shard, key
 """
 
 
+def _q_mm_media_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed MEDIA dedup prep — the multimodal twin of
+    prep_training_corpus's near-dup stage: perceptual-hash the corpus
+    (with_ahash_bands stub pixels; real images flow through
+    ahash_ppm_bands into the same band layout), banded Hamming pairs
+    (d <= 3, recall-complete by pigeonhole), resolve duplicate CLUSTERS
+    (connected_components), keep min-id per cluster. Output: every doc
+    with its cluster root and keep decision — the keeper list a media
+    training set ships. Oracle recomputes hash -> pairs -> recursive-CTE
+    reachability -> keeper rule end-to-end."""
+    from rassengine_spark.llmops import multimodal as MM
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select(F.col("doc_id").alias("id"), "text")
+    hashed = MM.with_ahash_bands(docs, "text")
+    pairs = MM.ahash_near_pairs(hashed, "id", max_hamming=3)
+    cc = DD.connected_components(pairs, "id_a", "id_b")
+    return (docs.join(cc, docs.id == cc.node, "left")
+                .select(docs.id.alias("doc_id"),
+                        F.coalesce(cc.root, docs.id).alias("root"),
+                        (cc.root.isNull() | (cc.root == docs.id))
+                        .alias("kept")))
+
+
+_SQL_MM_MEDIA_PREP = """
+WITH RECURSIVE
+cs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE
+           list_transform(range(0, 64), k ->
+             CAST(unicode(substr(text,
+               1 + CAST(floor(k * length(text) / 64) AS INT), 1)) AS BIGINT))
+         END AS cs
+  FROM documents),
+tot AS (SELECT id, cs, CAST(list_sum(cs) AS BIGINT) AS tot
+        FROM cs WHERE cs IS NOT NULL),
+bands AS MATERIALIZED (
+  SELECT id,
+         list_transform(range(0, 4), i ->
+           CAST(list_sum(list_transform(range(0, 16), j ->
+             CASE WHEN cs[CAST(16 * i + j + 1 AS INT)] * 64 >= tot
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS b
+  FROM tot
+  UNION ALL
+  SELECT id, [CAST(0 AS BIGINT), 0, 0, 0] FROM cs WHERE cs IS NULL),
+expl AS (SELECT id, b, u.i AS bi, b[CAST(u.i + 1 AS INT)] AS bv
+         FROM bands, UNNEST(range(0, 4)) u(i)),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.b AS ba, c.b AS bb
+    FROM expl a JOIN expl c
+      ON a.bi = c.bi AND a.bv = c.bv AND a.id < c.id)
+  WHERE CAST(list_sum(list_transform(range(0, 4), i ->
+          bit_count(xor(ba[CAST(i + 1 AS INT)],
+                        bb[CAST(i + 1 AS INT)])))) AS BIGINT) <= 3),
+sym AS (SELECT id_a AS u, id_b AS v FROM cand
+        UNION SELECT id_b, id_a FROM cand),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(cc.root, d.doc_id) AS root,
+       (cc.root IS NULL OR cc.root = d.doc_id) AS kept
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: plant synthetic emails/phones/SSNs into a slice of the
     corpus, then count + redact (typed placeholders) per document."""
@@ -6639,6 +6707,7 @@ _ROUND5_NEW: list[str] = [
     "sim_semantic_clusters",
     "mm_phash_near_dup",
     "tokenizer_compression_eval",
+    "mm_media_dedup_prep",
 ]
 
 _STALE_R1 = [
@@ -6783,6 +6852,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frames,
         "mm_ahash_near_dup": _q_mm_ahash,
         "mm_phash_near_dup": _q_mm_phash,
+        "mm_media_dedup_prep": _q_mm_media_prep,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
         "j2_content_join": _q_j2_content_join,
@@ -6967,6 +7037,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _SQL_MM_FRAMES,
         "mm_ahash_near_dup": _SQL_MM_AHASH,
         "mm_phash_near_dup": _sql_mm_phash(),
+        "mm_media_dedup_prep": _SQL_MM_MEDIA_PREP,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,
         "j2_content_join": _SQL_J2_CONTENT,

@@ -111,6 +111,8 @@ SORT_OK = {
     # SMJ sorts on the (band_idx, band_value) self-join key (both sides
     # are the exploded corpus — broadcast is wrong), not a result sort:
     "mm_ahash_near_dup",
+    # same banded join + the CC label-propagation SMJ sorts:
+    "mm_media_dedup_prep",
     # SMJ sorts per PageRank round (edges x |V|-row rank/degree frames —
     # every side is graph-scale at 100 TB, broadcast is wrong):
     "basket_part_pagerank",
