@@ -130,6 +130,12 @@ DEFAULT_ENTRIES = [
     "split_token_budget", "split_epoch_shuffle", "events_sessionize",
     "tpch_q1_pricing", "tpch_q21_waiting_orders", "s7_embed_hash_ngram",
     "events_mg_rollup_bounds", "text_heavy_hitters_mg",
+    # round-5 additions
+    "orders_scd2_priority", "split_curriculum_order", "q13_fuzzy_trigram",
+    "sim_knn_graph_mutual", "sim_semantic_clusters", "events_ewma_daily",
+    "sim_range_search", "mm_phash_near_dup", "mm_ahash_near_dup",
+    "split_dsir_weights_fold", "mm_media_dedup_prep",
+    "tokenizer_compression_eval",
 ]
 
 
