@@ -2937,6 +2937,80 @@ FROM c ORDER BY shard, key
 """
 
 
+def _q_mm_ahash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup (llmops/multimodal.py::
+    save_ahash_store + incremental_ahash_pairs): the media history's
+    band store persists once (~40 bytes/item); a new crawl batch
+    broadcast-joins its banded hashes against it — history payloads
+    never re-decode, the minhash signature-store discipline applied to
+    the perceptual tier. History = the whole corpus (store round-trips
+    through parquet in this entry); the batch re-crawls every 5th doc
+    verbatim under a fresh id (max+1 offset — the mm_ahash collision
+    discipline), the situation incremental dedup exists to catch;
+    oracle recomputes both sides' bands and the banded join."""
+    import os
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops import multimodal as MM
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select(F.col("doc_id").alias("id"), "text")
+    off = docs.agg(F.max("id")).first()[0] + 1
+    old = docs
+    new = (docs.filter(F.col("id") % 5 == 0)
+               .select((F.col("id") + F.lit(off)).alias("id"), "text"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_ahash_store_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    MM.save_ahash_store(MM.with_ahash_bands(old, "text"), "id", path)
+    store = spark.read.parquet(path)
+    return MM.incremental_ahash_pairs(
+        store, MM.with_ahash_bands(new, "text"), "id", max_hamming=3)
+
+
+_SQL_MM_AHASH_INCR = """
+WITH d AS (
+  SELECT doc_id AS id, text AS t, FALSE AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text, TRUE
+  FROM documents WHERE doc_id % 5 = 0),
+cs AS MATERIALIZED (
+  SELECT id, is_new,
+         CASE WHEN t IS NULL OR length(t) = 0 THEN NULL ELSE
+           list_transform(range(0, 64), k ->
+             CAST(unicode(substr(t,
+               1 + CAST(floor(k * length(t) / 64) AS INT), 1)) AS BIGINT))
+         END AS cs
+  FROM d),
+tot AS (SELECT id, is_new, cs, CAST(list_sum(cs) AS BIGINT) AS tot
+        FROM cs WHERE cs IS NOT NULL),
+bands AS MATERIALIZED (
+  SELECT id, is_new,
+         list_transform(range(0, 4), i ->
+           CAST(list_sum(list_transform(range(0, 16), j ->
+             CASE WHEN cs[CAST(16 * i + j + 1 AS INT)] * 64 >= tot
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS b
+  FROM tot
+  UNION ALL
+  SELECT id, is_new, [CAST(0 AS BIGINT), 0, 0, 0]
+  FROM cs WHERE cs IS NULL),
+expl AS (SELECT id, is_new, b, u.i AS bi, b[CAST(u.i + 1 AS INT)] AS bv
+         FROM bands, UNNEST(range(0, 4)) u(i))
+SELECT DISTINCT o.id AS id_old, n.id AS id_new,
+       CAST(list_sum(list_transform(range(0, 4), i ->
+         bit_count(xor(o.b[CAST(i + 1 AS INT)],
+                       n.b[CAST(i + 1 AS INT)])))) AS BIGINT) AS hamming
+FROM expl o JOIN expl n
+  ON o.bi = n.bi AND o.bv = n.bv
+ AND NOT o.is_new AND n.is_new
+WHERE CAST(list_sum(list_transform(range(0, 4), i ->
+        bit_count(xor(o.b[CAST(i + 1 AS INT)],
+                      n.b[CAST(i + 1 AS INT)])))) AS BIGINT) <= 3
+"""
+
+
 def _q_mm_media_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed MEDIA dedup prep — the multimodal twin of
     prep_training_corpus's near-dup stage: perceptual-hash the corpus
@@ -6708,6 +6782,7 @@ _ROUND5_NEW: list[str] = [
     "mm_phash_near_dup",
     "tokenizer_compression_eval",
     "mm_media_dedup_prep",
+    "mm_ahash_incremental",
 ]
 
 _STALE_R1 = [
@@ -6853,6 +6928,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ahash_near_dup": _q_mm_ahash,
         "mm_phash_near_dup": _q_mm_phash,
         "mm_media_dedup_prep": _q_mm_media_prep,
+        "mm_ahash_incremental": _q_mm_ahash_incremental,
         "tpch_q5_region_revenue": _q_tpch_q5,
         "j1_semi_join_resolved": _q_j1_semi_join,
         "j2_content_join": _q_j2_content_join,
@@ -7038,6 +7114,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_ahash_near_dup": _SQL_MM_AHASH,
         "mm_phash_near_dup": _sql_mm_phash(),
         "mm_media_dedup_prep": _SQL_MM_MEDIA_PREP,
+        "mm_ahash_incremental": _SQL_MM_AHASH_INCR,
         "tpch_q5_region_revenue": _SQL_TPCH_Q5,
         "j1_semi_join_resolved": _SQL_J1_SEMI,
         "j2_content_join": _SQL_J2_CONTENT,

@@ -630,3 +630,59 @@ def with_phash_bands(df: DataFrame, text_col: str, out_col: str = "bands",
             yield pdf
 
     return df.mapInPandas(batches, schema=schema)
+
+
+# ------------------------------------------------- incremental perceptual
+# dedup: a crawl's media history never re-hashes. The band STORE holds
+# (band, bv, id, b) — ~40 bytes per historical item — and each increment
+# broadcast-joins its banded hashes against it (the minhash signature-
+# store discipline, llmops/dedup.py:255, applied to the perceptual tier;
+# works identically for aHash and pHash since both share the band
+# layout).
+def ahash_store_frame(df: DataFrame, id_col: str,
+                      bands_col: str = "bands") -> DataFrame:
+    """(id, b, band, bv) — the persistable banded-hash index of a media
+    corpus (rows with NULL bands — undecodable payloads — are excluded,
+    matching ahash_near_pairs)."""
+    return (df.filter(F.col(bands_col).isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col(bands_col).alias("b"))
+              .select("id", "b", F.posexplode("b").alias("band", "bv")))
+
+
+def save_ahash_store(df: DataFrame, id_col: str, path: str,
+                     bands_col: str = "bands") -> None:
+    """Write the band store partitioned by band (layout/append hygiene —
+    an increment probes all bands). Append new slices with
+    mode('append') after deduping them."""
+    (ahash_store_frame(df, id_col, bands_col)
+     .write.partitionBy("band").mode("overwrite").parquet(path))
+
+
+def incremental_ahash_pairs(store: DataFrame, new_hashed: DataFrame,
+                            id_col: str, bands_col: str = "bands",
+                            max_hamming: int = 3) -> DataFrame:
+    """(id_old, id_new, hamming) pairs between the historical band store
+    (an ahash_store_frame / loaded save_ahash_store table) and a new
+    batch: band-bucket join on the broadcast new side (the store is
+    SCANNED, never shuffled; history payloads never re-decode), Hamming
+    verified from the two band arrays, recall-complete for
+    d < n_bands by the same pigeonhole as ahash_near_pairs. In-batch
+    duplicates are ahash_near_pairs' job — compose both for a full
+    increment. The per-collision distinct is over SCALARS (the
+    dedup_incremental lesson: a first(array) dedup would force a
+    SortAggregate)."""
+    newb = (ahash_store_frame(new_hashed, id_col, bands_col)
+            .select(F.col("id").alias("id_new"),
+                    F.col("b").alias("_bn"), "band", "bv"))
+    cand = (store.join(F.broadcast(newb), ["band", "bv"])
+                 .select(F.col("id").alias("id_old"),
+                         F.col("b").alias("_bo"), "id_new", "_bn"))
+    ham = F.aggregate(
+        F.zip_with(F.col("_bo"), F.col("_bn"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_old", "id_new", "hamming")
+                .distinct())

@@ -139,3 +139,34 @@ def test_with_phash_bands_matches_python_twin(spark):
            MM.with_phash_bands(df, "t").collect()}
     for i, t in rows:
         assert got[i] == MM.phash_bands_py(t), (i, t)
+
+
+def test_incremental_ahash_pairs_store_vs_batch(spark, tmp_path):
+    """Increment-vs-store pairs equal the corresponding cross pairs of a
+    full-corpus ahash_near_pairs run; the store round-trips through
+    parquet; NULL-band rows are excluded on both sides."""
+    texts = {i: f"document number {i} with shared boilerplate " * 4
+             for i in range(8)}
+    texts[100] = texts[1]               # new batch: exact dup of old 1
+    texts[101] = "Z" + texts[2][1:]     # near dup of old 2
+    texts[102] = "totally unrelated content about volcanoes " * 4
+    texts[103] = None                   # undecodable: excluded
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "id long, t string")
+    old = df.filter(F.col("id") < 100)
+    new = df.filter(F.col("id") >= 100)
+    path = str(tmp_path / "store")
+    MM.save_ahash_store(MM.with_ahash_bands(old, "t"), "id", path)
+    store = spark.read.parquet(path)
+    got = {(r.id_old, r.id_new): r.hamming
+           for r in MM.incremental_ahash_pairs(
+               store, MM.with_ahash_bands(new, "t"), "id").collect()}
+    # reference: full-corpus pairs restricted to (old, new)
+    full = {(r.id_a, r.id_b): r.hamming
+            for r in MM.ahash_near_pairs(
+                MM.with_ahash_bands(df, "t"), "id").collect()}
+    want = {(a, b): h for (a, b), h in full.items()
+            if a < 100 and b >= 100}
+    assert got == want
+    assert got[(1, 100)] == 0           # exact dup found at distance 0
+    assert all(b != 103 for _, b in got)
