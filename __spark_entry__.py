@@ -3795,6 +3795,36 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big-big equi-join (operators/skew.py::salted_join): events
+    join their per-user profile with the big side salted over 8
+    reducers and the dim replicated per salt — the explicit lever when
+    one whale user pins a sort-merge task and AQE's partition split
+    can't help (bucketed inputs, single-key hot spots). Exact by
+    construction (each big row meets its dim row exactly once); the
+    oracle is the PLAIN join — salt invisibility is the stamped
+    property."""
+    from rassengine_spark.operators.skew import salted_join
+    ev = load_tables(spark, sf_dir)["events"] \
+        .select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    j = salted_join(ev, dim, ["user_id"], num_salts=8)
+    return (j.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("user_total").cast("long").alias("sum_user_totals")))
+
+
+_SQL_SKEW_SALTED_JOIN = """
+WITH dim AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_total
+  FROM events GROUP BY user_id)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dim.user_total) AS BIGINT) AS sum_user_totals
+FROM events e JOIN dim USING (user_id)
+GROUP BY e.event_type
+"""
+
+
 def _q_events_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) per day — Spark expands to a two-shuffle
     distinct-agg plan (partial dedup on (day, user), then count)."""
@@ -6783,6 +6813,7 @@ _ROUND5_NEW: list[str] = [
     "tokenizer_compression_eval",
     "mm_media_dedup_prep",
     "mm_ahash_incremental",
+    "skew_salted_join",
 ]
 
 _STALE_R1 = [
@@ -6945,6 +6976,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": _q_orders_running_total,
         "orders_scd2_priority": _q_orders_scd2_priority,
         "skew_salted_agg": _q_skew_salted_agg,
+        "skew_salted_join": _q_skew_salted_join,
         "events_distinct_daily": _q_events_distinct_daily,
         "m_synth_intent_corpus": _q_m_synth_corpus,
         "m_synth_ner_corpus": _q_m_synth_ner_corpus,
@@ -7131,6 +7163,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_running_total": _SQL_ORDERS_RUNNING,
         "orders_scd2_priority": _SQL_ORDERS_SCD2,
         "skew_salted_agg": _SQL_SKEW_SALTED,
+        "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
         "events_distinct_daily": _SQL_EVENTS_DISTINCT_DAILY,
         "m_synth_intent_corpus": _sql_m_synth_corpus(),
         "m_synth_ner_corpus": _sql_m_synth_ner_corpus(),

@@ -62,3 +62,38 @@ def salted_agg(df: DataFrame, key_cols: list[str], aggs: dict[str, str],
                  .groupBy(*key_cols, "__salt")
                  .agg(*partial_exprs))
     return partial.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salted_join(big: DataFrame, dim: DataFrame, key_cols: list[str],
+                num_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Exact equi-join with the big side's hot keys spread over
+    ``num_salts`` reducers: the big side gains a deterministic per-row
+    salt, the dim side REPLICATES once per salt value (a sequence
+    explode — dim rows x num_salts, fine when the dim is merely
+    too-big-to-broadcast), and the join keys on (key..., salt). One hot
+    key's rows land on num_salts tasks instead of one.
+
+    This is the explicit third lever when AQE's skew-join split cannot
+    help — AQE splits oversized SHUFFLE PARTITIONS, but a single key's
+    rows still sort-merge through one task per key on the build of some
+    join plans, and AQE never engages under bucketed/pre-shuffled
+    inputs. Exactness: every big row meets every matching dim row
+    exactly once (the dim copy carrying that row's salt). Salt is
+    xxhash64 of the big row's columns — NOT rand(), which double-counts
+    under speculative re-execution (the salted_agg rule).
+
+    ``how``: inner or left (the big side preserved); right/outer would
+    need dim-side dedup of the replicas — out of contract."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (big side "
+                         "preserved); use the plain join otherwise")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(num_salts))
+    b = big.withColumn("__salt", salt)
+    d = (dim.withColumn("__salt",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.lit(num_salts - 1))))
+            .withColumn("__salt", F.col("__salt").cast(
+                b.schema["__salt"].dataType.simpleString())))
+    out = b.join(d, [*key_cols, "__salt"], how)
+    return out.drop("__salt")
