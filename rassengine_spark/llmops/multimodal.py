@@ -643,10 +643,17 @@ def ahash_store_frame(df: DataFrame, id_col: str,
                       bands_col: str = "bands") -> DataFrame:
     """(id, b, band, bv) — the persistable banded-hash index of a media
     corpus (rows with NULL bands — undecodable payloads — are excluded,
-    matching ahash_near_pairs)."""
+    matching ahash_near_pairs).
+
+    Pinned before the explode: when bands come from with_ahash_bands'
+    interpreted 64-sample HOF, Catalyst collapses that projection into
+    the generator AND the carried `b` column — re-evaluating it per
+    exploded row and per consumer (measured 110 s vs ~3 s at sf0.1 for
+    the store write; the ahash_near_pairs lesson)."""
     return (df.filter(F.col(bands_col).isNotNull())
               .select(F.col(id_col).alias("id"),
                       F.col(bands_col).alias("b"))
+              .localCheckpoint(eager=False)
               .select("id", "b", F.posexplode("b").alias("band", "bv")))
 
 

@@ -135,7 +135,8 @@ DEFAULT_ENTRIES = [
     "sim_knn_graph_mutual", "sim_semantic_clusters", "events_ewma_daily",
     "sim_range_search", "mm_phash_near_dup", "mm_ahash_near_dup",
     "split_dsir_weights_fold", "mm_media_dedup_prep",
-    "tokenizer_compression_eval",
+    "tokenizer_compression_eval", "mm_ahash_incremental",
+    "skew_salted_join",
 ]
 
 
