@@ -5701,8 +5701,9 @@ idx AS (
   FROM daily),
 j AS (
   SELECT a.event_type, a.day, a.day_value, b.t AS s,
-         b.day_value / CAST(1 << CAST(a.t - b.t AS INT) AS DOUBLE) AS term,
-         1.0 / CAST(1 << CAST(a.t - b.t AS INT) AS DOUBLE) AS w
+         b.day_value
+           / CAST(CAST(1 AS BIGINT) << CAST(a.t - b.t AS INT) AS DOUBLE) AS term,
+         1.0 / CAST(CAST(1 AS BIGINT) << CAST(a.t - b.t AS INT) AS DOUBLE) AS w
   FROM idx a JOIN idx b
     ON a.event_type = b.event_type AND b.t <= a.t AND a.t - b.t <= 50)
 SELECT event_type, day, day_value,

@@ -128,7 +128,16 @@ def ewma_half(df: DataFrame, part_col: str, order_col: str, val_col: str,
     upstream (df is the per-(part, step) frame, e.g. a daily rollup);
     the self-join fans each row out max_lag+1 times and re-aggregates —
     rows here are partitions x steps, tiny relative to the fact table.
-    Returns (part, order, val, ewma)."""
+
+    `order_col` must be unique within each partition (the contract of a
+    rollup frame): row_number() ties would otherwise make _t — and the
+    weights — nondeterministic. The final groupBy keys on the ordinal
+    _t, so duplicate (order, val) rows surface as duplicate output rows
+    rather than silently merging. Returns (part, order, val, ewma)."""
+    if not 0 <= max_lag <= 62:
+        # shiftleft on a JVM long is mod-64: 1 << 64 wraps to 1 and the
+        # weights go silently wrong, so refuse instead
+        raise ValueError(f"max_lag must be in [0, 62], got {max_lag}")
     w = Window.partitionBy("_p").orderBy("_o")
     idx = df.select(F.col(part_col).alias("_p"),
                     F.col(order_col).alias("_o"),
@@ -143,10 +152,10 @@ def ewma_half(df: DataFrame, part_col: str, order_col: str, val_col: str,
     j = (a.join(b, (F.col("_p") == F.col("_bp"))
                 & (F.col("_s") <= F.col("_t"))
                 & (F.col("_t") - F.col("_s") <= max_lag))
-          .select("_p", "_o", "_x", "_s",
+          .select("_p", "_t", "_o", "_x", "_s",
                   (F.col("_bx") * wgt).alias("_term"),
                   wgt.alias("_w")))
-    g = (j.groupBy("_p", "_o", "_x")
+    g = (j.groupBy("_p", "_t", "_o", "_x")
           .agg(F.array_sort(F.collect_list(
               F.struct(F.col("_s"), F.col("_term"), F.col("_w"))))
               .alias("_arr")))

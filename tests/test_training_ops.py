@@ -278,6 +278,37 @@ def test_ewma_half_matches_python_reference(spark):
                    for r in ewma_half(df, "p", "o", "x").collect()}
 
 
+def test_ewma_half_long_span_and_lag_bounds(spark):
+    """A partition spanning >= 32 steps exercises shift counts past
+    INT32 (the DuckDB-oracle overflow class: a plain `1 <<` is INT32 and
+    throws at lag 31); max_lag outside [0, 62] must raise instead of
+    silently wrapping the JVM's mod-64 shift."""
+    import duckdb
+    import pytest
+
+    from rassengine_spark.operators.windows import ewma_half
+    rows = [("a", t, float((t * 13) % 7) + 0.5) for t in range(40)]
+    df = spark.createDataFrame(rows, "p string, o int, x double")
+    got = {r.o: r.ewma for r in ewma_half(df, "p", "o", "x").collect()}
+    assert len(got) == 40
+
+    # the oracle's weight form on a 40-step span (shift count up to 39)
+    con = duckdb.connect()
+    oracle = con.execute("""
+        WITH idx AS (SELECT * FROM (VALUES {vals}) v(t, x))
+        SELECT a.t,
+               round(SUM(b.x / CAST(CAST(1 AS BIGINT) << CAST(a.t - b.t AS INT) AS DOUBLE) ORDER BY b.t)
+                     / SUM(1.0 / CAST(CAST(1 AS BIGINT) << CAST(a.t - b.t AS INT) AS DOUBLE) ORDER BY b.t), 4) AS ewma
+        FROM idx a JOIN idx b ON b.t <= a.t AND a.t - b.t <= 50
+        GROUP BY a.t
+    """.format(vals=", ".join(f"({t}, {x})" for _, t, x in rows))).fetchall()
+    assert {t: e for t, e in oracle} == got
+
+    for bad in (-1, 63, 64):
+        with pytest.raises(ValueError, match="max_lag"):
+            ewma_half(df, "p", "o", "x", max_lag=bad)
+
+
 def test_range_search_returns_all_above_threshold(spark):
     from rassengine_spark.llmops.similarity import range_search
     corpus = spark.createDataFrame(
