@@ -912,9 +912,16 @@ SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs inside language blocks.
-    max_postings=None is the EXPLICIT exact escape hatch — since round 5
-    the API default is the capped 100 TB-safe plan (the sibling entry
-    dedup_ngram_jaccard_capped stamps that default's semantics)."""
+
+    WARNING — DELIBERATELY UNBOUNDED: max_postings=None is the explicit
+    exact escape hatch, and its cost is SUPERLINEAR in near-dup density
+    (intersection rows grow with posting-length²; tools/scale_probe.py
+    measured 2.0x of linear at 10x rows). Do NOT copy this shape into a
+    production pipeline — the API default (max_postings=20) is the
+    100 TB-safe plan and the sibling entry dedup_ngram_jaccard_capped
+    stamps that default's semantics. This entry exists only to pin the
+    exact §2.3-style scoring semantics against the oracle on bounded
+    test volumes, hence the _exact_unbounded name."""
     docs = load_tables(spark, sf_dir)["documents"]
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
                                   n=2, threshold=0.15, max_postings=None)
@@ -6819,7 +6826,8 @@ _ROUND5_NEW: list[str] = [
 
 _STALE_R1 = [
     "decontam_ngram_overlap", "dedup_cc_clusters",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "pack_sequences",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard_exact_unbounded",
+    "pack_sequences",
     "prep_training_corpus", "sim_bruteforce_topk", "sim_hnsw_topk",
     "sim_ivf_recall", "sim_ivf_topk", "sim_lsh_bucketed_topk",
     "sim_quantized_topk", "split_hash_assign", "split_hash_sample",
@@ -6891,7 +6899,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_ngram_jaccard_exact_unbounded": _q_dedup_ngram,
         "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_semantic_prune": _q_dedup_semantic_prune,
@@ -7076,7 +7084,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_simhash": _sql_dedup_simhash(),
-        "dedup_ngram_jaccard": _sql_dedup_ngram(),
+        "dedup_ngram_jaccard_exact_unbounded": _sql_dedup_ngram(),
         "dedup_ngram_jaccard_capped": _sql_dedup_ngram_capped(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING,
         "dedup_embedding_cosine_cells": _SQL_DEDUP_EMBEDDING_CELLS,

@@ -41,8 +41,8 @@ PYTHON_OK = {
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
     # dedup_incremental signatures both sides with the same pass:
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental",
-    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard_exact_unbounded",
+    "dedup_incremental", "dedup_ngram_jaccard_capped",
     # per-partition graph build is the point (recall variant walks the
     # graphs for real, plus the exact brute-force comparison arm; the
     # store variant serves persisted graphs through the cogroup pass):

@@ -119,7 +119,10 @@ DEFAULT_ENTRIES = [
     "prep_training_corpus", "basket_part_pagerank", "basket_part_lift",
     "basket_part_lift_frac", "basket_part_triangles",
     "basket_part_triangles_frac",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    # dedup_ngram_jaccard_exact_unbounded is EXEMPT by design: it is the
+    # explicitly-named exact twin whose docstring warns it is superlinear;
+    # its scale form IS dedup_ngram_jaccard_capped, which is probed.
+    "dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
     "dedup_cc_clusters",
     "dedup_incremental", "dedup_substring_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_cells", "split_dsir_weights",
