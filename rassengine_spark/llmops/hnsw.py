@@ -235,15 +235,39 @@ def _shard_topk(ids: list[int], raw: list[list[float]], g: "_HNSW | None",
     return out_q, out_i, out_s
 
 
+# HNSW graph build is superlinear in shard size (each insert beam-searches
+# the shard built so far), so every build path chunks its partition into
+# subshards of at most this many rows: per-task cost stays LINEAR in the
+# partition's rows no matter how the corpus grows, with no eager count()
+# to pre-derive a partition number (the round-5 probe measured the
+# unchunked build 1.67x of linear at 30x — this is the fix).
+MAX_SHARD_ROWS = 4096
+
+
+def _shard_chunks(ids: list[int], raw: list[list[float]],
+                  max_shard_rows: int):
+    """Deterministic subshards: consecutive id-order slices of at most
+    max_shard_rows rows (callers sort by id first, so composition depends
+    only on the ids in the partition)."""
+    for lo in range(0, len(ids), max_shard_rows):
+        yield ids[lo:lo + max_shard_rows], raw[lo:lo + max_shard_rows]
+
+
 def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
               id_col: str, query_id_col: str, k: int = 5, m: int = 8,
               ef_construction: int = 64, ef_search: int = 32,
               partitions: int | None = None,
-              round_to: int | None = 6) -> DataFrame:
+              round_to: int | None = 6,
+              max_shard_rows: int = MAX_SHARD_ROWS) -> DataFrame:
     """Sharded-HNSW approximate top-k. ``ef_search >= partition size``
     degenerates to an exact per-partition scan (same results as
     brute_force_topk, bit-exact — the oracle mode); realistic ef_search
-    takes the graph path. Returns (query_id, id, score, rank)."""
+    takes the graph path. Partitions larger than ``max_shard_rows`` are
+    split into id-ordered subshards before the build, so graph-build cost
+    is linear in corpus size at any fixed partition count (each insert
+    only searches its own bounded subshard); every subshard is searched
+    and the global window merge picks the final top-k.
+    Returns (query_id, id, score, rank)."""
     q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
     qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
@@ -265,17 +289,24 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
         if not ids:
             return
         if ef_search >= len(ids):
-            g = None          # exhaustive degenerate mode: exact scan
+            chunks = [(ids, raw)]   # exhaustive degenerate mode: one scan
         else:
-            mat = np.asarray(raw, dtype=np.float64)
-            normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
-            g = _HNSW(m=m, ef_construction=ef_construction)
-            for row, ident in zip(normed, ids):
-                g.add(row, str(ident))
-        out_q, out_i, out_s = _shard_topk(ids, raw, g, qs, k, ef_search)
-        yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
-                            "id": pd.Series(out_i, dtype="int64"),
-                            "score": pd.Series(out_s, dtype="float64")})
+            chunks = _shard_chunks(ids, raw, max_shard_rows)
+        for c_ids, c_raw in chunks:
+            if ef_search >= len(c_ids):
+                g = None          # exact scan of this subshard
+            else:
+                mat = np.asarray(c_raw, dtype=np.float64)
+                normed = mat / (np.linalg.norm(mat, axis=1,
+                                               keepdims=True) + 1e-12)
+                g = _HNSW(m=m, ef_construction=ef_construction)
+                for row, ident in zip(normed, c_ids):
+                    g.add(row, str(ident))
+            out_q, out_i, out_s = _shard_topk(c_ids, c_raw, g, qs, k,
+                                              ef_search)
+            yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                                "id": pd.Series(out_i, dtype="int64"),
+                                "score": pd.Series(out_s, dtype="float64")})
 
     res = c.mapInPandas(run, "query_id bigint, id bigint, score double")
     if round_to is not None:
@@ -294,20 +325,33 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
 # Arrow, deterministic (sorted keys), and tiny next to the vectors.
 
 
+# chunks-per-partition headroom for subshard part_ids: a build partition
+# may split into at most this many MAX_SHARD_ROWS subshards (~4.2M rows
+# per build partition); part_id = offset + base_partition * stride + chunk
+# stays unique within a generation and every generation's ids sit above
+# the previous max, so append's offset = max+1 contract is preserved.
+_SUBSHARD_STRIDE = 1024
+
+
 def save_hnsw_index(corpus: DataFrame, vec_col: str, id_col: str,
                     path: str, m: int = 8, ef_construction: int = 64,
-                    partitions: int | None = None) -> None:
+                    partitions: int | None = None,
+                    max_shard_rows: int = MAX_SHARD_ROWS) -> None:
     """Build per-partition HNSW graphs once and write them to `path`,
     partitioned by part_id (each shard's graph is one partition directory,
-    read back whole by exactly one task)."""
+    read back whole by exactly one task). Partitions larger than
+    MAX_SHARD_ROWS split into id-ordered subshards, each its own part_id —
+    build cost stays linear in corpus size at any partition count."""
     _build_and_write_graphs(corpus, vec_col, id_col, path, m,
                             ef_construction, partitions,
-                            mode="overwrite", part_offset=0)
+                            mode="overwrite", part_offset=0,
+                            max_shard_rows=max_shard_rows)
 
 
 def append_hnsw_index(new_corpus: DataFrame, vec_col: str, id_col: str,
                       path: str, m: int = 8, ef_construction: int = 64,
-                      partitions: int | None = None) -> None:
+                      partitions: int | None = None,
+                      max_shard_rows: int = MAX_SHARD_ROWS) -> None:
     """Incrementally index NEW vectors into an existing HNSW store: they
     become NEW shard graphs whose part_ids continue after the existing
     ones — the Lucene-segment pattern the reference's OpenSearch index
@@ -322,13 +366,15 @@ def append_hnsw_index(new_corpus: DataFrame, vec_col: str, id_col: str,
                  .agg(F.max("part_id")).collect()[0][0]) + 1
     _build_and_write_graphs(new_corpus, vec_col, id_col, path, m,
                             ef_construction, partitions,
-                            mode="append", part_offset=offset)
+                            mode="append", part_offset=offset,
+                            max_shard_rows=max_shard_rows)
 
 
 def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
                             path: str, m: int, ef_construction: int,
                             partitions: int | None, mode: str,
-                            part_offset: int) -> None:
+                            part_offset: int,
+                            max_shard_rows: int = MAX_SHARD_ROWS) -> None:
     import json
 
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
@@ -337,38 +383,41 @@ def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
         # deterministic shards + insertion order (see hnsw_topk)
         c = c.repartition(partitions, F.col("id")) \
              .sortWithinPartitions("id")
-    c = c.withColumn("part_id",
-                     F.spark_partition_id() + F.lit(part_offset))
+    c = c.withColumn("base_part", F.spark_partition_id())
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
         raw: list[list[float]] = []
-        part = -1
+        base = -1
         for pdf in batches:
-            if len(pdf) and part < 0:
-                part = int(pdf["part_id"].iloc[0])
+            if len(pdf) and base < 0:
+                base = int(pdf["base_part"].iloc[0])
             ids.extend(int(i) for i in pdf["id"])
             raw.extend([float(x) for x in v] for v in pdf["v"])
         if not ids:
             return
-        mat = np.asarray(raw, dtype=np.float64)
-        normed = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
-        g = _HNSW(m=m, ef_construction=ef_construction)
-        for row, ident in zip(normed, ids):
-            g.add(row, str(ident))
-        yield pd.DataFrame({
-            "part_id": pd.Series([part] * len(ids), dtype="int32"),
-            "node": pd.Series(range(len(ids)), dtype="int64"),
-            "id": pd.Series(ids, dtype="int64"),
-            "v": pd.Series(raw, dtype="object"),
-            "adj": pd.Series(
-                [json.dumps({str(l): nbrs
-                             for l, nbrs in sorted(g.adj[i].items())})
-                 for i in range(len(ids))], dtype="object"),
-            "entry": pd.Series([g.entry] * len(ids), dtype="int64"),
-            "max_level": pd.Series([g.max_level] * len(ids),
-                                   dtype="int32"),
-        })
+        for chunk, (c_ids, c_raw) in enumerate(
+                _shard_chunks(ids, raw, max_shard_rows)):
+            part = part_offset + base * _SUBSHARD_STRIDE + chunk
+            mat = np.asarray(c_raw, dtype=np.float64)
+            normed = mat / (np.linalg.norm(mat, axis=1,
+                                           keepdims=True) + 1e-12)
+            g = _HNSW(m=m, ef_construction=ef_construction)
+            for row, ident in zip(normed, c_ids):
+                g.add(row, str(ident))
+            yield pd.DataFrame({
+                "part_id": pd.Series([part] * len(c_ids), dtype="int32"),
+                "node": pd.Series(range(len(c_ids)), dtype="int64"),
+                "id": pd.Series(c_ids, dtype="int64"),
+                "v": pd.Series(c_raw, dtype="object"),
+                "adj": pd.Series(
+                    [json.dumps({str(l): nbrs
+                                 for l, nbrs in sorted(g.adj[i].items())})
+                     for i in range(len(c_ids))], dtype="object"),
+                "entry": pd.Series([g.entry] * len(c_ids), dtype="int64"),
+                "max_level": pd.Series([g.max_level] * len(c_ids),
+                                       dtype="int32"),
+            })
 
     (c.mapInPandas(build,
                    "part_id int, node bigint, id bigint, v array<double>, "
@@ -438,16 +487,29 @@ def _reconstruct(pdf: pd.DataFrame, ef_search: int):
     return ids, raw, g
 
 
-def hnsw_topk_from_store(spark, path: str, queries: DataFrame,
-                         vec_col: str, query_id_col: str, k: int = 5,
+def hnsw_topk_from_store(spark, path: str, queries,
+                         vec_col: str | None = None,
+                         query_id_col: str | None = None, k: int = 5,
                          ef_search: int = 32,
                          round_to: int | None = 6) -> DataFrame:
     """Serve top-k from the persisted graphs: reconstruct each shard's
     graph (no distance ops), beam-search the query batch, merge shard
     results with the usual per-query window rank. ef_search >= shard size
-    degenerates to the exact local scan, same as hnsw_topk."""
-    q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
-    qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
+    degenerates to the exact local scan, same as hnsw_topk.
+
+    A query DATAFRAME routes through the no-collect cogroup path
+    (hnsw_topk_from_store_df) — the default for query tables, which may
+    be unbounded (a stream's micro-batch, a query log). Pass an explicit
+    bounded list of (query_id, vector) pairs for the closure-broadcast
+    overload — the ONLY form that ships queries through the driver, and
+    by construction already driver-sized (mirrors the reference's online
+    single-query kNN serving, app/main.py:1527-1560)."""
+    if isinstance(queries, DataFrame):
+        return hnsw_topk_from_store_df(spark, path, queries, vec_col,
+                                       query_id_col, k=k,
+                                       ef_search=ef_search,
+                                       round_to=round_to)
+    qs = [(int(q), [float(x) for x in v]) for q, v in queries]
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
         out_q, out_i, out_s = _shard_topk(

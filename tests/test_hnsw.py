@@ -117,7 +117,10 @@ def test_store_exhaustive_mode_is_exact(spark, tmp_path):
 
 def test_store_df_query_path_matches_collect_path(spark, tmp_path):
     """The cogroup (unbounded-query) serving path must equal the
-    driver-collect path exactly — same graphs, same beam, same merge."""
+    bounded-list overload exactly — same graphs, same beam, same merge.
+    A query DATAFRAME passed to hnsw_topk_from_store routes through the
+    no-collect cogroup path (the default for query tables); only an
+    explicit (query_id, vector) list takes the closure-broadcast form."""
     from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store,
                                               hnsw_topk_from_store_df,
                                               save_hnsw_index)
@@ -125,12 +128,44 @@ def test_store_df_query_path_matches_collect_path(spark, tmp_path):
     path = str(tmp_path / "hnsw_df")
     save_hnsw_index(corpus, "v", "vec_id", path, m=8,
                     ef_construction=48, partitions=2)
-    a = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+    q_list = [(r.qid, [float(x) for x in r.v]) for r in qs.collect()]
+    a = hnsw_topk_from_store(spark, path, q_list, k=5,
                              ef_search=32).collect()
-    b = hnsw_topk_from_store_df(spark, path, qs, "v", "qid", k=5,
+    b = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                             ef_search=32).collect()
+    c = hnsw_topk_from_store_df(spark, path, qs, "v", "qid", k=5,
                                 ef_search=32).collect()
-    assert sorted((r.query_id, r.id, r.score, r.rank) for r in b) == \
-           sorted((r.query_id, r.id, r.score, r.rank) for r in a)
+    key = lambda rows: sorted((r.query_id, r.id, r.score, r.rank)
+                              for r in rows)
+    assert key(b) == key(a) == key(c)
+
+
+def test_subshard_chunking_bounds_build_and_stays_exact(spark, tmp_path):
+    """max_shard_rows splits a partition into id-ordered subshard graphs:
+    the persisted store carries multiple part_ids per build partition,
+    exhaustive serving stays exactly brute force, and the graph path's
+    live/store twins agree at the same chunk size."""
+    from rassengine_spark.llmops.hnsw import (hnsw_topk_from_store,
+                                              save_hnsw_index)
+    corpus, qs = _clustered(spark), _queries(spark)
+    path = str(tmp_path / "hnsw_chunked")
+    save_hnsw_index(corpus, "v", "vec_id", path, m=8, ef_construction=48,
+                    partitions=2, max_shard_rows=16)
+    parts = {r.part_id for r in
+             spark.read.parquet(path).select("part_id").distinct().collect()}
+    assert len(parts) > 2          # 2 build partitions, >16 rows each
+    bf = brute_force_topk(corpus, qs, "v", "vec_id", "qid", k=5).collect()
+    stored = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                                  ef_search=10 ** 6).collect()
+    assert [(r.query_id, r.id, r.score, r.rank) for r in stored] == \
+           [(r.query_id, r.id, r.score, r.rank) for r in bf]
+    live = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=5, m=8,
+                     ef_construction=48, ef_search=8, partitions=2,
+                     max_shard_rows=16).collect()
+    graph = hnsw_topk_from_store(spark, path, qs, "v", "qid", k=5,
+                                 ef_search=8).collect()
+    assert sorted((r.query_id, r.id, r.score, r.rank) for r in live) == \
+           sorted((r.query_id, r.id, r.score, r.rank) for r in graph)
 
 
 def test_append_hnsw_index_segments(spark, tmp_path):
