@@ -2855,6 +2855,67 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination REPORT (llmops/decontam.py::
+    contamination_report): the same 90/10 decontam split, eval docs
+    labeled into three deterministic eval suites (doc_id mod 3 — stand-
+    ins for benchmark families), per-doc 5-gram overlap rolled up per
+    (suite, lang) with the datacard ROLLUP shape — the release-gate
+    view of eval hygiene. Integer-exact sums; macro mean via the
+    half-up integer micro fold."""
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    ev = lab.filter(F.col("split") == "eval").withColumn(
+        "suite", F.concat(F.lit("suite"),
+                          (F.col("doc_id") % 3).cast("string")))
+    return DC.contamination_report(
+        ev, lab.filter(F.col("split") == "train"),
+        "text", "doc_id", ["suite", "lang"], n=5, threshold=0.8)
+
+
+def _sql_decontam_report() -> str:
+    u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH lab AS (
+  SELECT doc_id, lang, {words} AS words,
+         CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+evg AS (
+  SELECT doc_id, unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'eval'),
+vocab AS (
+  SELECT DISTINCT unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'train'),
+per_doc AS (
+  SELECT e.doc_id, COUNT(*) AS n_grams, COUNT(v.gram) AS n_matched,
+         round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+  FROM evg e LEFT JOIN vocab v ON e.gram = v.gram
+  GROUP BY e.doc_id),
+j AS (
+  SELECT 'suite' || CAST(l.doc_id % 3 AS VARCHAR) AS suite, l.lang,
+         p.n_grams, p.n_matched, p.overlap_frac,
+         CAST(round(p.overlap_frac * 1000000, 0) AS BIGINT) AS micro
+  FROM per_doc p JOIN lab l ON l.doc_id = p.doc_id)
+SELECT suite, lang, CAST(GROUPING(suite, lang) AS INT) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(n_grams) AS BIGINT) AS tot_grams,
+       CAST(SUM(n_matched) AS BIGINT) AS tot_matched,
+       round(CAST(SUM(n_matched) AS DOUBLE) / SUM(n_grams), 6)
+         AS matched_frac,
+       ((CAST(SUM(micro) AS BIGINT) * 2 + COUNT(*)) // (2 * COUNT(*)))
+         / 1000000.0 AS avg_overlap
+FROM j GROUP BY ROLLUP (suite, lang)
+"""
+
+
 def _q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified take: 5 docs per language, chosen by salted
     key-hash order (reproducible pseudo-random sample per stratum)."""
@@ -4030,6 +4091,18 @@ def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the bounded sample collect AND the index build; scoring runs
     from the index frames (bm25_batch_topk_from_index — the LARGE-Q
     shape whose plan is sized by candidates, not |Q|)."""
+    return (_bm25_known_item_ranks(spark, sf_dir)
+            .select("query_id", "src_rank",
+                    F.coalesce(F.col("src_rank") == 1,
+                               F.lit(False)).alias("hit1"),
+                    F.col("src_rank").isNotNull().alias("hit10")))
+
+
+def _bm25_known_item_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared known-item pipeline: md5-pinned 50-query sample, one
+    tokenize scan, index-served batch BM25 — returns one row per query
+    with the source doc's rank (NULL = not in the top 10). Both eval
+    entries (hit@k and nDCG/MRR) project from this frame."""
     from rassengine_spark.operators.inverted_index import (
         bm25_batch_topk_from_index, build_term_index_from_tokens,
         tokenize_corpus)
@@ -4051,11 +4124,54 @@ def _q_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = (res.withColumn("query_id", F.col("query_id").cast("long"))
            .filter(F.col("id") == F.col("query_id"))
            .select("query_id", F.col("rank").alias("src_rank")))
-    return (qdf.join(hit, "query_id", "left")
-            .select("query_id", "src_rank",
-                    F.coalesce(F.col("src_rank") == 1,
-                               F.lit(False)).alias("hit1"),
-                    F.col("src_rank").isNotNull().alias("hit10")))
+    return qdf.join(hit, "query_id", "left")
+
+
+# rank -> metric value in integer MICRO-units, precomputed once so both
+# engines map ranks through the SAME integer constants (no per-engine
+# transcendental log2 in the comparison surface — the integer-micro rule
+# events_ewma_daily's ordered fold follows): reciprocal rank 1e6/r and
+# the single-relevant-doc nDCG gain 1e6/log2(r+1) (IDCG = 1).
+_RR_MICRO = {r: round(1_000_000 / r) for r in range(1, 11)}
+_NDCG_MICRO = {r: round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)}
+
+
+def _q_bm25_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard IR eval over the same md5-pinned known-item query set:
+    per-query reciprocal rank and nDCG@10, the metrics the reference's
+    TOP_K=3 retrieval (app/main.py:88,1515) would be graded by. Known-
+    item search has exactly one relevant doc, so RR = 1/src_rank and
+    nDCG@10 = 1/log2(src_rank+1) (IDCG=1), 0 on a top-10 miss. Values
+    are integer micro-units via a literal rank->micro CASE map shared
+    with the oracle — corpus-mean MRR/nDCG is then an exact integer AVG
+    away. Eval cost is pinned like its sibling: index build + 50
+    scorings at any corpus size."""
+    ranks = _bm25_known_item_ranks(spark, sf_dir)
+    rr = F.lit(0)
+    nd = F.lit(0)
+    for r in range(10, 0, -1):
+        rr = F.when(F.col("src_rank") == r, F.lit(_RR_MICRO[r])) \
+              .otherwise(rr)
+        nd = F.when(F.col("src_rank") == r, F.lit(_NDCG_MICRO[r])) \
+              .otherwise(nd)
+    return ranks.select("query_id", "src_rank",
+                        rr.cast("long").alias("rr_micro"),
+                        nd.cast("long").alias("ndcg10_micro"))
+
+
+def _sql_bm25_ndcg_mrr() -> str:
+    base = _sql_bm25_known_item()
+    rr = " ".join(f"WHEN src_rank = {r} THEN {_RR_MICRO[r]}"
+                  for r in range(1, 11))
+    nd = " ".join(f"WHEN src_rank = {r} THEN {_NDCG_MICRO[r]}"
+                  for r in range(1, 11))
+    return f"""
+WITH hits AS ({base})
+SELECT query_id, src_rank,
+       CAST(CASE {rr} ELSE 0 END AS BIGINT) AS rr_micro,
+       CAST(CASE {nd} ELSE 0 END AS BIGINT) AS ndcg10_micro
+FROM hits
+"""
 
 
 def _sql_bm25_known_item() -> str:
@@ -6798,52 +6914,28 @@ FROM norm
 
 
 # The driver's correctness harness checks the FIRST 50 queries() entries
-# per round. After round 4 every entry has been stamped green at least
-# once (165/165 cumulatively, 0 ever failing), so round-5 rotation is a
-# FRESHNESS pass (VERDICT r4 #1): new round-5 entries lead (never
-# stamped), then the 24 entries whose latest stamp is round 1, then the
-# 45 whose latest stamp is round 2 — oldest first; the driver's 50-slot
-# window covers the new entries plus the stalest ~40.
-_ROUND5_NEW: list[str] = [
-    # round-5 additions — first driver stamp (names appended as each
-    # entry lands; kept ahead of the freshness rotation)
-    "basket_part_triangles_frac",
-    "basket_part_lift_frac",
-    "split_dsir_weights_fold",
-    "orders_scd2_priority",
-    "split_curriculum_order",
-    "q13_fuzzy_trigram",
-    "sim_knn_graph_mutual",
-    "events_ewma_daily",
-    "sim_range_search",
-    "sim_semantic_clusters",
-    "mm_phash_near_dup",
-    "tokenizer_compression_eval",
-    "mm_media_dedup_prep",
-    "mm_ahash_incremental",
-    "skew_salted_join",
+# per round. Round-6 rotation (VERDICT r5 #1): finish the freshness pass —
+# new/renamed entries lead (no stamp under their current name), then ALL
+# 34 entries whose latest stamp is round 2, then the three HNSW entries
+# whose code changed this round (subshard chunking + serving default),
+# then 10 round-3 entries oldest-first. Exactly 50: after this round every
+# entry's latest stamp is r04+ and the r03 tail (33 entries) fits in the
+# r07 window.
+_ROUND6_NEW: list[str] = [
+    "dedup_ngram_jaccard_exact_unbounded",   # renamed from dedup_ngram_jaccard
+    "bm25_ndcg_mrr_eval",
+    "decontam_report",
 ]
 
-_STALE_R1 = [
-    "decontam_ngram_overlap", "dedup_cc_clusters",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard_exact_unbounded",
-    "pack_sequences",
-    "prep_training_corpus", "sim_bruteforce_topk", "sim_hnsw_topk",
-    "sim_ivf_recall", "sim_ivf_topk", "sim_lsh_bucketed_topk",
-    "sim_quantized_topk", "split_hash_assign", "split_hash_sample",
-    "split_leakage_safe", "split_mixture_resample",
-    "split_stratified_take", "text_fingerprint", "text_langid",
-    "text_lm_score", "text_pii_redact", "text_quality",
-    "text_repetition", "text_token_counts",
+_TOUCHED_R6 = [
+    # r03 stamps AND this round's hnsw.py changes (chunked shards, store
+    # serving default) — restamp first
+    "sim_hnsw_recall", "sim_hnsw_store_recall",
+    "sim_hnsw_store_append_recall",
 ]
 
 _STALE_R2 = [
-    "bm25_batch_ranked", "bm25_index_ranked", "bm25_ranked",
-    "events_asof_join", "events_cube_dow_type", "events_distinct_daily",
-    "events_grouping_sets", "events_interval_join",
-    "events_moving_avg_7d", "events_rollup_multigrain",
-    "events_tumbling_counts", "events_zorder_code",
-    "j1_semi_join_resolved", "j2_content_join",
+    "events_zorder_code", "j1_semi_join_resolved", "j2_content_join",
     "lineitem_quantity_percentiles", "m1_intent_route",
     "m_synth_intent_corpus", "mm_binary_metadata", "mm_frame_sample",
     "mm_resize_meta", "orders_running_total", "rerank_lexical",
@@ -6860,7 +6952,15 @@ _STALE_R2 = [
     "tpch_q8_market_share", "tpch_q9_product_profit",
 ]
 
-_DRIVER_CHECK_PRIORITY = _ROUND5_NEW + _STALE_R1 + _STALE_R2
+_STALE_R3_FILL = [
+    "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
+    "corpus_cluster_profile", "customer_rfm_segments",
+    "dedup_semantic_prune", "events_daily_gapfill",
+    "events_except_buyers", "events_funnel", "events_json_extract",
+]
+
+_DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
+                          + _STALE_R3_FILL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6943,6 +7043,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters": _q_dedup_cc_clusters,
         "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "decontam_ngram_overlap": _q_decontam_overlap,
+        "decontam_report": _q_decontam_report,
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
@@ -6993,6 +7094,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranked": _q_bm25_ranked,
         "bm25_batch_ranked": _q_bm25_batch,
         "bm25_known_item_eval": _q_bm25_known_item,
+        "bm25_ndcg_mrr_eval": _q_bm25_ndcg_mrr,
         "rerank_lexical": _q_rerank_lexical,
         "bm25_index_ranked": _q_bm25_index,
         "bm25_store_ranked": _q_bm25_store,
@@ -7129,6 +7231,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cc_clusters": _sql_dedup_cc(),
         "dedup_cluster_store_merge": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
+        "decontam_report": _sql_decontam_report(),
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),
@@ -7180,6 +7283,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_ranked": _sql_bm25_ranked(),
         "bm25_batch_ranked": _sql_bm25_batch(),
         "bm25_known_item_eval": _sql_bm25_known_item(),
+        "bm25_ndcg_mrr_eval": _sql_bm25_ndcg_mrr(),
         "rerank_lexical": _sql_rerank_lexical(),
         "bm25_index_ranked": _sql_bm25_ranked(),
         "bm25_store_ranked": _sql_bm25_ranked(),

@@ -133,3 +133,46 @@ def flag_contaminated(eval_df: DataFrame, train_df: DataFrame,
     return (fn(eval_df, train_df, text_col, id_col, n)
             .withColumn("contaminated",
                         F.col("overlap_frac") >= F.lit(threshold)))
+
+
+def contamination_report(eval_df: DataFrame, train_df: DataFrame,
+                         text_col: str, id_col: str,
+                         slice_cols: list[str], n: int = 8,
+                         threshold: float = 0.8,
+                         fast: bool = True) -> DataFrame:
+    """Corpus-level contamination report: the per-doc overlap rolled up
+    per `slice_cols` grain (eval-suite x domain, datacard's ROLLUP
+    shape) — the release-gate view an eval-hygiene review reads, instead
+    of 50k per-doc rows.
+
+    Per (slice..., gid) row: n_docs, n_contaminated (overlap >=
+    threshold), tot_grams / tot_matched (exact integer sums),
+    matched_frac (pooled micro-average: one division over the exact
+    sums) and avg_overlap (macro-average of per-doc fractions). The
+    macro mean folds integer MICRO-units of the already-6dp-rounded
+    per-doc fraction with the half-up integer formula datacard uses —
+    no double accumulation, so every engine agrees at the 6th decimal.
+
+    Scale: the vocabulary join dominates and is shared with the per-doc
+    form; the rollup adds one tiny aggregate over |eval| rows."""
+    fn = ngram_overlap_fast if fast else ngram_overlap
+    per_doc = fn(eval_df, train_df, text_col, id_col, n)
+    meta = eval_df.select(F.col(id_col), *[F.col(c) for c in slice_cols])
+    j = (per_doc.join(meta, id_col)
+         .withColumn("_micro",
+                     F.round(F.col("overlap_frac") * 1e6, 0).cast("long")))
+    agg = (j.rollup(*[F.col(c) for c in slice_cols])
+           .agg(F.grouping_id().alias("gid"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("overlap_frac") >= F.lit(threshold))
+                      .cast("int")).cast("long").alias("n_contaminated"),
+                F.sum("n_grams").alias("tot_grams"),
+                F.sum("n_matched").alias("tot_matched"),
+                F.sum("_micro").alias("_sum_micro")))
+    return agg.select(
+        *slice_cols, "gid", "n_docs", "n_contaminated", "tot_grams",
+        "tot_matched",
+        F.round(F.col("tot_matched").cast("double")
+                / F.col("tot_grams"), 6).alias("matched_frac"),
+        (F.expr("(_sum_micro * 2 + n_docs) div (2 * n_docs)")
+         / F.lit(1e6)).alias("avg_overlap"))

@@ -394,6 +394,39 @@ def test_decontam_short_text_whole_shingle(spark):
     assert got[11].n_grams == 1 and got[11].n_matched == 0
 
 
+def test_contamination_report_rollup_grains(spark):
+    """ROLLUP report: finest rows sum to the suite subtotal and the
+    corpus total; pooled matched_frac divides the exact sums; macro
+    avg_overlap is the half-up integer-micro mean of per-doc fractions."""
+    from rassengine_spark.llmops.decontam import contamination_report
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [(10, "a b c d e f g h", "s0", "en"),   # frac 1.0 (6/6)
+         (11, "a b c d q q q q", "s0", "de"),   # 2/5
+         (12, "m n o p q r s t", "s1", "en")],  # 0/6
+        "doc_id int, text string, suite string, lang string")
+    rows = contamination_report(ev, train, "text", "doc_id",
+                                ["suite", "lang"], n=3,
+                                threshold=0.9).collect()
+    by = {(r.suite, r.lang, r.gid): r for r in rows}
+    assert len(rows) == 6  # 3 finest + 2 suite subtotals + 1 total
+    f = by[("s0", "de", 0)]
+    assert (f.n_docs, f.n_contaminated, f.tot_grams, f.tot_matched) \
+        == (1, 0, 5, 2)
+    assert f.matched_frac == 0.4 and f.avg_overlap == 0.4
+    sub = by[("s0", None, 1)]
+    assert (sub.n_docs, sub.n_contaminated, sub.tot_grams,
+            sub.tot_matched) == (2, 1, 11, 8)
+    assert sub.matched_frac == round(8 / 11, 6)
+    # macro mean of micro units: (1000000 + 400000 + 1) // 2 -> half-up
+    assert sub.avg_overlap == 0.7
+    tot = by[(None, None, 3)]
+    assert (tot.n_docs, tot.n_contaminated, tot.tot_grams,
+            tot.tot_matched) == (3, 1, 17, 8)
+    assert tot.avg_overlap == round((1.0 + 0.4 + 0.0) / 3 + 1e-12, 6)
+
+
 # ---------------------------------------------------------------- repetition
 def test_repetition_features_hand_computed(spark):
     from rassengine_spark.llmops.text_analysis import repetition_features

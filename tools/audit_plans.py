@@ -57,6 +57,8 @@ PYTHON_OK = {
     # Arrow-batched integer-stats / gram-hash passes (expression twins
     # parity-tested):
     "text_repetition", "decontam_ngram_overlap", "text_quality",
+    # rollup view over the same Arrow gram-hash pass as decontam above:
+    "decontam_report",
     "text_langid", "text_lm_score",
     # NFC normalization has no Spark built-in — Arrow-vectorized
     # pandas_udf, oracle twin is DuckDB's utf8proc nfc_normalize:
