@@ -4221,6 +4221,111 @@ FROM q LEFT JOIN (SELECT * FROM ranked WHERE rank <= 10) r
 """
 
 
+def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped retrieval eval: the corpus is CHUNKED (the reference's
+    512-word windows, app/main.py:2160-2170, scaled to 32 here), BM25
+    retrieves chunks, and credit goes to the source DOCUMENT — per query
+    the best rank of any chunk of the query's doc, with hit@1 / hit@3
+    (the reference's TOP_K=3 serving cut, app/main.py:88,1515) / hit@10.
+    Same md5-pinned 50-doc query set as bm25_known_item_eval (first 4
+    doc tokens), so the two entries differ only in the retrieval unit —
+    exactly the chunk-vs-doc ablation a RAG tuner runs. Chunk ids pack
+    (doc_id, chunk_idx) into one bigint (doc_id*1000+idx; the chunker
+    emits far fewer than 1000 chunks/doc at any sf); eval cost is
+    pinned: chunk index build + 50 scorings at any corpus size."""
+    from rassengine_spark.operators.inverted_index import (
+        bm25_batch_topk_from_index, build_term_index_from_tokens,
+        tokenize_corpus)
+    from rassengine_spark.sources.chunker import chunk_table
+    docs = load_tables(spark, sf_dir)["documents"]
+    dtoks = tokenize_corpus(docs, "text", "doc_id")
+    sample = (dtoks.orderBy(F.md5(F.col("id").cast("string")))
+              .limit(_KNOWN_ITEM_Q)
+              .select("id",
+                      F.array_join(F.slice(F.col("_toks"), 1, 4),
+                                   " ").alias("q"))
+              .collect())
+    queries = {str(r.id): r.q for r in sample if r.q}
+    chunks = (chunk_table(docs, "text", ["doc_id"], chunk_size=32)
+              .select((F.col("doc_id") * 1000
+                       + F.col("chunk_idx")).alias("cid"), "chunk_text"))
+    ctoks = tokenize_corpus(chunks, "chunk_text", "cid")
+    postings, doclens, stats = build_term_index_from_tokens(ctoks)
+    res = bm25_batch_topk_from_index(postings, doclens, stats, queries,
+                                     k=10, reuse_pruned=True)
+    qdf = spark.createDataFrame([(int(k),) for k in queries],
+                                "query_id long")
+    hit = (res.withColumn("query_id", F.col("query_id").cast("long"))
+           .filter(F.expr("id div 1000") == F.col("query_id"))
+           .groupBy("query_id").agg(F.min("rank").alias("doc_rank")))
+    return (qdf.join(hit, "query_id", "left")
+            .select("query_id", "doc_rank",
+                    F.coalesce(F.col("doc_rank") == 1,
+                               F.lit(False)).alias("hit1"),
+                    F.coalesce(F.col("doc_rank") <= 3,
+                               F.lit(False)).alias("hit3"),
+                    F.col("doc_rank").isNotNull().alias("hit10")))
+
+
+def _sql_rag_chunk_known_item() -> str:
+    from rassengine_spark.functions.bm25 import B, K1
+    toks = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+            "x -> len(x) > 0)")
+    words = _SQL_WORDS.format(col="text")
+    tf = "len(list_filter(tok.toks, x -> x = o.t))"
+    return f"""
+WITH dtok AS (SELECT doc_id AS id, {toks.format(col="text")} AS toks
+              FROM documents),
+qsample AS (SELECT id, toks FROM dtok
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_KNOWN_ITEM_Q}),
+q AS (SELECT id AS qid, list_slice(toks, 1, 4) AS qterms
+      FROM qsample WHERE len(toks) > 0),
+w AS (SELECT doc_id, {words} AS words FROM documents),
+chunks AS (
+  SELECT doc_id * 1000 + i AS cid,
+         array_to_string(words[(i*32+1):(i*32+32)], ' ') AS chunk_text
+  FROM w, UNNEST(generate_series(0, CAST(ceil(len(words)/32.0) AS INT) - 1))
+         AS t(i)
+  WHERE len(words) > 0),
+tok AS (SELECT cid AS id, {toks.format(col="chunk_text")} AS toks
+        FROM chunks),
+qocc AS (SELECT qid, j AS pos, qterms[j] AS t
+         FROM q, UNNEST(generate_series(1, len(qterms))) s(j)),
+qt AS (SELECT DISTINCT t FROM qocc),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tok),
+dfreq AS (SELECT qt.t,
+                 SUM(CASE WHEN list_contains(tok.toks, qt.t)
+                          THEN 1 ELSE 0 END) AS df
+          FROM qt, tok GROUP BY qt.t),
+contrib AS (
+  SELECT o.qid, o.pos, tok.id,
+         ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * {tf} * {K1 + 1.0}
+           / ({tf} + {K1} * (1.0 - {B} + {B} * len(tok.toks) / st.avgdl))
+           AS c
+  FROM qocc o JOIN dfreq d ON d.t = o.t CROSS JOIN tok CROSS JOIN stats st),
+scored AS (
+  SELECT qid, id, SUM(c ORDER BY pos) AS raw
+  FROM contrib GROUP BY qid, id
+  HAVING SUM(c ORDER BY pos) > 0),
+ranked AS (
+  SELECT qid, id,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(raw, 6) DESC, id ASC)
+              AS INT) AS rank
+  FROM scored),
+hits AS (
+  SELECT qid, MIN(rank) AS doc_rank
+  FROM ranked WHERE rank <= 10 AND id // 1000 = qid
+  GROUP BY qid)
+SELECT q.qid AS query_id, h.doc_rank,
+       COALESCE(h.doc_rank = 1, FALSE) AS hit1,
+       COALESCE(h.doc_rank <= 3, FALSE) AS hit3,
+       h.doc_rank IS NOT NULL AS hit10
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
 def _q_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: BM25 scans the corpus for 20 candidates, the
     second stage re-scores ONLY those by query-term Jaccard and keeps 5 —
@@ -6925,6 +7030,7 @@ _ROUND6_NEW: list[str] = [
     "dedup_ngram_jaccard_exact_unbounded",   # renamed from dedup_ngram_jaccard
     "bm25_ndcg_mrr_eval",
     "decontam_report",
+    "rag_chunk_known_item_eval",
 ]
 
 _TOUCHED_R6 = [
@@ -6956,7 +7062,7 @@ _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
     "corpus_cluster_profile", "customer_rfm_segments",
     "dedup_semantic_prune", "events_daily_gapfill",
-    "events_except_buyers", "events_funnel", "events_json_extract",
+    "events_except_buyers", "events_funnel",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7095,6 +7201,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_ranked": _q_bm25_batch,
         "bm25_known_item_eval": _q_bm25_known_item,
         "bm25_ndcg_mrr_eval": _q_bm25_ndcg_mrr,
+        "rag_chunk_known_item_eval": _q_rag_chunk_known_item,
         "rerank_lexical": _q_rerank_lexical,
         "bm25_index_ranked": _q_bm25_index,
         "bm25_store_ranked": _q_bm25_store,
@@ -7284,6 +7391,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch_ranked": _sql_bm25_batch(),
         "bm25_known_item_eval": _sql_bm25_known_item(),
         "bm25_ndcg_mrr_eval": _sql_bm25_ndcg_mrr(),
+        "rag_chunk_known_item_eval": _sql_rag_chunk_known_item(),
         "rerank_lexical": _sql_rerank_lexical(),
         "bm25_index_ranked": _sql_bm25_ranked(),
         "bm25_store_ranked": _sql_bm25_ranked(),

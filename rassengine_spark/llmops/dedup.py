@@ -600,9 +600,11 @@ def _cell_refined_block(df: DataFrame, vec_col: str, id_col: str,
       the stamped dedup_embedding_cosine_cells entry uses 8).
     - else ``max_block=m``: k = ceil(count/m) clamped to [1, 4096]; tiny
       frames get k=1 — i.e. refinement self-disables and results stay
-      exact — while big frames get bounded gram blocks. Costs one count
-      job + one bounded collect (k x dim floats, same driver footprint
-      as a fitted k-means model).
+      exact — while big frames get bounded gram blocks. EAGER: costs one
+      count job + one bounded collect (k x dim floats, same driver
+      footprint as a fitted k-means model) at DataFrame CONSTRUCTION
+      time, not first action — pin ``sub_cells`` to stay lazy
+      (CHANGELOG round 5).
     - both None: exact per-block semantics.
 
     Pairs split across cells are missed by design — the same recall

@@ -47,22 +47,33 @@ def stream_scd2_maintenance(spark: SparkSession, input_dir: str,
                             key_cols: list[str] | None = None,
                             attr_cols: list[str] | None = None,
                             ts_col: str = "ts", seq_col: str = "seq",
+                            col_types: dict[str, str] | None = None,
                             max_files_per_trigger: int = 16,
                             available_now: bool = True):
     """Start the SCD2-maintenance stream over JSON-lines files of
     observation rows; returns the StreamingQuery. Defaults expect
     (k bigint, a string, ts bigint, seq bigint); pass key/attr col
-    names to override (the JSON schema is derived from them, all
-    non-ts/seq columns read as strings unless named `k`). Batches must
-    respect the CDC contract (per key, observations arrive in
-    (ts, seq) order across batches) — the same append-only change-log
-    assumption every SCD2 maintainer makes."""
+    names to override. ``col_types`` maps column name -> Spark DDL type
+    for the JSON read (e.g. ``{"store_id": "long", "price":
+    "double"}``); unmapped key/attr columns default to ``long`` for the
+    default key ``k`` and ``string`` otherwise, while ts/seq are always
+    ``long``. Type the columns explicitly when keys or attrs are
+    numeric — a string-typed read would silently diverge from the
+    batch-tier table's types and change join/compare semantics (ADVICE
+    r5). Batches must respect the CDC contract (per key, observations
+    arrive in (ts, seq) order across batches) — the same append-only
+    change-log assumption every SCD2 maintainer makes."""
     key_cols = key_cols or ["k"]
     attr_cols = attr_cols or ["a"]
+    col_types = col_types or {}
     sid = _stream_id(checkpoint_dir)
     os.makedirs(scd2_dir, exist_ok=True)
-    fields = [f"{c} long" if c in ("k", ts_col, seq_col) else f"{c} string"
-              for c in (*key_cols, *attr_cols)]
+
+    def _ddl(c: str) -> str:
+        default = "long" if c == "k" else "string"
+        return f"{c} {col_types.get(c, default)}"
+
+    fields = [_ddl(c) for c in (*key_cols, *attr_cols)]
     schema = ", ".join(fields + [f"{ts_col} long", f"{seq_col} long"])
     raw = (spark.readStream.format("json")
            .schema(schema)

@@ -115,17 +115,40 @@ def swap_commit_dir(write, data_p: str) -> None:
     two directory renames swap it in. A Spark failure mid-write leaves
     ``data_p`` untouched; a driver crash between the renames is repaired
     by heal_swapped_dir on the next open. Shared by the in-place fold
-    stores (cluster forest, DSIR gram counts)."""
+    stores (cluster forest, DSIR gram counts).
+
+    Concurrency contract: SINGLE WRITER per store (folds are sequential
+    maintenance jobs), readers may run any time. A reader's
+    heal_swapped_dir can race the window between the two renames: it
+    restores bak -> data (so the commit rename finds data_p occupied)
+    and garbage-collects the writer's tmp sibling. The commit loop
+    tolerates both — it rebuilds tmp if the heal collected it (data_p
+    holds the identical previous committed state again, so the lazy
+    re-read inside ``write`` is consistent) and re-renames data -> bak
+    before retrying the swap. Two concurrent WRITERS remain undefined
+    (last committer wins and may drop the other's fold): serialize
+    folds externally."""
     import os
     import shutil
 
     tmp_p = data_p + ".__fold_tmp"
     bak_p = data_p + ".__fold_bak"
+    # a pre-existing tmp is a previous crash's garbage, never committed;
+    # inside the loop a missing tmp means a racing heal collected OURS,
+    # and write() rebuilds it
     shutil.rmtree(tmp_p, ignore_errors=True)
-    write(tmp_p)
-    if os.path.exists(data_p):
-        os.rename(data_p, bak_p)
-    os.rename(tmp_p, data_p)
+    for attempt in range(3):
+        try:
+            if not os.path.exists(tmp_p):
+                write(tmp_p)
+            if os.path.exists(data_p):
+                shutil.rmtree(bak_p, ignore_errors=True)
+                os.rename(data_p, bak_p)
+            os.rename(tmp_p, data_p)
+            break
+        except OSError:
+            if attempt == 2:
+                raise
     shutil.rmtree(bak_p, ignore_errors=True)
 
 

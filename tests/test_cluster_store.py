@@ -97,3 +97,43 @@ def test_fold_crash_leaves_previous_state_intact(spark, tmp_path):
     assert _store(spark, p, [[(2, 3)]]) == {
         (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)}
     assert not os.path.exists(data + ".__fold_bak")
+
+
+def test_swap_commit_retries_when_reader_heal_races(tmp_path):
+    """A concurrent reader's heal_swapped_dir may restore bak -> data in
+    the window between the writer's two renames; the commit rename then
+    finds data_p occupied and must retry the swap instead of erroring
+    (ADVICE r5: the fold job used to fail with data_p-exists)."""
+    import os
+
+    from rassengine_spark.util import heal_swapped_dir, swap_commit_dir
+
+    data = str(tmp_path / "data")
+
+    def write_v(path, tag):
+        os.makedirs(path)
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write(tag)
+
+    write_v(data, "old")
+
+    real_rename = os.rename
+    raced = {"done": False}
+
+    def racing_rename(src, dst):
+        # just before the writer's tmp -> data rename, a reader heals
+        if src.endswith(".__fold_tmp") and not raced["done"]:
+            raced["done"] = True
+            heal_swapped_dir(data)      # restores bak -> data
+        real_rename(src, dst)
+
+    os.rename = racing_rename
+    try:
+        swap_commit_dir(lambda tmp: write_v(tmp, "new"), data)
+    finally:
+        os.rename = real_rename
+    assert raced["done"]
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(data + ".__fold_bak")
+    assert not os.path.exists(data + ".__fold_tmp")
