@@ -2517,6 +2517,59 @@ FROM documents d LEFT JOIN per ON per.id = d.doc_id
 """
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE subtokens per tokenizer
+    word, THE cross-lingual tokenizer-quality number (a tokenizer that
+    fragments one language inflates its training cost and shrinks its
+    effective context). Composes the learned-BPE per-doc counts with the
+    tokenizer's own word count, grouped per lang: exact integer sums,
+    ratio via the half-up integer formula (datacard's rule), one
+    division at the end — engine-exact at 4dp."""
+    from rassengine_spark.functions.text import tokenize
+    from rassengine_spark.llmops.tokenizer import bpe_token_counts
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = bpe_token_counts(docs, "text", "doc_id",
+                              n_merges=_BPE_MERGES)
+    per = (docs.select(F.col("doc_id").alias("id"), "lang",
+                       F.size(tokenize(F.col("text"))).alias("_w"))
+           .join(counts, "id"))
+    agg = (per.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_w").alias("tot_words"),
+                F.sum("bpe_tokens").alias("tot_bpe_tokens")))
+    fert = (F.expr("(tot_bpe_tokens * 20000 + tot_words)"
+                   " div (2 * tot_words)") / F.lit(10000.0))
+    return (agg.select("lang", "n_docs", "tot_words", "tot_bpe_tokens",
+                       fert.alias("fertility"))
+            .orderBy("lang"))
+
+
+def _sql_tokenizer_fertility() -> str:
+    toks = _SQL_WORDS.format(col="lower(text)").replace(
+        "'\\s+'", "'[^a-z0-9]+'")
+    return f"""
+WITH {_sql_bpe_ctes()},
+vocab AS (
+  SELECT w, len(string_split(trim(seq, '_'), '__')) AS nsub
+  FROM s{_BPE_MERGES}),
+docw AS (
+  SELECT doc_id AS id, unnest({toks}) AS w FROM documents),
+per AS (
+  SELECT docw.id, SUM(vocab.nsub) AS bpe_tokens
+  FROM docw JOIN vocab USING (w) GROUP BY docw.id),
+doc AS (
+  SELECT d.doc_id AS id, d.lang, len({toks}) AS w,
+         CAST(COALESCE(per.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+  FROM documents d LEFT JOIN per ON per.id = d.doc_id)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS tot_words,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS tot_bpe_tokens,
+       ((CAST(SUM(bpe_tokens) AS BIGINT) * 20000 + CAST(SUM(w) AS BIGINT))
+        // (2 * CAST(SUM(w) AS BIGINT))) / 10000.0 AS fertility
+FROM doc GROUP BY lang ORDER BY lang
+"""
+
+
 def _q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer QUALITY eval — holdout compression rate: train the BPE
     merges on doc_id % 5 != 0, tokenize the held-out fifth, report
@@ -7031,6 +7084,7 @@ _ROUND6_NEW: list[str] = [
     "bm25_ndcg_mrr_eval",
     "decontam_report",
     "rag_chunk_known_item_eval",
+    "tokenizer_fertility_by_lang",
 ]
 
 _TOUCHED_R6 = [
@@ -7062,7 +7116,7 @@ _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
     "corpus_cluster_profile", "customer_rfm_segments",
     "dedup_semantic_prune", "events_daily_gapfill",
-    "events_except_buyers", "events_funnel",
+    "events_except_buyers",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7143,6 +7197,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
+        "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
         "tokenizer_bpe_segment_hi": _q_tokenizer_bpe_segment_hi,
         "tokenizer_compression_eval": _q_tokenizer_compression,
         "prep_training_corpus": _q_prep_corpus,
@@ -7332,6 +7387,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
+        "tokenizer_fertility_by_lang": _sql_tokenizer_fertility(),
         "tokenizer_bpe_segment_hi": _sql_tokenizer_bpe_segment_hi(),
         "tokenizer_compression_eval": _sql_tokenizer_compression(),
         "prep_training_corpus": _sql_prep_corpus(),

@@ -72,7 +72,9 @@ PYTHON_OK = {
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
     # expressions; batch==solo parity-tested); the known-item eval runs
     # the same batch scorer:
-    "bm25_batch_ranked", "bm25_known_item_eval",
+    # (ndcg/mrr + chunk-credit evals project from the same scorer):
+    "bm25_batch_ranked", "bm25_known_item_eval", "bm25_ndcg_mrr_eval",
+    "rag_chunk_known_item_eval",
     # winnowing fingerprint sweep (monotone-deque sliding min over md5
     # digests — Arrow twin of winnow_expr, parity-tested); the pairs
     # entry is the inverted-index join over the same sweep:
@@ -106,7 +108,7 @@ SORT_OK = {
     "split_curriculum_order",
     # sort-merge-join sorts on the w join key (corpus words x segmented
     # vocab — both corpus-scale, broadcast is wrong at 100 TB):
-    "tokenizer_bpe_token_counts",
+    "tokenizer_bpe_token_counts", "tokenizer_fertility_by_lang",
     # SMJ per-partition sorts on the normalized-line join key (line stats
     # x exploded lines — both corpus-scale at 100 TB, broadcast is wrong):
     "text_line_dedup",

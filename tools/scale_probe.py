@@ -68,6 +68,9 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 # sets (md5-sampled or literal), fixed grouping cardinality, fixed top-N.
 FIXED_ROWS = {
     "bm25_known_item_eval",        # md5-pinned 50-query sample
+    "bm25_ndcg_mrr_eval",          # same pinned sample
+    "rag_chunk_known_item_eval",   # same pinned sample, chunk corpus
+    "tokenizer_fertility_by_lang",  # one row per language
     "sim_hnsw_recall",             # fixed query set
     "sim_bruteforce_topk",         # |Q| x k, both fixed
     "sim_ivfpq_residual_topk",
