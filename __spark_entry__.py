@@ -4302,7 +4302,11 @@ def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (chunk_table(docs, "text", ["doc_id"], chunk_size=32)
               .select((F.col("doc_id") * 1000
                        + F.col("chunk_idx")).alias("cid"), "chunk_text"))
-    ctoks = tokenize_corpus(chunks, "chunk_text", "cid")
+    # one chunk+tokenize scan total: the index derives three frames from
+    # this (postings/doclens/stats) — same reuse rule as the known-item
+    # entry's doc-level checkpoint
+    ctoks = tokenize_corpus(chunks, "chunk_text", "cid") \
+        .localCheckpoint(eager=False)
     postings, doclens, stats = build_term_index_from_tokens(ctoks)
     res = bm25_batch_topk_from_index(postings, doclens, stats, queries,
                                      k=10, reuse_pruned=True)
