@@ -2908,6 +2908,43 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def _q_decontam_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination served from the PERSISTED gram-vocabulary store
+    (llmops/decontam.py::save_gram_vocab -> append_gram_vocab ->
+    ngram_overlap_from_store): even-id train docs build the store, odd-id
+    train docs APPEND (only novel grams land; history files untouched),
+    eval docs probe the store. Output is bit-identical to the one-shot
+    decontam_ngram_overlap — same split, same n/threshold — so it shares
+    that oracle: the store IS the train corpus's distinct-gram set."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_gram_vocab_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    train = lab.filter(F.col("split") == "train")
+    DC.save_gram_vocab(train.filter(F.col("doc_id") % 2 == 0),
+                       "text", path, n=5)
+    DC.append_gram_vocab(train.filter(F.col("doc_id") % 2 == 1),
+                         "text", path)
+    out = DC.ngram_overlap_from_store(
+        spark, lab.filter(F.col("split") == "eval"), "text", "doc_id",
+        path)
+    return (out.withColumn("contaminated",
+                           F.col("overlap_frac") >= F.lit(0.8))
+            .select("doc_id", "n_grams", "n_matched", "overlap_frac",
+                    "contaminated"))
+
+
 def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level contamination REPORT (llmops/decontam.py::
     contamination_report): the same 90/10 decontam split, eval docs
@@ -7089,6 +7126,7 @@ _ROUND6_NEW: list[str] = [
     "decontam_report",
     "rag_chunk_known_item_eval",
     "tokenizer_fertility_by_lang",
+    "decontam_from_store",
 ]
 
 _TOUCHED_R6 = [
@@ -7120,7 +7158,6 @@ _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
     "corpus_cluster_profile", "customer_rfm_segments",
     "dedup_semantic_prune", "events_daily_gapfill",
-    "events_except_buyers",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7209,6 +7246,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "decontam_report": _q_decontam_report,
+        "decontam_from_store": _q_decontam_from_store,
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
@@ -7399,6 +7437,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_store_merge": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "decontam_report": _sql_decontam_report(),
+        "decontam_from_store": _sql_decontam_overlap(),
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),

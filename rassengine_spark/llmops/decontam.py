@@ -176,3 +176,84 @@ def contamination_report(eval_df: DataFrame, train_df: DataFrame,
                 / F.col("tot_grams"), 6).alias("matched_frac"),
         (F.expr("(_sum_micro * 2 + n_docs) div (2 * n_docs)")
          / F.lit(1e6)).alias("avg_overlap"))
+
+
+# ------------------------------------------------------ persisted vocabulary
+# At 100 TB the train side's distinct-gram vocabulary is the expensive
+# half of every decontamination run — and it only changes when the train
+# corpus does. The store materializes it ONCE (the Lucene-segment/
+# signature-store pattern every other incremental tier here follows):
+# save indexes the corpus, append folds in only NOVEL grams (history is
+# never re-shingled or rewritten), and eval probes join the store
+# directly. Single WRITER per store (like the fold stores); readers any
+# time — parquet appends are atomic at file granularity and an extra
+# in-flight gram can only make a probe marginally stricter, never wrong.
+
+
+def save_gram_vocab(train_df: DataFrame, text_col: str, path: str,
+                    n: int = 8, buckets: int = 64) -> None:
+    """Persist the train corpus's DISTINCT word-n-gram 60-bit hashes to
+    ``path`` (parquet, gh-clustered into `buckets` files so later
+    anti-joins and probes shuffle evenly); records `n` in a meta file —
+    probes and appends must shingle identically."""
+    import json
+    import os
+
+    vocab = (_gram_hash_pandas(train_df.withColumn("_gid", F.lit(0)),
+                               text_col, "_gid", n)
+             .select("gh").distinct()
+             .repartition(buckets, "gh"))
+    vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n": n, "buckets": buckets}, f)
+
+
+def _load_vocab_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def append_gram_vocab(new_train_df: DataFrame, text_col: str,
+                      path: str) -> None:
+    """Fold NEW train documents into the persisted vocabulary: only
+    grams not already stored are appended (left_anti against the store),
+    so history files stay byte-identical and repeated appends of the
+    same corpus are no-ops. Same n as the original build (from meta)."""
+    import os
+
+    meta = _load_vocab_meta(path)
+    spark = new_train_df.sparkSession
+    vocab_p = os.path.join(path, "vocab")
+    existing = spark.read.parquet(vocab_p)
+    novel = (_gram_hash_pandas(new_train_df.withColumn("_gid", F.lit(0)),
+                               text_col, "_gid", int(meta["n"]))
+             .select("gh").distinct()
+             .join(existing, "gh", "left_anti")
+             .repartition(int(meta["buckets"]), "gh"))
+    novel.write.mode("append").parquet(vocab_p)
+
+
+def ngram_overlap_from_store(spark, eval_df: DataFrame, text_col: str,
+                             id_col: str, path: str) -> DataFrame:
+    """Per-eval-doc overlap against the PERSISTED vocabulary — identical
+    output to ``ngram_overlap(eval_df, <full train corpus>)`` (the store
+    is exactly that corpus's distinct-gram set), but the train side is
+    one parquet scan of 8-byte keys instead of a re-shingle of the whole
+    corpus."""
+    import os
+
+    n = int(_load_vocab_meta(path)["n"])
+    ev = _gram_hash_pandas(eval_df, text_col, id_col, n) \
+        .withColumnRenamed("id", id_col)
+    vocab = (spark.read.parquet(os.path.join(path, "vocab"))
+             .withColumn("hit", F.lit(1)))
+    per_doc = (ev.join(vocab, "gh", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.count("hit").alias("n_matched")))
+    return per_doc.withColumn(
+        "overlap_frac",
+        F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 6))

@@ -850,3 +850,55 @@ def test_knn_graph_blocks_mutual(spark):
          for r in SIM.knn_graph_blocks(df, "v", "vec_id", "label",
                                        k=1, mutual=True).collect()}
     assert m == {(0, 1), (1, 0)}         # 2's one-way edge dropped
+
+
+def test_gram_vocab_store_roundtrip_append_and_meta(spark, tmp_path):
+    """Persisted vocabulary tier: store probes equal the one-shot
+    overlap; append folds only NOVEL grams and never rewrites history
+    files; repeated appends are no-ops; meta pins n."""
+    import os
+
+    from rassengine_spark.llmops.decontam import (append_gram_vocab,
+                                                  ngram_overlap,
+                                                  ngram_overlap_from_store,
+                                                  save_gram_vocab)
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "z y x w v u"), (3, "a b c q r s")],
+        "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "a b c n o p"), (12, "m n o p q t")],
+        "doc_id int, text string")
+    path = str(tmp_path / "vocab")
+    save_gram_vocab(train.filter("doc_id <= 2"), "text", path, n=3)
+    append_gram_vocab(train.filter("doc_id = 3"), "text", path)
+
+    def _snap(p):
+        out = {}
+        for dp, _, names in os.walk(p):
+            for fn in names:
+                fp = os.path.join(dp, fn)
+                st = os.stat(fp)
+                out[fp] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = {p: s for p, s in _snap(path).items()
+              if p.endswith(".parquet")}
+    stored = {(r.doc_id, r.n_grams, r.n_matched, r.overlap_frac)
+              for r in ngram_overlap_from_store(spark, ev, "text",
+                                                "doc_id", path).collect()}
+    oneshot = {(r.doc_id, r.n_grams, r.n_matched, r.overlap_frac)
+               for r in ngram_overlap(ev, train, "text", "doc_id",
+                                      n=3).collect()}
+    assert stored == oneshot
+
+    # idempotent re-append: zero novel grams -> history byte-untouched
+    n_rows = spark.read.parquet(os.path.join(path, "vocab")).count()
+    append_gram_vocab(train, "text", path)
+    after = {p: s for p, s in _snap(path).items()
+             if p.endswith(".parquet") and p in before}
+    assert after == before
+    assert spark.read.parquet(
+        os.path.join(path, "vocab")).count() == n_rows
+    # vocabulary stays a set across appends
+    assert (spark.read.parquet(os.path.join(path, "vocab"))
+            .distinct().count() == n_rows)

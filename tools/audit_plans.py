@@ -59,6 +59,8 @@ PYTHON_OK = {
     "text_repetition", "decontam_ngram_overlap", "text_quality",
     # rollup view over the same Arrow gram-hash pass as decontam above:
     "decontam_report",
+    # store lifecycle entry: the eval probe runs the same gram-hash pass:
+    "decontam_from_store",
     "text_langid", "text_lm_score",
     # NFC normalization has no Spark built-in — Arrow-vectorized
     # pandas_udf, oracle twin is DuckDB's utf8proc nfc_normalize:
