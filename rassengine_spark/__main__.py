@@ -254,6 +254,10 @@ def _cmd_stream(args) -> int:
         from .streaming.scd2 import stream_scd2_maintenance
         q = stream_scd2_maintenance(spark, args.src, args.out,
                                     args.checkpoint)
+    elif kind == "vocab":
+        from .streaming.vocab import stream_gram_vocab_maintenance
+        q = stream_gram_vocab_maintenance(spark, args.src, args.out,
+                                          args.checkpoint)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -338,7 +342,7 @@ def build_parser() -> argparse.ArgumentParser:
              " clusters / dsir / scd2")
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
-                             "clusters", "dsir", "scd2"])
+                             "clusters", "dsir", "scd2", "vocab"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,
