@@ -2908,6 +2908,55 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def _q_decontam_neardup_leakage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Near-duplicate eval leakage (llmops/decontam.py::
+    flag_neardup_leakage): eval docs whose LSH duplicate component
+    contains a train doc — contamination the n-gram overlap misses once
+    wording shifts. Same corpus + LSH parameters as dedup_cc_clusters
+    (the perturbed copies supply guaranteed cross-split near-dups), same
+    90/10 decon split as the overlap entries."""
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+    corpus = _minhash_input(spark, sf_dir)
+    lab = corpus.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    return DC.flag_neardup_leakage(lab, "text", "doc_id", shingle_n=3,
+                                   num_hashes=16, bands=4, threshold=0.5)
+
+
+def _sql_decontam_neardup_leakage() -> str:
+    u = _sql_hash60("('decon/' || CAST(l.doc_id AS VARCHAR))")
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS cluster_size FROM cc GROUP BY root),
+lab AS (SELECT id AS doc_id FROM base),
+tc AS (
+  SELECT DISTINCT cc.root FROM cc
+  JOIN lab l ON l.doc_id = cc.node
+  WHERE CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9),
+ev AS (
+  SELECT l.doc_id FROM lab l
+  WHERE CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} >= 0.9)
+SELECT e.doc_id, cc.root, sizes.cluster_size,
+       (tc.root IS NOT NULL) AS leaked
+FROM ev e
+LEFT JOIN cc ON cc.node = e.doc_id
+LEFT JOIN sizes ON sizes.root = cc.root
+LEFT JOIN tc ON tc.root = cc.root
+"""
+
+
 def _q_decontam_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination served from the PERSISTED gram-vocabulary store
     (llmops/decontam.py::save_gram_vocab -> append_gram_vocab ->
@@ -7127,6 +7176,7 @@ _ROUND6_NEW: list[str] = [
     "rag_chunk_known_item_eval",
     "tokenizer_fertility_by_lang",
     "decontam_from_store",
+    "decontam_neardup_leakage",
 ]
 
 _TOUCHED_R6 = [
@@ -7157,7 +7207,7 @@ _STALE_R2 = [
 _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
     "corpus_cluster_profile", "customer_rfm_segments",
-    "dedup_semantic_prune", "events_daily_gapfill",
+    "dedup_semantic_prune",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7247,6 +7297,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram_overlap": _q_decontam_overlap,
         "decontam_report": _q_decontam_report,
         "decontam_from_store": _q_decontam_from_store,
+        "decontam_neardup_leakage": _q_decontam_neardup_leakage,
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
@@ -7438,6 +7489,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "decontam_report": _sql_decontam_report(),
         "decontam_from_store": _sql_decontam_overlap(),
+        "decontam_neardup_leakage": _sql_decontam_neardup_leakage(),
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),

@@ -257,3 +257,44 @@ def ngram_overlap_from_store(spark, eval_df: DataFrame, text_col: str,
     return per_doc.withColumn(
         "overlap_frac",
         F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 6))
+
+
+def flag_neardup_leakage(df: DataFrame, text_col: str, id_col: str,
+                         split_col: str = "split",
+                         eval_value: str = "eval",
+                         train_value: str = "train",
+                         shingle_n: int = 5, num_hashes: int = 16,
+                         bands: int = 4,
+                         threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate eval leakage: eval docs whose MinHash-LSH duplicate
+    COMPONENT contains any train doc — the contamination mode the n-gram
+    overlap misses once wording shifts (a paraphrased eval item shares
+    few exact n-grams with its train twin but still clusters with it).
+    Component-level on purpose: transitive paraphrase chains leak too,
+    the same rationale as splits.with_split_leakage_safe — this operator
+    is that guard's AUDIT view for a split that already exists.
+
+    Returns one row per eval doc: (id, root, cluster_size, leaked);
+    unclustered docs have NULL root/size and leaked = false.
+
+    Scale: the LSH pair pass + component resolution (dedup.dup_clusters'
+    machinery, banded, never all-pairs); the train-root set is one
+    DISTINCT over cluster roots."""
+    from .dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, shingle_n=shingle_n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    cl = dup_clusters(pairs)
+    lab = df.select(F.col(id_col), F.col(split_col))
+    comp = cl.join(lab.select(F.col(id_col).alias("node"), split_col),
+                   "node")
+    tr_roots = (comp.filter(F.col(split_col) == train_value)
+                .select("root").distinct().withColumn("_t", F.lit(1)))
+    ev = lab.filter(F.col(split_col) == eval_value).select(id_col)
+    return (ev.join(cl.select(F.col("node").alias(id_col), "root",
+                              "cluster_size"), id_col, "left")
+            .join(tr_roots, "root", "left")
+            .select(id_col, "root", "cluster_size",
+                    F.coalesce(F.col("_t") == 1,
+                               F.lit(False)).alias("leaked")))

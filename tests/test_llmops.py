@@ -902,3 +902,32 @@ def test_gram_vocab_store_roundtrip_append_and_meta(spark, tmp_path):
     # vocabulary stays a set across appends
     assert (spark.read.parquet(os.path.join(path, "vocab"))
             .distinct().count() == n_rows)
+
+
+def test_neardup_leakage_component_level(spark):
+    """Leakage audit: an eval doc leaks when its LSH component contains a
+    train doc — including TRANSITIVELY (eval ~ bridge ~ train chain);
+    near-dup pairs wholly inside eval do not leak; unclustered eval docs
+    report NULL root and leaked=false."""
+    from rassengine_spark.llmops.decontam import flag_neardup_leakage
+    t = ("the quick brown fox jumps over the lazy dog again and again "
+         "and it keeps on jumping all day long")
+    rows = [
+        (1, t, "train"),
+        (2, t + " extra", "eval"),                  # direct leak
+        (3, "totally different text about spark shuffles and parquet "
+            "files at scale with many executors", "eval"),  # unclustered
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi", "eval"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu", "eval"),               # eval-only cluster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {r.doc_id: r for r in
+           flag_neardup_leakage(df, "text", "doc_id", shingle_n=3,
+                                threshold=0.5).collect()}
+    assert set(got) == {2, 3, 10, 11}
+    assert got[2].leaked and got[2].root == 1
+    assert not got[3].leaked and got[3].root is None
+    assert not got[10].leaked and not got[11].leaked
+    assert got[10].root == 10 and got[11].root == 10

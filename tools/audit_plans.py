@@ -61,6 +61,8 @@ PYTHON_OK = {
     "decontam_report",
     # store lifecycle entry: the eval probe runs the same gram-hash pass:
     "decontam_from_store",
+    # same Arrow minhash pass as dedup_minhash_lsh + CC resolution:
+    "decontam_neardup_leakage",
     "text_langid", "text_lm_score",
     # NFC normalization has no Spark built-in — Arrow-vectorized
     # pandas_udf, oracle twin is DuckDB's utf8proc nfc_normalize:
@@ -149,7 +151,8 @@ SORT_OK = {
     "dedup_semantic_prune",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
-    "dedup_cc_clusters", "events_asof_join", "events_asof_forward_tol",
+    "dedup_cc_clusters", "decontam_neardup_leakage", "events_asof_join",
+    "events_asof_forward_tol",
     "orders_running_total",
     # store read-back display sort (|clustered nodes| rows, reduced table):
     "dedup_cluster_store_merge",
