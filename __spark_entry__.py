@@ -1795,6 +1795,62 @@ def _q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
+def _q_sim_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RANKING quality for the IVF tier: per-query nDCG@k against
+    exact top-k as the ideal (llmops/similarity.py::ndcg_at_k). Recall
+    ignores order — an operator that returns all k items backwards still
+    scores 1.0; nDCG grades the ranking the way retrieval serving is
+    actually consumed. Integer micro-gains + literal ideal prefix sums
+    shared with the oracle, one division at the end; fully dynamic
+    oracle (IVF cells are the deterministic md5 sample)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = SIM.ivf_topk(corpus, queries_df, "embedding", "vec_id", "qid",
+                          k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=_IVF_K)
+    return SIM.ndcg_at_k(approx, exact)
+
+
+def _sql_sim_ivf_ndcg() -> str:
+    from rassengine_spark.llmops.similarity import (NDCG_GAIN_MICRO,
+                                                    NDCG_IDEAL_MICRO)
+    gain = " ".join(f"WHEN a.rank = {r} THEN {NDCG_GAIN_MICRO[r]}"
+                    for r in range(1, _IVF_K + 1))
+    ideal = " ".join(f"WHEN n_exact = {n} THEN {NDCG_IDEAL_MICRO[n]}"
+                     for n in range(1, _IVF_K + 1))
+    cos_vq = _SQL_COS.format(a="c.v", b="q.qv")
+    return f"""
+WITH approx AS ({_sql_sim_ivf()}),
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT q.query_id, c.id, {cos_vq} AS score
+    FROM (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id >= 5) c
+    CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5) q)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, id ASC) <= {_IVF_K}),
+dcg AS (
+  SELECT a.query_id,
+         CAST(SUM(CASE WHEN e.id IS NOT NULL
+                       THEN CASE {gain} ELSE 0 END
+                       ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM approx a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.id = a.id
+  GROUP BY a.query_id),
+per AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT per.query_id, per.n_exact,
+       CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       CAST(CASE {ideal} ELSE 0 END AS BIGINT) AS idcg_micro,
+       round(CAST(COALESCE(dcg.dcg_micro, 0) AS DOUBLE)
+             / (CASE {ideal} ELSE 0 END), 6) AS ndcg
+FROM per LEFT JOIN dcg ON dcg.query_id = per.query_id
+"""
+
+
 def _q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style prefix-dimension retrieval eval (Kusupati et al.
     2022, public): search with only the FIRST 16 of 64 dims (4x narrower
@@ -7177,6 +7233,7 @@ _ROUND6_NEW: list[str] = [
     "tokenizer_fertility_by_lang",
     "decontam_from_store",
     "decontam_neardup_leakage",
+    "sim_ivf_ndcg_eval",
 ]
 
 _TOUCHED_R6 = [
@@ -7207,7 +7264,6 @@ _STALE_R2 = [
 _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
     "corpus_cluster_profile", "customer_rfm_segments",
-    "dedup_semantic_prune",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7273,6 +7329,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": _q_sim_ivfpq,
         "sim_ivfpq_residual_topk": _q_sim_ivfpq_res,
         "sim_ivf_recall": _q_sim_ivf_recall,
+        "sim_ivf_ndcg_eval": _q_sim_ivf_ndcg,
         "sim_pq_recall": _q_sim_pq_recall,
         "sim_hnsw_recall": _q_sim_hnsw_recall,
         "sim_hnsw_store_recall": _q_sim_hnsw_store_recall,
@@ -7465,6 +7522,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivfpq_topk": _sql_sim_ivfpq(),
         "sim_ivfpq_residual_topk": _sql_sim_ivfpq_res(),
         "sim_ivf_recall": _sql_sim_ivf_recall(),
+        "sim_ivf_ndcg_eval": _sql_sim_ivf_ndcg(),
         "sim_pq_recall": _sql_sim_pq_recall(),
         "sim_hnsw_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_recall": _SQL_SIM_HNSW_RECALL,

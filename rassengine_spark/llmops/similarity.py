@@ -20,6 +20,8 @@ Spark-native scale path is bucketed pruning):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -450,6 +452,61 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
         "recall",
         F.round(F.col("n_matched").cast("double") / F.col("n_exact"),
                 round_to))
+
+
+# rank -> DCG gain in integer MICRO-units (1e6 / log2(rank+1)), and its
+# prefix sums for the ideal DCG of n relevant items — precomputed once so
+# every engine folds the SAME integer constants (no per-engine log2 in a
+# comparison surface; the bm25_ndcg_mrr_eval rule). 50 ranks covers any
+# top-k this repo serves.
+NDCG_GAIN_MICRO = {r: round(1_000_000 / math.log2(r + 1))
+                   for r in range(1, 51)}
+NDCG_IDEAL_MICRO = {}
+_acc = 0
+for _r in range(1, 51):
+    _acc += NDCG_GAIN_MICRO[_r]
+    NDCG_IDEAL_MICRO[_r] = _acc
+del _acc, _r
+
+
+def ndcg_at_k(approx: DataFrame, exact: DataFrame,
+              round_to: int = 6) -> DataFrame:
+    """ANN ranking-quality evaluation: per-query nDCG of an approximate
+    RANKED top-k against the exact top-k as the ideal (binary relevance:
+    a result is relevant iff it is in the exact set). Recall ignores
+    order; this grades it — an operator that finds all k items but
+    inverts their order still loses nDCG.
+
+    Inputs are (query_id, id, rank, ...) for approx and (query_id, id,
+    ...) for exact. DCG folds integer micro-gains (literal rank map) over
+    the approx ranks that hit; IDCG is the literal prefix sum at
+    n_exact; ndcg = one double division + round at the end — engine-
+    exact. Same tiny per-query join shape as recall_at_k."""
+    rel = exact.select("query_id", "id").withColumn("_rel", F.lit(1))
+    gain = F.lit(0)
+    for r in range(50, 0, -1):
+        gain = F.when(F.col("rank") == r,
+                      F.lit(NDCG_GAIN_MICRO[r])).otherwise(gain)
+    hits = (approx.select("query_id", "id", "rank")
+            .join(rel, ["query_id", "id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.when(F.col("_rel") == 1, gain).otherwise(0))
+                 .cast("long").alias("dcg_micro")))
+    ideal = F.lit(0)
+    for n in range(50, 0, -1):
+        ideal = F.when(F.col("n_exact") == n,
+                       F.lit(NDCG_IDEAL_MICRO[n])).otherwise(ideal)
+    per = (exact.select("query_id", "id")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (per.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce(F.col("dcg_micro"), F.lit(0))
+                    .alias("dcg_micro"),
+                    ideal.cast("long").alias("idcg_micro"))
+            .withColumn("ndcg",
+                        F.round(F.col("dcg_micro").cast("double")
+                                / F.col("idcg_micro"), round_to)))
 
 
 def knn_graph_blocks(corpus: DataFrame, vec_col: str, id_col: str,
