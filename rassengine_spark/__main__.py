@@ -258,6 +258,10 @@ def _cmd_stream(args) -> int:
         from .streaming.vocab import stream_gram_vocab_maintenance
         q = stream_gram_vocab_maintenance(spark, args.src, args.out,
                                           args.checkpoint)
+    elif kind == "hnsw":
+        from .streaming.hnsw import stream_hnsw_append
+        q = stream_hnsw_append(spark, args.src, args.out,
+                               args.checkpoint)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -342,7 +346,8 @@ def build_parser() -> argparse.ArgumentParser:
              " clusters / dsir / scd2")
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
-                             "clusters", "dsir", "scd2", "vocab"])
+                             "clusters", "dsir", "scd2", "vocab",
+                             "hnsw"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,
