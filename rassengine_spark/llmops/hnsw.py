@@ -393,6 +393,32 @@ def append_hnsw_index_at(new_corpus: DataFrame, vec_col: str, id_col: str,
                             max_shard_rows=max_shard_rows)
 
 
+def compact_hnsw_store(spark, path: str, m: int = 8,
+                       ef_construction: int = 64,
+                       partitions: int | None = None,
+                       max_shard_rows: int = MAX_SHARD_ROWS) -> None:
+    """Segment compaction for an appended/streamed HNSW store: rebuild
+    ONE fresh generation of shard graphs from the store's own vectors
+    (the store carries raw `v`, so no corpus re-read) and swap it in
+    crash-safely (util.swap_commit_dir: a failure mid-rebuild leaves the
+    serving store untouched). Resets the part_id namespace — run it when
+    the shard count has grown past the serving sweet spot, the role the
+    reference's index merge plays (app/main.py:563-572). Single writer,
+    like every fold store."""
+    from ..util import swap_commit_dir
+
+    vecs = (spark.read.parquet(path).select("id", "v")
+            .localCheckpoint(eager=False))
+
+    def rebuild(tmp_p: str) -> None:
+        _build_and_write_graphs(vecs, "v", "id", tmp_p, m,
+                                ef_construction, partitions,
+                                mode="overwrite", part_offset=0,
+                                max_shard_rows=max_shard_rows)
+
+    swap_commit_dir(rebuild, path)
+
+
 def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
                             path: str, m: int, ef_construction: int,
                             partitions: int | None, mode: str,
