@@ -30,19 +30,21 @@ HEADLINE = [
     "s6_chunker",
 ]
 
-# The 10 slowest entries of the last committed bench snapshot, warmed once
+# The slowest entries of the last committed bench snapshot, warmed once
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
-    "dedup_cluster_store_merge",
     "basket_part_pagerank",
-    "sim_ivfpq_residual_topk",
-    "basket_part_triangles",
-    "sim_ivfpq_topk",
-    "prep_training_corpus",
     "bm25_store_append_ranked",
-    "m_quality_classifier_eval",
+    "rag_chunk_known_item_eval",
+    "split_dsir_weights_fold",
+    "mm_media_dedup_prep",
+    "dedup_cluster_store_merge",
+    "mm_ahash_incremental",
+    "prep_training_corpus",
+    "sim_ivfpq_residual_topk",
+    "bm25_ndcg_mrr_eval",
+    "sim_ivfpq_topk",
     "sim_hnsw_store_append_recall",
-    "events_mg_rollup_bounds",
 ]
 
 
