@@ -1319,6 +1319,51 @@ def _q_sim_hnsw_store_append_recall(spark: SparkSession,
                       (F.col("recall") >= 0.8).alias("recall_ok"))
 
 
+def _q_sim_hnsw_compacted_recall(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The HNSW store's full segment lifecycle under the recall-floor
+    oracle: build initial shards, APPEND odd-id vectors as new segments,
+    then COMPACT (llmops/hnsw.py::compact_hnsw_store — one fresh
+    generation rebuilt from the store's own vectors, crash-safe swap,
+    part_id namespace reset) and serve through the cogroup path. The
+    compacted store must still clear recall@5 >= 0.8 against exact brute
+    force over the full corpus — compaction is a rebuild, not a drop."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.hnsw import (append_hnsw_index,
+                                              compact_hnsw_store,
+                                              hnsw_topk_from_store_df,
+                                              save_hnsw_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_hnsw_compact_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    first = emb.filter((F.col("vec_id") >= 5)
+                       & (F.col("vec_id") % 2 == 0))
+    rest = emb.filter((F.col("vec_id") >= 5)
+                      & (F.col("vec_id") % 2 == 1))
+    save_hnsw_index(first, "embedding", "vec_id", path, m=16,
+                    ef_construction=128, partitions=2)
+    append_hnsw_index(rest, "embedding", "vec_id", path, m=16,
+                      ef_construction=128, partitions=2)
+    compact_hnsw_store(spark, path, m=16, ef_construction=128,
+                       partitions=4)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
+                                     "qid", k=5, ef_search=48)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=5)
+    rec = SIM.recall_at_k(approx, exact)
+    return rec.select("query_id", "n_exact",
+                      (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
 def _q_sim_hnsw_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-graph serving tier end to end (llmops/hnsw.py:
     save_hnsw_index -> hnsw_topk_from_store_df): graphs built once and
@@ -7234,6 +7279,7 @@ _ROUND6_NEW: list[str] = [
     "decontam_from_store",
     "decontam_neardup_leakage",
     "sim_ivf_ndcg_eval",
+    "sim_hnsw_compacted_recall",
 ]
 
 _TOUCHED_R6 = [
@@ -7263,7 +7309,7 @@ _STALE_R2 = [
 
 _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
-    "corpus_cluster_profile", "customer_rfm_segments",
+    "corpus_cluster_profile",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7334,6 +7380,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hnsw_recall": _q_sim_hnsw_recall,
         "sim_hnsw_store_recall": _q_sim_hnsw_store_recall,
         "sim_hnsw_store_append_recall": _q_sim_hnsw_store_append_recall,
+        "sim_hnsw_compacted_recall": _q_sim_hnsw_compacted_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -7527,6 +7574,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_hnsw_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_append_recall": _SQL_SIM_HNSW_RECALL,
+        "sim_hnsw_compacted_recall": _SQL_SIM_HNSW_RECALL,
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,

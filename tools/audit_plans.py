@@ -47,7 +47,7 @@ PYTHON_OK = {
     # graphs for real, plus the exact brute-force comparison arm; the
     # store variant serves persisted graphs through the cogroup pass):
     "sim_hnsw_topk", "sim_hnsw_recall", "sim_hnsw_store_recall",
-    "sim_hnsw_store_append_recall",
+    "sim_hnsw_store_append_recall", "sim_hnsw_compacted_recall",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
     # int64 DCT kernel over mapInPandas (BIGINT-exact, oracle recomputes

@@ -72,6 +72,7 @@ FIXED_ROWS = {
     "rag_chunk_known_item_eval",   # same pinned sample, chunk corpus
     "tokenizer_fertility_by_lang",  # one row per language
     "sim_hnsw_recall",             # fixed query set
+    "sim_hnsw_compacted_recall",
     "sim_bruteforce_topk",         # |Q| x k, both fixed
     "sim_ivfpq_residual_topk",
     "m_quality_classifier_eval",   # 1 summary row
