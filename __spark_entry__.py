@@ -4371,9 +4371,13 @@ def _bm25_known_item_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines map ranks through the SAME integer constants (no per-engine
 # transcendental log2 in the comparison surface — the integer-micro rule
 # events_ewma_daily's ordered fold follows): reciprocal rank 1e6/r and
-# the single-relevant-doc nDCG gain 1e6/log2(r+1) (IDCG = 1).
+# the single-relevant-doc nDCG gain 1e6/log2(r+1) (IDCG = 1). The gain
+# map is the similarity module's — ONE source of truth for the constants.
+from rassengine_spark.llmops.similarity import \
+    NDCG_GAIN_MICRO as _NDCG_GAIN_MICRO  # noqa: E402
+
 _RR_MICRO = {r: round(1_000_000 / r) for r in range(1, 11)}
-_NDCG_MICRO = {r: round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)}
+_NDCG_MICRO = {r: _NDCG_GAIN_MICRO[r] for r in range(1, 11)}
 
 
 def _q_bm25_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4470,9 +4474,11 @@ def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same md5-pinned 50-doc query set as bm25_known_item_eval (first 4
     doc tokens), so the two entries differ only in the retrieval unit —
     exactly the chunk-vs-doc ablation a RAG tuner runs. Chunk ids pack
-    (doc_id, chunk_idx) into one bigint (doc_id*1000+idx; the chunker
-    emits far fewer than 1000 chunks/doc at any sf); eval cost is
-    pinned: chunk index build + 50 scorings at any corpus size."""
+    (doc_id, chunk_idx) into one bigint as doc_id * 2^20 + idx — 2^20
+    chunks/doc headroom is ~33M words at chunk_size=32, so overflow
+    cannot silently credit the wrong document at any plausible doc
+    length (and doc_id keeps 43 bits); eval cost is pinned: chunk
+    index build + 50 scorings at any corpus size."""
     from rassengine_spark.operators.inverted_index import (
         bm25_batch_topk_from_index, build_term_index_from_tokens,
         tokenize_corpus)
@@ -4487,7 +4493,7 @@ def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
               .collect())
     queries = {str(r.id): r.q for r in sample if r.q}
     chunks = (chunk_table(docs, "text", ["doc_id"], chunk_size=32)
-              .select((F.col("doc_id") * 1000
+              .select((F.col("doc_id") * (1 << 20)
                        + F.col("chunk_idx")).alias("cid"), "chunk_text"))
     # one chunk+tokenize scan total: the index derives three frames from
     # this (postings/doclens/stats) — same reuse rule as the known-item
@@ -4500,7 +4506,7 @@ def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame([(int(k),) for k in queries],
                                 "query_id long")
     hit = (res.withColumn("query_id", F.col("query_id").cast("long"))
-           .filter(F.expr("id div 1000") == F.col("query_id"))
+           .filter(F.expr(f"id div {1 << 20}") == F.col("query_id"))
            .groupBy("query_id").agg(F.min("rank").alias("doc_rank")))
     return (qdf.join(hit, "query_id", "left")
             .select("query_id", "doc_rank",
@@ -4526,7 +4532,7 @@ q AS (SELECT id AS qid, list_slice(toks, 1, 4) AS qterms
       FROM qsample WHERE len(toks) > 0),
 w AS (SELECT doc_id, {words} AS words FROM documents),
 chunks AS (
-  SELECT doc_id * 1000 + i AS cid,
+  SELECT doc_id * 1048576 + i AS cid,
          array_to_string(words[(i*32+1):(i*32+32)], ' ') AS chunk_text
   FROM w, UNNEST(generate_series(0, CAST(ceil(len(words)/32.0) AS INT) - 1))
          AS t(i)
@@ -4560,7 +4566,7 @@ ranked AS (
   FROM scored),
 hits AS (
   SELECT qid, MIN(rank) AS doc_rank
-  FROM ranked WHERE rank <= 10 AND id // 1000 = qid
+  FROM ranked WHERE rank <= 10 AND id // 1048576 = qid
   GROUP BY qid)
 SELECT q.qid AS query_id, h.doc_rank,
        COALESCE(h.doc_rank = 1, FALSE) AS hit1,
@@ -7264,11 +7270,11 @@ FROM norm
 
 # The driver's correctness harness checks the FIRST 50 queries() entries
 # per round. Round-6 rotation (VERDICT r5 #1): finish the freshness pass —
-# new/renamed entries lead (no stamp under their current name), then ALL
-# 34 entries whose latest stamp is round 2, then the three HNSW entries
-# whose code changed this round (subshard chunking + serving default),
-# then 10 round-3 entries oldest-first. Exactly 50: after this round every
-# entry's latest stamp is r04+ and the r03 tail (33 entries) fits in the
+# the 9 new/renamed entries lead (no stamp under their current name), then
+# ALL 34 entries whose latest stamp is round 2, then the three HNSW
+# entries whose code changed this round (subshard chunking + serving
+# default), then 4 round-3 entries. Exactly 50: after this round every
+# entry's latest stamp is r04+ and the r03 tail (39 entries) fits in the
 # r07 window.
 _ROUND6_NEW: list[str] = [
     "dedup_ngram_jaccard_exact_unbounded",   # renamed from dedup_ngram_jaccard

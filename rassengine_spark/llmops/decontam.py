@@ -216,12 +216,22 @@ def _load_vocab_meta(path: str) -> dict:
         return json.load(f)
 
 
+# target gram hashes per appended parquet file: 8-byte keys, so ~8 MB
+# files — small appends write ONE file, not `buckets` slivers
+_VOCAB_ROWS_PER_FILE = 1_000_000
+
+
 def append_gram_vocab(new_train_df: DataFrame, text_col: str,
                       path: str) -> None:
     """Fold NEW train documents into the persisted vocabulary: only
     grams not already stored are appended (left_anti against the store),
     so history files stay byte-identical and repeated appends of the
-    same corpus are no-ops. Same n as the original build (from meta)."""
+    same corpus are no-ops. Same n as the original build (from meta).
+    The appended file count scales with the NOVEL row count (one file
+    per ~1M hashes, capped at the store's bucket count) — a streaming
+    maintainer folding small batches writes one small file per batch,
+    not `buckets` slivers; run compact_gram_vocab when the accumulated
+    file count starts to dominate probe planning."""
     import os
 
     meta = _load_vocab_meta(path)
@@ -232,8 +242,35 @@ def append_gram_vocab(new_train_df: DataFrame, text_col: str,
                                text_col, "_gid", int(meta["n"]))
              .select("gh").distinct()
              .join(existing, "gh", "left_anti")
-             .repartition(int(meta["buckets"]), "gh"))
-    novel.write.mode("append").parquet(vocab_p)
+             .localCheckpoint(eager=True))   # one pass: count + write
+    n = novel.count()
+    if n == 0:
+        return
+    parts = max(1, min(int(meta["buckets"]),
+                       -(-n // _VOCAB_ROWS_PER_FILE)))
+    novel.repartition(parts, "gh").write.mode("append").parquet(vocab_p)
+
+
+def compact_gram_vocab(spark, path: str) -> None:
+    """Rewrite the accumulated append slivers into the store's bucketed
+    layout in one crash-safe swap (util.swap_commit_dir — a failure
+    mid-rewrite leaves the serving vocabulary untouched). Values are
+    unchanged: the vocabulary is a set and compaction only re-buckets
+    it. Single writer, like every fold store."""
+    import os
+
+    from ..util import swap_commit_dir
+
+    meta = _load_vocab_meta(path)
+    vocab_p = os.path.join(path, "vocab")
+    vocab = (spark.read.parquet(vocab_p)
+             .localCheckpoint(eager=False))
+
+    def rewrite(tmp_p: str) -> None:
+        (vocab.repartition(int(meta["buckets"]), "gh")
+              .write.mode("overwrite").parquet(tmp_p))
+
+    swap_commit_dir(rewrite, vocab_p)
 
 
 def ngram_overlap_from_store(spark, eval_df: DataFrame, text_col: str,

@@ -455,7 +455,7 @@ def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
             for row, ident in zip(normed, c_ids):
                 g.add(row, str(ident))
             yield pd.DataFrame({
-                "part_id": pd.Series([part] * len(c_ids), dtype="int32"),
+                "part_id": pd.Series([part] * len(c_ids), dtype="int64"),
                 "node": pd.Series(range(len(c_ids)), dtype="int64"),
                 "id": pd.Series(c_ids, dtype="int64"),
                 "v": pd.Series(c_raw, dtype="object"),
@@ -470,7 +470,7 @@ def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
 
     out = c.mapInPandas(
         build,
-        "part_id int, node bigint, id bigint, v array<double>, "
+        "part_id bigint, node bigint, id bigint, v array<double>, "
         "adj string, entry bigint, max_level int")
     w = out.write.partitionBy("part_id")
     if mode == "overwrite-dynamic":

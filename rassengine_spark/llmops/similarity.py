@@ -469,8 +469,26 @@ for _r in range(1, 51):
 del _acc, _r
 
 
+def ndcg_gain_micro(r: int) -> int:
+    """Integer micro-gain for rank r (memoized past the precomputed 50)."""
+    if r not in NDCG_GAIN_MICRO:
+        NDCG_GAIN_MICRO[r] = round(1_000_000 / math.log2(r + 1))
+    return NDCG_GAIN_MICRO[r]
+
+
+def ndcg_ideal_micro(n: int) -> int:
+    """Ideal-DCG prefix sum for n relevant items (extends past 50)."""
+    if n not in NDCG_IDEAL_MICRO:
+        hi = max(NDCG_IDEAL_MICRO)
+        acc = NDCG_IDEAL_MICRO[hi]
+        for r in range(hi + 1, n + 1):
+            acc += ndcg_gain_micro(r)
+            NDCG_IDEAL_MICRO[r] = acc
+    return NDCG_IDEAL_MICRO[n]
+
+
 def ndcg_at_k(approx: DataFrame, exact: DataFrame,
-              round_to: int = 6) -> DataFrame:
+              round_to: int = 6, max_rank: int = 50) -> DataFrame:
     """ANN ranking-quality evaluation: per-query nDCG of an approximate
     RANKED top-k against the exact top-k as the ideal (binary relevance:
     a result is relevant iff it is in the exact set). Recall ignores
@@ -481,32 +499,39 @@ def ndcg_at_k(approx: DataFrame, exact: DataFrame,
     ...) for exact. DCG folds integer micro-gains (literal rank map) over
     the approx ranks that hit; IDCG is the literal prefix sum at
     n_exact; ndcg = one double division + round at the end — engine-
-    exact. Same tiny per-query join shape as recall_at_k."""
+    exact. `max_rank` sizes the literal maps and MUST be >= the k both
+    inputs were cut at: ranks beyond it would silently gain 0 and an
+    n_exact beyond it would zero the ideal, so the result guards both
+    as NULL (never a silent 0 or a div-by-zero) — pass a bigger
+    max_rank instead. Same tiny per-query join shape as recall_at_k."""
     rel = exact.select("query_id", "id").withColumn("_rel", F.lit(1))
     gain = F.lit(0)
-    for r in range(50, 0, -1):
+    for r in range(max_rank, 0, -1):
         gain = F.when(F.col("rank") == r,
-                      F.lit(NDCG_GAIN_MICRO[r])).otherwise(gain)
+                      F.lit(ndcg_gain_micro(r))).otherwise(gain)
     hits = (approx.select("query_id", "id", "rank")
             .join(rel, ["query_id", "id"], "left")
             .groupBy("query_id")
             .agg(F.sum(F.when(F.col("_rel") == 1, gain).otherwise(0))
-                 .cast("long").alias("dcg_micro")))
-    ideal = F.lit(0)
-    for n in range(50, 0, -1):
+                 .cast("long").alias("_dcg"),
+                 F.max("rank").alias("_maxr")))
+    ideal = F.lit(None).cast("long")
+    for n in range(max_rank, 0, -1):
         ideal = F.when(F.col("n_exact") == n,
-                       F.lit(NDCG_IDEAL_MICRO[n])).otherwise(ideal)
+                       F.lit(ndcg_ideal_micro(n))).otherwise(ideal)
     per = (exact.select("query_id", "id")
            .groupBy("query_id")
            .agg(F.count(F.lit(1)).alias("n_exact")))
+    in_range = F.coalesce(F.col("_maxr"), F.lit(0)) <= max_rank
     return (per.join(hits, "query_id", "left")
             .select("query_id", "n_exact",
-                    F.coalesce(F.col("dcg_micro"), F.lit(0))
+                    F.when(in_range, F.coalesce(F.col("_dcg"), F.lit(0)))
                     .alias("dcg_micro"),
-                    ideal.cast("long").alias("idcg_micro"))
+                    ideal.alias("idcg_micro"))
             .withColumn("ndcg",
-                        F.round(F.col("dcg_micro").cast("double")
-                                / F.col("idcg_micro"), round_to)))
+                        F.when(F.col("idcg_micro") > 0,
+                               F.round(F.col("dcg_micro").cast("double")
+                                       / F.col("idcg_micro"), round_to))))
 
 
 def knn_graph_blocks(corpus: DataFrame, vec_col: str, id_col: str,

@@ -35,9 +35,11 @@ from .commitlog import stream_id
 
 # per-batch part_id namespace: batch b owns [(b+1)*STRIDE, (b+2)*STRIDE).
 # With the appender's fixed 8 build partitions each batch needs
-# 8 * _SUBSHARD_STRIDE = 8192 ids; 1 << 16 leaves 8x headroom and
-# int32 part_id space for ~32k micro-batches before a compacting
-# save_hnsw_index (which resets the namespace) is due anyway.
+# 8 * _SUBSHARD_STRIDE = 8192 ids; 1 << 16 leaves 8x headroom. part_id
+# is BIGINT in the store schema, so the namespace never exhausts in
+# practice (2^47 batches) — note the streaming checkpoint's batch_id
+# only ever grows; compaction resets the STORE's part ids but not the
+# batch counter, so an int32 id would eventually have overflowed.
 _BATCH_STRIDE = 1 << 16
 
 

@@ -133,9 +133,7 @@ def swap_commit_dir(write, data_p: str) -> None:
 
     tmp_p = data_p + ".__fold_tmp"
     bak_p = data_p + ".__fold_bak"
-    # a pre-existing tmp is a previous crash's garbage, never committed;
-    # inside the loop a missing tmp means a racing heal collected OURS,
-    # and write() rebuilds it
+    # a pre-existing tmp is a previous crash's garbage, never committed
     shutil.rmtree(tmp_p, ignore_errors=True)
     for attempt in range(3):
         try:
@@ -149,6 +147,17 @@ def swap_commit_dir(write, data_p: str) -> None:
         except OSError:
             if attempt == 2:
                 raise
+            # NEVER trust tmp after an error in this attempt: write()
+            # may have failed mid-materialization (ENOSPC) with tmp_p
+            # present but partial, and renaming that over data_p would
+            # commit a corrupt store while the cleanup below deletes
+            # the only good copy. Discard and rebuild from scratch
+            # (also covers a racing reader-heal that collected tmp).
+            shutil.rmtree(tmp_p, ignore_errors=True)
+            if not os.path.exists(data_p) and os.path.exists(bak_p):
+                # the swap itself failed mid-flight: restore the good
+                # copy so the rebuild's lazy reads see a live store
+                os.rename(bak_p, data_p)
     shutil.rmtree(bak_p, ignore_errors=True)
 
 

@@ -137,3 +137,37 @@ def test_swap_commit_retries_when_reader_heal_races(tmp_path):
         assert f.read() == "new"
     assert not os.path.exists(data + ".__fold_bak")
     assert not os.path.exists(data + ".__fold_tmp")
+
+
+def test_swap_commit_never_promotes_partial_tmp(tmp_path):
+    """A write() that materializes tmp partially and then errors (the
+    ENOSPC class) must NOT be committed by the retry loop: the partial
+    tmp is discarded and rebuilt, and the committed dir holds the
+    complete new state with the backup cleaned up."""
+    import os
+
+    from rassengine_spark.util import swap_commit_dir
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    with open(os.path.join(data, "v"), "w") as f:
+        f.write("old")
+
+    calls = {"n": 0}
+
+    def flaky_write(path):
+        calls["n"] += 1
+        os.makedirs(path)
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write("partial")
+        if calls["n"] == 1:
+            raise OSError("no space left on device")
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write("new-complete")
+
+    swap_commit_dir(flaky_write, data)
+    assert calls["n"] == 2          # partial tmp discarded, rebuilt
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "new-complete"
+    assert not os.path.exists(data + ".__fold_bak")
+    assert not os.path.exists(data + ".__fold_tmp")

@@ -967,3 +967,55 @@ def test_ndcg_at_k_grades_order(spark):
     assert one.n_exact == 1 and one.idcg_micro == g[0]
     assert one.dcg_micro == g[2]
     assert one.ndcg == round(g[2] / g[0], 6)
+
+
+def test_gram_vocab_append_sizes_files_and_compacts(spark, tmp_path):
+    """Small appends write one file (not `buckets` slivers); compaction
+    re-buckets the slivers crash-safely without changing the set."""
+    import os
+
+    from rassengine_spark.llmops.decontam import (append_gram_vocab,
+                                                  compact_gram_vocab,
+                                                  ngram_overlap_from_store,
+                                                  save_gram_vocab)
+    train = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id int, text string")
+    path = str(tmp_path / "v")
+    save_gram_vocab(train, "text", path, n=3, buckets=8)
+    vocab_p = os.path.join(path, "vocab")
+
+    def n_files():
+        return sum(1 for dp, _, names in os.walk(vocab_p)
+                   for f in names if f.endswith(".parquet"))
+
+    base_files = n_files()
+    append_gram_vocab(spark.createDataFrame(
+        [(2, "q r s t u v")], "doc_id int, text string"), "text", path)
+    assert n_files() == base_files + 1      # one small file, not 8
+    rows = {r.gh for r in spark.read.parquet(vocab_p).collect()}
+    compact_gram_vocab(spark, path)
+    assert {r.gh for r in spark.read.parquet(vocab_p).collect()} == rows
+    assert not os.path.exists(vocab_p + ".__fold_bak")
+    ev = spark.createDataFrame([(10, "a b c d e f")],
+                               "doc_id int, text string")
+    got = ngram_overlap_from_store(spark, ev, "text", "doc_id",
+                                   path).collect()[0]
+    assert got.n_matched == got.n_grams == 4
+
+
+def test_ndcg_at_k_max_rank_guards(spark):
+    """Ranks beyond max_rank must surface as NULL metrics (never a
+    silent 0-gain), a bigger max_rank computes them, and n_exact beyond
+    the table NULLs the ideal instead of dividing by zero."""
+    import math
+
+    from rassengine_spark.llmops.similarity import ndcg_at_k
+    exact = spark.createDataFrame([(0, 10)], "query_id int, id int")
+    approx = spark.createDataFrame([(0, 10, 60)],
+                                   "query_id int, id int, rank int")
+    guarded = ndcg_at_k(approx, exact).collect()[0]   # max_rank=50 < 60
+    assert guarded.dcg_micro is None and guarded.ndcg is None
+    wide = ndcg_at_k(approx, exact, max_rank=80).collect()[0]
+    g60 = round(1_000_000 / math.log2(61))
+    assert wide.dcg_micro == g60
+    assert wide.ndcg == round(g60 / 1_000_000, 6)
