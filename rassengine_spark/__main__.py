@@ -262,6 +262,15 @@ def _cmd_stream(args) -> int:
         from .streaming.hnsw import stream_hnsw_append
         q = stream_hnsw_append(spark, args.src, args.out,
                                args.checkpoint)
+    elif kind == "decontam":
+        if not args.vocab:
+            print("--kind decontam requires --vocab (gram-vocab store)",
+                  file=sys.stderr)
+            return 2
+        from .streaming.decontam_report import \
+            stream_contamination_report_maintenance
+        q = stream_contamination_report_maintenance(
+            spark, args.src, args.out, args.checkpoint, args.vocab)
     else:                      # dedup
         import os
         from .streaming.dedup import stream_dedup_ingest
@@ -347,7 +356,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
-                             "hnsw"])
+                             "hnsw", "decontam"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,
@@ -355,6 +364,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--checkpoint", required=True)
     ps.add_argument("--n-cells", type=int, default=None,
                     help="IVF cell count (vectors kind only)")
+    ps.add_argument("--vocab", default=None,
+                    help="gram-vocabulary store dir (decontam kind only)")
     ps.set_defaults(fn=_cmd_stream)
     return p
 

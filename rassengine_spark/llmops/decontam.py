@@ -335,3 +335,109 @@ def flag_neardup_leakage(df: DataFrame, text_col: str, id_col: str,
             .select(id_col, "root", "cluster_size",
                     F.coalesce(F.col("_t") == 1,
                                F.lit(False)).alias("leaked")))
+
+
+# ------------------------------------------------ incremental report tier
+# The report's aggregates are all ADDITIVE integers at the finest slice
+# grain, so a persisted counters table folds batch-by-batch (the DSIR/
+# rollup family) and the full ROLLUP report is derivable from it at any
+# moment — eval suites stream in, the release-gate view stays fresh, and
+# nothing ever re-probes folded history.
+
+
+def contamination_counters(spark, eval_df: DataFrame, text_col: str,
+                           id_col: str, slice_cols: list[str],
+                           vocab_path: str,
+                           threshold: float = 0.8) -> DataFrame:
+    """Finest-grain additive counters of the contamination report for
+    one eval batch, probed against the persisted vocabulary:
+    (slice..., n_docs, n_contaminated, tot_grams, tot_matched,
+    sum_micro). All exact integers, so any fold sequence equals the
+    one-shot counters over the union of all folded eval docs — the
+    property the streaming maintainer relies on. Slice values must be
+    non-null (they become fold join keys)."""
+    per_doc = ngram_overlap_from_store(spark, eval_df, text_col, id_col,
+                                       vocab_path)
+    meta = eval_df.select(F.col(id_col), *[F.col(c) for c in slice_cols])
+    j = (per_doc.join(meta, id_col)
+         .withColumn("_micro",
+                     F.round(F.col("overlap_frac") * 1e6, 0).cast("long")))
+    return (j.groupBy(*[F.col(c) for c in slice_cols])
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("overlap_frac") >= F.lit(threshold))
+                       .cast("int")).cast("long").alias("n_contaminated"),
+                 F.sum("n_grams").alias("tot_grams"),
+                 F.sum("n_matched").alias("tot_matched"),
+                 F.sum("_micro").alias("sum_micro")))
+
+
+_COUNTER_COLS = ["n_docs", "n_contaminated", "tot_grams", "tot_matched",
+                 "sum_micro"]
+
+
+def merge_contamination_counters(spark, path: str, batch: DataFrame,
+                                 slice_cols: list[str],
+                                 src_path: str | None = None) -> None:
+    """Fold one batch's counters into the persisted table (full-outer
+    join on the slice grain, integer sums; whole-table rewrite — the
+    table is one row per populated slice combination, tiny at any eval
+    volume). ``src_path`` reads the previous state from a different
+    root (the streaming tier's copy-on-write versioning); default
+    in-place, crash-safe via util.swap_commit_dir. NOT idempotent under
+    replay (counters double) — replay protection is the streaming
+    marker discipline, exactly as for the additive rollups."""
+    import os
+
+    from ..util import heal_swapped_dir, swap_commit_dir
+
+    read_root = src_path if src_path is not None else path
+    heal_swapped_dir(os.path.join(read_root, "data"))
+    if path != read_root:
+        heal_swapped_dir(os.path.join(path, "data"))
+    src_data = os.path.join(read_root, "data")
+    data_p = os.path.join(path, "data")
+    if os.path.exists(src_data):
+        prev = spark.read.parquet(src_data).select(
+            *slice_cols, *[F.col(c).alias(f"_p_{c}")
+                           for c in _COUNTER_COLS])
+        out = (prev.join(batch, slice_cols, "full_outer")
+               .select(*slice_cols,
+                       *[(F.coalesce(F.col(f"_p_{c}"), F.lit(0))
+                          + F.coalesce(F.col(c), F.lit(0))).alias(c)
+                         for c in _COUNTER_COLS]))
+    else:
+        out = batch
+    swap_commit_dir(
+        lambda tmp: out.repartition(1).write.mode("overwrite").parquet(tmp),
+        data_p)
+
+
+def read_contamination_counters(spark, path: str) -> DataFrame:
+    """(slice..., counters) from a merge_contamination_counters store."""
+    import os
+
+    from ..util import heal_swapped_dir
+    heal_swapped_dir(os.path.join(path, "data"))
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def report_from_counters(counters: DataFrame,
+                         slice_cols: list[str]) -> DataFrame:
+    """The full ROLLUP contamination report served from folded counters
+    — identical to ``contamination_report`` over every eval doc the
+    store has folded (same vocabulary), because every aggregate is an
+    exact integer sum over the finest grain."""
+    agg = (counters.rollup(*[F.col(c) for c in slice_cols])
+           .agg(F.grouping_id().alias("gid"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_contaminated").alias("n_contaminated"),
+                F.sum("tot_grams").alias("tot_grams"),
+                F.sum("tot_matched").alias("tot_matched"),
+                F.sum("sum_micro").alias("_sum_micro")))
+    return agg.select(
+        *slice_cols, "gid", "n_docs", "n_contaminated", "tot_grams",
+        "tot_matched",
+        F.round(F.col("tot_matched").cast("double")
+                / F.col("tot_grams"), 6).alias("matched_frac"),
+        (F.expr("(_sum_micro * 2 + n_docs) div (2 * n_docs)")
+         / F.lit(1e6)).alias("avg_overlap"))
