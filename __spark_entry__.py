@@ -3117,6 +3117,49 @@ def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", "doc_id", ["suite", "lang"], n=5, threshold=0.8)
 
 
+def _q_decontam_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination report served from FOLDED counters
+    (llmops/decontam.py::contamination_counters ->
+    merge_contamination_counters -> report_from_counters): the eval set
+    arrives in two arbitrary batches, each probes the persisted
+    vocabulary and folds finest-grain integer counters; the ROLLUP
+    report from the folded store must equal the one-shot report — all
+    aggregates are exact integer sums, so the fold is invisible (the
+    split_dsir_weights_fold property). Shares decontam_report's oracle
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rass_decontam_fold_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    vocab_p = os.path.join(root, "vocab")
+    counters_p = os.path.join(root, "counters")
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    DC.save_gram_vocab(lab.filter(F.col("split") == "train"), "text",
+                       vocab_p, n=5)
+    ev = lab.filter(F.col("split") == "eval").withColumn(
+        "suite", F.concat(F.lit("suite"),
+                          (F.col("doc_id") % 3).cast("string")))
+    for half in (ev.filter(F.col("doc_id") % 2 == 0),
+                 ev.filter(F.col("doc_id") % 2 == 1)):
+        c = DC.contamination_counters(spark, half, "text", "doc_id",
+                                      ["suite", "lang"], vocab_p,
+                                      threshold=0.8)
+        DC.merge_contamination_counters(spark, counters_p, c,
+                                        ["suite", "lang"])
+    counters = DC.read_contamination_counters(spark, counters_p)
+    return DC.report_from_counters(counters, ["suite", "lang"])
+
+
 def _sql_decontam_report() -> str:
     u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
     words = _SQL_WORDS.format(col="text")
@@ -7270,11 +7313,11 @@ FROM norm
 
 # The driver's correctness harness checks the FIRST 50 queries() entries
 # per round. Round-6 rotation (VERDICT r5 #1): finish the freshness pass —
-# the 9 new/renamed entries lead (no stamp under their current name), then
+# the 10 new/renamed entries lead (no stamp under their current name), then
 # ALL 34 entries whose latest stamp is round 2, then the three HNSW
 # entries whose code changed this round (subshard chunking + serving
-# default), then 4 round-3 entries. Exactly 50: after this round every
-# entry's latest stamp is r04+ and the r03 tail (39 entries) fits in the
+# default), then 3 round-3 entries. Exactly 50: after this round every
+# entry's latest stamp is r04+ and the r03 tail (40 entries) fits in the
 # r07 window.
 _ROUND6_NEW: list[str] = [
     "dedup_ngram_jaccard_exact_unbounded",   # renamed from dedup_ngram_jaccard
@@ -7286,6 +7329,7 @@ _ROUND6_NEW: list[str] = [
     "decontam_neardup_leakage",
     "sim_ivf_ndcg_eval",
     "sim_hnsw_compacted_recall",
+    "decontam_report_fold",
 ]
 
 _TOUCHED_R6 = [
@@ -7315,7 +7359,6 @@ _STALE_R2 = [
 
 _STALE_R3_FILL = [
     "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
-    "corpus_cluster_profile",
 ]
 
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
@@ -7406,6 +7449,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "decontam_report": _q_decontam_report,
+        "decontam_report_fold": _q_decontam_report_fold,
         "decontam_from_store": _q_decontam_from_store,
         "decontam_neardup_leakage": _q_decontam_neardup_leakage,
         "split_hash_assign": _q_split_assign,
@@ -7600,6 +7644,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_store_merge": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "decontam_report": _sql_decontam_report(),
+        "decontam_report_fold": _sql_decontam_report(),
         "decontam_from_store": _sql_decontam_overlap(),
         "decontam_neardup_leakage": _sql_decontam_neardup_leakage(),
         "split_hash_assign": _sql_split_assign(),

@@ -59,8 +59,8 @@ PYTHON_OK = {
     "text_repetition", "decontam_ngram_overlap", "text_quality",
     # rollup view over the same Arrow gram-hash pass as decontam above:
     "decontam_report",
-    # store lifecycle entry: the eval probe runs the same gram-hash pass:
-    "decontam_from_store",
+    # store lifecycle entries: the eval probes run the same gram-hash pass:
+    "decontam_from_store", "decontam_report_fold",
     # same Arrow minhash pass as dedup_minhash_lsh + CC resolution:
     "decontam_neardup_leakage",
     "text_langid", "text_lm_score",
