@@ -2177,6 +2177,104 @@ ORDER BY n_exact DESC, item ASC LIMIT 10
 """
 
 
+def _wrapped_crawl_docs(docs: DataFrame) -> DataFrame:
+    """documents dressed as multi-line crawl pages so the per-source
+    line-frequency tiers have something real to find: a per-source header
+    and a global footer on every page (100% of each source's docs), a
+    'subscribe' prompt on ~half, a promo on ~quarter, and the document's
+    own text as its unique body line."""
+    half = F.expr("(doc_id div 20) % 2 = 0")
+    quarter = F.expr("(doc_id div 20) % 4 = 0")
+    t = F.concat(
+        F.lit("(c) "), F.col("source"), F.lit(" press wire\n"),
+        F.col("text"), F.lit("\n"),
+        F.when(half, F.lit("subscribe to the weekly digest\n"))
+         .otherwise(F.lit("")),
+        F.when(quarter, F.lit("limited time offer\n"))
+         .otherwise(F.lit("")),
+        F.lit("all rights reserved"))
+    return docs.withColumn("text", t)
+
+
+def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate line report (llmops/boilerplate.py) — the
+    CCNet/RefinedWeb per-domain variant of the corpus-global line_dedup:
+    lines in >= 3 docs of a source, flagged at >= 40% of the source's
+    docs. Headers/footers flag at 100%, the 'subscribe' prompt flags at
+    ~half, the promo stays an unflagged near-miss at ~quarter, and body
+    lines never reach min_docs. One distinct + one hash aggregate + a
+    broadcast of the per-source totals — no window, no driver state."""
+    from rassengine_spark.llmops.boilerplate import (
+        boilerplate_lines_by_source)
+    docs = _wrapped_crawl_docs(load_tables(spark, sf_dir)["documents"])
+    return boilerplate_lines_by_source(docs, "text", "doc_id", "source",
+                                       min_docs=3, min_frac_ppm=400_000)
+
+
+def _q_boilerplate_store_fold(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The counter store's full fold lifecycle: build the manifest-
+    committed LSM store on half the corpus, fold one quarter as an
+    O(batch) delta, COMPACT (new base version committed before GC —
+    crash-safe by manifest ordering), fold the last quarter, then serve
+    the report from counters alone. Fold ≡ one-shot: shares the
+    scan-based oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.boilerplate import (
+        append_line_stats, boilerplate_from_store, compact_line_stats,
+        save_line_stats)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_linestats_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = _wrapped_crawl_docs(load_tables(spark, sf_dir)["documents"])
+    save_line_stats(docs.filter(F.col("doc_id") % 2 == 0),
+                    "text", "doc_id", "source", path, buckets=8)
+    append_line_stats(docs.filter(F.col("doc_id") % 4 == 1),
+                      "text", "doc_id", "source", path)
+    compact_line_stats(spark, path)
+    append_line_stats(docs.filter(F.col("doc_id") % 4 == 3),
+                      "text", "doc_id", "source", path)
+    return boilerplate_from_store(spark, path, min_docs=3,
+                                  min_frac_ppm=400_000)
+
+
+_SQL_BOILERPLATE = """
+WITH docs AS (
+  SELECT source, doc_id,
+         '(c) ' || source || ' press wire' || chr(10) ||
+         text || chr(10) ||
+         CASE WHEN (doc_id // 20) % 2 = 0
+              THEN 'subscribe to the weekly digest' || chr(10)
+              ELSE '' END ||
+         CASE WHEN (doc_id // 20) % 4 = 0
+              THEN 'limited time offer' || chr(10) ELSE '' END ||
+         'all rights reserved' AS t
+  FROM documents),
+raw AS (
+  SELECT source, doc_id, unnest(string_split(t, chr(10))) AS l
+  FROM docs),
+lines AS (
+  SELECT DISTINCT source, doc_id, lower(trim(l)) AS norm
+  FROM raw WHERE length(lower(trim(l))) >= 1),
+cnt AS (
+  SELECT source, norm, CAST(count(*) AS BIGINT) AS n_docs
+  FROM lines GROUP BY source, norm),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+  FROM documents GROUP BY source)
+SELECT c.source, c.norm AS line, c.n_docs, s.src_docs,
+       (c.n_docs * 1000000) // s.src_docs AS frac_ppm,
+       ((c.n_docs * 1000000) // s.src_docs) >= 400000 AS flagged
+FROM cnt c JOIN src s USING (source)
+WHERE c.n_docs >= 3
+"""
+
+
 def _q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card: one ROLLUP pass over (lang, source) — doc counts,
     global exact-dup membership, token volume, length means at every
@@ -4293,6 +4391,41 @@ def _q_bm25_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_term_index(postings, doclens, stats, path, n_buckets=32)
     append_term_index(docs.filter(F.col("doc_id") % 2 == 1),
                       "text", "doc_id", path)
+    return bm25_topk_from_store(spark, path, "spark join query", k=15)
+
+
+def _q_bm25_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The term index's full maintenance lifecycle: build on half the
+    corpus, APPEND the two remaining quarters (each append leaves one
+    file per touched bucket — the sliver accumulation a streaming
+    maintainer produces), then COMPACT (operators/index_store.py::
+    compact_term_index — per-bucket rewrite + doclens coalesce, each
+    table swapped crash-safely) and serve. Compaction is layout-only, so
+    the served ranking must stay bit-identical to the scan oracle —
+    the same invariant the reference's Lucene segment merges keep
+    (app/main.py:563-572 reopens merged indexes, never re-scores)."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (
+        append_term_index, bm25_topk_from_store, compact_term_index,
+        save_term_index)
+    from rassengine_spark.operators.inverted_index import build_term_index
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_term_compact_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    postings, doclens, stats = build_term_index(first, "text", "doc_id")
+    save_term_index(postings, doclens, stats, path, n_buckets=32)
+    append_term_index(docs.filter(F.col("doc_id") % 4 == 1),
+                      "text", "doc_id", path)
+    append_term_index(docs.filter(F.col("doc_id") % 4 == 3),
+                      "text", "doc_id", path)
+    compact_term_index(spark, path)
     return bm25_topk_from_store(spark, path, "spark join query", k=15)
 
 
@@ -7357,12 +7490,18 @@ _STALE_R2 = [
     "tpch_q8_market_share", "tpch_q9_product_profit",
 ]
 
-_STALE_R3_FILL = [
-    "basket_part_lift", "bm25_store_append_ranked", "bm25_store_ranked",
+_ROUND6_LATE = [
+    # added mid-round-6, no stamp under any name yet — they take the
+    # three window slots the r03-era fill entries (basket_part_lift,
+    # bm25_store_ranked/append_ranked) were holding; those rejoin the
+    # r07 oldest-first rotation
+    "text_boilerplate_by_source",
+    "boilerplate_store_fold",
+    "bm25_store_compacted_ranked",
 ]
 
-_DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _STALE_R2 + _TOUCHED_R6
-                          + _STALE_R3_FILL)
+_DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _ROUND6_LATE + _STALE_R2
+                          + _TOUCHED_R6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7438,6 +7577,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_flags": _q_text_gopher,
         "m_quality_classifier_eval": _q_m_quality_eval,
         "text_datacard": _q_text_datacard,
+        "text_boilerplate_by_source": _q_text_boilerplate,
+        "boilerplate_store_fold": _q_boilerplate_store_fold,
+        "bm25_store_compacted_ranked": _q_bm25_store_compacted,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
@@ -7633,6 +7775,9 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_flags": _sql_text_gopher(),
         "m_quality_classifier_eval": _sql_m_quality_eval(),
         "text_datacard": _SQL_TEXT_DATACARD,
+        "text_boilerplate_by_source": _SQL_BOILERPLATE,
+        "boilerplate_store_fold": _SQL_BOILERPLATE,
+        "bm25_store_compacted_ranked": _sql_bm25_ranked(),
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),

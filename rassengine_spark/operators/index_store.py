@@ -24,6 +24,8 @@ Served results are bit-identical to the scan-based operators
 from __future__ import annotations
 
 import hashlib
+import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,9 +73,12 @@ def append_term_index(new_df: DataFrame, text_col: str, id_col: str,
     lengths, which both engines compute as exact-integer-sum / count —
     order-independent — so index-served BM25 stays identical to a scan
     over the union corpus. History's postings are never re-tokenized."""
+    from ..util import heal_swapped_dir
     from .inverted_index import build_term_index
 
     spark = new_df.sparkSession
+    heal_swapped_dir(f"{path}/postings")   # a compaction crashed mid-swap
+    heal_swapped_dir(f"{path}/doclens")
     n_buckets = (spark.read.parquet(f"{path}/meta")
                  .collect()[0]["n_buckets"])
     postings, doclens, _ = build_term_index(new_df, text_col, id_col)
@@ -88,6 +93,43 @@ def append_term_index(new_df: DataFrame, text_col: str, id_col: str,
           .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
+def compact_term_index(spark: SparkSession, path: str,
+                       target_file_mb: int = 128) -> None:
+    """Rewrite the term store's accumulated append slivers back into the
+    save-time layout: postings re-clustered to one writer task per term
+    bucket (each append added one file per touched bucket — after many
+    small folds the per-bucket file count, not the data, dominates scan
+    planning), doclens coalesced to ~``target_file_mb`` files. Layout
+    only — every row, and therefore every served BM25 score, is
+    byte-identical before and after. Each table swaps crash-safely
+    (util.swap_commit_dir); a crash between the two swaps leaves one
+    table compacted and the other not, which is still a CORRECT store.
+    Single writer, like every maintenance job here; readers heal."""
+    from ..util import swap_commit_dir
+
+    postings_p = f"{path}/postings"
+    doclens_p = f"{path}/doclens"
+    postings = (spark.read.parquet(postings_p)
+                .localCheckpoint(eager=False))
+
+    def rewrite_postings(tmp_p: str) -> None:
+        (postings.repartition("tb")
+         .write.partitionBy("tb").mode("overwrite").parquet(tmp_p))
+
+    swap_commit_dir(rewrite_postings, postings_p)
+
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(doclens_p) for f in fs
+                if f.endswith(".parquet"))
+    n_out = max(1, math.ceil(total / (target_file_mb * (1 << 20))))
+    doclens = spark.read.parquet(doclens_p).localCheckpoint(eager=False)
+
+    def rewrite_doclens(tmp_p: str) -> None:
+        doclens.coalesce(n_out).write.mode("overwrite").parquet(tmp_p)
+
+    swap_commit_dir(rewrite_doclens, doclens_p)
+
+
 def bm25_topk_from_store(spark: SparkSession, path: str, query: str,
                          k: int = 10, k1: float = K1, b: float = B,
                          round_to: int = 6) -> DataFrame:
@@ -96,8 +138,11 @@ def bm25_topk_from_store(spark: SparkSession, path: str, query: str,
     partition column — static pruning, no job needed to plan it) and
     row-filtered to the terms; doclens/stats are the only other reads.
     Scores are bit-identical to bm25_topk on the original corpus."""
+    from ..util import heal_swapped_dir
     from .inverted_index import bm25_topk_from_index
 
+    heal_swapped_dir(f"{path}/postings")   # a compaction crashed mid-swap
+    heal_swapped_dir(f"{path}/doclens")
     n_buckets = (spark.read.parquet(f"{path}/meta")
                  .collect()[0]["n_buckets"])
     terms = terms_of(query)

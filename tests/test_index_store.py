@@ -135,3 +135,53 @@ def test_term_index_append_matches_union_scan(spark, tmp_path):
                   for r in bm25_topk_from_store(spark, path, q,
                                                 k=5).collect()]
         assert stored == scan, q
+
+
+def test_term_index_compaction_is_layout_only(spark, tmp_path):
+    """compact_term_index must reduce the per-bucket append slivers to
+    one file per bucket while serving byte-identical BM25, and the store
+    must keep accepting appends afterwards."""
+    import glob
+    import os
+
+    from rassengine_spark.operators.index_store import (append_term_index,
+                                                        compact_term_index)
+
+    base = corpus(spark)
+    extra1 = spark.createDataFrame(
+        [(10, "spark shuffles and spark joins again")], "id long, text string")
+    extra2 = spark.createDataFrame(
+        [(11, "sorting networks and query engines")], "id long, text string")
+    path = str(tmp_path / "termidx_cmp")
+    save_term_index(*build_term_index(base, "text", "id"), path,
+                    n_buckets=4)
+    append_term_index(extra1, "text", "id", path)
+    append_term_index(extra2, "text", "id", path)
+
+    def files_per_bucket():
+        return {d: len(glob.glob(os.path.join(d, "*.parquet")))
+                for d in glob.glob(os.path.join(path, "postings", "tb=*"))}
+
+    before = files_per_bucket()
+    assert max(before.values()) > 1          # appends really left slivers
+    union = base.unionAll(extra1).unionAll(extra2)
+    q = "spark join query"
+    scan = [(r.id, r.score)
+            for r in bm25_topk(union, "text", "id", q, k=5).collect()]
+    compact_term_index(spark, path)
+    after = files_per_bucket()
+    assert set(after) == set(before) and max(after.values()) == 1
+    assert [(r.id, r.score)
+            for r in bm25_topk_from_store(spark, path, q,
+                                          k=5).collect()] == scan
+    # doclens coalesced too, and the store still appends after compaction
+    assert len(glob.glob(os.path.join(path, "doclens", "*.parquet"))) == 1
+    extra3 = spark.createDataFrame(
+        [(12, "another spark document about joins")], "id long, text string")
+    append_term_index(extra3, "text", "id", path)
+    union3 = union.unionAll(extra3)
+    scan3 = [(r.id, r.score)
+             for r in bm25_topk(union3, "text", "id", q, k=5).collect()]
+    assert [(r.id, r.score)
+            for r in bm25_topk_from_store(spark, path, q,
+                                          k=5).collect()] == scan3
