@@ -4395,15 +4395,16 @@ def _q_bm25_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bm25_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The term index's full maintenance lifecycle: build on half the
-    corpus, APPEND the two remaining quarters (each append leaves one
-    file per touched bucket — the sliver accumulation a streaming
-    maintainer produces), then COMPACT (operators/index_store.py::
-    compact_term_index — per-bucket rewrite + doclens coalesce, each
-    table swapped crash-safely) and serve. Compaction is layout-only, so
-    the served ranking must stay bit-identical to the scan oracle —
-    the same invariant the reference's Lucene segment merges keep
-    (app/main.py:563-572 reopens merged indexes, never re-scores)."""
+    """The term index's compaction lifecycle: build on half the corpus,
+    APPEND the other half (the append leaves an extra file per touched
+    bucket — the sliver accumulation a streaming maintainer produces;
+    the multi-append case is pinned in tests/test_index_store.py), then
+    COMPACT (operators/index_store.py::compact_term_index — per-bucket
+    rewrite + doclens coalesce, each table swapped crash-safely) and
+    serve. Compaction is layout-only, so the served ranking must stay
+    bit-identical to the scan oracle — the same invariant the
+    reference's Lucene segment merges keep (app/main.py:563-572 reopens
+    merged indexes, never re-scores)."""
     import shutil
     import tempfile
 
@@ -4420,10 +4421,8 @@ def _q_bm25_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     first = docs.filter(F.col("doc_id") % 2 == 0)
     postings, doclens, stats = build_term_index(first, "text", "doc_id")
-    save_term_index(postings, doclens, stats, path, n_buckets=32)
-    append_term_index(docs.filter(F.col("doc_id") % 4 == 1),
-                      "text", "doc_id", path)
-    append_term_index(docs.filter(F.col("doc_id") % 4 == 3),
+    save_term_index(postings, doclens, stats, path, n_buckets=16)
+    append_term_index(docs.filter(F.col("doc_id") % 2 == 1),
                       "text", "doc_id", path)
     compact_term_index(spark, path)
     return bm25_topk_from_store(spark, path, "spark join query", k=15)
