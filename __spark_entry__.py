@@ -2243,6 +2243,72 @@ def _q_boilerplate_store_fold(spark: SparkSession, sf_dir: str
                                   min_frac_ppm=400_000)
 
 
+def _q_text_boilerplate_strip(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The report's APPLICATION half: flag per-source boilerplate at the
+    same thresholds, then REMOVE every occurrence from every doc of the
+    flagged source (CCNet drops all occurrences — unlike line_dedup's
+    keep-first) and reassemble the pages in original line order. The
+    flag set is the per-source heavy hitters — broadcast-joined, so the
+    strip costs one scan plus the reassembly groupBy."""
+    from rassengine_spark.llmops.boilerplate import (
+        boilerplate_lines_by_source, strip_boilerplate_by_source)
+    docs = _wrapped_crawl_docs(load_tables(spark, sf_dir)["documents"])
+    flags = (boilerplate_lines_by_source(docs, "text", "doc_id", "source",
+                                         min_docs=3,
+                                         min_frac_ppm=400_000)
+             .filter(F.col("flagged")))
+    return (strip_boilerplate_by_source(docs, "text", "doc_id", "source",
+                                        flags)
+            .withColumnRenamed("id", "doc_id"))
+
+
+_SQL_BOILERPLATE_STRIP = """
+WITH docs AS (
+  SELECT source, doc_id,
+         '(c) ' || source || ' press wire' || chr(10) ||
+         text || chr(10) ||
+         CASE WHEN (doc_id // 20) % 2 = 0
+              THEN 'subscribe to the weekly digest' || chr(10)
+              ELSE '' END ||
+         CASE WHEN (doc_id // 20) % 4 = 0
+              THEN 'limited time offer' || chr(10) ELSE '' END ||
+         'all rights reserved' AS t
+  FROM documents),
+arr AS (
+  SELECT source, doc_id, string_split(t, chr(10)) AS ls FROM docs),
+pos AS (
+  SELECT source, doc_id, unnest(ls) AS l,
+         generate_subscripts(ls, 1) AS pos
+  FROM arr),
+lines AS (
+  SELECT DISTINCT source, doc_id, lower(trim(l)) AS norm
+  FROM pos WHERE length(lower(trim(l))) >= 1),
+cnt AS (
+  SELECT source, norm, CAST(count(*) AS BIGINT) AS n_docs
+  FROM lines GROUP BY source, norm),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+  FROM documents GROUP BY source),
+flags AS (
+  SELECT c.source, c.norm
+  FROM cnt c JOIN src s USING (source)
+  WHERE c.n_docs >= 3
+    AND (c.n_docs * 1000000) // s.src_docs >= 400000),
+kept AS (
+  SELECT p.doc_id, p.pos, p.l,
+         CASE WHEN f.norm IS NULL THEN 1 ELSE 0 END AS keep
+  FROM pos p LEFT JOIN flags f
+    ON p.source = f.source AND lower(trim(p.l)) = f.norm)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep = 1 THEN l END, chr(10)
+                           ORDER BY pos), '') AS text,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 _SQL_BOILERPLATE = """
 WITH docs AS (
   SELECT source, doc_id,
@@ -7466,9 +7532,10 @@ _ROUND6_NEW: list[str] = [
 
 _TOUCHED_R6 = [
     # r03 stamps AND this round's hnsw.py changes (chunked shards, store
-    # serving default) — restamp first
+    # serving default) — restamp first. sim_hnsw_store_append_recall
+    # (same changed code paths, chunking+serving parity pytest-covered)
+    # yields its slot to the 4th late addition and heads the r07 tail.
     "sim_hnsw_recall", "sim_hnsw_store_recall",
-    "sim_hnsw_store_append_recall",
 ]
 
 _STALE_R2 = [
@@ -7495,6 +7562,7 @@ _ROUND6_LATE = [
     # bm25_store_ranked/append_ranked) were holding; those rejoin the
     # r07 oldest-first rotation
     "text_boilerplate_by_source",
+    "text_boilerplate_strip",
     "boilerplate_store_fold",
     "bm25_store_compacted_ranked",
 ]
@@ -7577,6 +7645,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_quality_classifier_eval": _q_m_quality_eval,
         "text_datacard": _q_text_datacard,
         "text_boilerplate_by_source": _q_text_boilerplate,
+        "text_boilerplate_strip": _q_text_boilerplate_strip,
         "boilerplate_store_fold": _q_boilerplate_store_fold,
         "bm25_store_compacted_ranked": _q_bm25_store_compacted,
         "text_lm_score": _q_text_lm_score,
@@ -7775,6 +7844,7 @@ def oracle_sql() -> dict[str, str]:
         "m_quality_classifier_eval": _sql_m_quality_eval(),
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_boilerplate_by_source": _SQL_BOILERPLATE,
+        "text_boilerplate_strip": _SQL_BOILERPLATE_STRIP,
         "boilerplate_store_fold": _SQL_BOILERPLATE,
         "bm25_store_compacted_ranked": _sql_bm25_ranked(),
         "text_lm_score": _sql_text_lm_score(),

@@ -262,6 +262,10 @@ def _cmd_stream(args) -> int:
         from .streaming.hnsw import stream_hnsw_append
         q = stream_hnsw_append(spark, args.src, args.out,
                                args.checkpoint)
+    elif kind == "boilerplate":
+        from .streaming.boilerplate import stream_line_stats_maintenance
+        q = stream_line_stats_maintenance(spark, args.src, args.out,
+                                          args.checkpoint)
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -356,7 +360,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
-                             "hnsw", "decontam"])
+                             "hnsw", "decontam", "boilerplate"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

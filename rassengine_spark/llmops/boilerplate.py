@@ -126,6 +126,47 @@ def boilerplate_lines_by_source(df: DataFrame, text_col: str, id_col: str,
     return _flag(cnt, src, min_docs, min_frac_ppm)
 
 
+def strip_boilerplate_by_source(df: DataFrame, text_col: str, id_col: str,
+                                source_col: str, flags: DataFrame,
+                                sep: str = "\n") -> DataFrame:
+    """REMOVE every occurrence of the flagged per-source lines — the
+    application half of the report (CCNet drops the line everywhere,
+    unlike line_dedup's keep-first): ``flags`` is any frame with
+    (source, line) rows, e.g. the flagged rows of
+    ``boilerplate_lines_by_source`` or ``boilerplate_from_store``, so a
+    NEW crawl increment can be stripped against the persisted counters
+    without rescanning history. Returns (id, text, n_kept, n_dropped)
+    with surviving lines reassembled in original order.
+
+    Plan at 100 TB: the flag set is by construction the per-source heavy
+    hitters (tiny next to the corpus) — broadcast hash join against the
+    scan-fused posexplode; reassembly is the one groupBy(id) shuffle,
+    same shape as line_dedup."""
+    sep_re = re.escape(sep)
+    lines = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             sep_re)).alias("pos", "line"))
+    lines = lines.withColumn("norm", F.lower(F.trim(F.col("line"))))
+    fl = (flags.select(F.col("source"),
+                       F.lower(F.trim(F.col("line"))).alias("norm"))
+          .distinct().withColumn("_hit", F.lit(1)))
+    keep = (lines.join(F.broadcast(fl), ["source", "norm"], "left")
+            .withColumn("_keep", F.col("_hit").isNull()))
+    return (keep.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]), sep).alias("text"),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                  .alias("n_dropped")))
+
+
 # ---------------------------------------------------------------------------
 # persisted counter store (manifest-committed LSM)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,9 @@ def prepare_training_corpus(
         redact: bool = True,
         unicode_normalize: bool = False,
         drop_boilerplate_lines: bool = False,
+        strip_boilerplate_sources: str | None = None,
+        boilerplate_min_docs: int = 2,
+        boilerplate_min_frac_ppm: int = 500_000,
         substring_min_shared: int | None = None,
         substring_max_postings: int | None = 100,
         dsir_target: DataFrame | None = None,
@@ -101,6 +104,28 @@ def prepare_training_corpus(
         if keep:
             deduped = deduped.join(df.select(id_col, *keep), id_col)
         df = mark("line_dedup", deduped)
+
+    # 0c. per-source boilerplate removal (CCNet/RefinedWeb per-domain
+    # pass): lines frequent WITHIN a source drop from every doc of that
+    # source — catches domain headers/footers the corpus-global pass
+    # only dedups to one survivor. Opt-in via the source column name.
+    if strip_boilerplate_sources:
+        from .boilerplate import (boilerplate_lines_by_source,
+                                  strip_boilerplate_by_source)
+        src_col = strip_boilerplate_sources
+        flags = (boilerplate_lines_by_source(
+                     df, text_col, id_col, src_col,
+                     min_docs=boilerplate_min_docs,
+                     min_frac_ppm=boilerplate_min_frac_ppm)
+                 .filter(F.col("flagged")))
+        stripped = strip_boilerplate_by_source(
+            df, text_col, id_col, src_col, flags) \
+            .select(F.col("id").alias(id_col),
+                    F.col("text").alias(text_col))
+        keep = [c for c in df.columns if c not in (id_col, text_col)]
+        if keep:
+            stripped = stripped.join(df.select(id_col, *keep), id_col)
+        df = mark("boilerplate_by_source", stripped)
 
     # 1. exact dedup — keep min-id per byte-identical text
     df = mark("exact_dedup", pin(exact_dedup(df, text_col, id_col)))

@@ -180,3 +180,63 @@ def test_stream_matches_one_shot_replay_noop_foreign_rejected(
                                           dirs["ckpt2"], buckets=2)
         q.awaitTermination(120)
     assert "different" in str(ei.value) or "lineage" in str(ei.value)
+
+
+def test_strip_removes_every_flagged_occurrence(spark):
+    from rassengine_spark.llmops.boilerplate import (
+        strip_boilerplate_by_source)
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    flags = spark.createDataFrame(
+        [("A", "header a"), ("B", "header b")], "source string, line string")
+    out = {r.id: (r.text, r.n_kept, r.n_dropped)
+           for r in strip_boilerplate_by_source(
+               df, "text", "doc_id", "source", flags).collect()}
+    # 'header a' drops BOTH its occurrences in doc 1 (CCNet drops all,
+    # unlike line_dedup's keep-first); normalization matches lower+trim
+    assert out[1] == ("foo bar\nPromo", 2, 2)
+    assert out[3] == ("qux", 1, 1)
+    # flags are per-source: 'header b' only strips from B docs
+    assert out[4] == ("foo bar\nzz", 2, 1)
+    assert out[5] == ("\nzz", 2, 1)          # blank lines always survive
+    # unflagged lines ('promo' never made the flag list) pass through
+    assert out[2] == ("baz\npromo", 2, 1)
+
+
+def test_prep_per_source_boilerplate_stage(spark):
+    """prep's opt-in 0c stage strips per-source boilerplate before dedup
+    so shared domain headers don't glue distinct docs into clusters."""
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    rows = [
+        (1, "d1", "news", "promo header\nalpha words entirely distinct one"),
+        (2, "d2", "news", "promo header\nbeta words entirely distinct two"),
+        (3, "d3", "blog", "promo header\ngamma words entirely distinct three"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, name string, source string, text string")
+    out, report = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id",
+        strip_boilerplate_sources="source", boilerplate_min_docs=2,
+        boilerplate_min_frac_ppm=600_000, min_quality=0.0, redact=False)
+    stages = dict(report)
+    assert stages["boilerplate_by_source"] == 3
+    texts = {r.doc_id: r.text for r in out.collect()}
+    # 'promo header' is 2/2 of news -> stripped there; 1/1 of blog meets
+    # the frac but not min_docs -> kept
+    assert texts[1] == "alpha words entirely distinct one"
+    assert texts[2] == "beta words entirely distinct two"
+    assert texts[3] == "promo header\ngamma words entirely distinct three"
+    # ride-along columns survive the stage rejoin
+    assert {r.name for r in out.collect()} == {"d1", "d2", "d3"}
+
+
+def test_cli_stream_boilerplate(spark, tmp_path, capsys):
+    from rassengine_spark.__main__ import main
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(str(src / "a.json"), DOCS[:2])
+    assert main(["stream", "--kind", "boilerplate", "--src", str(src),
+                 "--out", str(tmp_path / "st"),
+                 "--checkpoint", str(tmp_path / "ck")]) == 0
+    got = {(r.source, r.norm, r.cnt)
+           for r in read_line_stats(spark, str(tmp_path / "st")).collect()}
+    assert ("A", "header a", 2) in got and ("A", None, 2) in got
