@@ -3099,6 +3099,54 @@ ORDER BY root, node
 """
 
 
+def _q_dedup_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable keeper selection over the SAME near-dup clusters as
+    dedup_cc_clusters (llmops/dedup.py::cluster_keepers): argmax of a
+    per-member score inside one hash aggregate, ties to min id. Scored
+    here with the 60-bit content hash — the order-DEBIASED policy
+    (keeper choice independent of crawl/insertion order, where min-id
+    systematically favors the older crawl); quality-composite and
+    doc-length scorings ride the same operator (tests pin the
+    differentiating cases)."""
+    corpus = _minhash_input(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, "text", "doc_id", shingle_n=3,
+                                 num_hashes=16, bands=4, threshold=0.5)
+    clusters = DD.dup_clusters(pairs)
+    scores = corpus.select(
+        "doc_id",
+        DD.hash60(F.concat(F.lit("keeper/"), F.col("text"))).alias("q"))
+    # no display sort: per-cluster output scales with the corpus and the
+    # driver compare is order-insensitive
+    return DD.cluster_keepers(clusters, scores, id_col="doc_id",
+                              score_col="q")
+
+
+def _sql_dedup_keeper_policy() -> str:
+    s = _sql_hash60("('keeper/' || text)")
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+scored AS (SELECT id AS node, {s} AS q FROM base),
+m AS (
+  SELECT cc.node, cc.root, sc.q,
+         row_number() OVER (PARTITION BY cc.root
+                            ORDER BY sc.q DESC, cc.node ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cc.root) AS BIGINT)
+           AS cluster_size
+  FROM cc JOIN scored sc USING (node))
+SELECT root, node AS keeper, q AS keeper_score, cluster_size
+FROM m WHERE rn = 1
+"""
+
+
 # 0.75/0.125/0.125 sums exactly in binary floating point, so the cumulative
 # bin edges (0.75, 0.875) are identical literals in the Spark plan and SQL
 _SPLIT_WEIGHTS = {"train": 0.75, "val": 0.125, "test": 0.125}
@@ -7567,6 +7615,10 @@ _ROUND6_LATE = [
     "bm25_store_compacted_ranked",
 ]
 
+# r07 window head (not checked this round — window is full at 50 with
+# the r02 refresh): sim_hnsw_store_append_recall, dedup_keeper_policy,
+# then the displaced r03 fills (basket_part_lift, bm25_store_ranked,
+# bm25_store_append_ranked) and the r03 tail, oldest stamp first.
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _ROUND6_LATE + _STALE_R2
                           + _TOUCHED_R6)
 
@@ -7656,6 +7708,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_compression_eval": _q_tokenizer_compression,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
+        "dedup_keeper_policy": _q_dedup_keeper_policy,
         "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "decontam_ngram_overlap": _q_decontam_overlap,
         "decontam_report": _q_decontam_report,
@@ -7855,6 +7908,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_compression_eval": _sql_tokenizer_compression(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
+        "dedup_keeper_policy": _sql_dedup_keeper_policy(),
         "dedup_cluster_store_merge": _sql_dedup_cc(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
         "decontam_report": _sql_decontam_report(),

@@ -33,17 +33,18 @@ HEADLINE = [
 # The slowest entries of the last committed bench snapshot, warmed once
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
+    "bm25_store_compacted_ranked",
+    "sim_ivfpq_residual_topk",
+    "s1_fhir_parse",
     "basket_part_pagerank",
+    "sim_hnsw_compacted_recall",
+    "dedup_cluster_store_merge",
     "bm25_store_append_ranked",
+    "bm25_store_ranked",
     "rag_chunk_known_item_eval",
     "split_dsir_weights_fold",
     "mm_media_dedup_prep",
-    "dedup_cluster_store_merge",
-    "mm_ahash_incremental",
     "prep_training_corpus",
-    "sim_ivfpq_residual_topk",
-    "bm25_ndcg_mrr_eval",
-    "sim_ivfpq_topk",
     "sim_hnsw_store_append_recall",
 ]
 

@@ -834,6 +834,37 @@ def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     return cc.join(sizes, "root").select("node", "root", "cluster_size")
 
 
+def cluster_keepers(clusters: DataFrame, scores: DataFrame,
+                    id_col: str = "id",
+                    score_col: str = "score") -> DataFrame:
+    """Score-aware keeper per duplicate cluster — the pluggable
+    alternative to dup_clusters' 'min id survives': keep the member with
+    the HIGHEST score, ties to the smallest id. ``clusters`` is
+    dup_clusters/connected_components output (node, root); ``scores``
+    maps every member id to a score (quality composite, doc length,
+    LM score, or a content hash to decorrelate keeper choice from crawl
+    order). Returns (root, keeper, keeper_score, cluster_size).
+
+    Plan at 100 TB: one equi-join on the member id, then the argmax as
+    TWO scalar hash aggregates on root (max score + count, re-join on
+    root, min id among the score maxima) — scalar MAX/MIN keep both
+    aggregates hash-based with map-side combine; a struct-MAX argmax
+    would fall back to SortAggregate, and a window over the corpus is
+    never needed. The re-join keys on root so it reuses the first
+    aggregate's clustering."""
+    joined = clusters.select("node", "root").join(
+        scores.select(F.col(id_col).alias("node"),
+                      F.col(score_col).alias("_s")), "node")
+    best = (joined.groupBy("root")
+            .agg(F.max("_s").alias("keeper_score"),
+                 F.count(F.lit(1)).alias("cluster_size")))
+    return (joined.join(best, "root")
+            .filter(F.col("_s") == F.col("keeper_score"))
+            .groupBy("root", "keeper_score", "cluster_size")
+            .agg(F.min("node").alias("keeper"))
+            .select("root", "keeper", "keeper_score", "cluster_size"))
+
+
 def merge_cluster_store(spark, path: str, new_pairs: DataFrame,
                         src: str = "id_a", dst: str = "id_b",
                         max_iter: int = 20,

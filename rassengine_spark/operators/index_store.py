@@ -189,8 +189,10 @@ def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
     vector-tier analog of the minhash signature store's increment path.
     Re-train centroids only on an explicit reindex (save_ivf_index)."""
     from ..llmops.similarity import _best_cell
+    from ..util import heal_swapped_dir
 
     spark = new_df.sparkSession
+    heal_swapped_dir(f"{path}/assignments")   # compaction crashed mid-swap
     cents_rows = (spark.read.parquet(f"{path}/centroids")
                   .orderBy("cell").collect())
     cents = [[float(x) for x in r.cvec] for r in cents_rows]
@@ -200,6 +202,24 @@ def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
            .repartition("cell")
            .write.partitionBy("cell").mode("append")
            .parquet(f"{path}/assignments"))
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the IVF assignment slivers back into the save-time layout
+    (one writer task per cell partition — each append added one file per
+    touched cell). Layout-only like compact_term_index: assignments,
+    and therefore served top-k, are row-identical; centroids (the index
+    version) are untouched. Crash-safe swap; readers/appenders heal."""
+    from ..util import swap_commit_dir
+
+    assign_p = f"{path}/assignments"
+    assigns = spark.read.parquet(assign_p).localCheckpoint(eager=False)
+
+    def rewrite(tmp_p: str) -> None:
+        (assigns.repartition("cell")
+         .write.partitionBy("cell").mode("overwrite").parquet(tmp_p))
+
+    swap_commit_dir(rewrite, assign_p)
 
 
 def read_ivf_centroids(spark: SparkSession,
@@ -253,6 +273,9 @@ def ivf_topk_from_store(spark: SparkSession, path: str, queries: DataFrame,
     partitions with a LITERAL filter. For an unbounded query stream, join
     the probe frame against the store instead and let dynamic partition
     pruning do the same cut at runtime."""
+    from ..util import heal_swapped_dir
+
+    heal_swapped_dir(f"{path}/assignments")   # compaction crashed mid-swap
     cents = read_ivf_centroids(spark, path)
     q, probe_cells = ivf_probe_frame(queries, vec_col, query_id_col,
                                      cents, n_probe, round_to)

@@ -171,3 +171,20 @@ def test_swap_commit_never_promotes_partial_tmp(tmp_path):
         assert f.read() == "new-complete"
     assert not os.path.exists(data + ".__fold_bak")
     assert not os.path.exists(data + ".__fold_tmp")
+
+
+def test_cluster_keepers_argmax_and_ties(spark):
+    """cluster_keepers: highest score wins regardless of id order; exact
+    score ties break to the smallest id; singleton-free clusters only
+    (clusters input has no unclustered nodes by construction)."""
+    from rassengine_spark.llmops.dedup import cluster_keepers
+
+    pairs = _pairs_df(spark, [(1, 2), (2, 3), (10, 11)])
+    clusters = dup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0),     # argmax 9.0 tie -> min id 2
+         (10, 1.0), (11, 7.0)],            # higher id wins on score
+        "id long, score double")
+    got = {(r.root, r.keeper, r.keeper_score, r.cluster_size)
+           for r in cluster_keepers(clusters, scores).collect()}
+    assert got == {(1, 2, 9.0, 3), (10, 11, 7.0, 2)}

@@ -185,3 +185,50 @@ def test_term_index_compaction_is_layout_only(spark, tmp_path):
     assert [(r.id, r.score)
             for r in bm25_topk_from_store(spark, path, q,
                                           k=5).collect()] == scan3
+
+
+def test_ivf_compaction_is_layout_only(spark, tmp_path):
+    """compact_ivf_index folds per-cell append slivers to one file per
+    cell; served top-k identical; appends keep working afterwards."""
+    import glob
+    import os
+
+    from rassengine_spark.operators.index_store import (append_ivf_index,
+                                                        compact_ivf_index)
+
+    rows = [(i, [float((i * 7 + d) % 5), float((i * 3 + d) % 4), 1.0])
+            for i in range(40) for d in [0]]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    path = str(tmp_path / "ivf_cmp")
+    save_ivf_index(df.filter("id < 20"), "v", "id", path, n_cells=4)
+    append_ivf_index(df.filter("id >= 20 and id < 30"), "v", "id", path)
+    append_ivf_index(df.filter("id >= 30"), "v", "id", path)
+
+    def files_per_cell():
+        return {d: len(glob.glob(os.path.join(d, "*.parquet")))
+                for d in glob.glob(os.path.join(path, "assignments",
+                                                "cell=*"))}
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0, 1.0]), (101, [3.0, 0.0, 1.0])],
+        "qid long, v array<double>")
+
+    def served():
+        return sorted((r.query_id, r.id, r.score, r.rank)
+                      for r in ivf_topk_from_store(
+                          spark, path, queries, "v", "qid", k=3,
+                          n_probe=2).collect())
+
+    before_files = files_per_cell()
+    assert max(before_files.values()) > 1
+    before = served()
+    compact_ivf_index(spark, path)
+    after_files = files_per_cell()
+    assert set(after_files) == set(before_files)
+    assert max(after_files.values()) == 1
+    assert served() == before
+    append_ivf_index(
+        spark.createDataFrame([(50, [2.0, 2.0, 1.0])],
+                              "id long, v array<double>"), "v", "id", path)
+    assert {r.id for r in spark.read.parquet(
+        os.path.join(path, "assignments")).collect()} == set(range(40)) | {50}

@@ -152,6 +152,11 @@ SORT_OK = {
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "decontam_neardup_leakage", "events_asof_join",
+    # SMJ per-partition sorts on the root re-join of the two-pass hash
+    # argmax (member rows x cluster rows — both dedup-graph-scale at
+    # 100 TB, broadcast is wrong) + the CC lineage's own SMJ sorts;
+    # never a global order-by:
+    "dedup_keeper_policy",
     "events_asof_forward_tol",
     "orders_running_total",
     # store read-back display sort (|clustered nodes| rows, reduced table):
