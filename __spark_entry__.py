@@ -1512,6 +1512,42 @@ def _q_sim_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "qid", k=_IVF_K, n_probe=_IVF_PROBE)
 
 
+def _q_sim_ivf_store_compacted(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The IVF tier's compaction lifecycle: build on the even half,
+    append the odd half (a sliver per touched cell), COMPACT
+    (operators/index_store.py::compact_ivf_index — per-cell rewrite,
+    centroids/quantizer untouched, crash-safe swap) and serve. Layout
+    only, so the served top-k shares the append path's oracle verbatim
+    — compaction invisibility for the vector tier."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.index_store import (append_ivf_index,
+                                                        compact_ivf_index,
+                                                        ivf_topk_from_store,
+                                                        save_ivf_index)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_ivf_compact_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    first = emb.filter((F.col("vec_id") >= 5)
+                       & (F.col("vec_id") % 2 == 0))
+    rest = emb.filter((F.col("vec_id") >= 5)
+                      & (F.col("vec_id") % 2 == 1))
+    save_ivf_index(first, "embedding", "vec_id", path,
+                   n_cells=_IVF_CELLS)
+    append_ivf_index(rest, "embedding", "vec_id", path)
+    compact_ivf_index(spark, path)
+    return ivf_topk_from_store(spark, path, queries_df, "embedding",
+                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+
+
 def _sql_sim_ivf(cent_where: str = "vec_id >= 5") -> str:
     # cent_where narrows the QUANTIZER's training rows (the append-path
     # oracle samples centroids from the initially-indexed half only);
@@ -7617,8 +7653,9 @@ _ROUND6_LATE = [
 
 # r07 window head (not checked this round — window is full at 50 with
 # the r02 refresh): sim_hnsw_store_append_recall, dedup_keeper_policy,
-# then the displaced r03 fills (basket_part_lift, bm25_store_ranked,
-# bm25_store_append_ranked) and the r03 tail, oldest stamp first.
+# sim_ivf_store_compacted_topk, then the displaced r03 fills
+# (basket_part_lift, bm25_store_ranked, bm25_store_append_ranked) and
+# the r03 tail, oldest stamp first.
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _ROUND6_LATE + _STALE_R2
                           + _TOUCHED_R6)
 
@@ -7676,6 +7713,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_store_topk": _q_sim_ivf_store,
         "sim_ivf_store_append_topk": _q_sim_ivf_store_append,
+        "sim_ivf_store_compacted_topk": _q_sim_ivf_store_compacted,
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
@@ -7875,6 +7913,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _sql_sim_ivf(),
         "sim_ivf_store_topk": _sql_sim_ivf(),
         "sim_ivf_store_append_topk": _sql_sim_ivf(
+            "vec_id >= 5 AND vec_id % 2 = 0"),
+        "sim_ivf_store_compacted_topk": _sql_sim_ivf(
             "vec_id >= 5 AND vec_id % 2 = 0"),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,

@@ -214,6 +214,24 @@ def _cmd_table(args) -> int:
     if args.compact is not None:
         out["files_after_compact"] = M.compact_parquet(
             spark(), args.path, target_file_mb=args.compact)
+    if args.compact_store:
+        kind = args.compact_store
+        if kind == "term":
+            from .operators.index_store import compact_term_index
+            compact_term_index(spark(), args.path)
+        elif kind == "ivf":
+            from .operators.index_store import compact_ivf_index
+            compact_ivf_index(spark(), args.path)
+        elif kind == "hnsw":
+            from .llmops.hnsw import compact_hnsw_store
+            compact_hnsw_store(spark(), args.path)
+        elif kind == "vocab":
+            from .llmops.decontam import compact_gram_vocab
+            compact_gram_vocab(spark(), args.path)
+        else:                     # boilerplate
+            from .llmops.boilerplate import compact_line_stats
+            compact_line_stats(spark(), args.path)
+        out["compacted_store"] = kind
     if args.prune:
         out["pruned_files"] = M.prune_versions(args.path)
     print(json.dumps(out))
@@ -350,6 +368,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--list", action="store_true")
     pt.add_argument("--drop", metavar="NAME")
     pt.add_argument("--compact", type=int, metavar="TARGET_MB")
+    pt.add_argument("--compact-store",
+                    choices=["term", "ivf", "hnsw", "vocab",
+                             "boilerplate"],
+                    help="fold a persisted index/counter store's append "
+                         "slivers back into its save-time layout "
+                         "(layout-only; single writer)")
     pt.add_argument("--prune", action="store_true")
     pt.set_defaults(fn=_cmd_table)
 

@@ -41,6 +41,7 @@ def prepare_training_corpus(
         docs: DataFrame, eval_df: DataFrame | None = None, *,
         text_col: str = "text", id_col: str = "doc_id",
         near_dup_threshold: float = 0.5,
+        keeper: str = "min_id",
         decontam_n: int = 8, decontam_threshold: float = 0.8,
         min_quality: float = 0.66,
         redact: bool = True,
@@ -68,6 +69,9 @@ def prepare_training_corpus(
     Storing one corpus copy on executors to save three corpus recomputes
     is the right trade whenever the upstream scan+window isn't trivially
     cheap; left off by default so callers opt into the storage cost."""
+    if keeper not in ("min_id", "longest"):
+        raise ValueError(f"keeper must be 'min_id' or 'longest', "
+                         f"got {keeper!r}")
     report: list[tuple[str, int]] = []
 
     def mark(stage: str, df: DataFrame) -> DataFrame:
@@ -130,14 +134,30 @@ def prepare_training_corpus(
     # 1. exact dedup — keep min-id per byte-identical text
     df = mark("exact_dedup", pin(exact_dedup(df, text_col, id_col)))
 
-    # 2. near-dup clusters — min-id keeper per MinHash-LSH cluster.
-    # dup_clusters lists every clustered node; non-keepers (node != root)
-    # are anti-joined away. Docs in no cluster survive untouched.
+    # 2. near-dup clusters — keeper per MinHash-LSH cluster. Default
+    # policy 'min id survives' (node != root rows anti-joined away);
+    # keeper="longest" picks the longest member instead (the common
+    # practical policy — the fullest page survives, boilerplate-trimmed
+    # fragments drop) via the same cluster_keepers argmax every scoring
+    # rides. Docs in no cluster survive untouched either way.
     pairs = minhash_lsh_pairs(df, text_col, id_col,
                               threshold=near_dup_threshold)
-    losers = (dup_clusters(pairs)
-              .filter(F.col("node") != F.col("root"))
-              .select(F.col("node").alias(id_col)))
+    clusters = dup_clusters(pairs)
+    if keeper == "longest":
+        from .dedup import cluster_keepers
+        scores = df.select(F.col(id_col),
+                           F.length(F.coalesce(F.col(text_col),
+                                               F.lit(""))).alias("_len"))
+        keepers = (cluster_keepers(clusters, scores, id_col=id_col,
+                                   score_col="_len")
+                   .select(F.col("keeper").alias("node")))
+        losers = (clusters.select("node").distinct()
+                  .join(keepers, "node", "left_anti")
+                  .select(F.col("node").alias(id_col)))
+    else:
+        losers = (clusters
+                  .filter(F.col("node") != F.col("root"))
+                  .select(F.col("node").alias(id_col)))
     df = mark("near_dedup", pin(df.join(losers, id_col, "left_anti")))
 
     # 2b. opt-in exact-substring pass: winnowing pairs catch copies the

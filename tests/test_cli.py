@@ -169,3 +169,38 @@ def test_cli_stream_clusters(spark, tmp_path, capsys):
     got = {(r.node, r.root, r.cluster_size)
            for r in read_stream_clusters(spark, out).collect()}
     assert got == {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
+
+
+def test_cli_table_compact_store(spark, tmp_path, capsys):
+    """table --compact-store folds a term store's append slivers and the
+    store keeps serving identical results."""
+    import glob
+    import json as _json
+
+    from rassengine_spark.__main__ import main
+    from rassengine_spark.operators.index_store import (append_term_index,
+                                                        bm25_topk_from_store,
+                                                        save_term_index)
+    from rassengine_spark.operators.inverted_index import build_term_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins and shuffles"), (2, "query planning for spark")],
+        "id long, text string")
+    path = str(tmp_path / "term")
+    save_term_index(*build_term_index(docs, "text", "id"), path,
+                    n_buckets=4)
+    append_term_index(
+        spark.createDataFrame([(3, "spark sort merge join")],
+                              "id long, text string"), "text", "id", path)
+    before = [(r.id, r.score)
+              for r in bm25_topk_from_store(spark, path, "spark join",
+                                            k=3).collect()]
+    assert main(["table", "--path", path, "--compact-store", "term"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_store"] == "term"
+    buckets = glob.glob(f"{path}/postings/tb=*")
+    assert buckets and all(
+        len(glob.glob(f"{b}/*.parquet")) == 1 for b in buckets)
+    assert [(r.id, r.score)
+            for r in bm25_topk_from_store(spark, path, "spark join",
+                                          k=3).collect()] == before

@@ -141,3 +141,23 @@ def test_prep_dsir_stage_keeps_target_like_docs(spark):
     # the two target-like docs survive; the unrelated pair drops
     assert {1, 2} <= ids and 3 not in ids and 4 not in ids
     assert dict(report)["dsir_select"] == len(ids)
+
+
+def test_prep_longest_keeper_policy(spark):
+    """keeper='longest' keeps the longest member of each near-dup
+    cluster (min-id would keep doc 1); unclustered docs untouched."""
+    from rassengine_spark.llmops.prep import prepare_training_corpus
+    longer = GOOD + " plus an extra closing sentence with more words"
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, longer), (3, EVAL)], "doc_id int, text string")
+    out, _ = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id", keeper="longest",
+        min_quality=0.0, redact=False)
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+    out2, _ = prepare_training_corpus(
+        docs, None, text_col="text", id_col="doc_id",
+        min_quality=0.0, redact=False)
+    assert {r.doc_id for r in out2.collect()} == {1, 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prepare_training_corpus(docs, None, keeper="best")
