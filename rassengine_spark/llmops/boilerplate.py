@@ -292,6 +292,30 @@ def compact_line_stats(spark: SparkSession, path: str) -> None:
         shutil.rmtree(os.path.join(path, "deltas", d), ignore_errors=True)
 
 
+def gc_line_stats(path: str) -> list[str]:
+    """Remove UNREFERENCED directories — deltas from crashed folds that
+    never reached the manifest, and base versions a compaction GC'd past
+    (a crash between commit and GC can leave both). Safe any time in the
+    single-writer window: readers only ever open what the manifest
+    names. Returns the removed paths."""
+    m = _load_manifest(path)
+    removed = []
+    vroot = os.path.join(path, "versions")
+    droot = os.path.join(path, "deltas")
+    live_v = f"v{m['version']}"
+    if os.path.isdir(vroot):
+        for d in os.listdir(vroot):
+            if d != live_v:
+                shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+                removed.append(os.path.join(vroot, d))
+    if os.path.isdir(droot):
+        for d in os.listdir(droot):
+            if d not in m["deltas"]:
+                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+                removed.append(os.path.join(droot, d))
+    return removed
+
+
 def boilerplate_from_store(spark: SparkSession, path: str,
                            min_docs: int = 2,
                            min_frac_ppm: int = 250_000) -> DataFrame:

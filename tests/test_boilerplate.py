@@ -240,3 +240,25 @@ def test_cli_stream_boilerplate(spark, tmp_path, capsys):
     got = {(r.source, r.norm, r.cnt)
            for r in read_line_stats(spark, str(tmp_path / "st")).collect()}
     assert ("A", "header a", 2) in got and ("A", None, 2) in got
+
+
+def test_gc_removes_only_unreferenced_dirs(spark, tmp_path):
+    from rassengine_spark.llmops.boilerplate import gc_line_stats
+    path = str(tmp_path / "stats")
+    save_line_stats(spark.createDataFrame([DOCS[0]], SCHEMA), "text",
+                    "doc_id", "source", path, buckets=2)
+    append_line_stats(spark.createDataFrame([DOCS[1]], SCHEMA), "text",
+                      "doc_id", "source", path, delta_name="b1")
+    committed = {(r.source, r.norm, r.cnt)
+                 for r in read_line_stats(spark, path).collect()}
+    # orphans: a crashed fold's delta and a stale base version
+    (spark.createDataFrame([("A", "ghost", 9)],
+                           "source string, norm string, cnt long")
+     .coalesce(1).write.parquet(os.path.join(path, "deltas", "d9")))
+    os.makedirs(os.path.join(path, "versions", "v0"))
+    removed = gc_line_stats(path)
+    assert {os.path.basename(p) for p in removed} == {"d9", "v0"}
+    assert os.path.isdir(os.path.join(path, "versions", "v1"))
+    assert os.path.isdir(os.path.join(path, "deltas", "b1"))
+    assert {(r.source, r.norm, r.cnt)
+            for r in read_line_stats(spark, path).collect()} == committed
