@@ -223,8 +223,12 @@ def _cmd_table(args) -> int:
             from .operators.index_store import compact_ivf_index
             compact_ivf_index(spark(), args.path)
         elif kind == "hnsw":
+            # NOT layout-only: HNSW compaction rebuilds one fresh
+            # generation of shard graphs — m/ef must match the
+            # original build or served recall silently shifts
             from .llmops.hnsw import compact_hnsw_store
-            compact_hnsw_store(spark(), args.path)
+            compact_hnsw_store(spark(), args.path, m=args.hnsw_m,
+                               ef_construction=args.hnsw_ef)
         elif kind == "vocab":
             from .llmops.decontam import compact_gram_vocab
             compact_gram_vocab(spark(), args.path)
@@ -373,7 +377,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "boilerplate"],
                     help="fold a persisted index/counter store's append "
                          "slivers back into its save-time layout "
-                         "(layout-only; single writer)")
+                         "(layout-only for term/ivf/vocab/boilerplate; "
+                         "hnsw REBUILDS its shard graphs — pass "
+                         "--hnsw-m/--hnsw-ef matching the original "
+                         "build; single writer)")
+    pt.add_argument("--hnsw-m", type=int, default=8,
+                    help="graph degree for --compact-store hnsw "
+                         "(match the original build)")
+    pt.add_argument("--hnsw-ef", type=int, default=64,
+                    help="ef_construction for --compact-store hnsw "
+                         "(match the original build)")
     pt.add_argument("--prune", action="store_true")
     pt.set_defaults(fn=_cmd_table)
 

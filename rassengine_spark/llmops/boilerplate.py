@@ -230,17 +230,25 @@ def append_line_stats(new_df: DataFrame, text_col: str, id_col: str,
     byte-identical; nothing is re-read or re-counted. The delta directory
     is written with OVERWRITE then committed by the manifest, so a
     crashed fold leaves an invisible orphan and a RETRY with the same
-    ``delta_name`` is idempotent (the streaming maintainer names deltas
-    by batch id for exactly this). Run ``compact_line_stats`` when the
-    accumulated delta count starts to dominate read planning. Single
-    writer, new-documents-only — replaying the same docs under a new
-    name double-counts, as for every additive fold store here."""
+    ``delta_name`` is idempotent: an UNcommitted crash rewrites the
+    orphan in place, an already-committed name returns without touching
+    the store (the streaming maintainer names deltas by batch id for
+    exactly this). Run ``compact_line_stats`` when the accumulated delta
+    count starts to dominate read planning. Single writer,
+    new-documents-only — replaying the same docs under a new name
+    double-counts, as for every additive fold store here."""
     m = _load_manifest(path)
     if delta_name is None:
         seq = max((int(d[1:]) for d in m["deltas"]
                    if d[:1] == "d" and d[1:].isdigit()), default=0)
         delta_name = "d%d" % (seq + 1)
     name = delta_name
+    if name in m["deltas"]:
+        # replay of an already-committed fold: the delta holds exactly
+        # these rows already. Returning (not rewriting) keeps concurrent
+        # readers of the manifest-listed dir consistent — an in-place
+        # overwrite would momentarily empty a COMMITTED delta.
+        return
     delta = (_stats_frame(new_df, text_col, id_col, source_col,
                           int(m["min_len"]), m["sep"])
              .localCheckpoint(eager=True))   # one pass: count + write

@@ -117,6 +117,9 @@ def prepare_training_corpus(
         from .boilerplate import (boilerplate_lines_by_source,
                                   strip_boilerplate_by_source)
         src_col = strip_boilerplate_sources
+        # three consumers of the upstream frame (flag aggregation, strip
+        # scan, ride-along rejoin) — pin like the dedup-stage fan-out
+        df = pin(df)
         flags = (boilerplate_lines_by_source(
                      df, text_col, id_col, src_col,
                      min_docs=boilerplate_min_docs,
@@ -151,7 +154,8 @@ def prepare_training_corpus(
         keepers = (cluster_keepers(clusters, scores, id_col=id_col,
                                    score_col="_len")
                    .select(F.col("keeper").alias("node")))
-        losers = (clusters.select("node").distinct()
+        # clusters already has exactly one row per node — no distinct
+        losers = (clusters.select("node")
                   .join(keepers, "node", "left_anti")
                   .select(F.col("node").alias(id_col)))
     else:

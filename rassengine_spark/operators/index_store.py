@@ -104,11 +104,14 @@ def compact_term_index(spark: SparkSession, path: str,
     byte-identical before and after. Each table swaps crash-safely
     (util.swap_commit_dir); a crash between the two swaps leaves one
     table compacted and the other not, which is still a CORRECT store.
-    Single writer, like every maintenance job here; readers heal."""
-    from ..util import swap_commit_dir
+    Single writer, like every maintenance job here; readers heal, and so
+    does a compaction retry after its own mid-swap crash."""
+    from ..util import heal_swapped_dir, swap_commit_dir
 
     postings_p = f"{path}/postings"
     doclens_p = f"{path}/doclens"
+    heal_swapped_dir(postings_p)   # a previous compaction crashed mid-swap
+    heal_swapped_dir(doclens_p)
     postings = (spark.read.parquet(postings_p)
                 .localCheckpoint(eager=False))
 
@@ -209,10 +212,12 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     (one writer task per cell partition — each append added one file per
     touched cell). Layout-only like compact_term_index: assignments,
     and therefore served top-k, are row-identical; centroids (the index
-    version) are untouched. Crash-safe swap; readers/appenders heal."""
-    from ..util import swap_commit_dir
+    version) are untouched. Crash-safe swap; readers/appenders heal, and
+    so does a compaction retry after its own mid-swap crash."""
+    from ..util import heal_swapped_dir, swap_commit_dir
 
     assign_p = f"{path}/assignments"
+    heal_swapped_dir(assign_p)     # a previous compaction crashed mid-swap
     assigns = spark.read.parquet(assign_p).localCheckpoint(eager=False)
 
     def rewrite(tmp_p: str) -> None:

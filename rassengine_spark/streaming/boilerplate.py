@@ -7,9 +7,11 @@ crawl grows, and history files are never rewritten.
 Exactly-once discipline: the counters are ADDITIVE (a replayed fold would
 double-count, like the rollup/DSIR stores — unlike the anti-joined gram
 vocabulary), but here idempotence comes from NAMING, not a marker: the
-delta directory is ``b{batch_id}``, written with overwrite and committed
-by the manifest's append-if-absent, so a crash anywhere in the fold makes
-the replay rewrite the same bytes under the same name. The commit marker
+delta directory is ``b{batch_id}`` — a crash before the manifest commit
+leaves an orphan the replay overwrites in place; a crash after it makes
+the replayed fold a no-op (append_line_stats returns on an
+already-committed name, never rewriting a directory readers can see).
+The commit marker
 remains as the foreign-checkpoint lineage guard (batch ids from a replaced
 checkpoint restart at 0 and would silently overwrite live deltas) and as a
 replay fast-path.

@@ -262,3 +262,22 @@ def test_gc_removes_only_unreferenced_dirs(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "deltas", "b1"))
     assert {(r.source, r.norm, r.cnt)
             for r in read_line_stats(spark, path).collect()} == committed
+
+
+def test_committed_delta_replay_never_rewrites_the_dir(spark, tmp_path):
+    """Replaying a fold whose name the manifest already lists must be a
+    pure no-op — a concurrent reader may be scanning that directory, so
+    even a same-bytes rewrite is not allowed."""
+    from rassengine_spark.llmops.boilerplate import append_line_stats as alp
+    path = str(tmp_path / "stats")
+    save_line_stats(spark.createDataFrame([DOCS[0]], SCHEMA), "text",
+                    "doc_id", "source", path, buckets=2)
+    w = spark.createDataFrame([DOCS[1]], SCHEMA)
+    alp(w, "text", "doc_id", "source", path, delta_name="b3")
+    ddir = os.path.join(path, "deltas", "b3")
+    files_before = {f: os.path.getmtime(os.path.join(ddir, f))
+                    for f in os.listdir(ddir)}
+    alp(w, "text", "doc_id", "source", path, delta_name="b3")
+    files_after = {f: os.path.getmtime(os.path.join(ddir, f))
+                   for f in os.listdir(ddir)}
+    assert files_after == files_before

@@ -232,3 +232,26 @@ def test_ivf_compaction_is_layout_only(spark, tmp_path):
                               "id long, v array<double>"), "v", "id", path)
     assert {r.id for r in spark.read.parquet(
         os.path.join(path, "assignments")).collect()} == set(range(40)) | {50}
+
+
+def test_compaction_retry_heals_its_own_mid_swap_crash(spark, tmp_path):
+    """A compaction that died between swap renames (data dir at
+    .__fold_bak, tmp gone) must be recoverable by simply re-running the
+    compaction."""
+    import os
+
+    from rassengine_spark.operators.index_store import compact_term_index
+
+    docs = corpus(spark)
+    path = str(tmp_path / "term_crash")
+    save_term_index(*build_term_index(docs, "text", "id"), path,
+                    n_buckets=4)
+    scan = [(r.id, r.score)
+            for r in bm25_topk(docs, "text", "id", "spark join",
+                               k=5).collect()]
+    # simulate the mid-swap crash window: data renamed away, tmp lost
+    os.rename(f"{path}/postings", f"{path}/postings.__fold_bak")
+    compact_term_index(spark, path)
+    assert [(r.id, r.score)
+            for r in bm25_topk_from_store(spark, path, "spark join",
+                                          k=5).collect()] == scan
