@@ -281,3 +281,36 @@ def test_committed_delta_replay_never_rewrites_the_dir(spark, tmp_path):
     files_after = {f: os.path.getmtime(os.path.join(ddir, f))
                    for f in os.listdir(ddir)}
     assert files_after == files_before
+
+
+def test_random_fold_sequences_equal_one_shot(spark, tmp_path):
+    """Property: ANY partition of a random corpus into fold waves gives
+    counters (and the served report) identical to the one-shot pass —
+    the fold-invisibility contract of every additive store here."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "promo", "header"]
+    docs = []
+    for i in range(30):
+        src = "S" + str(rng.randrange(3))
+        lines = [" ".join(rng.choices(words, k=rng.randrange(1, 4)))
+                 for _ in range(rng.randrange(1, 5))]
+        docs.append((i, src, "\n".join(lines)))
+    full = spark.createDataFrame(docs, SCHEMA)
+    oneshot = _rows(boilerplate_lines_by_source(
+        full, "text", "doc_id", "source", min_docs=2,
+        min_frac_ppm=100_000))
+
+    for trial in range(3):
+        rng.shuffle(docs)
+        cuts = sorted(rng.sample(range(1, len(docs)), 3))
+        waves = [docs[a:b] for a, b in
+                 zip([0] + cuts, cuts + [len(docs)])]
+        path = str(tmp_path / f"stats{trial}")
+        _fold_store(spark, path, waves, buckets=2)
+        if trial % 2:
+            compact_line_stats(spark, path)
+        assert _rows(boilerplate_from_store(
+            spark, path, min_docs=2, min_frac_ppm=100_000)) == oneshot, \
+            f"trial {trial} waves {[len(w) for w in waves]}"
