@@ -3214,6 +3214,34 @@ GROUP BY lang, split ORDER BY lang, split
 """
 
 
+def _q_split_drop_bottom_quantile(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Exact per-language percentile curation (llmops/splits.py::
+    drop_bottom_quantile): drop each language's shortest 25% of docs by
+    (n_chars asc, doc_id asc) — k = n*ppm//1e6 in exact integer
+    arithmetic, threshold found on the (lang, score) HISTOGRAM (cumsum
+    over distinct scores, never a corpus window), boundary ties resolved
+    by id on the threshold rows only. The oracle is the semantic spec:
+    one rank window per language."""
+    from rassengine_spark.llmops.splits import drop_bottom_quantile
+    docs = load_tables(spark, sf_dir)["documents"]
+    return drop_bottom_quantile(docs, "n_chars", "doc_id", "lang",
+                                drop_ppm=250_000) \
+        .select("doc_id", "lang", "n_chars")
+
+
+_SQL_SPLIT_DROP_QUANTILE = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang, n_chars
+FROM r WHERE rn > (n * 250000) // 1000000
+"""
+
+
 def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: 90/10 hash-split of documents, then
     flag eval docs whose distinct 5-gram overlap with the train corpus
@@ -7653,7 +7681,8 @@ _ROUND6_LATE = [
 
 # r07 window head (not checked this round — window is full at 50 with
 # the r02 refresh): sim_hnsw_store_append_recall, dedup_keeper_policy,
-# sim_ivf_store_compacted_topk, then the displaced r03 fills
+# sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
+# then the displaced r03 fills
 # (basket_part_lift, bm25_store_ranked, bm25_store_append_ranked) and
 # the r03 tail, oldest stamp first.
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _ROUND6_LATE + _STALE_R2
@@ -7756,6 +7785,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
+        "split_drop_bottom_quantile": _q_split_drop_bottom_quantile,
         "split_hash_sample": _q_split_sample,
         "split_mixture_resample": _q_split_mixture,
         "split_token_budget": _q_split_token_budget,
@@ -7958,6 +7988,7 @@ def oracle_sql() -> dict[str, str]:
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),
+        "split_drop_bottom_quantile": _SQL_SPLIT_DROP_QUANTILE,
         "split_hash_sample": _sql_split_sample(),
         "split_mixture_resample": _sql_split_mixture(),
         "split_token_budget": _sql_split_token_budget(),

@@ -360,3 +360,48 @@ def curriculum_order(df: DataFrame, id_col: str, difficulty_col: str,
             .withColumn("step",
                         F.row_number().over(win) - 1 + F.col("_off"))
             .select("id", "difficulty", "step"))
+
+
+def drop_bottom_quantile(df: DataFrame, score_col: str, id_col: str,
+                         group_col: str,
+                         drop_ppm: int = 250_000) -> DataFrame:
+    """Exact per-group percentile curation: drop each group's lowest
+    ``drop_ppm`` parts-per-million of rows by (score asc, id asc) — e.g.
+    "drop the worst-scored 25% of every language" (the percentile form
+    of CCNet's perplexity cut; compose with bigram_lm_score or the
+    quality composite). The drop count is exact integer arithmetic
+    (k = n * drop_ppm // 1e6), engine-identical; ties at the threshold
+    score break by id, so the kept set is a pure function of the data.
+
+    Semantically one rank window per group, but that windows the whole
+    corpus at 100 TB. Instead: (1) one (group, score) histogram
+    aggregate + a cumsum window over each group's DISTINCT scores (the
+    histogram, not the corpus — integer scores keep it bounded) finds
+    each group's threshold score t and the residue r of rows to drop AT
+    t; (2) the ≤|groups|-row threshold table broadcasts back; rows above
+    t pass with a scan-level filter, and only the boundary rows (score
+    == t) pay a per-group id window. Precondition: ``score_col``
+    non-null (filter unscored rows first)."""
+    g, s = F.col(group_col), F.col(score_col)
+    hist = (df.groupBy(group_col, score_col)
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    wcum = (Window.partitionBy(group_col).orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hist = hist.withColumn("_cum", F.sum("_cnt").over(wcum))
+    totals = (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("_k", F.expr(f"_n * {int(drop_ppm)} div 1000000")))
+    th = (hist.join(totals, group_col)
+          .filter((F.col("_cum") > F.col("_k"))
+                  & (F.col("_cum") - F.col("_cnt") <= F.col("_k")))
+          .select(group_col, s.alias("_t"),
+                  (F.col("_k") - (F.col("_cum") - F.col("_cnt")))
+                  .alias("_r")))
+    joined = df.join(F.broadcast(th), group_col)
+    kept_hi = joined.filter(s > F.col("_t"))
+    at_t = joined.filter(s == F.col("_t"))
+    wid = Window.partitionBy(group_col).orderBy(id_col)
+    at_t_kept = (at_t.withColumn("_rn", F.row_number().over(wid))
+                 .filter(F.col("_rn") > F.col("_r")).drop("_rn"))
+    return (kept_hi.unionByName(at_t_kept)
+            .drop("_t", "_r").select(*df.columns))

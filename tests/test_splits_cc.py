@@ -283,3 +283,27 @@ def test_curriculum_order_easy_first_dense_and_invariant(spark):
              for r in curriculum_order(df.repartition(7), "doc_id", "d",
                                        epoch=1).collect()}
     assert again == got
+
+
+def test_drop_bottom_quantile_exact_counts_and_ties(spark):
+    """drop_bottom_quantile: k = n*ppm//1e6 exactly per group; ties at
+    the threshold score drop smallest-id first; k=0 keeps everything;
+    ppm high enough to empty a group leaves nothing of it."""
+    from rassengine_spark.llmops.splits import drop_bottom_quantile
+
+    rows = ([(i, "A", s) for i, s in
+             enumerate([5, 5, 1, 3, 3, 3, 9, 7])]       # n=8 -> k=2
+            + [(10 + i, "B", s) for i, s in
+               enumerate([2, 2, 2, 8, 6])])             # n=5 -> k=1
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    kept = {(r.g, r.id)
+            for r in drop_bottom_quantile(df, "s", "id", "g",
+                                          drop_ppm=250_000).collect()}
+    assert kept == {("A", 0), ("A", 1), ("A", 4), ("A", 5), ("A", 6),
+                    ("A", 7), ("B", 11), ("B", 12), ("B", 13), ("B", 14)}
+    # k=0 (ppm below 1/n): nothing drops — all 13 rows survive
+    assert drop_bottom_quantile(df, "s", "id", "g",
+                                drop_ppm=100_000).count() == 13
+    # ppm=1e6: k=n, every row of every group drops
+    assert drop_bottom_quantile(df, "s", "id", "g",
+                                drop_ppm=1_000_000).count() == 0

@@ -104,6 +104,10 @@ SORT_OK = {
     # bin windows: one <=`bins`-row (per-stratum) window + per-bin sorts
     # bounded by bin width — the deliberate two-phase cumsum shape:
     "split_token_budget", "split_mixture_token_budget",
+    # histogram cumsum window over per-group DISTINCT scores + an id
+    # window over only the threshold-score boundary rows — both
+    # group-partitioned, never a corpus-wide order-by:
+    "split_drop_bottom_quantile",
     # 256-shard range buckets: per-shard partition-local rank sorts + one
     # <=256-row offset cumsum — the global-order-without-global-sort shape:
     "split_epoch_shuffle",
