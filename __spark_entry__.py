@@ -3242,6 +3242,58 @@ FROM r WHERE rn > (n * 250000) // 1000000
 """
 
 
+def _q_split_quantile_threshold_fold(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """The percentile filter's PERSISTED tier: per-(lang, n_chars)
+    histogram counters in the generic manifest-committed LSM store
+    (llmops/counter_store.py) — build on half the corpus, fold one
+    quarter, COMPACT, fold the last quarter, then serve each language's
+    exact drop-25% threshold from counters alone. Fold ≡ one-shot: the
+    oracle recomputes the thresholds from the full table directly."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.counter_store import compact_counters
+    from rassengine_spark.llmops.splits import (
+        append_score_hist, quantile_thresholds_from_store,
+        save_score_hist)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_scorehist_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    save_score_hist(docs.filter(F.col("doc_id") % 2 == 0),
+                    "n_chars", "lang", path, buckets=8)
+    append_score_hist(docs.filter(F.col("doc_id") % 4 == 1), path)
+    compact_counters(spark, path)
+    append_score_hist(docs.filter(F.col("doc_id") % 4 == 3), path)
+    return quantile_thresholds_from_store(spark, path, drop_ppm=250_000)
+
+
+_SQL_SPLIT_QUANTILE_THRESHOLDS = """
+WITH h AS (
+  SELECT lang, n_chars AS s, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY lang, n_chars),
+c AS (
+  SELECT lang, s, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY s)
+              AS BIGINT) AS cum
+  FROM h),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_docs
+        FROM h GROUP BY lang)
+SELECT c.lang, t.n_docs,
+       (t.n_docs * 250000) // 1000000 AS k_drop,
+       c.s AS threshold_score,
+       ((t.n_docs * 250000) // 1000000) - (c.cum - c.cnt)
+         AS drop_at_threshold
+FROM c JOIN tot t USING (lang)
+WHERE c.cum > (t.n_docs * 250000) // 1000000
+  AND c.cum - c.cnt <= (t.n_docs * 250000) // 1000000
+"""
+
+
 def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: 90/10 hash-split of documents, then
     flag eval docs whose distinct 5-gram overlap with the train corpus
@@ -7682,7 +7734,7 @@ _ROUND6_LATE = [
 # r07 window head (not checked this round — window is full at 50 with
 # the r02 refresh): sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
-# then the displaced r03 fills
+# split_quantile_threshold_fold, then the displaced r03 fills
 # (basket_part_lift, bm25_store_ranked, bm25_store_append_ranked) and
 # the r03 tail, oldest stamp first.
 _DRIVER_CHECK_PRIORITY = (_ROUND6_NEW + _ROUND6_LATE + _STALE_R2
@@ -7786,6 +7838,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": _q_split_leakage_safe,
         "split_stratified_take": _q_split_stratified,
         "split_drop_bottom_quantile": _q_split_drop_bottom_quantile,
+        "split_quantile_threshold_fold": _q_split_quantile_threshold_fold,
         "split_hash_sample": _q_split_sample,
         "split_mixture_resample": _q_split_mixture,
         "split_token_budget": _q_split_token_budget,
@@ -7989,6 +8042,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_safe": _sql_split_leakage_safe(),
         "split_stratified_take": _sql_split_stratified(),
         "split_drop_bottom_quantile": _SQL_SPLIT_DROP_QUANTILE,
+        "split_quantile_threshold_fold": _SQL_SPLIT_QUANTILE_THRESHOLDS,
         "split_hash_sample": _sql_split_sample(),
         "split_mixture_resample": _sql_split_mixture(),
         "split_token_budget": _sql_split_token_budget(),

@@ -42,18 +42,10 @@ dedup.py / decontam.py do (BASELINE.json north-star ops).
 
 from __future__ import annotations
 
-import json
-import math
-import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-# counter rows per appended parquet file: small folds write ONE file,
-# never `buckets` slivers (cf. decontam._VOCAB_ROWS_PER_FILE)
-_STATS_ROWS_PER_FILE = 2_000_000
 
 
 def _norm_lines(df: DataFrame, text_col: str, id_col: str, source_col: str,
@@ -168,7 +160,9 @@ def strip_boilerplate_by_source(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
-# persisted counter store (manifest-committed LSM)
+# persisted counter store — thin wrappers over the generic
+# manifest-committed LSM (llmops/counter_store.py), which documents the
+# layout, crash ordering, and replay/naming contract
 # ---------------------------------------------------------------------------
 
 
@@ -186,142 +180,61 @@ def _stats_frame(df: DataFrame, text_col: str, id_col: str,
     return lines.unionByName(docs)
 
 
-def _manifest_path(path: str) -> str:
-    return os.path.join(path, "manifest.json")
-
-
-def _load_manifest(path: str) -> dict:
-    with open(_manifest_path(path)) as f:
-        return json.load(f)
-
-
-def _commit_manifest(path: str, m: dict) -> None:
-    """Atomic commit point: tmp + rename (POSIX rename is atomic on one
-    filesystem). Everything the manifest does not list is invisible to
-    readers and fair game for GC."""
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m, f)
-    os.replace(tmp, _manifest_path(path))
-
-
 def save_line_stats(df: DataFrame, text_col: str, id_col: str,
                     source_col: str, path: str, min_len: int = 1,
                     sep: str = "\n", buckets: int = 32) -> None:
     """Build the persisted per-source line-counter store from an initial
-    corpus: base version v1, empty delta list. ``buckets`` bounds the
-    file count of the base (hash-clustered on (source, norm) so a later
-    compaction's merge shuffle lines up with the layout)."""
-    os.makedirs(path, exist_ok=True)
-    vdir = os.path.join(path, "versions", "v1")
-    shutil.rmtree(vdir, ignore_errors=True)
-    (_stats_frame(df, text_col, id_col, source_col, min_len, sep)
-     .repartition(buckets, "source", "norm")
-     .write.mode("overwrite").parquet(vdir))
-    _commit_manifest(path, {"version": 1, "deltas": [],
-                            "min_len": min_len, "sep": sep,
-                            "buckets": buckets})
+    corpus (base v1, empty delta list); min_len/sep are recorded so
+    every fold normalizes identically."""
+    from .counter_store import save_counters
+
+    save_counters(_stats_frame(df, text_col, id_col, source_col,
+                               min_len, sep),
+                  ["source", "norm"], path, buckets=buckets,
+                  extra={"min_len": min_len, "sep": sep})
 
 
 def append_line_stats(new_df: DataFrame, text_col: str, id_col: str,
                       source_col: str, path: str,
                       delta_name: str | None = None) -> None:
     """Fold NEW documents in as one O(batch) delta — history files stay
-    byte-identical; nothing is re-read or re-counted. The delta directory
-    is written with OVERWRITE then committed by the manifest, so a
-    crashed fold leaves an invisible orphan and a RETRY with the same
-    ``delta_name`` is idempotent: an UNcommitted crash rewrites the
-    orphan in place, an already-committed name returns without touching
-    the store (the streaming maintainer names deltas by batch id for
-    exactly this). Run ``compact_line_stats`` when the accumulated delta
-    count starts to dominate read planning. Single writer,
-    new-documents-only — replaying the same docs under a new name
-    double-counts, as for every additive fold store here."""
-    m = _load_manifest(path)
-    if delta_name is None:
-        seq = max((int(d[1:]) for d in m["deltas"]
-                   if d[:1] == "d" and d[1:].isdigit()), default=0)
-        delta_name = "d%d" % (seq + 1)
-    name = delta_name
-    if name in m["deltas"]:
-        # replay of an already-committed fold: the delta holds exactly
-        # these rows already. Returning (not rewriting) keeps concurrent
-        # readers of the manifest-listed dir consistent — an in-place
-        # overwrite would momentarily empty a COMMITTED delta.
-        return
-    delta = (_stats_frame(new_df, text_col, id_col, source_col,
-                          int(m["min_len"]), m["sep"])
-             .localCheckpoint(eager=True))   # one pass: count + write
-    n = delta.count()
-    if n == 0:
-        return
-    parts = max(1, min(int(m["buckets"]),
-                       math.ceil(n / _STATS_ROWS_PER_FILE)))
-    (delta.repartition(parts, "source", "norm")
-     .write.mode("overwrite")
-     .parquet(os.path.join(path, "deltas", name)))
-    if name not in m["deltas"]:
-        m["deltas"] = m["deltas"] + [name]
-        _commit_manifest(path, m)
+    byte-identical; nothing is re-read or re-counted. Naming/replay
+    contract per counter_store: an UNcommitted crash rewrites the
+    orphan in place, an already-committed ``delta_name`` is a pure
+    no-op (the streaming maintainer names deltas by batch id for
+    exactly this). Single writer, new-documents-only — replaying the
+    same docs under a new name double-counts."""
+    from .counter_store import append_counters, load_counter_manifest
+
+    m = load_counter_manifest(path)
+    append_counters(_stats_frame(new_df, text_col, id_col, source_col,
+                                 int(m["min_len"]), m["sep"]),
+                    path, delta_name=delta_name)
 
 
 def read_line_stats(spark: SparkSession, path: str) -> DataFrame:
     """(source, norm, cnt) summed over the committed base + deltas — the
     consistent snapshot the manifest names (norm NULL rows are the
     per-source doc totals)."""
-    m = _load_manifest(path)
-    dirs = [os.path.join(path, "versions", f"v{m['version']}")]
-    dirs += [os.path.join(path, "deltas", d) for d in m["deltas"]]
-    return (spark.read.parquet(*dirs)
-            .groupBy("source", "norm")
-            .agg(F.sum("cnt").alias("cnt")))
+    from .counter_store import read_counters
+
+    return read_counters(spark, path)
 
 
 def compact_line_stats(spark: SparkSession, path: str) -> None:
-    """Merge the delta slivers into base version v{N+1} and commit the
-    manifest BEFORE garbage-collecting v{N} and the folded deltas — a
-    crash at any point leaves either the old snapshot or the new one,
-    never a double count. Counter values are unchanged (the read path
-    already sums; compaction materializes that sum once)."""
-    m = _load_manifest(path)
-    if not m["deltas"]:
-        return
-    merged = read_line_stats(spark, path).localCheckpoint(eager=True)
-    nv = int(m["version"]) + 1
-    vdir = os.path.join(path, "versions", f"v{nv}")
-    shutil.rmtree(vdir, ignore_errors=True)   # a crashed earlier try
-    (merged.repartition(int(m["buckets"]), "source", "norm")
-     .write.mode("overwrite").parquet(vdir))
-    old_deltas = m["deltas"]
-    _commit_manifest(path, {**m, "version": nv, "deltas": []})
-    shutil.rmtree(os.path.join(path, "versions", f"v{m['version']}"),
-                  ignore_errors=True)
-    for d in old_deltas:
-        shutil.rmtree(os.path.join(path, "deltas", d), ignore_errors=True)
+    """Merge the delta slivers into base v{N+1}; manifest commits before
+    GC, so a crash leaves either snapshot, never a double count."""
+    from .counter_store import compact_counters
+
+    compact_counters(spark, path)
 
 
 def gc_line_stats(path: str) -> list[str]:
-    """Remove UNREFERENCED directories — deltas from crashed folds that
-    never reached the manifest, and base versions a compaction GC'd past
-    (a crash between commit and GC can leave both). Safe any time in the
-    single-writer window: readers only ever open what the manifest
-    names. Returns the removed paths."""
-    m = _load_manifest(path)
-    removed = []
-    vroot = os.path.join(path, "versions")
-    droot = os.path.join(path, "deltas")
-    live_v = f"v{m['version']}"
-    if os.path.isdir(vroot):
-        for d in os.listdir(vroot):
-            if d != live_v:
-                shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
-                removed.append(os.path.join(vroot, d))
-    if os.path.isdir(droot):
-        for d in os.listdir(droot):
-            if d not in m["deltas"]:
-                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
-                removed.append(os.path.join(droot, d))
-    return removed
+    """Remove unreferenced directories (crashed folds' orphan deltas,
+    stale base versions). Returns the removed paths."""
+    from .counter_store import gc_counters
+
+    return gc_counters(path)
 
 
 def boilerplate_from_store(spark: SparkSession, path: str,

@@ -362,6 +362,79 @@ def curriculum_order(df: DataFrame, id_col: str, difficulty_col: str,
             .select("id", "difficulty", "step"))
 
 
+def _quantile_thresholds(hist: DataFrame, group_col: str, score_col: str,
+                         drop_ppm: int) -> DataFrame:
+    """Per-group drop thresholds from a (group, score, cnt) histogram:
+    (group, n_docs, k_drop, threshold_score, drop_at_threshold) where
+    k_drop = n*ppm//1e6 rows must go, threshold_score t is the score
+    whose cumulative count first exceeds k, and drop_at_threshold r is
+    how many rows AT t still drop (ties there break by id downstream).
+    Shared by the inline filter and the persisted-histogram tier so
+    their semantics cannot drift. The window runs over each group's
+    DISTINCT scores — the histogram, never the corpus."""
+    wcum = (Window.partitionBy(group_col).orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = hist.withColumn("_cum", F.sum("cnt").over(wcum))
+    totals = (hist.groupBy(group_col)
+              .agg(F.sum("cnt").alias("n_docs"))
+              .withColumn("k_drop",
+                          F.expr(f"n_docs * {int(drop_ppm)}"
+                                 " div 1000000")))
+    return (h.join(totals, group_col)
+            .filter((F.col("_cum") > F.col("k_drop"))
+                    & (F.col("_cum") - F.col("cnt") <= F.col("k_drop")))
+            .select(group_col, "n_docs", "k_drop",
+                    F.col(score_col).alias("threshold_score"),
+                    (F.col("k_drop") - (F.col("_cum") - F.col("cnt")))
+                    .alias("drop_at_threshold")))
+
+
+def score_histogram(df: DataFrame, score_col: str,
+                    group_col: str) -> DataFrame:
+    """(group, score, cnt) — the additive unit of the persisted
+    threshold tier (counts over disjoint row sets sum to the union's)."""
+    return (df.groupBy(group_col, score_col)
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def save_score_hist(df: DataFrame, score_col: str, group_col: str,
+                    path: str, buckets: int = 32) -> None:
+    """Persist the per-group score histogram as a manifest-committed LSM
+    counter store (llmops/counter_store.py) — fold new batches with
+    ``append_score_hist``, serve exact per-group percentile thresholds
+    any time with ``quantile_thresholds_from_store`` without rescanning
+    a single historical row."""
+    from .counter_store import save_counters
+
+    save_counters(score_histogram(df, score_col, group_col),
+                  [group_col, score_col], path, buckets=buckets,
+                  extra={"score_col": score_col, "group_col": group_col})
+
+
+def append_score_hist(new_df: DataFrame, path: str,
+                      delta_name: str | None = None) -> None:
+    """Fold NEW rows' histogram in as one O(batch) delta (counter_store
+    naming/replay contract; new-rows-only, single writer)."""
+    from .counter_store import append_counters, load_counter_manifest
+
+    m = load_counter_manifest(path)
+    append_counters(score_histogram(new_df, m["score_col"],
+                                    m["group_col"]),
+                    path, delta_name=delta_name)
+
+
+def quantile_thresholds_from_store(spark, path: str,
+                                   drop_ppm: int = 250_000) -> DataFrame:
+    """Exact per-group percentile thresholds served from the PERSISTED
+    histogram — identical to _quantile_thresholds over the full corpus
+    ever folded, at the cost of one counter-store scan."""
+    from .counter_store import load_counter_manifest, read_counters
+
+    m = load_counter_manifest(path)
+    return _quantile_thresholds(read_counters(spark, path),
+                                m["group_col"], m["score_col"], drop_ppm)
+
+
 def drop_bottom_quantile(df: DataFrame, score_col: str, id_col: str,
                          group_col: str,
                          drop_ppm: int = 250_000) -> DataFrame:
@@ -382,21 +455,12 @@ def drop_bottom_quantile(df: DataFrame, score_col: str, id_col: str,
     t pass with a scan-level filter, and only the boundary rows (score
     == t) pay a per-group id window. Precondition: ``score_col``
     non-null (filter unscored rows first)."""
-    g, s = F.col(group_col), F.col(score_col)
+    s = F.col(score_col)
     hist = (df.groupBy(group_col, score_col)
-            .agg(F.count(F.lit(1)).alias("_cnt")))
-    wcum = (Window.partitionBy(group_col).orderBy(score_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    hist = hist.withColumn("_cum", F.sum("_cnt").over(wcum))
-    totals = (df.groupBy(group_col)
-              .agg(F.count(F.lit(1)).alias("_n"))
-              .withColumn("_k", F.expr(f"_n * {int(drop_ppm)} div 1000000")))
-    th = (hist.join(totals, group_col)
-          .filter((F.col("_cum") > F.col("_k"))
-                  & (F.col("_cum") - F.col("_cnt") <= F.col("_k")))
-          .select(group_col, s.alias("_t"),
-                  (F.col("_k") - (F.col("_cum") - F.col("_cnt")))
-                  .alias("_r")))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    th = (_quantile_thresholds(hist, group_col, score_col, drop_ppm)
+          .select(group_col, F.col("threshold_score").alias("_t"),
+                  F.col("drop_at_threshold").alias("_r")))
     joined = df.join(F.broadcast(th), group_col)
     kept_hi = joined.filter(s > F.col("_t"))
     at_t = joined.filter(s == F.col("_t"))

@@ -307,3 +307,57 @@ def test_drop_bottom_quantile_exact_counts_and_ties(spark):
     # ppm=1e6: k=n, every row of every group drops
     assert drop_bottom_quantile(df, "s", "id", "g",
                                 drop_ppm=1_000_000).count() == 0
+
+
+def test_drop_bottom_quantile_matches_rank_reference(spark):
+    """Property: the histogram-threshold plan equals the one-window
+    rank spec (drop rn <= n*ppm//1e6 by (score, id)) on random data
+    with heavy score ties."""
+    import random
+
+    rng = random.Random(23)
+    for trial, ppm in enumerate([250_000, 500_000, 730_000]):
+        rows = [(i, "G" + str(rng.randrange(3)), rng.randrange(6))
+                for i in range(40)]
+        from rassengine_spark.llmops.splits import drop_bottom_quantile
+        df = spark.createDataFrame(rows, "id long, g string, s long")
+        got = {(r.g, r.id) for r in drop_bottom_quantile(
+            df, "s", "id", "g", drop_ppm=ppm).collect()}
+        # python reference: per-group sort by (s, id), drop first k
+        by_g = {}
+        for i, g, s in rows:
+            by_g.setdefault(g, []).append((s, i))
+        want = set()
+        for g, mem in by_g.items():
+            mem.sort()
+            k = len(mem) * ppm // 1_000_000
+            want |= {(g, i) for _, i in mem[k:]}
+        assert got == want, (trial, ppm)
+
+
+def test_score_hist_store_fold_equals_one_shot(spark, tmp_path):
+    """Persisted histogram thresholds == inline thresholds over the full
+    corpus, through save -> fold -> compact -> fold, replay no-op."""
+    import random
+
+    from rassengine_spark.llmops.counter_store import compact_counters
+    from rassengine_spark.llmops.splits import (
+        _quantile_thresholds, append_score_hist,
+        quantile_thresholds_from_store, save_score_hist, score_histogram)
+
+    rng = random.Random(5)
+    rows = [(i, "G" + str(rng.randrange(3)), rng.randrange(8))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    want = {tuple(r) for r in _quantile_thresholds(
+        score_histogram(df, "s", "g"), "g", "s", 250_000).collect()}
+
+    path = str(tmp_path / "hist")
+    save_score_hist(df.filter("id % 2 = 0"), "s", "g", path, buckets=2)
+    append_score_hist(df.filter("id % 4 = 1"), path, delta_name="b1")
+    compact_counters(spark, path)
+    append_score_hist(df.filter("id % 4 = 3"), path, delta_name="b2")
+    append_score_hist(df.filter("id % 4 = 3"), path, delta_name="b2")  # replay
+    got = {tuple(r) for r in quantile_thresholds_from_store(
+        spark, path, 250_000).collect()}
+    assert got == want

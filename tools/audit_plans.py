@@ -108,6 +108,8 @@ SORT_OK = {
     # window over only the threshold-score boundary rows — both
     # group-partitioned, never a corpus-wide order-by:
     "split_drop_bottom_quantile",
+    # same histogram cumsum, served from the persisted counter store:
+    "split_quantile_threshold_fold",
     # 256-shard range buckets: per-shard partition-local rank sorts + one
     # <=256-row offset cumsum — the global-order-without-global-sort shape:
     "split_epoch_shuffle",
