@@ -288,6 +288,10 @@ def _cmd_stream(args) -> int:
         from .streaming.boilerplate import stream_line_stats_maintenance
         q = stream_line_stats_maintenance(spark, args.src, args.out,
                                           args.checkpoint)
+    elif kind == "scorehist":
+        from .streaming.quantiles import stream_score_hist_maintenance
+        q = stream_score_hist_maintenance(spark, args.src, args.out,
+                                          args.checkpoint)
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -397,7 +401,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--kind", required=True,
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
-                             "hnsw", "decontam", "boilerplate"])
+                             "hnsw", "decontam", "boilerplate",
+                             "scorehist"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

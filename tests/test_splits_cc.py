@@ -361,3 +361,54 @@ def test_score_hist_store_fold_equals_one_shot(spark, tmp_path):
     got = {tuple(r) for r in quantile_thresholds_from_store(
         spark, path, 250_000).collect()}
     assert got == want
+
+
+def test_stream_score_hist_matches_one_shot(spark, tmp_path):
+    """Streamed histogram thresholds == one-shot over the union; replay
+    is a no-op; foreign checkpoint rejected."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from rassengine_spark.llmops.splits import (
+        _quantile_thresholds, quantile_thresholds_from_store,
+        score_histogram)
+    from rassengine_spark.streaming.quantiles import (
+        stream_score_hist_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck", "ck2")}
+    import os as _os
+    _os.makedirs(dirs["in"])
+    rows = [(i, "G" + str(i % 2), (i * 3) % 7) for i in range(40)]
+
+    def write(name, chunk):
+        with open(_os.path.join(dirs["in"], name), "w") as f:
+            for i, g, s in chunk:
+                f.write(_json.dumps({"id": i, "lang": g, "score": s})
+                        + "\n")
+
+    def run(ck="ck"):
+        q = stream_score_hist_maintenance(spark, dirs["in"], dirs["st"],
+                                          dirs[ck], buckets=2)
+        q.awaitTermination(120)
+
+    write("a.json", rows[:15])
+    run()
+    write("b.json", rows[15:])
+    run()
+
+    df = spark.createDataFrame(rows, "id long, lang string, score long")
+    want = {tuple(r) for r in _quantile_thresholds(
+        score_histogram(df, "score", "lang"), "lang", "score",
+        300_000).collect()}
+    assert {tuple(r) for r in quantile_thresholds_from_store(
+        spark, dirs["st"], 300_000).collect()} == want
+
+    marker = _json.load(open(_os.path.join(dirs["st"], "LATEST.json")))
+    run()                                     # replay: no new files
+    assert _json.load(open(_os.path.join(
+        dirs["st"], "LATEST.json"))) == marker
+
+    with _pytest.raises(Exception) as ei:
+        run("ck2")
+    assert "different" in str(ei.value) or "lineage" in str(ei.value)
