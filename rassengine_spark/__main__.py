@@ -232,9 +232,9 @@ def _cmd_table(args) -> int:
         elif kind == "vocab":
             from .llmops.decontam import compact_gram_vocab
             compact_gram_vocab(spark(), args.path)
-        else:                     # boilerplate
-            from .llmops.boilerplate import compact_line_stats
-            compact_line_stats(spark(), args.path)
+        else:                     # boilerplate / scorehist: LSM counter
+            from .llmops.counter_store import compact_counters
+            compact_counters(spark(), args.path)
         out["compacted_store"] = kind
     if args.prune:
         out["pruned_files"] = M.prune_versions(args.path)
@@ -378,7 +378,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--compact", type=int, metavar="TARGET_MB")
     pt.add_argument("--compact-store",
                     choices=["term", "ivf", "hnsw", "vocab",
-                             "boilerplate"],
+                             "boilerplate", "scorehist"],
                     help="fold a persisted index/counter store's append "
                          "slivers back into its save-time layout "
                          "(layout-only for term/ivf/vocab/boilerplate; "

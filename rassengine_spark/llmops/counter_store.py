@@ -71,6 +71,11 @@ def save_counters(df: DataFrame, keys: list[str], path: str,
     bounds the base's file count (hash-clustered on the keys so a later
     compaction's merge shuffle lines up with the layout). ``extra``
     lands in the manifest for the caller's own parameters."""
+    reserved = {"version", "deltas", "buckets", "keys", "cnt"}
+    bad = reserved & set(extra or {})
+    if bad:
+        raise ValueError(f"extra keys collide with reserved manifest "
+                         f"fields: {sorted(bad)}")
     os.makedirs(path, exist_ok=True)
     vdir = os.path.join(path, "versions", "v1")
     shutil.rmtree(vdir, ignore_errors=True)

@@ -379,8 +379,12 @@ def _quantile_thresholds(hist: DataFrame, group_col: str, score_col: str,
               .agg(F.sum("cnt").alias("n_docs"))
               .withColumn("k_drop",
                           F.expr(f"n_docs * {int(drop_ppm)}"
-                                 " div 1000000")))
-    return (h.join(totals, group_col)
+                                 " div 1000000"))
+              .withColumnRenamed(group_col, "_tg"))
+    # null-SAFE join: a NULL group is a group like any other (the
+    # rank-window spec partitions on it), so it must not fall out here
+    return (h.join(totals, F.col(group_col).eqNullSafe(F.col("_tg")))
+            .drop("_tg")
             .filter((F.col("_cum") > F.col("k_drop"))
                     & (F.col("_cum") - F.col("cnt") <= F.col("k_drop")))
             .select(group_col, "n_docs", "k_drop",
@@ -454,14 +458,18 @@ def drop_bottom_quantile(df: DataFrame, score_col: str, id_col: str,
     t; (2) the ≤|groups|-row threshold table broadcasts back; rows above
     t pass with a scan-level filter, and only the boundary rows (score
     == t) pay a per-group id window. Precondition: ``score_col``
-    non-null (filter unscored rows first)."""
+    non-null (filter unscored rows first). A NULL group is a group like
+    any other (null-safe joins throughout — matching the rank-window
+    spec, which partitions on it)."""
     s = F.col(score_col)
-    hist = (df.groupBy(group_col, score_col)
-            .agg(F.count(F.lit(1)).alias("cnt")))
-    th = (_quantile_thresholds(hist, group_col, score_col, drop_ppm)
-          .select(group_col, F.col("threshold_score").alias("_t"),
+    th = (_quantile_thresholds(score_histogram(df, score_col, group_col),
+                               group_col, score_col, drop_ppm)
+          .select(F.col(group_col).alias("_bg"),
+                  F.col("threshold_score").alias("_t"),
                   F.col("drop_at_threshold").alias("_r")))
-    joined = df.join(F.broadcast(th), group_col)
+    joined = (df.join(F.broadcast(th),
+                      F.col(group_col).eqNullSafe(F.col("_bg")))
+              .drop("_bg"))
     kept_hi = joined.filter(s > F.col("_t"))
     at_t = joined.filter(s == F.col("_t"))
     wid = Window.partitionBy(group_col).orderBy(id_col)

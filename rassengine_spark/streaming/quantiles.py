@@ -5,28 +5,17 @@ exact drop-ppm thresholds (``quantile_thresholds_from_store``) against a
 consistent snapshot while the corpus grows, and history files are never
 rewritten.
 
-Same exactly-once discipline as the boilerplate counter stream
-(``streaming/boilerplate.py``): counters are ADDITIVE, replay safety
-comes from NAMING (delta ``b{batch_id}`` — an uncommitted crash rewrites
-the orphan, an already-committed name is a pure no-op inside
-append_counters), and the commit marker guards foreign-checkpoint
-lineage.
+Protocol (init-empty-base, named-delta folds, lineage guard, replay
+no-ops, one-shot-store attach): ``streaming/counters.py`` — the shared
+harness both counter-store maintainers ride.
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from ..llmops.splits import append_score_hist, save_score_hist
-from .commitlog import commit_marker as _commit_marker
-from .commitlog import load_marker as _load_marker
-from .commitlog import stream_id
-
-
-def _stream_id(checkpoint_dir: str) -> str:
-    return stream_id(checkpoint_dir, "_scorehist_stream_id")
+from .counters import stream_counter_maintenance
 
 
 def stream_score_hist_maintenance(spark: SparkSession, input_dir: str,
@@ -38,45 +27,22 @@ def stream_score_hist_maintenance(spark: SparkSession, input_dir: str,
                                   available_now: bool = True):
     """Start the histogram-maintenance stream over JSON-lines files of
     scored rows (``score_col`` bigint, ``group_col`` string); returns
-    the StreamingQuery. The first committed batch builds the store
-    (save_score_hist, recording the column names); every later batch
-    appends one manifest-committed delta named by its batch id. Run
-    ``counter_store.compact_counters`` as a separate maintenance job —
+    the StreamingQuery. The column names are recorded by the empty init
+    build; a store already built one-shot is attached to, not rebuilt.
+    Run ``counter_store.compact_counters`` (CLI
+    ``table --compact-store scorehist``) as a separate maintenance job —
     it and this stream are the SAME single writer (serialize them)."""
-    sid = _stream_id(checkpoint_dir)
-    os.makedirs(hist_dir, exist_ok=True)
-    raw = (spark.readStream.format("json")
-           .schema(f"{score_col} long, {group_col} string")
-           .option("maxFilesPerTrigger", str(max_files_per_trigger))
-           .load(input_dir))
+    schema = f"{score_col} long, {group_col} string"
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        state = _load_marker(hist_dir)
-        if state is not None and state["stream_id"] != sid:
-            raise RuntimeError(
-                f"score-histogram store in {hist_dir} was built by a "
-                "different checkpoint lineage; batch ids are no longer "
-                "comparable — rebuild the hist dir (or restore the "
-                "original checkpoint) before streaming into it")
-        if state is not None and batch_id <= state["max_batch_id"]:
-            return        # replayed batch: its delta is already committed
-        if state is None:
-            # first COMMITTED batch builds the base (keyed on the
-            # marker, not manifest existence — a crash between save and
-            # marker makes the replay rebuild v1, never double-count)
-            save_score_hist(batch_df, score_col, group_col, hist_dir,
-                            buckets=buckets)
-        else:
-            append_score_hist(batch_df, hist_dir,
-                              delta_name=f"b{batch_id}")
-        _commit_marker(hist_dir, {"max_batch_id": batch_id,
-                                  "stream_id": sid})
+    def init() -> None:
+        save_score_hist(spark.createDataFrame([], schema), score_col,
+                        group_col, hist_dir, buckets=buckets)
 
-    writer = (raw.writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    def append(batch_df, delta_name: str) -> None:
+        append_score_hist(batch_df, hist_dir, delta_name=delta_name)
+
+    return stream_counter_maintenance(
+        spark, input_dir, hist_dir, checkpoint_dir, schema, init,
+        append, "_scorehist_stream_id",
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now)

@@ -412,3 +412,51 @@ def test_stream_score_hist_matches_one_shot(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         run("ck2")
     assert "different" in str(ei.value) or "lineage" in str(ei.value)
+
+
+def test_drop_bottom_quantile_null_group_is_a_group(spark):
+    """NULL group rows form their own partition (the rank-window spec),
+    not a silent full drop."""
+    from rassengine_spark.llmops.splits import drop_bottom_quantile
+    rows = [(1, None, 1), (2, None, 5), (3, None, 9), (4, None, 7),
+            (5, "A", 2), (6, "A", 8)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    kept = {r.id for r in drop_bottom_quantile(
+        df, "s", "id", "g", drop_ppm=250_000).collect()}
+    # NULL group: n=4, k=1 -> drop id 1 (s=1); A: n=2, k=0 -> keep both
+    assert kept == {2, 3, 4, 5, 6}
+
+
+def test_stream_attaches_to_one_shot_store(spark, tmp_path):
+    """A store built one-shot (no stream marker) must be FOLDED INTO by
+    a new stream, never silently rebuilt over."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.llmops.splits import (
+        quantile_thresholds_from_store, save_score_hist,
+        _quantile_thresholds, score_histogram)
+    from rassengine_spark.streaming.quantiles import (
+        stream_score_hist_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck")}
+    _os.makedirs(dirs["in"])
+    batch1 = [(i, "G0", i % 5) for i in range(20)]
+    df1 = spark.createDataFrame(batch1, "id long, lang string, score long")
+    save_score_hist(df1, "score", "lang", dirs["st"], buckets=2)
+
+    batch2 = [(100 + i, "G1", i % 3) for i in range(10)]
+    with open(_os.path.join(dirs["in"], "a.json"), "w") as f:
+        for i, g, s in batch2:
+            f.write(_json.dumps({"id": i, "lang": g, "score": s}) + "\n")
+    q = stream_score_hist_maintenance(spark, dirs["in"], dirs["st"],
+                                      dirs["ck"], buckets=2)
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(batch1 + batch2,
+                                  "id long, lang string, score long")
+    want = {tuple(r) for r in _quantile_thresholds(
+        score_histogram(union, "score", "lang"), "lang", "score",
+        250_000).collect()}
+    assert {tuple(r) for r in quantile_thresholds_from_store(
+        spark, dirs["st"], 250_000).collect()} == want
