@@ -7673,6 +7673,228 @@ FROM norm
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality / profiling / drift tier (llmops/dataquality.py) + the
+# lossless prefix-filter set-similarity join (llmops/dedup.py)
+# --------------------------------------------------------------------------
+
+from rassengine_spark.llmops import dataquality as DQ
+
+
+def _q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over orders + lineitem:
+    completeness / range / domain / bound / uniqueness metrics compile
+    into ONE aggregation pass (map-side partial agg, 1-row reduce), then
+    union the two join-shaped checks — referential integrity
+    (l_orderkey -> o_orderkey orphans) and aggregate consistency
+    (o_totalprice vs the lineitem charge sum, 5% tolerance; the
+    synthetic data does NOT maintain the TPC-H invariant, which is
+    exactly what a DQ gate should surface). Generalizes the reference's
+    per-request payload validation (app/main.py:2890-2933) to
+    table-scale batch audits. All fractions integer-half-up at 4
+    decimals so the report hashes identically on any engine."""
+    t = load_tables(spark, sf_dir)
+    orders, lineitem = t["orders"], t["lineitem"]
+    checks = [
+        DQ.completeness("o_custkey"),
+        DQ.completeness("o_orderdate"),
+        DQ.satisfies("range(o_totalprice>0)", F.col("o_totalprice") > 0),
+        DQ.satisfies("domain(o_orderstatus)",
+                     F.col("o_orderstatus").isin("O", "F", "P")),
+        DQ.satisfies("bound(o_totalprice<=400000)",
+                     F.col("o_totalprice") <= 400000, min_metric=0.99),
+    ]
+    suite = DQ.check_suite(orders, checks, unique_cols=["o_orderkey"])
+    refi = DQ.referential_check(lineitem, "l_orderkey", orders, "o_orderkey")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax")))
+    cons = DQ.aggregate_agreement_check(
+        lineitem, "l_orderkey", charge, orders, "o_orderkey", "o_totalprice",
+        0.05, "consistency(o_totalprice~lineitem)")
+    return suite.unionByName(refi).unionByName(cons)
+
+
+def _sql_dq_constraint_report() -> str:
+    r = "(({n} * 20000 + {d}) // (2 * {d})) / 10000.0"
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN o_totalprice <= 400000 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS u0,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS uc0
+  FROM orders),
+refi AS (
+  SELECT CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+    ON l.l_orderkey = p.pk),
+cons AS (
+  SELECT CAST(SUM(CASE WHEN q.s IS NOT NULL
+                        AND abs(o.o_totalprice - q.s)
+                            <= 0.05 * abs(o.o_totalprice)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM orders o LEFT JOIN (
+    SELECT l_orderkey,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s
+    FROM lineitem GROUP BY 1) q ON o.o_orderkey = q.l_orderkey)
+SELECT "check", metric, metric >= thr AS passed FROM (
+  SELECT 'completeness(o_custkey)' AS "check",
+         {r.format(n='c0', d='d')} AS metric, 1.0 AS thr FROM base
+  UNION ALL SELECT 'completeness(o_orderdate)',
+         {r.format(n='c1', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'range(o_totalprice>0)',
+         {r.format(n='c2', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'domain(o_orderstatus)',
+         {r.format(n='c3', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'bound(o_totalprice<=400000)',
+         {r.format(n='c4', d='d')}, 0.99 FROM base
+  UNION ALL SELECT 'uniqueness(o_orderkey)',
+         {r.format(n='u0', d='uc0')}, 1.0 FROM base
+  UNION ALL SELECT 'referential(l_orderkey->o_orderkey)',
+         {r.format(n='n', d='d')}, 1.0 FROM refi
+  UNION ALL SELECT 'consistency(o_totalprice~lineitem)',
+         {r.format(n='n', d='d')}, 1.0 FROM cons)
+"""
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler over orders (ANALYZE-style: rows,
+    nulls, exact ndv, min/max, integer-micro mean per column). Exact ndv
+    is the audit/oracle form; the 100 TB monitoring path swaps in
+    approx_count_distinct / the HLL sketch store (operators/sketches.py)
+    under the same report schema."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return DQ.profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice"],
+        ["o_orderstatus", "o_orderpriority"])
+
+
+def _sql_profile_orders() -> str:
+    num = """
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i},
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i},
+         CAST(MIN({c}) AS DOUBLE) AS mn{i},
+         CAST(MAX({c}) AS DOUBLE) AS mx{i},
+         CAST(SUM(CAST(round(CAST({c} AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sm{i},
+         CAST(COUNT({c}) AS BIGINT) AS cv{i}"""
+    st = """
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sn{j},
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS sd{j}"""
+    ncols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    scols = ["o_orderstatus", "o_orderpriority"]
+    sel = ",".join([num.format(c=c, i=i) for i, c in enumerate(ncols)]
+                   + [st.format(c=c, j=j) for j, c in enumerate(scols)])
+    rows = []
+    for i, c in enumerate(ncols):
+        rows.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, nn{i} AS n_nulls, "
+            f"nd{i} AS n_distinct, mn{i} AS min_val, mx{i} AS max_val, "
+            f"((sm{i} * 2 + cv{i}) // (2 * cv{i})) / 1000000.0 AS avg_val "
+            f"FROM w")
+    for j, c in enumerate(scols):
+        rows.append(
+            f"SELECT '{c}', n, sn{j}, sd{j}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w")
+    body = "\n  UNION ALL ".join(rows)
+    return (f"WITH w AS (\n  SELECT CAST(COUNT(*) AS BIGINT) AS n,{sel}\n"
+            f"  FROM orders)\n{body}")
+
+
+_PSI_CUTOFF = "2024-01-16"
+
+
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor per event_type between
+    the first and second half of the events window (fixed 10 bins of
+    value on [0, 500)). The standard feature/label drift gate a training
+    pipeline runs between snapshot refreshes; PSI terms are rounded to
+    integer micro-units per bin BEFORE the cross-bin sum so the
+    transcendental ln never enters a float accumulation (same rule as
+    the nDCG/BM25 tiers)."""
+    events = load_tables(spark, sf_dir)["events"]
+    return DQ.psi_drift(events, "event_type", "value",
+                        F.col("ts") < F.to_timestamp(F.lit(_PSI_CUTOFF)),
+                        lo=0.0, hi=500.0)
+
+
+def _sql_drift_psi() -> str:
+    p = "((b.cb + 1) / CAST(t.nb + 10 AS DOUBLE))"
+    q = "((b.cc + 1) / CAST(t.nc + 10 AS DOUBLE))"
+    pa = "(1.0 / CAST(nb + 10 AS DOUBLE))"
+    qa = "(1.0 / CAST(nc + 10 AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT event_type AS g,
+         LEAST(9, GREATEST(0, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin,
+         CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END AS isb
+  FROM events),
+binned AS (
+  SELECT g, bin, CAST(SUM(isb) AS BIGINT) AS cb,
+         CAST(SUM(1 - isb) AS BIGINT) AS cc
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT g, CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(cc) AS BIGINT) AS nc,
+         CAST(COUNT(*) AS BIGINT) AS seen
+  FROM binned GROUP BY 1),
+terms AS (
+  SELECT b.g,
+         CAST(round(({p} - {q}) * ln({p} / {q}) * 1000000, 0) AS BIGINT) AS tm
+  FROM binned b JOIN tot t ON b.g = t.g),
+agg AS (SELECT g, CAST(SUM(tm) AS BIGINT) AS sm FROM terms GROUP BY 1),
+fin AS (
+  SELECT t.g, (a.sm + (10 - t.seen)
+               * CAST(round(({pa} - {qa}) * ln({pa} / {qa}) * 1000000, 0)
+                      AS BIGINT)) / 1000000.0 AS psi,
+         t.nb, t.nc
+  FROM agg a JOIN tot t ON a.g = t.g)
+SELECT g AS event_type, psi, nb AS n_base, nc AS n_cur,
+       psi > 0.2 AS drifted
+FROM fin
+"""
+
+
+def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-set Jaccard >= 0.5 pairs via prefix filtering
+    (AllPairs/PPJoin candidate generation, dedup.py::
+    prefix_filter_jaccard_pairs): tokens ordered by ascending global df
+    put the RAREST trigrams in each set's prefix, only prefixes enter
+    the inverted-index self-join, candidates verify with the true
+    intersection. Lossless — so unlike the *_exact_unbounded posting
+    join this scale plan IS the exact semantics, and the oracle is plain
+    brute-force all-pairs SQL. Hot boilerplate shingles (the
+    max_postings blowup in ngram_jaccard_pairs) rank LAST and never
+    enter the index. Blocked by lang like the sibling entries
+    (cross-language near-dups are not wanted; also bounds the
+    brute-force oracle at sweep scales)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.5, n=3,
+                                          block_col="lang")
+
+
+def _sql_dedup_prefix_jaccard() -> str:
+    words = _SQL_WORDS.format(col="text")
+    jac = ("round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+           " / CAST(len(a.sh) + len(b.sh)"
+           " - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id, lang,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+           j -> array_to_string(words[(j+1):(j+3)], ' '))) AS sh
+  FROM (SELECT doc_id, lang, {words} AS words FROM documents))
+SELECT a.id AS id_a, b.id AS id_b, {jac} AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+WHERE {jac} >= 0.5
+"""
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries
 # per round. Round-6 rotation (VERDICT r5 #1): finish the freshness pass —
 # the 10 new/renamed entries lead (no stamp under their current name), then
@@ -7732,7 +7954,10 @@ _ROUND6_LATE = [
 ]
 
 # r07 window head (not checked this round — window is full at 50 with
-# the r02 refresh): sim_hnsw_store_append_recall, dedup_keeper_policy,
+# the r02 refresh): dq_constraint_report, profile_orders_columns,
+# drift_psi_events, dedup_prefix_jaccard (all added late r06,
+# self-checked via tools/check.py — see NOTES),
+# then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
 # split_quantile_threshold_fold, then the displaced r03 fills
 # (basket_part_lift, bm25_store_ranked, bm25_store_append_ranked) and
@@ -7819,6 +8044,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": _q_text_boilerplate_strip,
         "boilerplate_store_fold": _q_boilerplate_store_fold,
         "bm25_store_compacted_ranked": _q_bm25_store_compacted,
+        "dq_constraint_report": _q_dq_constraint_report,
+        "profile_orders_columns": _q_profile_orders,
+        "drift_psi_events": _q_drift_psi,
+        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
@@ -8023,6 +8252,10 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate_strip": _SQL_BOILERPLATE_STRIP,
         "boilerplate_store_fold": _SQL_BOILERPLATE,
         "bm25_store_compacted_ranked": _sql_bm25_ranked(),
+        "dq_constraint_report": _sql_dq_constraint_report(),
+        "profile_orders_columns": _sql_profile_orders(),
+        "drift_psi_events": _sql_drift_psi(),
+        "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),

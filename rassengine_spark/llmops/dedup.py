@@ -541,6 +541,91 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select("id_a", "id_b", "jaccard"))
 
 
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                                threshold: float = 0.5, n: int = 1,
+                                round_to: int = 6,
+                                block_col: str | None = None) -> DataFrame:
+    """EXACT word-n-gram-set Jaccard pairs at/above `threshold` via
+    prefix filtering (AllPairs/PPJoin candidate generation) — the
+    lossless scale path that `ngram_jaccard_pairs(max_postings=None)`
+    lacks and its capped default approximates.
+
+    Prefix-filter theorem: order every token set by one global total
+    order; if J(A,B) >= t, the first |X| - ceil(t*|X|) + 1 tokens of
+    each set must intersect. Ordering by ASCENDING document frequency
+    puts the RAREST tokens in the prefix, so the inverted index holds
+    only rare-token postings — the hot boilerplate tokens that force
+    `max_postings` capping (posting-list^2 blowup) land at the END of
+    each ordered set and never enter the join. Candidates then verify
+    with the true intersection, so the result is exactly the brute-force
+    pair set: the oracle is plain all-pairs SQL while the plan stays
+    index-shaped.
+
+    Plan at 100 TB: token df = one groupBy over the exploded distinct
+    tokens; rank/size = one window over (id); candidate join shuffles
+    only prefix postings; verification joins the candidate pairs (output
+    -sized, not corpus-sized) against per-doc token arrays twice. Skew:
+    a prefix posting list is bounded by the df of a token that ~t of
+    each set's length ranks below — boilerplate cannot enter; AQE
+    handles residual skew. Conservative float handling (floor-based
+    prefix, epsilon-relaxed length filter) can only ADD candidates,
+    never drop a qualifying pair; the final filter applies the same
+    round(inter/union, round_to) >= t comparison the oracle does.
+
+    ``block_col`` restricts pairs to equal-block rows (e.g. language —
+    cross-language near-dups are rarely wanted); the df ORDER stays
+    global (any consistent total order keeps the theorem), only the
+    candidate join gains the block equality.
+    """
+    bcols = [block_col] if block_col else []
+    toks = (df.select(F.col(id_col).alias("id"),
+                      *[F.col(c).alias("blk") for c in bcols],
+                      F.explode(F.array_distinct(
+                          word_ngram_array(words_of(F.col(text_col)), n)))
+                      .alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = toks.join(freq, "tok")
+    w = Window.partitionBy("id")
+    wo = w.orderBy(F.col("_df").asc(), F.col("tok").asc())
+    ranked = ranked.select(
+        "id", "tok", *(["blk"] if block_col else []),
+        F.row_number().over(wo).alias("_pos"),
+        F.count(F.lit(1)).over(w).alias("sz"))
+    # floor-based prefix: >= the theoretical L - ceil(t*L) + 1, so float
+    # noise in t*L widens the prefix instead of breaking losslessness.
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("sz") - F.floor(threshold * F.col("sz")))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    join_on = F.col("a.tok") == F.col("b.tok")
+    if block_col:
+        join_on = join_on & (F.col("a.blk").eqNullSafe(F.col("b.blk")))
+    cand = (a.join(b, join_on)
+             .filter((F.col("a.id") < F.col("b.id"))
+                     & (F.col("b.sz") >= threshold * F.col("a.sz") - 1e-9)
+                     & (F.col("a.sz") >= threshold * F.col("b.sz") - 1e-9))
+             .select(F.col("a.id").alias("id_a"), F.col("a.sz").alias("sz_a"),
+                     F.col("b.id").alias("id_b"), F.col("b.sz").alias("sz_b"))
+             .distinct())
+    sets = (df.select(F.col(id_col).alias("_sid"),
+                      F.array_distinct(word_ngram_array(words_of(F.col(text_col)), n))
+                      .alias("_set")))
+    verified = (cand
+                .join(sets.select(F.col("_sid"), F.col("_set").alias("_sa")),
+                      F.col("id_a") == F.col("_sid")).drop("_sid")
+                .join(sets.select(F.col("_sid"), F.col("_set").alias("_sb")),
+                      F.col("id_b") == F.col("_sid")).drop("_sid")
+                .withColumn("inter",
+                            F.size(F.array_intersect("_sa", "_sb"))))
+    return (verified
+            .withColumn("jaccard",
+                        F.round(F.col("inter").cast("double")
+                                / (F.col("sz_a") + F.col("sz_b")
+                                   - F.col("inter")).cast("double"),
+                                round_to))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def substring_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                         k: int = 8, w: int = 4, min_shared: int = 2,
                         max_postings: int | None = None) -> DataFrame:

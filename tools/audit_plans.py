@@ -155,6 +155,13 @@ SORT_OK = {
     # FlatMapGroupsInPandas's partition-local sort on the block key (the
     # grouped-map contract), not a global order-by:
     "dedup_semantic_prune",
+    # per-group window over the (group x <=10-bin) PRE-AGGREGATE — the
+    # windowed frame is <= groups*bins rows at any corpus size:
+    "drift_psi_events",
+    # per-doc row_number window sort (partition key = doc id, frame =
+    # that doc's token set) + SMJ sorts on the prefix-token and pair-id
+    # join keys — all partition-local, never a corpus-wide order-by:
+    "dedup_prefix_jaccard",
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "decontam_neardup_leakage", "events_asof_join",
