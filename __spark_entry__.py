@@ -7695,16 +7695,8 @@ def _q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals so the report hashes identically on any engine."""
     t = load_tables(spark, sf_dir)
     orders, lineitem = t["orders"], t["lineitem"]
-    checks = [
-        DQ.completeness("o_custkey"),
-        DQ.completeness("o_orderdate"),
-        DQ.satisfies("range(o_totalprice>0)", F.col("o_totalprice") > 0),
-        DQ.satisfies("domain(o_orderstatus)",
-                     F.col("o_orderstatus").isin("O", "F", "P")),
-        DQ.satisfies("bound(o_totalprice<=400000)",
-                     F.col("o_totalprice") <= 400000, min_metric=0.99),
-    ]
-    suite = DQ.check_suite(orders, checks, unique_cols=["o_orderkey"])
+    suite = DQ.check_suite(orders, _dq_base_checks(),
+                           unique_cols=["o_orderkey"])
     refi = DQ.referential_check(lineitem, "l_orderkey", orders, "o_orderkey")
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               * (1 + F.col("l_tax")))
@@ -7760,6 +7752,73 @@ SELECT "check", metric, metric >= thr AS passed FROM (
          {r.format(n='n', d='d')}, 1.0 FROM refi
   UNION ALL SELECT 'consistency(o_totalprice~lineitem)',
          {r.format(n='n', d='d')}, 1.0 FROM cons)
+"""
+
+
+def _dq_base_checks() -> list:
+    return [
+        DQ.completeness("o_custkey"),
+        DQ.completeness("o_orderdate"),
+        DQ.satisfies("range(o_totalprice>0)", F.col("o_totalprice") > 0),
+        DQ.satisfies("domain(o_orderstatus)",
+                     F.col("o_orderstatus").isin("O", "F", "P")),
+        DQ.satisfies("bound(o_totalprice<=400000)",
+                     F.col("o_totalprice") <= 400000, min_metric=0.99),
+    ]
+
+
+def _q_dq_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ suite's incremental form: row-level check metrics are
+    ratios of ADDITIVE sums, so each ingest batch folds its (check,
+    num/den) counters into the manifest-LSM store as one O(batch) delta
+    — a 100 TB corpus audits per-increment, history never rescanned.
+    Lifecycle under the oracle: build on half of orders, fold one
+    quarter, COMPACT (new base committed before GC), fold the last
+    quarter, serve from counters alone. Fold ≡ one-shot: the oracle is
+    the row-level slice of the one-shot suite SQL verbatim. Non-additive
+    checks (uniqueness, referential, consistency) stay one-shot by
+    design — see llmops/dataquality.py."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_dqstore_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_tables(spark, sf_dir)["orders"]
+    checks = _dq_base_checks()
+    DQ.save_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 0),
+                        checks, path)
+    DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 4 == 1),
+                          checks, path)
+    DQ.compact_dq_counters(spark, path)
+    DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 4 == 3),
+                          checks, path)
+    return DQ.dq_report_from_counters(spark, path)
+
+
+def _sql_dq_report_fold() -> str:
+    r = "(({n} * 20000 + {d}) // (2 * {d})) / 10000.0"
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN o_totalprice <= 400000 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM orders)
+SELECT "check", metric, metric >= thr AS passed FROM (
+  SELECT 'completeness(o_custkey)' AS "check",
+         {r.format(n='c0', d='d')} AS metric, 1.0 AS thr FROM base
+  UNION ALL SELECT 'completeness(o_orderdate)',
+         {r.format(n='c1', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'range(o_totalprice>0)',
+         {r.format(n='c2', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'domain(o_orderstatus)',
+         {r.format(n='c3', d='d')}, 1.0 FROM base
+  UNION ALL SELECT 'bound(o_totalprice<=400000)',
+         {r.format(n='c4', d='d')}, 0.99 FROM base)
 """
 
 
@@ -7954,9 +8013,9 @@ _ROUND6_LATE = [
 ]
 
 # r07 window head (not checked this round — window is full at 50 with
-# the r02 refresh): dq_constraint_report, profile_orders_columns,
-# drift_psi_events, dedup_prefix_jaccard (all added late r06,
-# self-checked via tools/check.py — see NOTES),
+# the r02 refresh): dq_constraint_report, dq_report_fold,
+# profile_orders_columns, drift_psi_events, dedup_prefix_jaccard (all
+# added late r06, self-checked via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
 # split_quantile_threshold_fold, then the displaced r03 fills
@@ -8045,6 +8104,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_store_fold": _q_boilerplate_store_fold,
         "bm25_store_compacted_ranked": _q_bm25_store_compacted,
         "dq_constraint_report": _q_dq_constraint_report,
+        "dq_report_fold": _q_dq_report_fold,
         "profile_orders_columns": _q_profile_orders,
         "drift_psi_events": _q_drift_psi,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
@@ -8253,6 +8313,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_store_fold": _SQL_BOILERPLATE,
         "bm25_store_compacted_ranked": _sql_bm25_ranked(),
         "dq_constraint_report": _sql_dq_constraint_report(),
+        "dq_report_fold": _sql_dq_report_fold(),
         "profile_orders_columns": _sql_profile_orders(),
         "drift_psi_events": _sql_drift_psi(),
         "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),

@@ -232,7 +232,7 @@ def _cmd_table(args) -> int:
         elif kind == "vocab":
             from .llmops.decontam import compact_gram_vocab
             compact_gram_vocab(spark(), args.path)
-        else:                     # boilerplate / scorehist: LSM counter
+        else:              # boilerplate / scorehist / dq: LSM counter
             from .llmops.counter_store import compact_counters
             compact_counters(spark(), args.path)
         out["compacted_store"] = kind
@@ -292,6 +292,18 @@ def _cmd_stream(args) -> int:
         from .streaming.quantiles import stream_score_hist_maintenance
         q = stream_score_hist_maintenance(spark, args.src, args.out,
                                           args.checkpoint)
+    elif kind == "dq":
+        if not args.dq_columns:
+            print("--kind dq requires --dq-columns (completeness suite "
+                  "over these long/string columns)", file=sys.stderr)
+            return 2
+        from .llmops.dataquality import completeness
+        from .streaming.dataquality import stream_dq_counters_maintenance
+        cols = [c.strip() for c in args.dq_columns.split(",") if c.strip()]
+        schema = ", ".join(f"{c} string" for c in cols)
+        q = stream_dq_counters_maintenance(
+            spark, args.src, args.out, args.checkpoint, schema,
+            [completeness(c) for c in cols])
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -378,7 +390,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--compact", type=int, metavar="TARGET_MB")
     pt.add_argument("--compact-store",
                     choices=["term", "ivf", "hnsw", "vocab",
-                             "boilerplate", "scorehist"],
+                             "boilerplate", "scorehist", "dq"],
                     help="fold a persisted index/counter store's append "
                          "slivers back into its save-time layout "
                          "(layout-only for term/ivf/vocab/boilerplate; "
@@ -402,7 +414,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
                              "hnsw", "decontam", "boilerplate",
-                             "scorehist"])
+                             "scorehist", "dq"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,
@@ -412,6 +424,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="IVF cell count (vectors kind only)")
     ps.add_argument("--vocab", default=None,
                     help="gram-vocabulary store dir (decontam kind only)")
+    ps.add_argument("--dq-columns", default=None,
+                    help="comma-separated columns for the streamed "
+                         "completeness suite (dq kind only)")
     ps.set_defaults(fn=_cmd_stream)
     return p
 

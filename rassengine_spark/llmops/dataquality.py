@@ -159,6 +159,97 @@ def aggregate_agreement_check(child: DataFrame, key: str, measure: Column,
 
 
 # ---------------------------------------------------------------------------
+# Incremental constraint metrics (manifest-LSM counter store)
+# ---------------------------------------------------------------------------
+#
+# Row-level check metrics are ratios of ADDITIVE sums, so a 100 TB corpus
+# audits incrementally: each ingest batch folds its (check, num/den)
+# counters into the persisted store as one O(batch) delta — history is
+# never rescanned, and the served report is EXACTLY the one-shot suite
+# over the union (fold ≡ one-shot, the property every *_fold oracle
+# stamps). Non-additive checks (uniqueness's count_distinct, the
+# join-shaped referential/consistency passes) deliberately stay
+# one-shot: folding them would need sketch-or-key state, which the
+# HLL/cluster-store tiers already own.
+
+def check_counters(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """The suite's single-pass aggregate emitted as ADDITIVE counter
+    rows ``(check, kind in ('num','den'), cnt)`` — 2 rows per check,
+    foldable by plain summation."""
+    aggs: list[Column] = []
+    for i, c in enumerate(checks):
+        aggs.append(F.sum(c.num).alias(f"n{i}"))
+        aggs.append(F.sum(c.den).alias(f"d{i}"))
+    wide = df.agg(*aggs)
+    rows: list[Column] = []
+    for i, c in enumerate(checks):
+        for kind, col in (("num", f"n{i}"), ("den", f"d{i}")):
+            rows.append(F.struct(
+                F.lit(c.name).alias("check"), F.lit(kind).alias("kind"),
+                F.coalesce(F.col(col), F.lit(0)).cast("bigint")
+                 .alias("cnt")))
+    return (wide.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.check", "r.kind", "r.cnt"))
+
+
+def _check_thresholds(checks: list[Check]) -> dict:
+    return {c.name: c.min_metric for c in checks}
+
+
+def save_dq_counters(df: DataFrame, checks: list[Check], path: str,
+                     buckets: int = 8) -> None:
+    """Build the persisted DQ counter store; per-check pass thresholds
+    land in the manifest so the report serves from the store alone."""
+    from .counter_store import save_counters
+    save_counters(check_counters(df, checks), ["check", "kind"], path,
+                  buckets=buckets,
+                  extra={"thresholds": _check_thresholds(checks)})
+
+
+def append_dq_counters(batch_df: DataFrame, checks: list[Check],
+                       path: str, delta_name: str | None = None) -> None:
+    """Fold one batch's counters in (O(batch), history byte-untouched).
+    The check set must match the store's — silently folding a different
+    suite would corrupt every ratio."""
+    from .counter_store import append_counters, load_counter_manifest
+    saved = set(load_counter_manifest(path)["thresholds"])
+    now = {c.name for c in checks}
+    if saved != now:
+        raise ValueError(
+            f"check suite mismatch vs store manifest: only in store "
+            f"{sorted(saved - now)}, only in batch {sorted(now - saved)}")
+    append_counters(check_counters(batch_df, checks), path,
+                    delta_name=delta_name)
+
+
+def dq_report_from_counters(spark, path: str) -> DataFrame:
+    """Serve the ``(check, metric, passed)`` report from the committed
+    counter snapshot — identical to running ``check_suite`` over every
+    row ever folded."""
+    from .counter_store import load_counter_manifest, read_counters
+    thr = load_counter_manifest(path)["thresholds"]
+    c = read_counters(spark, path)
+    wide = c.groupBy("check").agg(
+        F.sum(F.when(F.col("kind") == "num", F.col("cnt")).otherwise(0))
+         .alias("n"),
+        F.sum(F.when(F.col("kind") == "den", F.col("cnt")).otherwise(0))
+         .alias("d"))
+    thr_map = F.create_map(
+        *[x for k, v in sorted(thr.items())
+          for x in (F.lit(k), F.lit(float(v)))])
+    m = _ratio("n", "d")
+    return wide.select("check", m.alias("metric"),
+                       (m >= thr_map[F.col("check")]).alias("passed"))
+
+
+def compact_dq_counters(spark, path: str) -> None:
+    """Merge delta slivers into a new base version (crash-safe by
+    manifest ordering; report byte-identical)."""
+    from .counter_store import compact_counters
+    compact_counters(spark, path)
+
+
+# ---------------------------------------------------------------------------
 # Column profiler
 # ---------------------------------------------------------------------------
 

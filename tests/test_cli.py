@@ -204,3 +204,31 @@ def test_cli_table_compact_store(spark, tmp_path, capsys):
     assert [(r.id, r.score)
             for r in bm25_topk_from_store(spark, path, "spark join",
                                           k=3).collect()] == before
+
+
+def test_cli_stream_dq_and_compact(spark, tmp_path, capsys):
+    """stream --kind dq folds a completeness suite from JSON batches;
+    table --compact-store dq keeps the served report identical."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.__main__ import main
+    from rassengine_spark.llmops.dataquality import dq_report_from_counters
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "a.json"), "w") as f:
+        for i in range(6):
+            f.write(_json.dumps(
+                {"name": None if i % 3 == 0 else f"n{i}"}) + "\n")
+    assert main(["stream", "--kind", "dq", "--src", src, "--out", store,
+                 "--checkpoint", ck, "--dq-columns", "name"]) == 0
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    before = {r["check"]: (r.metric, r.passed) for r in
+              dq_report_from_counters(spark, store).collect()}
+    assert before["completeness(name)"] == (0.6667, False)
+    assert main(["table", "--path", store, "--compact-store", "dq"]) == 0
+    assert {r["check"]: (r.metric, r.passed) for r in
+            dq_report_from_counters(spark, store).collect()} == before

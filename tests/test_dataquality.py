@@ -184,3 +184,114 @@ def test_prefix_filter_short_and_empty_docs(spark):
                                        threshold=0.5, n=3).collect()]
     # docs 1,2 have no trigrams; 3 and 4 are identical
     assert got == [(3, 4, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# Incremental DQ counter store + streaming maintenance
+# ---------------------------------------------------------------------------
+
+def _orders_checks():
+    return [DQ.completeness("v"),
+            DQ.satisfies("pos(v)", F.col("v") > 0, min_metric=0.9)]
+
+
+def test_dq_fold_matches_one_shot(spark, tmp_path):
+    """Any fold partition of the rows serves the same report as the
+    one-shot suite over the union; compaction is invisible."""
+    rows = [(i, (i % 7) - 1 if i % 5 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    checks = _orders_checks()
+    path = str(tmp_path / "dq")
+    DQ.save_dq_counters(df.filter("id % 3 = 0"), checks, path)
+    DQ.append_dq_counters(df.filter("id % 3 = 1"), checks, path)
+    DQ.compact_dq_counters(spark, path)
+    DQ.append_dq_counters(df.filter("id % 3 = 2"), checks, path)
+    got = {r["check"]: (r.metric, r.passed) for r in
+           DQ.dq_report_from_counters(spark, path).collect()}
+    want = {r["check"]: (r.metric, r.passed) for r in
+            DQ.check_suite(df, checks).collect()}
+    assert got == want
+
+
+def test_dq_append_rejects_suite_mismatch(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    path = str(tmp_path / "dq")
+    DQ.save_dq_counters(df, _orders_checks(), path)
+    with pytest.raises(ValueError, match="mismatch"):
+        DQ.append_dq_counters(df, [DQ.completeness("id")], path)
+
+
+def test_dq_stream_matches_one_shot(spark, tmp_path):
+    """Streamed DQ counters == one-shot suite over the union; replay is
+    a no-op; foreign checkpoint rejected."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.streaming.dataquality import (
+        stream_dq_counters_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck", "ck2")}
+    _os.makedirs(dirs["in"])
+    rows = [(i, None if i % 6 == 0 else (i % 9) - 1) for i in range(40)]
+
+    def write(name, chunk):
+        with open(_os.path.join(dirs["in"], name), "w") as f:
+            for i, v in chunk:
+                f.write(_json.dumps({"id": i, "v": v}) + "\n")
+
+    def run(ck="ck"):
+        q = stream_dq_counters_maintenance(
+            spark, dirs["in"], dirs["st"], dirs[ck],
+            "id long, v long", _orders_checks(), buckets=2)
+        q.awaitTermination(120)
+
+    write("a.json", rows[:17])
+    run()
+    write("b.json", rows[17:])
+    run()
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["check"]: (r.metric, r.passed) for r in
+           DQ.dq_report_from_counters(spark, dirs["st"]).collect()}
+    want = {r["check"]: (r.metric, r.passed) for r in
+            DQ.check_suite(df, _orders_checks()).collect()}
+    assert got == want
+
+    marker = _json.load(open(_os.path.join(dirs["st"], "LATEST.json")))
+    run()                                     # replay: no new files
+    assert _json.load(open(_os.path.join(
+        dirs["st"], "LATEST.json"))) == marker
+
+    with pytest.raises(Exception) as ei:
+        run("ck2")
+    assert "different" in str(ei.value) or "lineage" in str(ei.value)
+
+
+def test_dq_stream_attaches_to_one_shot_store(spark, tmp_path):
+    """A store built one-shot is folded into, never rebuilt over."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.streaming.dataquality import (
+        stream_dq_counters_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck")}
+    _os.makedirs(dirs["in"])
+    base = [(i, i % 3) for i in range(10)]
+    extra = [(100 + i, None if i % 2 else 1) for i in range(8)]
+    checks = _orders_checks()
+    DQ.save_dq_counters(
+        spark.createDataFrame(base, "id long, v long"), checks, dirs["st"])
+    with open(_os.path.join(dirs["in"], "a.json"), "w") as f:
+        for i, v in extra:
+            f.write(_json.dumps({"id": i, "v": v}) + "\n")
+    q = stream_dq_counters_maintenance(
+        spark, dirs["in"], dirs["st"], dirs["ck"],
+        "id long, v long", checks, buckets=2)
+    q.awaitTermination(120)
+    df = spark.createDataFrame(base + extra, "id long, v long")
+    got = {r["check"]: (r.metric, r.passed) for r in
+           DQ.dq_report_from_counters(spark, dirs["st"]).collect()}
+    want = {r["check"]: (r.metric, r.passed) for r in
+            DQ.check_suite(df, checks).collect()}
+    assert got == want
