@@ -7918,6 +7918,34 @@ FROM fin
 """
 
 
+def _q_drift_psi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's production shape: the BASELINE histogram is
+    persisted once from the reference window, then each ingest batch
+    folds its (group, bin) counts into the 'cur' side of the
+    manifest-LSM store as an O(batch) delta — the PSI gate reads
+    counters alone, never the corpus. Lifecycle under the oracle: save
+    baseline (ts < cutoff), fold the current window in two halves with
+    a COMPACT between, serve. Fold ≡ one-shot: shares drift_psi_events'
+    oracle verbatim (bin grid and flag threshold pinned in the
+    manifest)."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_psistore_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_tables(spark, sf_dir)["events"]
+    cutoff = F.to_timestamp(F.lit(_PSI_CUTOFF))
+    DQ.save_psi_counters(events.filter(F.col("ts") < cutoff),
+                         "event_type", "value", path, lo=0.0, hi=500.0)
+    cur = events.filter(F.col("ts") >= cutoff)
+    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 0), path)
+    DQ.compact_dq_counters(spark, path)
+    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 1), path)
+    return DQ.psi_report_from_counters(spark, path)
+
+
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT trigram-set Jaccard >= 0.5 pairs via prefix filtering
     (AllPairs/PPJoin candidate generation, dedup.py::
@@ -8014,8 +8042,9 @@ _ROUND6_LATE = [
 
 # r07 window head (not checked this round — window is full at 50 with
 # the r02 refresh): dq_constraint_report, dq_report_fold,
-# profile_orders_columns, drift_psi_events, dedup_prefix_jaccard (all
-# added late r06, self-checked via tools/check.py — see NOTES),
+# profile_orders_columns, drift_psi_events, drift_psi_fold,
+# dedup_prefix_jaccard (all added late r06, self-checked via
+# tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
 # split_quantile_threshold_fold, then the displaced r03 fills
@@ -8107,6 +8136,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report_fold": _q_dq_report_fold,
         "profile_orders_columns": _q_profile_orders,
         "drift_psi_events": _q_drift_psi,
+        "drift_psi_fold": _q_drift_psi_fold,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "text_lm_score": _q_text_lm_score,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
@@ -8316,6 +8346,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_report_fold": _sql_dq_report_fold(),
         "profile_orders_columns": _sql_profile_orders(),
         "drift_psi_events": _sql_drift_psi(),
+        "drift_psi_fold": _sql_drift_psi(),
         "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),
         "text_lm_score": _sql_text_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),

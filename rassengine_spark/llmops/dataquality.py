@@ -250,6 +250,98 @@ def compact_dq_counters(spark, path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Incremental PSI drift (baseline + current bin counters in the store)
+# ---------------------------------------------------------------------------
+#
+# The production shape of a drift gate: the BASELINE histogram is built
+# once from the reference snapshot; every new ingest batch folds its
+# (group, bin) counts into the 'cur' side as an O(batch) delta. The
+# served PSI is exactly ``psi_drift`` over baseline ∪ all folded batches
+# — fold ≡ one-shot, because the only state is additive bin counts.
+
+def value_bin_counters(df: DataFrame, group_col: str, value_col: str,
+                       side: str, lo: float, hi: float,
+                       n_bins: int = 10) -> DataFrame:
+    """Additive counter rows ``(g, bin, side, cnt)`` for one side
+    ('base' or 'cur') — the same clamped fixed-width binning
+    ``psi_drift`` uses, pre-aggregated so a fold is ≤ groups×bins
+    rows."""
+    if side not in ("base", "cur"):
+        raise ValueError(f"side must be 'base' or 'cur', got {side!r}")
+    width = (hi - lo) / n_bins
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(
+        (F.col(value_col) - lo) / width)))
+    return (df.select(F.col(group_col).alias("g"), b.alias("bin"),
+                      F.lit(side).alias("side"))
+            .groupBy("g", "bin", "side")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def save_psi_counters(baseline_df: DataFrame, group_col: str,
+                      value_col: str, path: str, lo: float, hi: float,
+                      n_bins: int = 10, flag_at: float = 0.2,
+                      buckets: int = 8) -> None:
+    """Build the drift store from the reference snapshot; bin grid and
+    flag threshold persist in the manifest so serving needs no
+    parameters (a mismatched grid would silently shift every bin)."""
+    from .counter_store import save_counters
+    save_counters(
+        value_bin_counters(baseline_df, group_col, value_col, "base",
+                           lo, hi, n_bins),
+        ["g", "bin", "side"], path, buckets=buckets,
+        extra={"lo": lo, "hi": hi, "n_bins": n_bins, "flag_at": flag_at,
+               "group_col": group_col, "value_col": value_col})
+
+
+def append_psi_current(batch_df: DataFrame, path: str,
+                       delta_name: str | None = None) -> None:
+    """Fold one ingest batch into the 'cur' side (O(batch), history
+    byte-untouched); grid comes from the manifest."""
+    from .counter_store import append_counters, load_counter_manifest
+    m = load_counter_manifest(path)
+    append_counters(
+        value_bin_counters(batch_df, m["group_col"], m["value_col"],
+                           "cur", m["lo"], m["hi"], m["n_bins"]),
+        path, delta_name=delta_name)
+
+
+def psi_report_from_counters(spark, path: str) -> DataFrame:
+    """Serve (group, psi, n_base, n_cur, drifted) from the committed
+    counter snapshot — identical to ``psi_drift`` over baseline ∪ every
+    folded batch (same integer-micro ln fold, same absent-bin
+    reconstruction)."""
+    from .counter_store import load_counter_manifest, read_counters
+    m = load_counter_manifest(path)
+    n_bins, flag_at = int(m["n_bins"]), float(m["flag_at"])
+    c = read_counters(spark, path)
+    binned = (c.groupBy("g", "bin")
+              .agg(F.sum(F.when(F.col("side") == "base", F.col("cnt"))
+                         .otherwise(0)).alias("_cb"),
+                   F.sum(F.when(F.col("side") == "cur", F.col("cnt"))
+                         .otherwise(0)).alias("_cc")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("g")
+    p = ((F.col("_cb") + 1).cast("double")
+         / (F.sum("_cb").over(w) + n_bins).cast("double"))
+    q = ((F.col("_cc") + 1).cast("double")
+         / (F.sum("_cc").over(w) + n_bins).cast("double"))
+    term_micro = F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("long")
+    per_bin = binned.select("g", term_micro.alias("_tm"), "_cb", "_cc")
+    agg = per_bin.groupBy(F.col("g")).agg(
+        F.sum("_tm").alias("_sm"),
+        F.sum("_cb").alias("n_base"), F.sum("_cc").alias("n_cur"),
+        F.count(F.lit(1)).alias("_nbins_seen"))
+    pa = (F.lit(1.0) / (F.col("n_base") + n_bins))
+    qa = (F.lit(1.0) / (F.col("n_cur") + n_bins))
+    absent_micro = (F.round((pa - qa) * F.log(pa / qa) * 1_000_000, 0)
+                    .cast("long") * (n_bins - F.col("_nbins_seen")))
+    psi = ((F.col("_sm") + absent_micro).cast("double") / 1_000_000)
+    return agg.select(F.col("g").alias(m["group_col"]),
+                      psi.alias("psi"), "n_base", "n_cur",
+                      (psi > flag_at).alias("drifted"))
+
+
+# ---------------------------------------------------------------------------
 # Column profiler
 # ---------------------------------------------------------------------------
 

@@ -295,3 +295,35 @@ def test_dq_stream_attaches_to_one_shot_store(spark, tmp_path):
     want = {r["check"]: (r.metric, r.passed) for r in
             DQ.check_suite(df, checks).collect()}
     assert got == want
+
+
+def test_psi_fold_matches_one_shot(spark, tmp_path):
+    """Baseline-save + any partition of current-batch folds (with a
+    mid-sequence compaction) serves the same report as psi_drift over
+    the union."""
+    import random
+    rnd = random.Random(11)
+    rows = [(i, "g" + str(i % 2),
+             rnd.uniform(0, 100) * (1.5 if i % 3 == 0 else 1.0),
+             i % 4 == 0)                      # ~quarter is baseline
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double, b boolean")
+    path = str(tmp_path / "psi")
+    DQ.save_psi_counters(df.filter("b"), "g", "v", path,
+                         lo=0.0, hi=150.0)
+    cur = df.filter("not b")
+    DQ.append_psi_current(cur.filter("id % 2 = 0"), path)
+    DQ.compact_dq_counters(spark, path)
+    DQ.append_psi_current(cur.filter("id % 2 = 1"), path)
+    got = {r.g: (r.psi, r.n_base, r.n_cur, r.drifted) for r in
+           DQ.psi_report_from_counters(spark, path).collect()}
+    want = {r.g: (r.psi, r.n_base, r.n_cur, r.drifted) for r in
+            DQ.psi_drift(df, "g", "v", F.col("b"),
+                         lo=0.0, hi=150.0).collect()}
+    assert got == want
+
+
+def test_psi_counters_rejects_bad_side(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double")
+    with pytest.raises(ValueError, match="side"):
+        DQ.value_bin_counters(df, "g", "v", "nope", 0.0, 10.0)

@@ -156,8 +156,9 @@ SORT_OK = {
     # grouped-map contract), not a global order-by:
     "dedup_semantic_prune",
     # per-group window over the (group x <=10-bin) PRE-AGGREGATE — the
-    # windowed frame is <= groups*bins rows at any corpus size:
-    "drift_psi_events",
+    # windowed frame is <= groups*bins rows at any corpus size (the
+    # fold variant serves the same window from the counter store):
+    "drift_psi_events", "drift_psi_fold",
     # per-doc row_number window sort (partition key = doc id, frame =
     # that doc's token set) + SMJ sorts on the prefix-token and pair-id
     # join keys — all partition-local, never a corpus-wide order-by:
