@@ -304,6 +304,17 @@ def _cmd_stream(args) -> int:
         q = stream_dq_counters_maintenance(
             spark, args.src, args.out, args.checkpoint, schema,
             [completeness(c) for c in cols])
+    elif kind == "psi":
+        if not args.dq_columns:
+            print("--kind psi requires --dq-columns as GROUP,VALUE "
+                  "(matching the baseline store's manifest)",
+                  file=sys.stderr)
+            return 2
+        from .streaming.dataquality import stream_psi_current_maintenance
+        g, v = [c.strip() for c in args.dq_columns.split(",")][:2]
+        q = stream_psi_current_maintenance(
+            spark, args.src, args.out, args.checkpoint,
+            f"{g} string, {v} double")
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -414,7 +425,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
                              "hnsw", "decontam", "boilerplate",
-                             "scorehist", "dq"])
+                             "scorehist", "dq", "psi"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

@@ -46,3 +46,42 @@ def stream_dq_counters_maintenance(spark: SparkSession, input_dir: str,
         append, "_dq_stream_id",
         max_files_per_trigger=max_files_per_trigger,
         available_now=available_now)
+
+
+def stream_psi_current_maintenance(spark: SparkSession, input_dir: str,
+                                   store_dir: str, checkpoint_dir: str,
+                                   schema: str,
+                                   max_files_per_trigger: int = 16,
+                                   available_now: bool = True):
+    """Maintain the 'cur' side of a persisted PSI drift store
+    (``llmops/dataquality.py::save_psi_counters``) from JSON-lines
+    micro-batches: each batch's (group, bin) counts fold as one O(batch)
+    named delta, and ``psi_report_from_counters`` reads an
+    always-consistent gate while ingest runs.
+
+    Unlike the other counter streams there is NO empty-init path: the
+    baseline side MUST exist first (a PSI against an absent baseline is
+    meaningless), so a missing manifest is a loud error, and the bin
+    grid comes from that manifest — the stream cannot diverge from the
+    baseline's binning."""
+    import os
+
+    from ..llmops.dataquality import append_psi_current
+
+    if not os.path.exists(os.path.join(store_dir, "manifest.json")):
+        raise FileNotFoundError(
+            f"no PSI baseline store at {store_dir}: build one with "
+            "save_psi_counters(reference_snapshot, ...) before "
+            "streaming the current side into it")
+
+    def init() -> None:    # unreachable: manifest presence checked above
+        raise AssertionError("PSI stream requires a pre-built baseline")
+
+    def append(batch_df, delta_name: str) -> None:
+        append_psi_current(batch_df, store_dir, delta_name=delta_name)
+
+    return stream_counter_maintenance(
+        spark, input_dir, store_dir, checkpoint_dir, schema, init,
+        append, "_psi_stream_id",
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now)

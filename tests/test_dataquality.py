@@ -327,3 +327,39 @@ def test_psi_counters_rejects_bad_side(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double")
     with pytest.raises(ValueError, match="side"):
         DQ.value_bin_counters(df, "g", "v", "nope", 0.0, 10.0)
+
+
+def test_psi_stream_requires_baseline_and_matches(spark, tmp_path):
+    """The PSI stream refuses to run without a baseline store, then
+    folds current batches to the exact one-shot report."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.streaming.dataquality import (
+        stream_psi_current_maintenance)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck")}
+    _os.makedirs(dirs["in"])
+    with pytest.raises(FileNotFoundError, match="baseline"):
+        stream_psi_current_maintenance(spark, dirs["in"], dirs["st"],
+                                       dirs["ck"], "g string, v double")
+
+    rows = [("g" + str(i % 2), float((i * 7) % 50) + (25.0 if i % 3 else 0.0),
+             i % 4 == 0) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v double, b boolean")
+    DQ.save_psi_counters(df.filter("b"), "g", "v", dirs["st"],
+                         lo=0.0, hi=80.0)
+    cur = [(g, v) for g, v, b in rows if not b]
+    for name, chunk in (("a.json", cur[:40]), ("b.json", cur[40:])):
+        with open(_os.path.join(dirs["in"], name), "w") as f:
+            for g, v in chunk:
+                f.write(_json.dumps({"g": g, "v": v}) + "\n")
+    q = stream_psi_current_maintenance(spark, dirs["in"], dirs["st"],
+                                       dirs["ck"], "g string, v double")
+    q.awaitTermination(120)
+    got = {r.g: (r.psi, r.n_base, r.n_cur, r.drifted) for r in
+           DQ.psi_report_from_counters(spark, dirs["st"]).collect()}
+    want = {r.g: (r.psi, r.n_base, r.n_cur, r.drifted) for r in
+            DQ.psi_drift(df, "g", "v", F.col("b"),
+                         lo=0.0, hi=80.0).collect()}
+    assert got == want
