@@ -132,3 +132,43 @@ def test_pii_redact_stays_in_codegen(corpus):
     plan = _plan(pii_counts(corpus, "text", "doc_id"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_suite_single_exchange_and_pruned_scan(spark, tmp_path_factory):
+    """The constraint suite over a parquet table must be one scan with
+    map-side partial aggregation (exactly one shuffle: the 1-row final
+    agg) reading ONLY the checked columns."""
+    from rassengine_spark.llmops import dataquality as DQ
+
+    d = str(tmp_path_factory.mktemp("dqplan") / "t")
+    (spark.createDataFrame(
+        [(i, float(i), f"s{i % 3}", f"pad{i}") for i in range(50)],
+        "id long, v double, s string, unused string")
+        .write.parquet(d))
+    t = spark.read.parquet(d)
+    rep = DQ.check_suite(t, [DQ.completeness("v"),
+                             DQ.satisfies("pos", F.col("v") > 0)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "v" in read and "unused" not in read and "s:" not in read
+
+
+def test_prefix_filter_no_cartesian_no_global_sort(spark):
+    """The prefix-filter join must stay equi-join shaped: no
+    CartesianProduct, no BroadcastNestedLoop, and every Sort in the plan
+    is partition-local (global=false)."""
+    from rassengine_spark.llmops.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "tok%d tok%d tok%d common" % (i % 5, i % 7, i % 3))
+         for i in range(40)], ["doc_id", "text"])
+    out = prefix_filter_jaccard_pairs(df, "text", "doc_id",
+                                      threshold=0.6, n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        ls = line.lstrip("+-: *")
+        if ls.startswith("Sort "):
+            assert ", true, " not in ls, f"global sort: {ls}"
