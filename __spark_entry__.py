@@ -2577,6 +2577,268 @@ FROM sc WHERE len(words) < 2
 """
 
 
+def _q_drift_embedding_centroid(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedding-space drift (llmops/dataquality.py::
+    embedding_centroid_drift): per-label centroid cosine + L2 shift
+    between the even-vec_id baseline and the odd-vec_id current window
+    — the representation-drift twin of drift_psi_events. Integer-micro
+    per-dim sums; ordered cross-dim folds."""
+    from rassengine_spark.llmops.dataquality import embedding_centroid_drift
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_centroid_drift(emb, "label",
+                                    F.col("vec_id") % 2 == 1, "embedding")
+
+
+_SQL_DRIFT_EMBEDDING_CENTROID = """
+WITH e AS (SELECT label AS g, CAST(vec_id % 2 AS INT) AS cur,
+                  embedding AS v
+           FROM embeddings),
+ex AS (SELECT g, cur, p - 1 AS pos,
+              CAST(round(CAST(v[p] AS DOUBLE) * 1000000, 0) AS BIGINT)
+                AS vm
+       FROM e, UNNEST(generate_series(1, len(v))) AS t(p)),
+per AS (SELECT g, cur, pos, SUM(vm) AS sm, COUNT(*) AS n
+        FROM ex GROUP BY g, cur, pos),
+m AS (SELECT b.g, b.pos,
+             (CAST(b.sm AS DOUBLE) / CAST(b.n AS DOUBLE)) / 1000000.0
+               AS mb,
+             (CAST(c.sm AS DOUBLE) / CAST(c.n AS DOUBLE)) / 1000000.0
+               AS mc,
+             b.n AS nb, c.n AS nc
+      FROM per b JOIN per c
+        ON b.g = c.g AND b.pos = c.pos AND b.cur = 0 AND c.cur = 1),
+a AS (SELECT g, MAX(nb) AS n_base, MAX(nc) AS n_cur,
+             SUM(mb * mc ORDER BY pos) AS dot,
+             SUM(mb * mb ORDER BY pos) AS b2,
+             SUM(mc * mc ORDER BY pos) AS c2,
+             SUM((mb - mc) * (mb - mc) ORDER BY pos) AS d2
+      FROM m GROUP BY g)
+SELECT g AS label, n_base, n_cur,
+       round(dot / (sqrt(b2) * sqrt(c2)), 6) AS cos_centroid,
+       round(sqrt(d2), 6) AS l2_shift
+FROM a
+"""
+
+
+_KMV_K = 256
+
+
+def _q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch corpus overlap (llmops/overlap.py): per-source k-min
+    sketches over word-bigram shingles -> all-pairs Jaccard /
+    containment / distinct-count estimates from sketch state alone.
+    The k-min selection rides WindowGroupLimit (rank-limit pushdown),
+    so no source materializes its distinct-shingle set; the pairwise
+    stage touches only (20 choose 2) sketch rows."""
+    from rassengine_spark.llmops.overlap import corpus_overlap
+    docs = load_tables(spark, sf_dir)["documents"]
+    return corpus_overlap(docs, "source", "text", k=_KMV_K, shingle_n=2)
+
+
+def _sql_corpus_overlap_kmv() -> str:
+    k = _KMV_K
+    words = _SQL_WORDS.format(col="text")
+    space = "1152921504606846976.0"                      # 2^60 as double
+    dest = ("CASE WHEN n{s} < %d THEN CAST(n{s} AS DOUBLE) "
+            "ELSE (%d.0 * %s) / CAST(h{s}[%d] AS DOUBLE) END"
+            % (k, k - 1, space, k))
+    da, db = dest.format(s="a"), dest.format(s="b")
+    return f"""
+WITH d AS (SELECT source AS g, {words} AS words FROM documents),
+sh AS (SELECT g, unnest({_sql_shingles(2)}) AS s FROM d),
+h AS (SELECT DISTINCT g, {_sql_hash60('s')} AS h FROM sh),
+topk AS (SELECT g, h FROM h
+         QUALIFY row_number() OVER (PARTITION BY g ORDER BY h) <= {k}),
+sk AS (SELECT g, list(h ORDER BY h) AS hs, COUNT(*) AS n
+       FROM topk GROUP BY g),
+p AS (SELECT a.g AS ga, b.g AS gb, a.hs AS ha, b.hs AS hb,
+             a.n AS na, b.n AS nb
+      FROM sk a JOIN sk b ON a.g < b.g),
+x AS (
+  SELECT ga, gb, na, nb, ha, hb,
+         list_sort(list_distinct(list_concat(ha, hb)))[1:{k}] AS ku,
+         list_intersect(ha, hb) AS hboth
+  FROM p),
+y AS (
+  SELECT ga, gb, na, nb, ha, hb,
+         len(ku) AS n_union,
+         len(list_intersect(ku, hboth)) AS n_both,
+         len(list_intersect(ku, ha)) AS in_a,
+         len(list_intersect(ku, hb)) AS in_b
+  FROM x)
+SELECT ga, gb,
+       round(CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         AS jaccard_est,
+       round(CAST(n_both AS DOUBLE) / CAST(in_a AS DOUBLE), 6)
+         AS contain_a_in_b,
+       round(CAST(n_both AS DOUBLE) / CAST(in_b AS DOUBLE), 6)
+         AS contain_b_in_a,
+       round({da}, 6) AS da_est,
+       round({db}, 6) AS db_est,
+       round(({da} + {db})
+             / (1.0 + CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE)), 6)
+         AS union_est
+FROM y
+"""
+
+
+def _q_corpus_overlap_store_fold(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """KMV sketch-store lifecycle (llmops/overlap.py store tier): sketch
+    a third of the corpus, build the manifest-committed store, fold the
+    second third as an O(batch) delta, COMPACT (new base committed
+    before GC), fold the last third, then serve pairwise overlap from
+    store state alone. Min-merge folding is lossless for k-min sketches,
+    so fold ≡ one-shot and the oracle is corpus_overlap_kmv's SQL
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.overlap import (append_kmv_shard,
+                                                 compact_kmv_store,
+                                                 kmv_pairwise_overlap,
+                                                 kmv_sketch,
+                                                 read_kmv_store,
+                                                 save_kmv_store)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_kmv_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def sk(pred):
+        return kmv_sketch(docs.filter(pred), "source", "text",
+                          k=_KMV_K, shingle_n=2)
+
+    save_kmv_store(sk(F.col("doc_id") % 3 == 0), path, k=_KMV_K,
+                   buckets=8)
+    append_kmv_shard(sk(F.col("doc_id") % 3 == 1), path)
+    compact_kmv_store(spark, path)
+    append_kmv_shard(sk(F.col("doc_id") % 3 == 2), path)
+    return kmv_pairwise_overlap(read_kmv_store(spark, path), k=_KMV_K)
+
+
+def _q_text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (llmops/lm_score.py::
+    kn_bigram_score) — the KenLM-family smoothing real CCNet-style
+    filters use, vs the Laplace twin in text_lm_score. Same train/score
+    split (doc_id %% 5), same ordered per-doc fold, so scores
+    hash-match exactly."""
+    from rassengine_spark.llmops.lm_score import (fit_kn_bigram_lm,
+                                                  kn_bigram_score)
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, hist, cont, n_types, vocab = fit_kn_bigram_lm(
+        train, "text", "doc_id")
+    return kn_bigram_score(score, bigrams, hist, cont, n_types, vocab,
+                           "text", "doc_id")
+
+
+def _sql_text_kn_lm_score() -> str:
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH tr AS (SELECT doc_id, {words} AS words FROM documents
+            WHERE doc_id % 5 <> 0),
+sc AS (SELECT doc_id, {words} AS words FROM documents
+       WHERE doc_id % 5 = 0),
+tb AS (
+  SELECT words[i+1] AS w1, words[i+2] AS w2
+  FROM tr, UNNEST(generate_series(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY w1, w2),
+hc AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fw FROM bc GROUP BY w1),
+bw AS (SELECT w2, COUNT(*) AS n1p_bw FROM bc GROUP BY w2),
+tt AS (SELECT COUNT(*) AS t FROM bc),
+v AS (SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(words) AS w FROM tr)),
+sb AS (
+  SELECT doc_id AS id, i AS pos, words[i+1] AS w1, words[i+2] AS w2
+  FROM sc, UNNEST(generate_series(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 2),
+j AS (
+  SELECT sb.id, sb.pos, bc.c2, hc.c1, hc.n1p_fw,
+         (CAST(COALESCE(bw.n1p_bw, 0) AS DOUBLE) + 1.0)
+         / (CAST(tt.t AS DOUBLE) + 1.0 * CAST(v.vocab AS DOUBLE)) AS pc
+  FROM sb
+  LEFT JOIN bc ON sb.w1 = bc.w1 AND sb.w2 = bc.w2
+  LEFT JOIN hc ON sb.w1 = hc.w1
+  LEFT JOIN bw ON sb.w2 = bw.w2
+  CROSS JOIN tt CROSS JOIN v),
+l AS (
+  SELECT id, pos,
+         CASE WHEN c1 IS NOT NULL THEN
+           ln((greatest(CAST(COALESCE(c2, 0) AS DOUBLE) - 0.75, 0.0)
+               + (0.75 * CAST(n1p_fw AS DOUBLE)) * pc)
+              / CAST(c1 AS DOUBLE))
+         ELSE ln(pc) END AS lp
+  FROM j),
+agg AS (
+  SELECT id, COUNT(*) AS n_bigrams,
+         round(SUM(lp ORDER BY pos) / COUNT(*), 6) AS avg_logp
+  FROM l GROUP BY id)
+SELECT id, n_bigrams, avg_logp FROM agg
+UNION ALL
+SELECT doc_id AS id, 0 AS n_bigrams, NULL AS avg_logp
+FROM sc WHERE len(words) < 2
+"""
+
+
+def _q_split_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient step (llmops/mixture.py,
+    Xie et al. 2023): per-lang mean bigram-LM loss (-avg_logp from the
+    text_lm_score pipeline) vs the overall mean -> excess -> exp(eta *
+    excess) reweight, renormalized and uniform-smoothed. Integer-micro
+    sums make every aggregate order-free; the domain table is 5 rows."""
+    from rassengine_spark.llmops.lm_score import (bigram_lm_score,
+                                                  fit_bigram_lm)
+    from rassengine_spark.llmops.mixture import domain_reweight
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    sc = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, unigrams, vocab = fit_bigram_lm(train, "text", "doc_id")
+    scored = bigram_lm_score(sc, bigrams, unigrams, vocab,
+                             "text", "doc_id")
+    j = scored.join(sc.select(F.col("doc_id").alias("id"), "lang"), "id")
+    losses = j.select("lang", (-F.col("avg_logp")).alias("loss"))
+    return domain_reweight(losses, "lang", "loss", eta=0.5, smoothing=0.2)
+
+
+def _sql_split_domain_reweight() -> str:
+    return f"""
+WITH {_sql_lm_ctes()},
+sl AS (
+  SELECT d.lang,
+         CAST(round((-agg.avg_logp) * 1000000, 0) AS BIGINT) AS lm
+  FROM agg JOIN documents d ON d.doc_id = agg.id
+  WHERE agg.avg_logp IS NOT NULL),
+pd AS (SELECT lang AS domain, SUM(lm) AS sm, COUNT(*) AS n_docs
+       FROM sl GROUP BY lang),
+ov AS (SELECT SUM(sm) AS sm_all, SUM(n_docs) AS n_all, COUNT(*) AS k
+       FROM pd),
+st AS (
+  SELECT domain, n_docs, k,
+         (CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000000.0
+           AS mean_d,
+         greatest((CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    / 1000000.0
+                  - (CAST(sm_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                    / 1000000.0, 0.0) AS ex
+  FROM pd CROSS JOIN ov),
+w AS (SELECT domain, n_docs, k, mean_d, ex,
+             CAST(round(exp(0.5 * ex) * 1000000, 0) AS BIGINT) AS wu
+      FROM st),
+t AS (SELECT SUM(wu) AS wu_tot FROM w)
+SELECT domain, n_docs,
+       round(mean_d, 6) AS mean_loss,
+       round(ex, 6) AS excess,
+       round((1.0 - 0.2) * (CAST(wu AS DOUBLE) / CAST(wu_tot AS DOUBLE))
+             + 0.2 / CAST(k AS DOUBLE), 6) AS weight
+FROM w CROSS JOIN t
+"""
+
+
 _BUDGET_TOKENS = 5000
 
 
@@ -8041,10 +8303,12 @@ _ROUND6_LATE = [
 ]
 
 # r07 window head (not checked this round — window is full at 50 with
-# the r02 refresh): dq_constraint_report, dq_report_fold,
-# profile_orders_columns, drift_psi_events, drift_psi_fold,
-# dedup_prefix_jaccard (all added late r06, self-checked via
-# tools/check.py — see NOTES),
+# the r02 refresh): the never-stamped late-r06 additions —
+# dq_constraint_report, dq_report_fold, profile_orders_columns,
+# drift_psi_events, drift_psi_fold, dedup_prefix_jaccard,
+# text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
+# split_domain_reweight, drift_embedding_centroid (all self-checked
+# green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
 # split_quantile_threshold_fold, then the displaced r03 fills
@@ -8139,6 +8403,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_fold": _q_drift_psi_fold,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "text_lm_score": _q_text_lm_score,
+        "text_kn_lm_score": _q_text_kn_lm_score,
+        "corpus_overlap_kmv": _q_corpus_overlap_kmv,
+        "split_domain_reweight": _q_split_domain_reweight,
+        "drift_embedding_centroid": _q_drift_embedding_centroid,
+        "corpus_overlap_store_fold": _q_corpus_overlap_store_fold,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
         "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
@@ -8349,6 +8618,11 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_fold": _sql_drift_psi(),
         "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),
         "text_lm_score": _sql_text_lm_score(),
+        "text_kn_lm_score": _sql_text_kn_lm_score(),
+        "corpus_overlap_kmv": _sql_corpus_overlap_kmv(),
+        "split_domain_reweight": _sql_split_domain_reweight(),
+        "drift_embedding_centroid": _SQL_DRIFT_EMBEDDING_CENTROID,
+        "corpus_overlap_store_fold": _sql_corpus_overlap_kmv(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
         "tokenizer_fertility_by_lang": _sql_tokenizer_fertility(),

@@ -460,3 +460,67 @@ def psi_drift(df: DataFrame, group_col: str, value_col: str,
     return agg.select(group_col,
                       psi.alias("psi"), "n_base", "n_cur",
                       (psi > flag_at).alias("drifted"))
+
+
+def embedding_centroid_drift(df: DataFrame, group_col: str,
+                             current: Column, vec_col: str,
+                             round_to: int = 6) -> DataFrame:
+    """Embedding-space drift per group between a baseline window (rows
+    where ``current`` is false) and the current window: cosine of the
+    two per-group CENTROIDS plus the L2 distance between them — the
+    representation-drift complement of the scalar PSI monitor (centroid
+    shift is the standard first-order embedding drift statistic; a
+    cosine well under 1.0 or a large shift says the feature extractor
+    or the corpus moved).
+
+    Determinism/scale contract:
+    - per-dimension sums are integer micro-units (posexplode ->
+      groupBy (group, window, dim) SUM of rounded-micro longs — one
+      hash-aggregate with map-side combine; state = groups x 2 x dim
+      rows regardless of corpus size);
+    - the cross-dimension dot/norm folds run in dimension order via the
+      repo's sorted-array fold, so the handful of double ops are
+      bit-reproducible and oracle-checkable;
+    - no collects, no windows — output is one row per group.
+
+    Output: (group, n_base, n_cur, cos_centroid, l2_shift); groups
+    missing either window are dropped (no drift to measure).
+    """
+    ex = df.select(
+        F.col(group_col).alias("g"),
+        F.when(current, F.lit(1)).otherwise(F.lit(0)).alias("cur"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per = (ex.groupBy("g", "cur", "pos")
+             .agg(F.sum(F.round(F.col("v").cast("double") * 1_000_000, 0)
+                        .cast("long")).alias("sm"),
+                  F.count(F.lit(1)).alias("n")))
+    b = per.filter(F.col("cur") == 0).select(
+        "g", "pos", F.col("sm").alias("smb"), F.col("n").alias("nb"))
+    c = per.filter(F.col("cur") == 1).select(
+        "g", "pos", F.col("sm").alias("smc"), F.col("n").alias("nc"))
+    mb = (F.col("smb").cast("double") / F.col("nb").cast("double")) \
+        / 1_000_000.0
+    mc = (F.col("smc").cast("double") / F.col("nc").cast("double")) \
+        / 1_000_000.0
+    m = b.join(c, ["g", "pos"]).select(
+        "g", "pos", mb.alias("mb"), mc.alias("mc"), "nb", "nc")
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("pos").alias("p"), F.col("mb").alias("mb"),
+        F.col("mc").alias("mc"))))
+    agg = m.groupBy("g").agg(
+        F.max("nb").alias("n_base"), F.max("nc").alias("n_cur"),
+        arr.alias("_a"))
+
+    def fold(term):
+        return F.aggregate(F.col("_a"), F.lit(0.0),
+                           lambda acc, x: acc + term(x))
+
+    dot = fold(lambda x: x["mb"] * x["mc"])
+    b2 = fold(lambda x: x["mb"] * x["mb"])
+    c2 = fold(lambda x: x["mc"] * x["mc"])
+    d2 = fold(lambda x: (x["mb"] - x["mc"]) * (x["mb"] - x["mc"]))
+    return agg.select(
+        F.col("g").alias(group_col), "n_base", "n_cur",
+        F.round(dot / (F.sqrt(b2) * F.sqrt(c2)), round_to)
+         .alias("cos_centroid"),
+        F.round(F.sqrt(d2), round_to).alias("l2_shift"))

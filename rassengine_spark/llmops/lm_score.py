@@ -79,6 +79,86 @@ def fit_bigram_lm(train: DataFrame, text_col: str,
     return bigrams, unigrams, int(vocab)
 
 
+def fit_kn_bigram_lm(train: DataFrame, text_col: str, id_col: str,
+                     ) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Model tables for an interpolated Kneser-Ney bigram LM (Kneser &
+    Ney 1995; the KenLM-family smoothing CCNet-style filters actually
+    ship): returns (bigrams(w1,w2,c2), histories(w1,c1,n1p_fw),
+    continuations(w2,n1p_bw), n_bigram_types, vocab_size).
+
+    - ``n1p_fw`` = N1+(w1, .) — distinct continuations of history w1
+      (the interpolation weight numerator).
+    - ``n1p_bw`` = N1+(., w2) — distinct histories preceding w2 (the
+      continuation-probability numerator: "how novel is w2", not "how
+      frequent" — the KN insight).
+    - ``n_bigram_types`` = N1+(., .) — total distinct bigram types.
+
+    All three tables are marginals of ONE hash-aggregated bigram count
+    table — a single explode pass over the corpus, exactly like
+    `fit_bigram_lm`; at 100 TB the model stays vocab-bounded and is
+    persisted/reused like any materialized view."""
+    bg = _doc_bigrams(train, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    histories = bigrams.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw"))
+    continuations = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_bw"))
+    n_types = bigrams.count()
+    vocab = (train.select(F.explode(words_of(F.col(text_col)))
+                          .alias("w")).distinct().count())
+    return bigrams, histories, continuations, int(n_types), int(vocab)
+
+
+def kn_bigram_score(docs: DataFrame, bigrams: DataFrame,
+                    histories: DataFrame, continuations: DataFrame,
+                    n_types: int, vocab: int, text_col: str, id_col: str,
+                    discount: float = 0.75, alpha: float = 1.0,
+                    round_to: int = 6) -> DataFrame:
+    """(id, n_bigrams, avg_logp) per doc under interpolated Kneser-Ney:
+
+        Pc(w2)      = (N1+(., w2) + a) / (N1+(., .) + a * V)
+        P(w2 | w1)  = (max(c(w1,w2) - d, 0) + d * N1+(w1, .) * Pc(w2))
+                      / c(w1)                       if c(w1) > 0
+                    = Pc(w2)                        otherwise (OOV history)
+
+    The +a floor on Pc keeps unseen-everywhere bigrams finite (standard
+    add-alpha over the type space; KenLM's <unk> mass plays this role).
+    Docs under 2 words score null with n_bigrams = 0. Per-doc sums fold
+    in position order on both engines (same contract as
+    `bigram_lm_score`), so scores are bit-reproducible. Scoring is three
+    hash joins against vocab-bounded model tables + one per-doc
+    aggregate — the same 100 TB shape as the Laplace scorer."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    bg = _doc_bigrams(docs, text_col, id_col)
+    joined = (bg.join(bigrams, ["w1", "w2"], "left")
+                .join(histories, "w1", "left")
+                .join(continuations, "w2", "left"))
+    pc = ((F.coalesce(F.col("n1p_bw"), F.lit(0)).cast("double") + alpha)
+          / (float(n_types) + alpha * float(vocab)))
+    seen = ((F.greatest(F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+                        - discount, F.lit(0.0))
+             + (discount * F.col("n1p_fw").cast("double")) * pc)
+            / F.col("c1").cast("double"))
+    logp = F.when(F.col("c1").isNotNull(), F.log(seen)) \
+            .otherwise(F.log(pc))
+    per_pos = joined.select(
+        "id", F.struct(F.col("pos").alias("p"), logp.alias("lp"))
+        .alias("plp"))
+    total = F.aggregate(F.array_sort(F.collect_list("plp")),
+                        F.lit(0.0), lambda acc, x: acc + x["lp"])
+    scored = (per_pos.groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(total / F.count(F.lit(1)), round_to)
+                   .alias("avg_logp")))
+    short = (docs.select(F.col(id_col).alias("id"),
+                         F.size(words_of(F.col(text_col))).alias("_nw"))
+             .filter(F.col("_nw") < 2)
+             .select("id", F.lit(0).alias("n_bigrams"),
+                     F.lit(None).cast("double").alias("avg_logp")))
+    return scored.unionByName(short)
+
+
 def bigram_lm_score(docs: DataFrame, bigrams: DataFrame,
                     unigrams: DataFrame, vocab: int, text_col: str,
                     id_col: str, alpha: float = 1.0,

@@ -73,6 +73,9 @@ PYTHON_OK = {
     # compose the lm-score pipeline (same deliberate pass as
     # text_lm_score above):
     "split_token_budget", "split_mixture_token_budget",
+    # same Arrow _doc_bigrams pass as text_lm_score (KN smoothing and
+    # the DoReMi reweight step both score through it):
+    "text_kn_lm_score", "split_domain_reweight",
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
     # expressions; batch==solo parity-tested); the known-item eval runs
     # the same batch scorer:
