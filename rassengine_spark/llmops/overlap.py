@@ -178,7 +178,10 @@ def append_kmv_shard(shard_sketches: DataFrame, path: str,
     """Fold one corpus shard's sketches in as an O(batch) delta —
     history files stay byte-identical. Unlike counters, replaying the
     SAME rows under a fresh name is harmless (min-merge is idempotent
-    on values), but the named-delta contract is kept for symmetry."""
+    on values), but the named-delta contract is kept for symmetry.
+    Shard sketches must be built with k >= the store's manifest k —
+    a smaller shard k could silently drop members of the global top-k
+    (the streaming maintainer reads the manifest k for exactly this)."""
     import os
 
     from .counter_store import (commit_counter_manifest,
