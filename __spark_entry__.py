@@ -2736,6 +2736,40 @@ def _q_text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "text", "doc_id")
 
 
+def _q_text_kn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained KN model (llmops/lm_score.py store
+    tier): the bigram/vocab count tables are additive, so they ride the
+    manifest-LSM counter store — build on a third of the train split,
+    fold a third, COMPACT, fold the last third, then re-derive every KN
+    quantity from the folded counts and score. Fold ≡ one-shot: the
+    oracle is text_kn_lm_score's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.llmops.lm_score import (append_lm_shard,
+                                                  compact_lm_store,
+                                                  kn_bigram_score,
+                                                  kn_model_from_store,
+                                                  save_lm_store)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_lmstore_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    save_lm_store(train.filter(F.col("doc_id") % 3 == 0),
+                  "text", "doc_id", path, buckets=4)
+    append_lm_shard(train.filter(F.col("doc_id") % 3 == 1),
+                    "text", "doc_id", path)
+    compact_lm_store(spark, path)
+    append_lm_shard(train.filter(F.col("doc_id") % 3 == 2),
+                    "text", "doc_id", path)
+    bigrams, hist, cont, n_types, vocab = kn_model_from_store(spark, path)
+    return kn_bigram_score(score, bigrams, hist, cont, n_types, vocab,
+                           "text", "doc_id")
+
+
 def _sql_text_kn_lm_score() -> str:
     words = _SQL_WORDS.format(col="text")
     return f"""
@@ -8307,7 +8341,8 @@ _ROUND6_LATE = [
 # dq_constraint_report, dq_report_fold, profile_orders_columns,
 # drift_psi_events, drift_psi_fold, dedup_prefix_jaccard,
 # text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
-# split_domain_reweight, drift_embedding_centroid (all self-checked
+# split_domain_reweight, drift_embedding_centroid, text_kn_fold (all
+# self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
@@ -8408,6 +8443,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_domain_reweight": _q_split_domain_reweight,
         "drift_embedding_centroid": _q_drift_embedding_centroid,
         "corpus_overlap_store_fold": _q_corpus_overlap_store_fold,
+        "text_kn_fold": _q_text_kn_fold,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
         "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
@@ -8623,6 +8659,7 @@ def oracle_sql() -> dict[str, str]:
         "split_domain_reweight": _sql_split_domain_reweight(),
         "drift_embedding_centroid": _SQL_DRIFT_EMBEDDING_CENTROID,
         "corpus_overlap_store_fold": _sql_corpus_overlap_kmv(),
+        "text_kn_fold": _sql_text_kn_lm_score(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
         "tokenizer_fertility_by_lang": _sql_tokenizer_fertility(),

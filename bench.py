@@ -46,6 +46,8 @@ WARM_FIRST = [
     "mm_media_dedup_prep",
     "prep_training_corpus",
     "sim_hnsw_store_append_recall",
+    "text_kn_fold",
+    "corpus_overlap_store_fold",
 ]
 
 

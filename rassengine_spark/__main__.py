@@ -232,6 +232,12 @@ def _cmd_table(args) -> int:
         elif kind == "vocab":
             from .llmops.decontam import compact_gram_vocab
             compact_gram_vocab(spark(), args.path)
+        elif kind == "kmv":
+            from .llmops.overlap import compact_kmv_store
+            compact_kmv_store(spark(), args.path)
+        elif kind == "lm":
+            from .llmops.lm_score import compact_lm_store
+            compact_lm_store(spark(), args.path)
         else:              # boilerplate / scorehist / dq: LSM counter
             from .llmops.counter_store import compact_counters
             compact_counters(spark(), args.path)
@@ -315,6 +321,14 @@ def _cmd_stream(args) -> int:
         q = stream_psi_current_maintenance(
             spark, args.src, args.out, args.checkpoint,
             f"{g} string, {v} double")
+    elif kind == "kmv":
+        from .streaming.overlap import stream_kmv_maintenance
+        q = stream_kmv_maintenance(spark, args.src, args.out,
+                                   args.checkpoint)
+    elif kind == "lm":
+        from .streaming.lm import stream_lm_maintenance
+        q = stream_lm_maintenance(spark, args.src, args.out,
+                                  args.checkpoint)
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -401,7 +415,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--compact", type=int, metavar="TARGET_MB")
     pt.add_argument("--compact-store",
                     choices=["term", "ivf", "hnsw", "vocab",
-                             "boilerplate", "scorehist", "dq"],
+                             "boilerplate", "scorehist", "dq",
+                             "kmv", "lm"],
                     help="fold a persisted index/counter store's append "
                          "slivers back into its save-time layout "
                          "(layout-only for term/ivf/vocab/boilerplate; "
@@ -425,7 +440,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
                              "hnsw", "decontam", "boilerplate",
-                             "scorehist", "dq", "psi"])
+                             "scorehist", "dq", "psi", "kmv", "lm"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

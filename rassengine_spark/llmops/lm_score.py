@@ -188,3 +188,99 @@ def bigram_lm_score(docs: DataFrame, bigrams: DataFrame,
              .select("id", F.lit(0).alias("n_bigrams"),
                      F.lit(None).cast("double").alias("avg_logp")))
     return scored.unionByName(short)
+
+
+# ------------------------------------------------------------------ store
+# Persisted, incrementally-maintained LM model: the bigram count table
+# and the unigram vocab table are both ADDITIVE, so they ride the
+# manifest-LSM counter store (llmops/counter_store.py) — fold a crawl
+# shard in as one O(batch) delta and every KN/Laplace model quantity
+# (history counts, continuation fan-in, type totals, vocab size) is
+# re-derived from the folded counts, exactly as fit derives them from a
+# one-shot count. Two stores under one root:
+#
+#   path/bigrams  keys (w1, w2), cnt c2
+#   path/words    keys (w,),     cnt c1   (presence => vocab membership)
+#
+# Two manifests = two commit points, so folds follow a fixed protocol:
+# bigrams commits FIRST, words SECOND, and the default delta name is
+# derived from the LAST-committed store (words). A crash between the
+# two commits is healed by replaying the same batch: the name resolves
+# to the crashed fold's name, the bigrams append no-ops (committed name)
+# and the words append completes. Single writer, like every fold store.
+
+def _bigram_counts(train: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    bg = _doc_bigrams(train, text_col, id_col)
+    return bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+
+def _word_counts(train: DataFrame, text_col: str) -> DataFrame:
+    return (train.select(F.explode(words_of(F.col(text_col))).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+
+
+def save_lm_store(train: DataFrame, text_col: str, id_col: str,
+                  path: str, buckets: int = 8) -> None:
+    """Build the persisted LM model from an initial corpus. A top-level
+    manifest commits LAST, after both sub-stores — it is the build's
+    completion marker (a crash mid-build leaves no top manifest, so the
+    streaming maintainer's init check re-runs the build)."""
+    import os
+
+    from .counter_store import commit_counter_manifest, save_counters
+    save_counters(_bigram_counts(train, text_col, id_col), ["w1", "w2"],
+                  os.path.join(path, "bigrams"), cnt_col="c2",
+                  buckets=buckets)
+    save_counters(_word_counts(train, text_col), ["w"],
+                  os.path.join(path, "words"), cnt_col="c1",
+                  buckets=buckets)
+    commit_counter_manifest(path, {"version": 1, "deltas": [],
+                                   "stores": ["bigrams", "words"]})
+
+
+def append_lm_shard(shard: DataFrame, text_col: str, id_col: str,
+                    path: str, delta_name: str | None = None) -> None:
+    """Fold one corpus shard's counts in (O(batch); history untouched).
+    See the two-store commit protocol above — pass the same
+    ``delta_name`` when replaying a crashed fold."""
+    import os
+
+    from .counter_store import append_counters, load_counter_manifest
+    if delta_name is None:
+        m = load_counter_manifest(os.path.join(path, "words"))
+        seq = max((int(d[1:]) for d in m["deltas"]
+                   if d[:1] == "d" and d[1:].isdigit()), default=0)
+        delta_name = "d%d" % (seq + 1)
+    append_counters(_bigram_counts(shard, text_col, id_col),
+                    os.path.join(path, "bigrams"), delta_name=delta_name)
+    append_counters(_word_counts(shard, text_col),
+                    os.path.join(path, "words"), delta_name=delta_name)
+
+
+def compact_lm_store(spark, path: str) -> None:
+    import os
+
+    from .counter_store import compact_counters
+    compact_counters(spark, os.path.join(path, "bigrams"))
+    compact_counters(spark, os.path.join(path, "words"))
+
+
+def kn_model_from_store(spark, path: str
+                        ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                   int, int]:
+    """(bigrams, histories, continuations, n_types, vocab) for
+    `kn_bigram_score`, re-derived from the folded counts — identical to
+    `fit_kn_bigram_lm` on the concatenated corpus (counts are additive;
+    every other quantity is a marginal of the summed table)."""
+    import os
+
+    from .counter_store import read_counters
+    bigrams = read_counters(spark, os.path.join(path, "bigrams"))
+    histories = bigrams.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw"))
+    continuations = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_bw"))
+    n_types = bigrams.count()
+    vocab = read_counters(spark, os.path.join(path, "words")).count()
+    return bigrams, histories, continuations, int(n_types), int(vocab)

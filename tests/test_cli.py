@@ -232,3 +232,43 @@ def test_cli_stream_dq_and_compact(spark, tmp_path, capsys):
     assert main(["table", "--path", store, "--compact-store", "dq"]) == 0
     assert {r["check"]: (r.metric, r.passed) for r in
             dq_report_from_counters(spark, store).collect()} == before
+
+
+def test_cli_stream_kmv_and_lm(spark, tmp_path, capsys):
+    """stream --kind kmv / lm fold sketch and LM-count stores from JSON
+    batches; table --compact-store keeps the served state identical."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.__main__ import main
+    from rassengine_spark.llmops.lm_score import kn_model_from_store
+    from rassengine_spark.llmops.overlap import read_kmv_store
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "a.json"), "w") as f:
+        for i in range(8):
+            f.write(_json.dumps({"g": f"s{i % 2}", "doc_id": i,
+                                 "text": f"w{i} w{i+1} w{i+2}"}) + "\n")
+
+    kst, kck = str(tmp_path / "kst"), str(tmp_path / "kck")
+    assert main(["stream", "--kind", "kmv", "--src", src, "--out", kst,
+                 "--checkpoint", kck]) == 0
+    before = {r.g: r.hs for r in read_kmv_store(spark, kst).collect()}
+    assert set(before) == {"s0", "s1"}
+    assert main(["table", "--path", kst, "--compact-store", "kmv"]) == 0
+    assert {r.g: r.hs for r in
+            read_kmv_store(spark, kst).collect()} == before
+
+    lst, lck = str(tmp_path / "lst"), str(tmp_path / "lck")
+    assert main(["stream", "--kind", "lm", "--src", src, "--out", lst,
+                 "--checkpoint", lck]) == 0
+    m_before = kn_model_from_store(spark, lst)
+    # materialize BEFORE compaction GCs the delta files under the lazy DF
+    bc_before = sorted(map(tuple, m_before[0].collect()))
+    assert m_before[3] > 0 and m_before[4] > 0
+    assert main(["table", "--path", lst, "--compact-store", "lm"]) == 0
+    m_after = kn_model_from_store(spark, lst)
+    assert (m_after[3], m_after[4]) == (m_before[3], m_before[4])
+    assert sorted(map(tuple, m_after[0].collect())) == bc_before
+    capsys.readouterr()

@@ -96,3 +96,113 @@ def test_kn_discount_validation(spark):
     model = fit_kn_bigram_lm(train, "text", "doc_id")
     with pytest.raises(ValueError):
         kn_bigram_score(train, *model, "text", "doc_id", discount=1.5)
+
+
+def test_lm_store_fold_equals_fit(spark, tmp_path):
+    """Folded count stores re-derive the exact fit_kn_bigram_lm model;
+    scores from the store match the one-shot scores."""
+    from rassengine_spark.llmops.lm_score import (append_lm_shard,
+                                                  compact_lm_store,
+                                                  fit_kn_bigram_lm,
+                                                  kn_bigram_score,
+                                                  kn_model_from_store,
+                                                  save_lm_store)
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 5} tail")
+            for i in range(30)]
+    train = spark.createDataFrame(rows, "doc_id int, text string")
+    path = str(tmp_path / "lm")
+    save_lm_store(train.filter("doc_id % 3 = 0"), "text", "doc_id", path)
+    append_lm_shard(train.filter("doc_id % 3 = 1"), "text", "doc_id", path)
+    compact_lm_store(spark, path)
+    append_lm_shard(train.filter("doc_id % 3 = 2"), "text", "doc_id", path)
+
+    got = kn_model_from_store(spark, path)
+    want = fit_kn_bigram_lm(train, "text", "doc_id")
+    assert got[3] == want[3] and got[4] == want[4]      # n_types, vocab
+    assert sorted(map(tuple, got[0].collect())) == \
+        sorted(map(tuple, want[0].collect()))           # bigram counts
+
+    score_df = spark.createDataFrame(
+        [(100, "w1 w2 w100"), (101, "solo")], "doc_id int, text string")
+    s_got = sorted(map(tuple, kn_bigram_score(
+        score_df, *got, "text", "doc_id").collect()))
+    s_want = sorted(map(tuple, kn_bigram_score(
+        score_df, *want, "text", "doc_id").collect()))
+    assert s_got == s_want
+
+
+def test_lm_store_crash_replay_heals(spark, tmp_path):
+    """Crash between the bigrams and words commits: replaying the same
+    batch resolves to the crashed delta name, no-ops the committed
+    store, and completes the other — no double counts."""
+    import os
+
+    from rassengine_spark.llmops.counter_store import (
+        append_counters, load_counter_manifest)
+    from rassengine_spark.llmops.lm_score import (_bigram_counts,
+                                                  append_lm_shard,
+                                                  kn_model_from_store,
+                                                  save_lm_store)
+    base = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    batch = spark.createDataFrame([(2, "a b d")], "doc_id int, text string")
+    path = str(tmp_path / "lm")
+    save_lm_store(base, "text", "doc_id", path)
+    # simulate the crash window: bigrams committed, words not
+    append_counters(_bigram_counts(batch, "text", "doc_id"),
+                    os.path.join(path, "bigrams"), delta_name="d1")
+    assert load_counter_manifest(
+        os.path.join(path, "words"))["deltas"] == []
+    # replay the whole shard through the public API
+    append_lm_shard(batch, "text", "doc_id", path)
+    bigrams, _, _, n_types, vocab = kn_model_from_store(spark, path)
+    bc = {(r.w1, r.w2): r.c2 for r in bigrams.collect()}
+    assert bc == {("a", "b"): 2, ("b", "c"): 1, ("b", "d"): 1}
+    assert vocab == 4                                   # a b c d
+
+
+def test_stream_lm_maintenance_equals_fit(spark, tmp_path):
+    """Streamed LM-count folds == one-shot fit over all rows; replay is
+    a no-op; a pre-built store is attached to, not rebuilt."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.llmops.lm_score import (fit_kn_bigram_lm,
+                                                  kn_model_from_store,
+                                                  save_lm_store)
+    from rassengine_spark.streaming.lm import stream_lm_maintenance
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck")}
+    _os.makedirs(dirs["in"])
+    rows = [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 3}")
+            for i in range(24)]
+
+    def write(name, chunk):
+        with open(_os.path.join(dirs["in"], name), "w") as f:
+            for i, t in chunk:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def run():
+        q = stream_lm_maintenance(spark, dirs["in"], dirs["st"],
+                                  dirs["ck"], buckets=2)
+        q.awaitTermination(120)
+
+    # pre-build on the first 8 docs: the stream must attach, not rebuild
+    save_lm_store(spark.createDataFrame(rows[:8],
+                                        "doc_id long, text string"),
+                  "text", "doc_id", dirs["st"], buckets=2)
+    write("a.json", rows[8:16])
+    run()
+    write("b.json", rows[16:])
+    run()
+
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = kn_model_from_store(spark, dirs["st"])
+    want = fit_kn_bigram_lm(train, "text", "doc_id")
+    assert got[3] == want[3] and got[4] == want[4]
+    assert sorted(map(tuple, got[0].collect())) == \
+        sorted(map(tuple, want[0].collect()))
+
+    marker = _json.load(open(_os.path.join(dirs["st"], "LATEST.json")))
+    run()
+    assert _json.load(open(_os.path.join(
+        dirs["st"], "LATEST.json"))) == marker

@@ -73,9 +73,10 @@ PYTHON_OK = {
     # compose the lm-score pipeline (same deliberate pass as
     # text_lm_score above):
     "split_token_budget", "split_mixture_token_budget",
-    # same Arrow _doc_bigrams pass as text_lm_score (KN smoothing and
-    # the DoReMi reweight step both score through it):
-    "text_kn_lm_score", "split_domain_reweight",
+    # same Arrow _doc_bigrams pass as text_lm_score (KN smoothing, the
+    # DoReMi reweight step, and the folded-store KN entry all score
+    # through it):
+    "text_kn_lm_score", "split_domain_reweight", "text_kn_fold",
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
     # expressions; batch==solo parity-tested); the known-item eval runs
     # the same batch scorer:
