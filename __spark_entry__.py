@@ -2621,6 +2621,31 @@ FROM a
 """
 
 
+def _q_split_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement
+    (llmops/splits.py::weighted_sample_take): 100 docs drawn
+    proportional-to-n_chars via the deterministic hash-race — one scan +
+    TakeOrderedAndProject, no normalization pre-pass."""
+    from rassengine_spark.llmops.splits import weighted_sample_take
+    docs = load_tables(spark, sf_dir)["documents"]
+    return weighted_sample_take(docs, "n_chars", "doc_id", k=100,
+                                seed="ws0", round_to=9)
+
+
+def _sql_split_weighted_sample() -> str:
+    h = _sql_hash60("('ws0/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS race
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0.0)
+SELECT doc_id, n_chars, round(race, 9) AS race
+FROM r ORDER BY r.race, doc_id LIMIT 100
+"""
+
+
 _KMV_K = 256
 
 
@@ -6446,6 +6471,50 @@ ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
+def _q_basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the
+    support-pruned part co-purchase graph (operators/graph.py::
+    label_propagation): 3 majority-vote rounds, ties to the smallest
+    label — pure integer arg-max, so the oracle unrolls the identical
+    rounds. Community detection = the third member of the iterative
+    graph family (CC: reachability; PageRank: authority; LPA:
+    density)."""
+    from rassengine_spark.operators.graph import (basket_edges,
+                                                  label_propagation)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = basket_edges(li, "l_orderkey", "l_partkey",
+                         min_support=2).select("src", "dst")
+    return label_propagation(edges, iters=3)
+
+
+def _sql_basket_communities(iters: int = 3) -> str:
+    sql = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+sym AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM p
+  UNION SELECT dst AS s, src AS d FROM p
+  UNION SELECT src AS s, src AS d FROM p
+  UNION SELECT dst AS s, dst AS d FROM p),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM sym),
+"""
+    for i in range(iters):
+        sql += f"""c{i} AS MATERIALIZED (
+  SELECT sym.s AS node, l{i}.lbl, COUNT(*) AS c
+  FROM sym JOIN l{i} ON l{i}.node = sym.d GROUP BY sym.s, l{i}.lbl),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, lbl FROM c{i}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, lbl ASC) = 1),
+"""
+    return (sql.rstrip(",\n")
+            + f"\nSELECT node, lbl AS label FROM l{iters} ORDER BY node")
+
+
 def _q_basket_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph
     (operators/graph.py::pagerank_micro): 3 synchronous rounds in integer
@@ -8341,8 +8410,8 @@ _ROUND6_LATE = [
 # dq_constraint_report, dq_report_fold, profile_orders_columns,
 # drift_psi_events, drift_psi_fold, dedup_prefix_jaccard,
 # text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
-# split_domain_reweight, drift_embedding_centroid, text_kn_fold (all
-# self-checked
+# split_domain_reweight, drift_embedding_centroid, text_kn_fold,
+# split_weighted_sample, basket_part_communities (all self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
@@ -8444,6 +8513,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_embedding_centroid": _q_drift_embedding_centroid,
         "corpus_overlap_store_fold": _q_corpus_overlap_store_fold,
         "text_kn_fold": _q_text_kn_fold,
+        "split_weighted_sample": _q_split_weighted_sample,
         "tokenizer_bpe_merges": _q_tokenizer_bpe,
         "tokenizer_bpe_token_counts": _q_tokenizer_bpe_counts,
         "tokenizer_fertility_by_lang": _q_tokenizer_fertility,
@@ -8545,6 +8615,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_lift": _q_basket_lift,
         "basket_part_lift_frac": _q_basket_lift_frac,
         "basket_part_pagerank": _q_basket_pagerank,
+        "basket_part_communities": _q_basket_communities,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -8660,6 +8731,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_embedding_centroid": _SQL_DRIFT_EMBEDDING_CENTROID,
         "corpus_overlap_store_fold": _sql_corpus_overlap_kmv(),
         "text_kn_fold": _sql_text_kn_lm_score(),
+        "split_weighted_sample": _sql_split_weighted_sample(),
         "tokenizer_bpe_merges": _sql_tokenizer_bpe(),
         "tokenizer_bpe_token_counts": _sql_tokenizer_bpe_counts(),
         "tokenizer_fertility_by_lang": _sql_tokenizer_fertility(),
@@ -8762,6 +8834,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_lift": _SQL_BASKET_LIFT,
         "basket_part_lift_frac": _SQL_BASKET_LIFT_FRAC,
         "basket_part_pagerank": _sql_basket_pagerank(),
+        "basket_part_communities": _sql_basket_communities(),
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,

@@ -48,6 +48,7 @@ WARM_FIRST = [
     "sim_hnsw_store_append_recall",
     "text_kn_fold",
     "corpus_overlap_store_fold",
+    "basket_part_communities",
 ]
 
 

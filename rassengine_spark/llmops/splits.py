@@ -477,3 +477,43 @@ def drop_bottom_quantile(df: DataFrame, score_col: str, id_col: str,
                  .filter(F.col("_rn") > F.col("_r")).drop("_rn"))
     return (kept_hi.unionByName(at_t_kept)
             .drop("_t", "_r").select(*df.columns))
+
+
+def weighted_sample_take(df: DataFrame, weight_col: str, key_col: str,
+                         k: int, seed: str = "ws0",
+                         round_to: int = 6) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k rows — the
+    Efraimidis-Spirakis exponential race (2006, public algorithm), the
+    standard one-pass distributed weighted sampler:
+
+        u    = (hash60(seed/key) + 1) / 2^60        in (0, 1]
+        race = -ln(u) / w                           Exp(w) arrival time
+        keep the k SMALLEST race keys
+
+    Each row's arrival is an exponential with rate = its weight, so
+    inclusion probability is proportional-to-size without any global
+    weight total — no pre-pass, no normalization shuffle. Deterministic
+    (hash-race, not RNG): re-runs and the DuckDB oracle reproduce the
+    exact sample.
+
+    Plan at 100 TB: one scan + TakeOrderedAndProject (per-partition
+    top-k, then a k-row reduce on one node) — the same physical shape
+    as every top-k entry, no full sort, no window. Rows with
+    non-positive or null weights never win (filtered: a zero-weight row
+    has infinite arrival time).
+
+    Output: (key_col, weight_col, race) ascending by construction;
+    race is rounded for oracle comparison AFTER the top-k decision."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col).cast("string")
+    u = ((hash60(F.concat(F.lit(seed + "/"), key)).cast("double") + 1.0)
+         / float(_HASH_SPACE))
+    w = F.col(weight_col).cast("double")
+    race = -F.log(u) / w
+    return (df.filter(w > 0.0)
+              .select(key_col, weight_col, race.alias("_race"))
+              .orderBy("_race", key_col)
+              .limit(k)
+              .select(key_col, weight_col,
+                      F.round(F.col("_race"), round_to).alias("race")))

@@ -195,3 +195,49 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                 .unionAll(tri.select(F.col("b").alias("node")))
                 .unionAll(tri.select(F.col("c").alias("node"))))
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, label) after `iters` SYNCHRONOUS label-propagation rounds
+    (Raghavan et al. 2007, public algorithm) over an undirected edge
+    list — community detection, the soft sibling of connected
+    components: CC says "reachable at all", LPA's majority vote says
+    "densely reachable", splitting bridged clumps CC merges.
+
+    Determinism (classic LPA is run-order dependent; this one is not):
+    labels start as node ids; every round each node votes over its
+    neighbors' labels PLUS its own current label (the self-vote damping
+    that keeps synchronous updates from oscillating on bridged cliques
+    — pinned by the two-clique unit test) and adopts the label with the
+    HIGHEST count, ties broken by SMALLEST label — a pure integer
+    arg-max, bit-exact in any engine, so the SQL oracle unrolls the
+    same rounds verbatim. Isolated nodes are absent from an edge list
+    by construction.
+
+    Plan at 100 TB: per round, one join of the edge list against the
+    |nodes|-row label table (labels are the SMALL side once the graph
+    outgrows memory — shuffle keys on the node id) + one (node, label)
+    hash-aggregate + one arg-max aggregate; loop state is
+    localCheckpointed each round to cut the growing lineage (the
+    pagerank/CC convention)."""
+    both = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .union(edges.select(F.col(dst).alias("s"),
+                                F.col(src).alias("d"))))
+    # self-loops carry the self-vote through the same join
+    sym = (both.union(both.select("s", F.col("s").alias("d")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl")))
+    for _ in range(iters):
+        nbr = (sym.join(labels.withColumnRenamed("node", "d"), "d")
+               .select(F.col("s").alias("node"), "lbl"))
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        best = (cnt.groupBy("node")
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("lbl")).alias("nl")))
+                     .alias("m"))
+                .select("node", (-F.col("m.nl")).alias("lbl")))
+        labels = best.localCheckpoint(eager=False)
+    return labels.select("node", F.col("lbl").alias("label"))

@@ -132,3 +132,41 @@ def test_cooccurrence_edges_group_size_cap(spark):
     full = {(r.src, r.dst)
             for r in cooccurrence_edges(df, "g", "item").collect()}
     assert {(10, 11), (11, 12), (20, 21)} <= full
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 3-cliques joined by one bridge edge: CC merges them, LPA
+    keeps two communities (each labeled by its smallest member)."""
+    from rassengine_spark.operators.graph import label_propagation
+    cl1 = [(1, 2), (1, 3), (2, 3)]
+    cl2 = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(cl1 + cl2 + [(3, 10)],
+                                  "src long, dst long")
+    got = {r.node: r.label for r in
+           label_propagation(edges, iters=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_lpa_deterministic_tiebreak(spark):
+    """A node with two equally-voted neighbor labels adopts the
+    smallest one, every run."""
+    from rassengine_spark.operators.graph import label_propagation
+    edges = spark.createDataFrame([(5, 1), (5, 2)], "src long, dst long")
+    for _ in range(3):
+        got = {r.node: r.label for r in
+               label_propagation(edges, iters=1).collect()}
+        # node 5 votes {5, 1, 2} once each -> smallest wins
+        assert got[5] == 1
+        # 1 votes {1, 5} -> 1; 2 votes {2, 5} -> 2
+        assert got[1] == 1 and got[2] == 2
+
+
+def test_lpa_labels_are_member_ids(spark):
+    from rassengine_spark.operators.graph import label_propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long")
+    rows = label_propagation(edges, iters=2).collect()
+    nodes = {r.node for r in rows}
+    assert {r.label for r in rows} <= nodes     # labels are node ids
+    assert nodes == set(range(1, 7))

@@ -1019,3 +1019,40 @@ def test_ndcg_at_k_max_rank_guards(spark):
     g60 = round(1_000_000 / math.log2(61))
     assert wide.dcg_micro == g60
     assert wide.ndcg == round(g60 / 1_000_000, 6)
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """Inclusion frequency across many seeds tracks the weight ratio
+    (Efraimidis-Spirakis property), and the sample is deterministic."""
+    from rassengine_spark.llmops.splits import weighted_sample_take
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(110)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        got = weighted_sample_take(df, "w", "id", k=20,
+                                   seed=f"s{s}").collect()
+        ids = {r.id for r in got}
+        assert len(ids) == 20
+        heavy_hits += sum(1 for i in ids if i < 10)
+        light_hits += sum(1 for i in ids if i >= 10)
+    # 10 heavy rows at weight 9 vs 100 light at weight 1: heavy rows
+    # must be sampled far above their 1/11 population share
+    assert heavy_hits / 12 > 4.0
+    # deterministic: same seed, same sample, ascending race keys
+    a = weighted_sample_take(df, "w", "id", k=20, seed="s0").collect()
+    b = weighted_sample_take(df, "w", "id", k=20, seed="s0").collect()
+    assert [r.id for r in a] == [r.id for r in b]
+    races = [r.race for r in a]
+    assert races == sorted(races)
+
+
+def test_weighted_sample_edge_cases(spark):
+    import pytest as _pytest
+
+    from rassengine_spark.llmops.splits import weighted_sample_take
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)], "id long, w double")
+    got = weighted_sample_take(df, "w", "id", k=10).collect()
+    assert [r.id for r in got] == [1]       # only the positive weight
+    with _pytest.raises(ValueError):
+        weighted_sample_take(df, "w", "id", k=0)
