@@ -6471,6 +6471,107 @@ ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
+def _q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential trend forecast per event_type
+    (operators/forecast.py::holt_forecast_micro): daily volumes fold
+    through the integer-micro recurrence (floor-div percent weights —
+    the pagerank_micro convention), then extrapolate 7 days. The oracle
+    replays the identical recurrence as a recursive CTE."""
+    from rassengine_spark.operators.forecast import holt_forecast_micro
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy(F.col("event_type").alias("k"),
+                        F.date_trunc("day", "ts").alias("t"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    return holt_forecast_micro(daily, "k", "t", "y", horizons=7) \
+        .withColumnRenamed("k", "event_type")
+
+
+_SQL_EVENTS_HOLT_FORECAST = """
+WITH RECURSIVE d AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+o AS (SELECT k, CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS ym,
+             row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k
+      HAVING COUNT(*) >= 2),
+s AS (
+  SELECT a.k, 1 AS t, a.ym AS l, b.ym - a.ym AS b
+  FROM o a JOIN o b ON a.k = b.k AND b.rn = 2
+  WHERE a.rn = 1
+  UNION ALL
+  SELECT s.k, s.t + 1,
+         CAST(floor(CAST(50 * o.ym + 50 * (s.l + s.b) AS DOUBLE)
+                    / 100.0) AS BIGINT) AS l,
+         CAST(floor(CAST(30 * (CAST(floor(CAST(50 * o.ym
+                                             + 50 * (s.l + s.b)
+                                             AS DOUBLE) / 100.0)
+                               AS BIGINT) - s.l)
+                         + 70 * s.b AS DOUBLE) / 100.0) AS BIGINT) AS b
+  FROM s JOIN o ON o.k = s.k AND o.rn = s.t + 1),
+fin AS (SELECT s.k, s.l, s.b, n.n_obs
+        FROM s JOIN n ON n.k = s.k AND s.t = n.n_obs)
+SELECT k AS event_type, h,
+       l + h * b AS forecast_micro,
+       l AS level_micro, b AS trend_micro, n_obs
+FROM fin, UNNEST(generate_series(1, 7)) AS g(h)
+"""
+
+
+def _q_events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward one-step-ahead backtest of the Holt forecaster
+    (operators/forecast.py::holt_backtest_micro): prior state predicts
+    l+b, the absolute error accumulates as an exact integer, then the
+    state updates — the standard forecast-quality eval, per
+    event_type."""
+    from rassengine_spark.operators.forecast import holt_backtest_micro
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy(F.col("event_type").alias("k"),
+                        F.date_trunc("day", "ts").alias("t"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    return holt_backtest_micro(daily, "k", "t", "y") \
+        .withColumnRenamed("k", "event_type")
+
+
+_SQL_EVENTS_HOLT_BACKTEST = """
+WITH RECURSIVE d AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+o AS (SELECT k, CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS ym,
+             row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+      FROM d),
+n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k
+      HAVING COUNT(*) >= 3),
+s AS (
+  SELECT a.k, 1 AS t, a.ym AS l, b.ym - a.ym AS b,
+         CAST(0 AS BIGINT) AS sae
+  FROM o a JOIN o b ON a.k = b.k AND b.rn = 2
+  WHERE a.rn = 1
+  UNION ALL
+  SELECT s.k, s.t + 1,
+         CAST(floor(CAST(50 * o.ym + 50 * (s.l + s.b) AS DOUBLE)
+                    / 100.0) AS BIGINT) AS l,
+         CAST(floor(CAST(30 * (CAST(floor(CAST(50 * o.ym
+                                             + 50 * (s.l + s.b)
+                                             AS DOUBLE) / 100.0)
+                               AS BIGINT) - s.l)
+                         + 70 * s.b AS DOUBLE) / 100.0) AS BIGINT) AS b,
+         s.sae + abs(o.ym - (s.l + s.b)) AS sae
+  FROM s JOIN o ON o.k = s.k AND o.rn = s.t + 1),
+fin AS (SELECT s.k, s.sae, n.n_obs
+        FROM s JOIN n ON n.k = s.k AND s.t = n.n_obs)
+SELECT k AS event_type, CAST(n_obs - 1 AS BIGINT) AS n_steps,
+       sae AS sae_micro,
+       CAST(floor(CAST(sae AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE))
+            AS BIGINT) AS mae_micro
+FROM fin
+"""
+
+
 def _q_basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the
     support-pruned part co-purchase graph (operators/graph.py::
@@ -8411,7 +8512,8 @@ _ROUND6_LATE = [
 # drift_psi_events, drift_psi_fold, dedup_prefix_jaccard,
 # text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
 # split_domain_reweight, drift_embedding_centroid, text_kn_fold,
-# split_weighted_sample, basket_part_communities (all self-checked
+# split_weighted_sample, basket_part_communities,
+# events_holt_forecast, events_holt_backtest (all self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
@@ -8616,6 +8718,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_lift_frac": _q_basket_lift_frac,
         "basket_part_pagerank": _q_basket_pagerank,
         "basket_part_communities": _q_basket_communities,
+        "events_holt_forecast": _q_events_holt_forecast,
+        "events_holt_backtest": _q_events_holt_backtest,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -8835,6 +8939,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_lift_frac": _SQL_BASKET_LIFT_FRAC,
         "basket_part_pagerank": _sql_basket_pagerank(),
         "basket_part_communities": _sql_basket_communities(),
+        "events_holt_forecast": _SQL_EVENTS_HOLT_FORECAST,
+        "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,

@@ -1,0 +1,77 @@
+"""Holt linear-trend forecast: hand-computed recurrence, linear-series
+exactness, validation."""
+
+import pytest
+
+from rassengine_spark.operators.forecast import holt_forecast_micro
+
+
+def test_linear_series_forecasts_exactly(spark):
+    """A perfectly linear series is a fixed point of Holt: level tracks
+    the line, trend equals the slope, forecasts continue it exactly."""
+    rows = [("a", t, 10.0 + 2.0 * t) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    out = {r.h: r for r in holt_forecast_micro(
+        df, "k", "t", "y", horizons=3).collect()}
+    # last observed y = 20 -> level 20M, trend 2M
+    assert out[1].level_micro == 20_000_000
+    assert out[1].trend_micro == 2_000_000
+    for h in (1, 2, 3):
+        assert out[h].forecast_micro == 20_000_000 + h * 2_000_000
+    assert out[1].n_obs == 6
+
+
+def test_hand_computed_step(spark):
+    """y=[10, 12, 20]: init l=10M b=2M; step on 12M keeps (12M, 2M);
+    step on 20M: l=floor((50*20M+50*14M)/100)=17M,
+    b=floor((30*5M+70*2M)/100)=2.9M."""
+    rows = [("a", 0, 10.0), ("a", 1, 12.0), ("a", 2, 20.0)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = holt_forecast_micro(df, "k", "t", "y", horizons=1).collect()[0]
+    assert r.level_micro == 17_000_000
+    assert r.trend_micro == 2_900_000
+    assert r.forecast_micro == 19_900_000
+
+
+def test_short_series_dropped_and_validation(spark):
+    df = spark.createDataFrame([("a", 0, 1.0), ("b", 0, 1.0),
+                                ("b", 1, 2.0)], "k string, t int, y double")
+    got = holt_forecast_micro(df, "k", "t", "y", horizons=2).collect()
+    assert {r.k for r in got} == {"b"}
+    with pytest.raises(ValueError):
+        holt_forecast_micro(df, "k", "t", "y", horizons=0)
+    with pytest.raises(ValueError):
+        holt_forecast_micro(df, "k", "t", "y", alpha_pct=0)
+
+
+def test_negative_trend_floor_semantics(spark):
+    """Declining series: trend goes negative; the floor division (not
+    truncation) is pinned so both engines round identically."""
+    rows = [("a", t, float(100 - 7 * t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = holt_forecast_micro(df, "k", "t", "y", horizons=2).collect()[0]
+    assert r.trend_micro == -7_000_000
+    assert r.forecast_micro == r.level_micro + r.h * -7_000_000
+
+
+def test_backtest_zero_error_on_linear(spark):
+    """Holt is exact on a linear series -> every one-step forecast hits
+    and the walk-forward MAE is zero."""
+    from rassengine_spark.operators.forecast import holt_backtest_micro
+    rows = [("a", t, 10.0 + 2.0 * t) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
+    assert r.sae_micro == 0 and r.mae_micro == 0
+    assert r.n_steps == 5
+
+
+def test_backtest_hand_computed(spark):
+    """y=[10,12,20]: state after init (10M,2M); step1 on 12M: forecast
+    12M, err 0; step2 on 20M: forecast 14M, err 6M. sae=6M, mae=3M."""
+    from rassengine_spark.operators.forecast import holt_backtest_micro
+    rows = [("a", 0, 10.0), ("a", 1, 12.0), ("a", 2, 20.0)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
+    assert r.sae_micro == 6_000_000
+    assert r.mae_micro == 3_000_000
+    assert r.n_steps == 2
