@@ -6471,6 +6471,43 @@ ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
+def _q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (llmops/dataquality.py::
+    k_anonymity_report): documents quasi-identified by (lang, source),
+    sensitive attribute = n_chars bucketed to hundreds. One
+    hash-aggregate to class metadata, then a 1-row reduce — all exact
+    integers."""
+    from rassengine_spark.llmops.dataquality import k_anonymity_report
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.withColumn("nb", F.floor(F.col("n_chars") / 100)
+                        .cast("long"))
+    return k_anonymity_report(d, ["lang", "source"], "nb",
+                              k_threshold=10)
+
+
+_SQL_DQ_K_ANONYMITY = """
+WITH d AS (
+  SELECT lang, source,
+         CAST(floor(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) AS nb
+  FROM documents),
+cls AS (
+  SELECT lang, source, COUNT(*) AS n, COUNT(DISTINCT nb) AS l
+  FROM d GROUP BY lang, source),
+a AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_classes,
+         MIN(n) AS k_min, MIN(l) AS l_min,
+         CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_k,
+         CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rb
+  FROM cls)
+SELECT n_rows, n_classes, k_min, l_min, n_below_k,
+       CAST(floor(CAST(rb * 1000000 AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE)) AS BIGINT)
+         AS rows_below_k_ppm
+FROM a
+"""
+
+
 def _q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential trend forecast per event_type
     (operators/forecast.py::holt_forecast_micro): daily volumes fold
@@ -8513,7 +8550,8 @@ _ROUND6_LATE = [
 # text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
 # split_domain_reweight, drift_embedding_centroid, text_kn_fold,
 # split_weighted_sample, basket_part_communities,
-# events_holt_forecast, events_holt_backtest (all self-checked
+# events_holt_forecast, events_holt_backtest, dq_k_anonymity (all
+# self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
 # sim_ivf_store_compacted_topk, split_drop_bottom_quantile,
@@ -8720,6 +8758,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_communities": _q_basket_communities,
         "events_holt_forecast": _q_events_holt_forecast,
         "events_holt_backtest": _q_events_holt_backtest,
+        "dq_k_anonymity": _q_dq_k_anonymity,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -8941,6 +8980,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_communities": _sql_basket_communities(),
         "events_holt_forecast": _SQL_EVENTS_HOLT_FORECAST,
         "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
+        "dq_k_anonymity": _SQL_DQ_K_ANONYMITY,
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,

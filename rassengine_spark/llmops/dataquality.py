@@ -524,3 +524,53 @@ def embedding_centroid_drift(df: DataFrame, group_col: str,
         F.round(dot / (F.sqrt(b2) * F.sqrt(c2)), round_to)
          .alias("cos_centroid"),
         F.round(F.sqrt(d2), round_to).alias("l2_shift"))
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str,
+                       k_threshold: int = 10) -> DataFrame:
+    """Re-identification risk audit before a data release (Sweeney 2002
+    k-anonymity; Machanavajjhala 2007 l-diversity — public definitions):
+    rows sharing a quasi-identifier combination form an equivalence
+    class; k = the smallest class size (an attacker knowing the quasi
+    values pins an individual to >= k candidates), l = the smallest
+    number of DISTINCT sensitive values within any class (guards
+    against "all k candidates share the secret").
+
+    One-row summary, all exact integers (ppm fractions — the DQ-tier
+    convention):
+
+      (n_rows, n_classes, k_min, l_min, n_below_k, rows_below_k_ppm)
+
+    where n_below_k / rows_below_k_ppm count classes (and their row
+    share) smaller than ``k_threshold`` — the remediation worklist
+    size.
+
+    Plan at 100 TB: one hash-aggregate to (quasi..., size, distinct
+    sensitive) — count_distinct rides the same agg via expand — then a
+    1-row reduce over class-level metadata. No windows, no collects.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k_threshold < 1:
+        raise ValueError(f"k_threshold must be >= 1, got {k_threshold}")
+    cls = (df.groupBy(*quasi_cols)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.countDistinct(F.col(sensitive_col)).alias("_l")))
+    below = F.when(F.col("_n") < k_threshold, F.col("_n")) \
+             .otherwise(F.lit(0))
+    agg = cls.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_n").alias("k_min"),
+        F.min("_l").alias("l_min"),
+        F.sum(F.when(F.col("_n") < k_threshold, 1).otherwise(0))
+         .alias("n_below_k"),
+        F.sum(below).alias("_rows_below"))
+    # exact BIGINT ppm via the explicit double floor-div (values far
+    # below 2^53; CAST-of-double rounds in DuckDB but floor is floor)
+    ppm = F.floor((F.col("_rows_below") * 1_000_000).cast("double")
+                  / F.col("n_rows").cast("double")).cast("long")
+    return agg.select(
+        "n_rows", "n_classes", "k_min", "l_min", "n_below_k",
+        ppm.alias("rows_below_k_ppm"))

@@ -363,3 +363,31 @@ def test_psi_stream_requires_baseline_and_matches(spark, tmp_path):
             DQ.psi_drift(df, "g", "v", F.col("b"),
                          lo=0.0, hi=80.0).collect()}
     assert got == want
+
+
+def test_k_anonymity_hand_computed(spark):
+    from rassengine_spark.llmops.dataquality import k_anonymity_report
+    rows = [("a", "x", 1), ("a", "x", 1), ("a", "x", 2),   # class a: 3, l=2
+            ("b", "x", 5),                                 # class b: 1, l=1
+            ("c", "y", 7), ("c", "y", 7)]                  # class c: 2, l=1
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    r = k_anonymity_report(df, ["q1", "q2"], "s",
+                           k_threshold=2).collect()[0]
+    assert r.n_rows == 6 and r.n_classes == 3
+    assert r.k_min == 1 and r.l_min == 1
+    assert r.n_below_k == 1                      # only class b (size 1)
+    assert r.rows_below_k_ppm == 166666          # floor(1e6 / 6)
+
+
+def test_k_anonymity_validation(spark):
+    import pytest as _pytest
+
+    from rassengine_spark.llmops.dataquality import k_anonymity_report
+    df = spark.createDataFrame([("a", 1)], "q string, s int")
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, [], "s")
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, ["q"], "s", k_threshold=0)
+    # single class covering everything: nothing below threshold 1
+    r = k_anonymity_report(df, ["q"], "s", k_threshold=1).collect()[0]
+    assert r.n_below_k == 0 and r.rows_below_k_ppm == 0
