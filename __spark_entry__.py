@@ -6471,6 +6471,38 @@ ORDER BY lift DESC, pa, pb LIMIT 20
 """
 
 
+def _q_events_holt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained Holt state (operators/forecast.py store
+    tier): per-series (level, trend, last_t) persists as an O(|series|)
+    crash-safe swap store; day batches fold through the identical
+    integer recurrence (append-only-in-t CDC contract, out-of-order is
+    a loud error), so fold ≡ one-shot and the oracle is
+    events_holt_forecast's recursive CTE verbatim."""
+    import shutil
+    import tempfile
+
+    from rassengine_spark.operators.forecast import (append_holt_buckets,
+                                                     forecast_from_state,
+                                                     save_holt_state)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rass_holt_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (ev.groupBy(F.col("event_type").alias("k"),
+                        F.date_trunc("day", "ts").alias("t"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    c1, c2 = "2024-01-08 00:00:00", "2024-01-18 00:00:00"
+    save_holt_state(daily.filter(F.col("t") < c1), "k", "t", "y", path)
+    append_holt_buckets(spark, daily.filter((F.col("t") >= c1)
+                                            & (F.col("t") < c2)),
+                        "k", "t", "y", path)
+    append_holt_buckets(spark, daily.filter(F.col("t") >= c2),
+                        "k", "t", "y", path)
+    return forecast_from_state(spark, path, horizons=7) \
+        .withColumnRenamed("k", "event_type")
+
+
 def _q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity release audit (llmops/dataquality.py::
     k_anonymity_report): documents quasi-identified by (lang, source),
@@ -8550,7 +8582,8 @@ _ROUND6_LATE = [
 # text_kn_lm_score, corpus_overlap_kmv, corpus_overlap_store_fold,
 # split_domain_reweight, drift_embedding_centroid, text_kn_fold,
 # split_weighted_sample, basket_part_communities,
-# events_holt_forecast, events_holt_backtest, dq_k_anonymity (all
+# events_holt_forecast, events_holt_backtest, dq_k_anonymity,
+# events_holt_fold (all
 # self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
@@ -8759,6 +8792,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": _q_events_holt_forecast,
         "events_holt_backtest": _q_events_holt_backtest,
         "dq_k_anonymity": _q_dq_k_anonymity,
+        "events_holt_fold": _q_events_holt_fold,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -8981,6 +9015,7 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_forecast": _SQL_EVENTS_HOLT_FORECAST,
         "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
         "dq_k_anonymity": _SQL_DQ_K_ANONYMITY,
+        "events_holt_fold": _SQL_EVENTS_HOLT_FORECAST,
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,

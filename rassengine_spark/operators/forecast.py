@@ -129,3 +129,168 @@ def holt_backtest_micro(series: DataFrame, key_col: str, t_col: str,
         state["sae"].alias("sae_micro"),
         F.floor(state["sae"].cast("double")
                 / n_steps.cast("double")).cast("long").alias("mae_micro"))
+
+
+# ------------------------------------------------------------------ store
+# Persisted per-series Holt state — the forecasting tier's incremental
+# form: state is (key, last_t, n_obs, l, b), O(|series|) rows, so folds
+# rewrite it in place crash-safely (util.swap_commit_dir — the
+# cluster-forest/DSIR pattern for small state tables). Because the
+# recurrence is deterministic integer math and folds replay buckets in
+# the same order with the same init, fold ≡ one-shot EXACTLY (the
+# events_holt_fold entry shares the one-shot recursive-CTE oracle
+# verbatim). CDC contract: buckets arrive append-only in t per series —
+# an out-of-order bucket is a LOUD error, the same discipline as the
+# SCD2 maintainer. Single writer; b stays NULL while a series has only
+# one observation (warm-up), exactly reproducing the one-shot
+# two-point init once the second bucket lands.
+
+def _params_path(path: str) -> str:
+    import os
+    return os.path.join(path, "params.json")
+
+
+def _holt_state(series: DataFrame, key_col: str, t_col: str, y_col: str,
+                alpha_pct: int, beta_pct: int) -> DataFrame:
+    """One-shot state (k, last_t, n_obs, l, b) incl. 1-obs warm-ups."""
+    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
+    obs = series.select(F.col(key_col).alias("k"),
+                        F.col(t_col).alias("t"), ym.alias("y"))
+    arr = (obs.groupBy("k")
+           .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
+                .alias("a"),
+                F.count(F.lit(1)).alias("n_obs"),
+                F.max("t").alias("last_t")))
+    a, g = alpha_pct, beta_pct
+    init = F.struct(
+        F.element_at(F.col("a"), 1)["y"].alias("l"),
+        (F.element_at(F.col("a"), 2)["y"]
+         - F.element_at(F.col("a"), 1)["y"]).alias("b"))
+
+    def step(acc, x):
+        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
+        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    state = F.aggregate(F.slice(F.col("a"), 2, F.size(F.col("a")) - 1),
+                        init, step)
+    return arr.select(
+        "k", "last_t", "n_obs",
+        F.when(F.col("n_obs") >= 2, state["l"])
+         .otherwise(F.element_at(F.col("a"), 1)["y"]).alias("l"),
+        F.when(F.col("n_obs") >= 2, state["b"])
+         .otherwise(F.lit(None).cast("long")).alias("b"))
+
+
+def save_holt_state(series: DataFrame, key_col: str, t_col: str,
+                    y_col: str, path: str, alpha_pct: int = 50,
+                    beta_pct: int = 30) -> None:
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    st = _holt_state(series, key_col, t_col, y_col, alpha_pct, beta_pct)
+    st.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "data"))
+    with open(_params_path(path), "w") as f:
+        json.dump({"alpha_pct": alpha_pct, "beta_pct": beta_pct,
+                   "key_col": key_col}, f)
+
+
+def append_holt_buckets(spark, new_series: DataFrame, key_col: str,
+                        t_col: str, y_col: str, path: str) -> None:
+    """Fold new buckets through the recurrence from the stored state.
+    Every new bucket must be strictly later than its series' last_t
+    (append-only CDC contract — violations raise)."""
+    import json
+    import os
+
+    from ..util import heal_swapped_dir, swap_commit_dir
+    with open(_params_path(path)) as f:
+        params = json.load(f)
+    a, g = params["alpha_pct"], params["beta_pct"]
+    data_p = os.path.join(path, "data")
+    heal_swapped_dir(data_p)
+    state = spark.read.parquet(data_p)
+
+    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
+    obs = new_series.select(F.col(key_col).alias("k"),
+                            F.col(t_col).alias("t"), ym.alias("y"))
+    late = (obs.join(state.select("k", "last_t"), "k")
+            .filter(F.col("t") <= F.col("last_t")).count())
+    if late:
+        raise ValueError(
+            f"{late} new bucket(s) at or before their series' last_t — "
+            "the Holt store is append-only in t (SCD2-style CDC "
+            "contract); rebuild with save_holt_state for corrections")
+    new = (obs.groupBy("k")
+           .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
+                .alias("na"),
+                F.count(F.lit(1)).alias("n_new"),
+                F.max("t").alias("new_last_t")))
+    j = state.join(new, "k", "full")
+
+    def step(acc, x):
+        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
+        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    # three fold shapes, all replaying the one-shot order exactly:
+    # warm state: fold every new bucket from (l, b);
+    # 1-obs warm-up: b init = first_new - l, fold ALL new buckets
+    #   (the one-shot recurrence also folds y2);
+    # brand-new key: delegate to the one-shot state over its buckets.
+    warm = F.aggregate(
+        F.col("na"), F.struct(F.col("l"), F.col("b")), step)
+    wake = F.aggregate(
+        F.col("na"),
+        F.struct(F.col("l"),
+                 (F.element_at(F.col("na"), 1)["y"] - F.col("l"))
+                 .alias("b")), step)
+    fresh_l = F.element_at(F.col("na"), 1)["y"]
+    fresh = F.aggregate(
+        F.slice(F.col("na"), 2, F.size(F.col("na")) - 1),
+        F.struct(fresh_l.alias("l"),
+                 (F.element_at(F.col("na"), 2)["y"] - fresh_l)
+                 .alias("b")), step)
+    has_new = F.col("na").isNotNull()
+    had_state = F.col("last_t").isNotNull()
+    new_state = (
+        F.when(~has_new,
+               F.struct(F.col("l"), F.col("b")))
+        .when(had_state & F.col("b").isNotNull(), warm)
+        .when(had_state, wake)
+        .when(F.col("n_new") >= 2, fresh)
+        .otherwise(F.struct(fresh_l.alias("l"),
+                            F.lit(None).cast("long").alias("b"))))
+    folded = j.select(
+        "k",
+        F.greatest(F.coalesce(F.col("last_t"), F.col("new_last_t")),
+                   F.coalesce(F.col("new_last_t"), F.col("last_t")))
+        .alias("last_t"),
+        (F.coalesce(F.col("n_obs"), F.lit(0))
+         + F.coalesce(F.col("n_new"), F.lit(0))).alias("n_obs"),
+        new_state["l"].alias("l"), new_state["b"].alias("b"))
+
+    swap_commit_dir(
+        lambda tmp: folded.repartition(1).write.mode("overwrite")
+        .parquet(tmp), data_p)
+
+
+def forecast_from_state(spark, path: str, horizons: int = 7,
+                        key_col: str = "k") -> DataFrame:
+    """Same output schema as `holt_forecast_micro`, served from state
+    alone — series still in warm-up (b NULL) are dropped."""
+    import os
+
+    from ..util import heal_swapped_dir
+    data_p = os.path.join(path, "data")
+    heal_swapped_dir(data_p)
+    st = spark.read.parquet(data_p).filter(F.col("b").isNotNull())
+    hs = F.explode(F.sequence(F.lit(1), F.lit(horizons))).alias("h")
+    return (st.select("k", "n_obs", F.col("l").alias("level_micro"),
+                      F.col("b").alias("trend_micro"), hs)
+            .select(F.col("k").alias(key_col), F.col("h"),
+                    (F.col("level_micro")
+                     + F.col("h") * F.col("trend_micro"))
+                    .alias("forecast_micro"),
+                    "level_micro", "trend_micro", "n_obs"))

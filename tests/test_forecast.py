@@ -75,3 +75,42 @@ def test_backtest_hand_computed(spark):
     assert r.sae_micro == 6_000_000
     assert r.mae_micro == 3_000_000
     assert r.n_steps == 2
+
+
+def test_holt_state_fold_equals_oneshot(spark, tmp_path):
+    """save -> append -> append replays the exact one-shot recurrence,
+    covering warm, warm-up-wake, and brand-new-key paths."""
+    from rassengine_spark.operators.forecast import (append_holt_buckets,
+                                                     forecast_from_state,
+                                                     holt_forecast_micro,
+                                                     save_holt_state)
+    rows = [("a", t, float(10 + 3 * t + (t % 2))) for t in range(9)]
+    rows += [("w", 0, 5.0)]                      # warm-up: 1 obs at save
+    rows += [("w", t, 5.0 + t) for t in range(1, 6)]
+    rows += [("f", t, 50.0 - 2.0 * t) for t in range(4, 9)]  # new at fold
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    path = str(tmp_path / "holt")
+
+    save_holt_state(df.filter("t < 1"), "k", "t", "y", path)
+    append_holt_buckets(spark, df.filter("t >= 1 AND t < 5"),
+                        "k", "t", "y", path)
+    append_holt_buckets(spark, df.filter("t >= 5"), "k", "t", "y", path)
+
+    got = sorted(map(tuple, forecast_from_state(
+        spark, path, horizons=3).collect()))
+    want = sorted(map(tuple, holt_forecast_micro(
+        df, "k", "t", "y", horizons=3).collect()))
+    assert got == want
+
+
+def test_holt_state_out_of_order_rejected(spark, tmp_path):
+    from rassengine_spark.operators.forecast import (append_holt_buckets,
+                                                     save_holt_state)
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 1, 2.0)],
+                               "k string, t int, y double")
+    path = str(tmp_path / "holt")
+    save_holt_state(df, "k", "t", "y", path)
+    stale = spark.createDataFrame([("a", 1, 9.0)],
+                                  "k string, t int, y double")
+    with pytest.raises(ValueError):
+        append_holt_buckets(spark, stale, "k", "t", "y", path)
