@@ -329,6 +329,10 @@ def _cmd_stream(args) -> int:
         from .streaming.lm import stream_lm_maintenance
         q = stream_lm_maintenance(spark, args.src, args.out,
                                   args.checkpoint)
+    elif kind == "holt":
+        from .streaming.forecast import stream_holt_maintenance
+        q = stream_holt_maintenance(spark, args.src, args.out,
+                                    args.checkpoint)
     elif kind == "decontam":
         if not args.vocab:
             print("--kind decontam requires --vocab (gram-vocab store)",
@@ -440,7 +444,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["index", "vectors", "rollup", "dedup",
                              "clusters", "dsir", "scd2", "vocab",
                              "hnsw", "decontam", "boilerplate",
-                             "scorehist", "dq", "psi", "kmv", "lm"])
+                             "scorehist", "dq", "psi", "kmv", "lm",
+                             "holt"])
     ps.add_argument("--src", required=True,
                     help="input dir of JSON-lines micro-batch files")
     ps.add_argument("--out", required=True,

@@ -146,8 +146,11 @@ def holt_backtest_micro(series: DataFrame, key_col: str, t_col: str,
 # two-point init once the second bucket lands.
 
 def _params_path(path: str) -> str:
+    # named manifest.json so the shared stream harness's init-if-missing
+    # check (streaming/counters.py) recognizes a built store; written
+    # LAST by save_holt_state as the build-completion marker
     import os
-    return os.path.join(path, "params.json")
+    return os.path.join(path, "manifest.json")
 
 
 def _holt_state(series: DataFrame, key_col: str, t_col: str, y_col: str,
