@@ -6685,6 +6685,56 @@ l{i + 1} AS MATERIALIZED (
             + f"\nSELECT node, lbl AS label FROM l{iters} ORDER BY node")
 
 
+def _q_basket_communities_frac(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Label propagation under the SUPPORT-FRACTION edge prune — the
+    scale form (VERDICT r4 #3, same knob as basket_part_triangles_frac):
+    a fixed absolute support stops pruning as co-occurrence densifies,
+    which is exactly what the 30x probe shows for the absolute entry
+    (0.41 of linear from edge growth alone); the fraction keeps prune
+    selectivity — and therefore LPA's per-round join volume — stable at
+    any corpus size."""
+    from rassengine_spark.operators.graph import (basket_edges,
+                                                  label_propagation)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = basket_edges(li, "l_orderkey", "l_partkey", min_support=2,
+                         support_frac=_BASKET_SUPPORT_FRAC) \
+        .select("src", "dst")
+    return label_propagation(edges, iters=3)
+
+
+def _sql_basket_communities_frac(iters: int = 3) -> str:
+    sql = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ng AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= GREATEST(
+    CAST(2 AS BIGINT),
+    CAST(CEIL({_BASKET_SUPPORT_FRAC} * (SELECT n FROM ng)) AS BIGINT))),
+sym AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM p
+  UNION SELECT dst AS s, src AS d FROM p
+  UNION SELECT src AS s, src AS d FROM p
+  UNION SELECT dst AS s, dst AS d FROM p),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM sym),
+"""
+    for i in range(iters):
+        sql += f"""c{i} AS MATERIALIZED (
+  SELECT sym.s AS node, l{i}.lbl, COUNT(*) AS c
+  FROM sym JOIN l{i} ON l{i}.node = sym.d GROUP BY sym.s, l{i}.lbl),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, lbl FROM c{i}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, lbl ASC) = 1),
+"""
+    return (sql.rstrip(",\n")
+            + f"\nSELECT node, lbl AS label FROM l{iters} ORDER BY node")
+
+
 def _q_basket_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph
     (operators/graph.py::pagerank_micro): 3 synchronous rounds in integer
@@ -8583,7 +8633,7 @@ _ROUND6_LATE = [
 # split_domain_reweight, drift_embedding_centroid, text_kn_fold,
 # split_weighted_sample, basket_part_communities,
 # events_holt_forecast, events_holt_backtest, dq_k_anonymity,
-# events_holt_fold (all
+# events_holt_fold, basket_part_communities_frac (all
 # self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
@@ -8789,6 +8839,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_lift_frac": _q_basket_lift_frac,
         "basket_part_pagerank": _q_basket_pagerank,
         "basket_part_communities": _q_basket_communities,
+        "basket_part_communities_frac": _q_basket_communities_frac,
         "events_holt_forecast": _q_events_holt_forecast,
         "events_holt_backtest": _q_events_holt_backtest,
         "dq_k_anonymity": _q_dq_k_anonymity,
@@ -9012,6 +9063,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_lift_frac": _SQL_BASKET_LIFT_FRAC,
         "basket_part_pagerank": _sql_basket_pagerank(),
         "basket_part_communities": _sql_basket_communities(),
+        "basket_part_communities_frac": _sql_basket_communities_frac(),
         "events_holt_forecast": _SQL_EVENTS_HOLT_FORECAST,
         "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
         "dq_k_anonymity": _SQL_DQ_K_ANONYMITY,
