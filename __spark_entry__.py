@@ -2695,10 +2695,12 @@ y AS (
 SELECT ga, gb,
        round(CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
          AS jaccard_est,
-       round(CAST(n_both AS DOUBLE) / CAST(in_a AS DOUBLE), 6)
-         AS contain_a_in_b,
-       round(CAST(n_both AS DOUBLE) / CAST(in_b AS DOUBLE), 6)
-         AS contain_b_in_a,
+       CASE WHEN in_a > 0
+            THEN round(CAST(n_both AS DOUBLE) / CAST(in_a AS DOUBLE), 6)
+            END AS contain_a_in_b,
+       CASE WHEN in_b > 0
+            THEN round(CAST(n_both AS DOUBLE) / CAST(in_b AS DOUBLE), 6)
+            END AS contain_b_in_a,
        round({da}, 6) AS da_est,
        round({db}, 6) AS db_est,
        round(({da} + {db})

@@ -111,13 +111,19 @@ def kmv_pairwise_overlap(sketches: DataFrame, k: int,
     da = _distinct_est(F.col("ha"), F.col("na"), k)
     db = _distinct_est(F.col("hb"), F.col("nb"), k)
     jac = n_both.cast("double") / n_union.cast("double")
+    # with k small and corpus sizes wildly disparate, the union sample
+    # can miss one side entirely (K ∩ A empty) — containment is then
+    # undefined and surfaces as NULL, not inf/NaN (guard mirrored in
+    # the oracle SQL)
     return p.select(
         "ga", "gb",
         F.round(jac, round_to).alias("jaccard_est"),
-        F.round(n_both.cast("double") / in_a.cast("double"),
-                round_to).alias("contain_a_in_b"),
-        F.round(n_both.cast("double") / in_b.cast("double"),
-                round_to).alias("contain_b_in_a"),
+        F.when(in_a > 0,
+               F.round(n_both.cast("double") / in_a.cast("double"),
+                       round_to)).alias("contain_a_in_b"),
+        F.when(in_b > 0,
+               F.round(n_both.cast("double") / in_b.cast("double"),
+                       round_to)).alias("contain_b_in_a"),
         F.round(da, round_to).alias("da_est"),
         F.round(db, round_to).alias("db_est"),
         # inclusion-exclusion: |A ∪ B| = (D_A + D_B) / (1 + J)

@@ -173,3 +173,15 @@ def test_stream_kmv_maintenance_equals_oneshot(spark, tmp_path):
     run()                                     # replay: no new files
     assert _json.load(open(_os.path.join(
         dirs["st"], "LATEST.json"))) == marker
+
+
+def test_disparate_sizes_null_containment_not_nan(spark):
+    """k=2 with one huge corpus whose hashes dominate the union sample:
+    the starved side's containment is NULL, never inf/NaN."""
+    rows = [("big", 0, " ".join(f"t{i}" for i in range(400)))]
+    rows += [("small", 0, "zq")]
+    df = _docs(spark, rows)
+    out = corpus_overlap(df, "g", "text", k=2, shingle_n=1).collect()
+    r = out[0]
+    for v in (r.contain_a_in_b, r.contain_b_in_a, r.jaccard_est):
+        assert v is None or (v == v and abs(v) != float("inf"))
