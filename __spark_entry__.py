@@ -6505,6 +6505,95 @@ def _q_events_holt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("k", "event_type")
 
 
+def _events_daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, t=epoch-day, y=count) per event_type — shared input of the
+    robust-statistics entries."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (ev.groupBy(F.col("event_type").alias("k"),
+                       F.datediff(F.date_trunc("day", "ts"),
+                                  F.lit("1970-01-01")).alias("t"))
+              .agg(F.count(F.lit(1)).alias("y")))
+
+
+def _q_events_theilsen_trend(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type (operators/robust.py):
+    lower median of pairwise integer-micro slopes + Conover's robust
+    intercept — tolerates ~29% corrupted days where least squares and
+    Holt's trend do not. Exact order statistics, plain-SQL oracle."""
+    from rassengine_spark.operators.robust import theilsen_trend_micro
+    return theilsen_trend_micro(_events_daily_micro(spark, sf_dir),
+                                "k", "t", "y") \
+        .withColumnRenamed("k", "event_type")
+
+
+_SQL_EVENTS_THEILSEN = """
+WITH d AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+o AS (SELECT k,
+             date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS t,
+             CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT) AS ym
+      FROM d),
+p AS (SELECT a.k,
+             CAST(floor(CAST(b.ym - a.ym AS DOUBLE)
+                        / CAST(b.t - a.t AS DOUBLE)) AS BIGINT) AS s
+      FROM o a JOIN o b ON a.k = b.k AND a.t < b.t),
+sm AS (SELECT k, s AS slope_micro FROM p
+       QUALIFY row_number() OVER (PARTITION BY k ORDER BY s)
+               = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                      AS BIGINT)),
+r AS (SELECT o.k, o.ym - sm.slope_micro * o.t AS r
+      FROM o JOIN sm ON sm.k = o.k),
+lv AS (SELECT k, r AS level_micro FROM r
+       QUALIFY row_number() OVER (PARTITION BY k ORDER BY r)
+               = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                      AS BIGINT)),
+n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k)
+SELECT n.k AS event_type, n.n_obs, sm.slope_micro, lv.level_micro
+FROM n JOIN sm ON sm.k = n.k JOIN lv ON lv.k = n.k
+WHERE n.n_obs >= 2
+"""
+
+
+def _q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel median/MAD outlier gate over daily volumes
+    (operators/robust.py::mad_outliers): pure-BIGINT comparison
+    |y - median|·100 > 300·MAD — the robust twin of
+    events_volume_anomaly's z-score gate."""
+    from rassengine_spark.operators.robust import mad_outliers
+    return mad_outliers(_events_daily_micro(spark, sf_dir),
+                        "k", "t", "y", nmads_pct=300) \
+        .withColumnRenamed("k", "event_type")
+
+
+_SQL_EVENTS_MAD_OUTLIERS = """
+WITH d AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+o AS (SELECT k,
+             date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS t,
+             CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT) AS ym
+      FROM d),
+md AS (SELECT k, ym AS median_micro FROM o
+       QUALIFY row_number() OVER (PARTITION BY k ORDER BY ym)
+               = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                      AS BIGINT)),
+dv AS (SELECT o.k, o.t, o.ym, md.median_micro,
+              abs(o.ym - md.median_micro) AS deviation_micro
+       FROM o JOIN md ON md.k = o.k),
+mad AS (SELECT k, deviation_micro AS mad_micro FROM dv
+        QUALIFY row_number() OVER (PARTITION BY k
+                                   ORDER BY deviation_micro)
+                = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                       AS BIGINT))
+SELECT dv.k AS event_type, dv.t, dv.ym AS y_micro, dv.median_micro,
+       mad.mad_micro, dv.deviation_micro,
+       dv.deviation_micro * 100 > 300 * mad.mad_micro AS is_outlier
+FROM dv JOIN mad ON mad.k = dv.k
+"""
+
+
 def _q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity release audit (llmops/dataquality.py::
     k_anonymity_report): documents quasi-identified by (lang, source),
@@ -8635,7 +8724,8 @@ _ROUND6_LATE = [
 # split_domain_reweight, drift_embedding_centroid, text_kn_fold,
 # split_weighted_sample, basket_part_communities,
 # events_holt_forecast, events_holt_backtest, dq_k_anonymity,
-# events_holt_fold, basket_part_communities_frac (all
+# events_holt_fold, basket_part_communities_frac,
+# events_theilsen_trend, events_mad_outliers (all
 # self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
@@ -8846,6 +8936,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_backtest": _q_events_holt_backtest,
         "dq_k_anonymity": _q_dq_k_anonymity,
         "events_holt_fold": _q_events_holt_fold,
+        "events_theilsen_trend": _q_events_theilsen_trend,
+        "events_mad_outliers": _q_events_mad_outliers,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -9070,6 +9162,8 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
         "dq_k_anonymity": _SQL_DQ_K_ANONYMITY,
         "events_holt_fold": _SQL_EVENTS_HOLT_FORECAST,
+        "events_theilsen_trend": _SQL_EVENTS_THEILSEN,
+        "events_mad_outliers": _SQL_EVENTS_MAD_OUTLIERS,
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
