@@ -6708,7 +6708,8 @@ n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k
       HAVING COUNT(*) >= 3),
 s AS (
   SELECT a.k, 1 AS t, a.ym AS l, b.ym - a.ym AS b,
-         CAST(0 AS BIGINT) AS sae
+         CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS nsae,
+         a.ym AS py
   FROM o a JOIN o b ON a.k = b.k AND b.rn = 2
   WHERE a.rn = 1
   UNION ALL
@@ -6720,14 +6721,21 @@ s AS (
                                              AS DOUBLE) / 100.0)
                                AS BIGINT) - s.l)
                          + 70 * s.b AS DOUBLE) / 100.0) AS BIGINT) AS b,
-         s.sae + abs(o.ym - (s.l + s.b)) AS sae
+         s.sae + abs(o.ym - (s.l + s.b)) AS sae,
+         s.nsae + abs(o.ym - s.py) AS nsae,
+         o.ym AS py
   FROM s JOIN o ON o.k = s.k AND o.rn = s.t + 1),
-fin AS (SELECT s.k, s.sae, n.n_obs
+fin AS (SELECT s.k, s.sae, s.nsae, n.n_obs
         FROM s JOIN n ON n.k = s.k AND s.t = n.n_obs)
 SELECT k AS event_type, CAST(n_obs - 1 AS BIGINT) AS n_steps,
        sae AS sae_micro,
        CAST(floor(CAST(sae AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE))
-            AS BIGINT) AS mae_micro
+            AS BIGINT) AS mae_micro,
+       nsae AS naive_sae_micro,
+       CASE WHEN nsae > 0
+            THEN CAST(floor(CAST(sae * 1000000 AS DOUBLE)
+                            / CAST(nsae AS DOUBLE)) AS BIGINT)
+            END AS mase_ppm
 FROM fin
 """
 

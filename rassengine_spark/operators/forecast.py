@@ -88,13 +88,15 @@ def holt_forecast_micro(series: DataFrame, key_col: str, t_col: str,
 def holt_backtest_micro(series: DataFrame, key_col: str, t_col: str,
                         y_col: str, alpha_pct: int = 50,
                         beta_pct: int = 30) -> DataFrame:
-    """(key, n_steps, sae_micro, mae_micro) — in-sample one-step-ahead
-    backtest of the same recurrence: at each fold step the PRIOR state
-    forecasts l+b, the absolute error against the incoming bucket
-    accumulates (exact integer sum), THEN the state updates. The
-    standard walk-forward evaluation of a forecaster, with mae =
-    sae / n_steps floor-divided in micro-units — all integers, so the
-    oracle replays it verbatim."""
+    """(key, n_steps, sae_micro, mae_micro, naive_sae_micro, mase_ppm)
+    — in-sample one-step-ahead backtest of the same recurrence: at each
+    fold step the PRIOR state forecasts l+b, the absolute error against
+    the incoming bucket accumulates (exact integer sum), THEN the state
+    updates. The naive-1 baseline (predict the previous bucket)
+    accumulates alongside, giving MASE (Hyndman & Koehler 2006) as
+    floor(sae · 1e6 / naive_sae) ppm — under 1e6 means the model beats
+    naive persistence; NULL when the naive error is zero (constant
+    series). All integers, so the oracle replays it verbatim."""
     if not (0 < alpha_pct <= 100 and 0 < beta_pct <= 100):
         raise ValueError(f"alpha_pct/beta_pct must be in (0, 100], got "
                          f"{alpha_pct}/{beta_pct}")
@@ -112,23 +114,33 @@ def holt_backtest_micro(series: DataFrame, key_col: str, t_col: str,
         F.element_at(F.col("a"), 1)["y"].alias("l"),
         (F.element_at(F.col("a"), 2)["y"]
          - F.element_at(F.col("a"), 1)["y"]).alias("b"),
-        F.lit(0).cast("long").alias("sae"))
+        F.lit(0).cast("long").alias("sae"),
+        F.lit(0).cast("long").alias("nsae"),
+        F.element_at(F.col("a"), 1)["y"].alias("py"))
 
     def step(acc, x):
         err = F.abs(x["y"] - (acc["l"] + acc["b"]))
+        nerr = F.abs(x["y"] - acc["py"])
         l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
         b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
         return F.struct(l_new.alias("l"), b_new.alias("b"),
-                        (acc["sae"] + err).alias("sae"))
+                        (acc["sae"] + err).alias("sae"),
+                        (acc["nsae"] + nerr).alias("nsae"),
+                        x["y"].alias("py"))
 
     state = F.aggregate(F.slice(F.col("a"), 2, F.size(F.col("a")) - 1),
                         init, step)
     n_steps = (F.col("n_obs") - 1).cast("long")
+    mase = F.when(state["nsae"] > 0,
+                  F.floor((state["sae"] * 1_000_000).cast("double")
+                          / state["nsae"].cast("double")).cast("long"))
     return arr.select(
         F.col("k").alias(key_col), n_steps.alias("n_steps"),
         state["sae"].alias("sae_micro"),
         F.floor(state["sae"].cast("double")
-                / n_steps.cast("double")).cast("long").alias("mae_micro"))
+                / n_steps.cast("double")).cast("long").alias("mae_micro"),
+        state["nsae"].alias("naive_sae_micro"),
+        mase.alias("mase_ppm"))
 
 
 # ------------------------------------------------------------------ store

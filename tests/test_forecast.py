@@ -63,6 +63,9 @@ def test_backtest_zero_error_on_linear(spark):
     r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
     assert r.sae_micro == 0 and r.mae_micro == 0
     assert r.n_steps == 5
+    # naive persistence errs by the slope each step; Holt beats it
+    assert r.naive_sae_micro == 5 * 2_000_000
+    assert r.mase_ppm == 0
 
 
 def test_backtest_hand_computed(spark):
@@ -75,6 +78,9 @@ def test_backtest_hand_computed(spark):
     assert r.sae_micro == 6_000_000
     assert r.mae_micro == 3_000_000
     assert r.n_steps == 2
+    # naive: |12-10| + |20-12| = 10M; MASE = floor(6M*1e6/10M) = 600000
+    assert r.naive_sae_micro == 10_000_000
+    assert r.mase_ppm == 600_000
 
 
 def test_holt_state_fold_equals_oneshot(spark, tmp_path):
@@ -156,3 +162,12 @@ def test_stream_holt_maintenance_equals_oneshot(spark, tmp_path):
     run()
     assert _json.load(open(_os.path.join(
         dirs["st"], "LATEST.json"))) == marker
+
+
+def test_backtest_constant_series_null_mase(spark):
+    from rassengine_spark.operators.forecast import holt_backtest_micro
+    rows = [("a", t, 7.0) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
+    assert r.naive_sae_micro == 0 and r.mase_ppm is None
+    assert r.sae_micro == 0
