@@ -2661,7 +2661,8 @@ def _q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_overlap(docs, "source", "text", k=_KMV_K, shingle_n=2)
 
 
-def _sql_corpus_overlap_kmv() -> str:
+def _sql_corpus_overlap_kmv(group_sql: str = "source",
+                            shingle_n: int = 2) -> str:
     k = _KMV_K
     words = _SQL_WORDS.format(col="text")
     space = "1152921504606846976.0"                      # 2^60 as double
@@ -2670,8 +2671,8 @@ def _sql_corpus_overlap_kmv() -> str:
             % (k, k - 1, space, k))
     da, db = dest.format(s="a"), dest.format(s="b")
     return f"""
-WITH d AS (SELECT source AS g, {words} AS words FROM documents),
-sh AS (SELECT g, unnest({_sql_shingles(2)}) AS s FROM d),
+WITH d AS (SELECT {group_sql} AS g, {words} AS words FROM documents),
+sh AS (SELECT g, unnest({_sql_shingles(shingle_n)}) AS s FROM d),
 h AS (SELECT DISTINCT g, {_sql_hash60('s')} AS h FROM sh),
 topk AS (SELECT g, h FROM h
          QUALIFY row_number() OVER (PARTITION BY g ORDER BY h) <= {k}),
@@ -2708,6 +2709,22 @@ SELECT ga, gb,
          AS union_est
 FROM y
 """
+
+
+def _q_decontam_kmv_containment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Sketch-tier contamination estimate: KMV containment of the eval
+    split's trigram shingles in the train split's (contain_a_in_b with
+    a='eval' < b='train') — the bounded-state, corpus-level answer to
+    the question decontam_ngram_overlap answers exactly per document.
+    At 100 TB the exact doc-level probe needs the persisted gram vocab;
+    this 2x256-bigint comparison runs anywhere, anytime."""
+    from rassengine_spark.llmops.overlap import corpus_overlap
+    docs = load_tables(spark, sf_dir)["documents"]
+    grp = F.when(F.col("doc_id") % 5 == 0, F.lit("eval")) \
+           .otherwise(F.lit("train"))
+    return corpus_overlap(docs.select(grp.alias("corpus"), "text"),
+                          "corpus", "text", k=_KMV_K, shingle_n=3)
 
 
 def _q_corpus_overlap_store_fold(spark: SparkSession,
@@ -8733,7 +8750,8 @@ _ROUND6_LATE = [
 # split_weighted_sample, basket_part_communities,
 # events_holt_forecast, events_holt_backtest, dq_k_anonymity,
 # events_holt_fold, basket_part_communities_frac,
-# events_theilsen_trend, events_mad_outliers (all
+# events_theilsen_trend, events_mad_outliers,
+# decontam_kmv_containment (all
 # self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
@@ -8832,6 +8850,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_text_lm_score,
         "text_kn_lm_score": _q_text_kn_lm_score,
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
+        "decontam_kmv_containment": _q_decontam_kmv_containment,
         "split_domain_reweight": _q_split_domain_reweight,
         "drift_embedding_centroid": _q_drift_embedding_centroid,
         "corpus_overlap_store_fold": _q_corpus_overlap_store_fold,
@@ -9057,6 +9076,10 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": _sql_text_lm_score(),
         "text_kn_lm_score": _sql_text_kn_lm_score(),
         "corpus_overlap_kmv": _sql_corpus_overlap_kmv(),
+        "decontam_kmv_containment": _sql_corpus_overlap_kmv(
+            group_sql="CASE WHEN doc_id % 5 = 0 THEN 'eval' "
+                      "ELSE 'train' END",
+            shingle_n=3),
         "split_domain_reweight": _sql_split_domain_reweight(),
         "drift_embedding_centroid": _SQL_DRIFT_EMBEDDING_CENTROID,
         "corpus_overlap_store_fold": _sql_corpus_overlap_kmv(),
