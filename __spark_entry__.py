@@ -2905,7 +2905,8 @@ st AS (
                     / 1000000.0, 0.0) AS ex
   FROM pd CROSS JOIN ov),
 w AS (SELECT domain, n_docs, k, mean_d, ex,
-             CAST(round(exp(0.5 * ex) * 1000000, 0) AS BIGINT) AS wu
+             CAST(round(exp(least(0.5 * ex, 20.0)) * 1000000, 0) AS BIGINT)
+               AS wu
       FROM st),
 t AS (SELECT SUM(wu) AS wu_tot FROM w)
 SELECT domain, n_docs,
@@ -6724,9 +6725,11 @@ o AS (SELECT k, CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)
 n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k
       HAVING COUNT(*) >= 3),
 s AS (
-  SELECT a.k, 1 AS t, a.ym AS l, b.ym - a.ym AS b,
+  -- init at the post-y2 state (t=2): the y2 step's model error is zero
+  -- by construction, so the error window starts at y3 on both sides
+  SELECT a.k, 2 AS t, b.ym AS l, b.ym - a.ym AS b,
          CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS nsae,
-         a.ym AS py
+         b.ym AS py
   FROM o a JOIN o b ON a.k = b.k AND b.rn = 2
   WHERE a.rn = 1
   UNION ALL
@@ -6744,9 +6747,9 @@ s AS (
   FROM s JOIN o ON o.k = s.k AND o.rn = s.t + 1),
 fin AS (SELECT s.k, s.sae, s.nsae, n.n_obs
         FROM s JOIN n ON n.k = s.k AND s.t = n.n_obs)
-SELECT k AS event_type, CAST(n_obs - 1 AS BIGINT) AS n_steps,
+SELECT k AS event_type, CAST(n_obs - 2 AS BIGINT) AS n_steps,
        sae AS sae_micro,
-       CAST(floor(CAST(sae AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE))
+       CAST(floor(CAST(sae AS DOUBLE) / CAST(n_obs - 2 AS DOUBLE))
             AS BIGINT) AS mae_micro,
        nsae AS naive_sae_micro,
        CASE WHEN nsae > 0

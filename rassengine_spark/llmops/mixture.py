@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
+# exp clamp: exp(20)*1e6 ~ 4.85e14, so even 10^4 domains sum far below
+# 2^63 — without it a large eta*excess saturates the long cast at
+# Long.MaxValue and the normalization sum silently wraps negative
+# (review finding). Domains at the clamp share the max unnormalized
+# weight, which is the intended "this domain is maximally hard" signal.
+MAX_EXPONENT = 20.0
 
 
 def domain_reweight(scored: DataFrame, domain_col: str, loss_col: str,
@@ -63,7 +69,8 @@ def domain_reweight(scored: DataFrame, domain_col: str, loss_col: str,
     mean_all = (F.col("_sm_all").cast("double")
                 / F.col("_n_all").cast("double")) / float(MICRO)
     excess = F.greatest(mean_d - mean_all, F.lit(0.0))
-    wu_micro = F.round(F.exp(eta * excess) * MICRO, 0).cast("long")
+    expo = F.least(eta * excess, F.lit(MAX_EXPONENT))
+    wu_micro = F.round(F.exp(expo) * MICRO, 0).cast("long")
     stepped = j.select("domain", "n_docs", "_k",
                        mean_d.alias("_mean"), excess.alias("_ex"),
                        wu_micro.alias("_wu"))

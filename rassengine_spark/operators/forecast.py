@@ -38,6 +38,28 @@ def _floordiv100(x: Column) -> Column:
     return F.floor(x.cast("double") / 100.0).cast("long")
 
 
+def _obs_micro(series: DataFrame, key_col: str, t_col: str,
+               y_col: str) -> DataFrame:
+    """(k, t, y) with y in round(y*1e6) micro-units — the shared prep of
+    every entry point (ONE definition so the oracle-exactness cast can
+    never drift between them; review finding)."""
+    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
+    return series.select(F.col(key_col).alias("k"),
+                         F.col(t_col).alias("t"), ym.alias("y"))
+
+
+def _holt_step(a: int, g: int):
+    """The (l, b) update closure — the single definition of the
+    recurrence all four fold sites share. Extra accumulator fields in
+    the struct pass through untouched only if the caller re-packs them;
+    plain (l, b) callers use this directly."""
+    def step(acc, x):
+        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
+        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+    return step
+
+
 def holt_forecast_micro(series: DataFrame, key_col: str, t_col: str,
                         y_col: str, horizons: int = 7,
                         alpha_pct: int = 50, beta_pct: int = 30
@@ -52,28 +74,19 @@ def holt_forecast_micro(series: DataFrame, key_col: str, t_col: str,
                          f"{alpha_pct}/{beta_pct}")
     if horizons < 1:
         raise ValueError(f"horizons must be >= 1, got {horizons}")
-    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-    obs = series.select(F.col(key_col).alias("k"),
-                        F.col(t_col).alias("t"), ym.alias("y"))
+    obs = _obs_micro(series, key_col, t_col, y_col)
     arr = (obs.groupBy("k")
            .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
                 .alias("a"),
                 F.count(F.lit(1)).alias("n_obs"))
            .filter(F.col("n_obs") >= 2))
 
-    a, g = alpha_pct, beta_pct
     init = F.struct(
         F.element_at(F.col("a"), 1)["y"].alias("l"),
         (F.element_at(F.col("a"), 2)["y"]
          - F.element_at(F.col("a"), 1)["y"]).alias("b"))
-
-    def step(acc, x):
-        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
-        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
-        return F.struct(l_new.alias("l"), b_new.alias("b"))
-
     state = F.aggregate(F.slice(F.col("a"), 2, F.size(F.col("a")) - 1),
-                        init, step)
+                        init, _holt_step(alpha_pct, beta_pct))
     fitted = arr.select("k", "n_obs", state["l"].alias("level_micro"),
                         state["b"].alias("trend_micro"))
     hs = F.explode(F.sequence(F.lit(1), F.lit(horizons))).alias("h")
@@ -100,37 +113,40 @@ def holt_backtest_micro(series: DataFrame, key_col: str, t_col: str,
     if not (0 < alpha_pct <= 100 and 0 < beta_pct <= 100):
         raise ValueError(f"alpha_pct/beta_pct must be in (0, 100], got "
                          f"{alpha_pct}/{beta_pct}")
-    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-    obs = series.select(F.col(key_col).alias("k"),
-                        F.col(t_col).alias("t"), ym.alias("y"))
+    obs = _obs_micro(series, key_col, t_col, y_col)
     arr = (obs.groupBy("k")
            .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
                 .alias("a"),
                 F.count(F.lit(1)).alias("n_obs"))
            .filter(F.col("n_obs") >= 3))
 
-    a, g = alpha_pct, beta_pct
+    base = _holt_step(alpha_pct, beta_pct)
+    # errors accumulate from the THIRD observation: the step on y2 has
+    # model error identically zero by construction (init targets y2
+    # exactly, and that step is an exact identity to (y2, y2-y1) under
+    # the floor division), so counting it would gift the model a free
+    # zero the naive baseline doesn't get and bias MASE (review
+    # finding). Init therefore starts AT the post-y2 state.
     init = F.struct(
-        F.element_at(F.col("a"), 1)["y"].alias("l"),
+        F.element_at(F.col("a"), 2)["y"].alias("l"),
         (F.element_at(F.col("a"), 2)["y"]
          - F.element_at(F.col("a"), 1)["y"]).alias("b"),
         F.lit(0).cast("long").alias("sae"),
         F.lit(0).cast("long").alias("nsae"),
-        F.element_at(F.col("a"), 1)["y"].alias("py"))
+        F.element_at(F.col("a"), 2)["y"].alias("py"))
 
     def step(acc, x):
         err = F.abs(x["y"] - (acc["l"] + acc["b"]))
         nerr = F.abs(x["y"] - acc["py"])
-        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
-        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
-        return F.struct(l_new.alias("l"), b_new.alias("b"),
+        nxt = base(acc, x)
+        return F.struct(nxt["l"].alias("l"), nxt["b"].alias("b"),
                         (acc["sae"] + err).alias("sae"),
                         (acc["nsae"] + nerr).alias("nsae"),
                         x["y"].alias("py"))
 
-    state = F.aggregate(F.slice(F.col("a"), 2, F.size(F.col("a")) - 1),
+    state = F.aggregate(F.slice(F.col("a"), 3, F.size(F.col("a")) - 2),
                         init, step)
-    n_steps = (F.col("n_obs") - 1).cast("long")
+    n_steps = (F.col("n_obs") - 2).cast("long")
     mase = F.when(state["nsae"] > 0,
                   F.floor((state["sae"] * 1_000_000).cast("double")
                           / state["nsae"].cast("double")).cast("long"))
@@ -168,27 +184,18 @@ def _params_path(path: str) -> str:
 def _holt_state(series: DataFrame, key_col: str, t_col: str, y_col: str,
                 alpha_pct: int, beta_pct: int) -> DataFrame:
     """One-shot state (k, last_t, n_obs, l, b) incl. 1-obs warm-ups."""
-    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-    obs = series.select(F.col(key_col).alias("k"),
-                        F.col(t_col).alias("t"), ym.alias("y"))
+    obs = _obs_micro(series, key_col, t_col, y_col)
     arr = (obs.groupBy("k")
            .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
                 .alias("a"),
                 F.count(F.lit(1)).alias("n_obs"),
                 F.max("t").alias("last_t")))
-    a, g = alpha_pct, beta_pct
     init = F.struct(
         F.element_at(F.col("a"), 1)["y"].alias("l"),
         (F.element_at(F.col("a"), 2)["y"]
          - F.element_at(F.col("a"), 1)["y"]).alias("b"))
-
-    def step(acc, x):
-        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
-        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
-        return F.struct(l_new.alias("l"), b_new.alias("b"))
-
     state = F.aggregate(F.slice(F.col("a"), 2, F.size(F.col("a")) - 1),
-                        init, step)
+                        init, _holt_step(alpha_pct, beta_pct))
     return arr.select(
         "k", "last_t", "n_obs",
         F.when(F.col("n_obs") >= 2, state["l"])
@@ -212,10 +219,17 @@ def save_holt_state(series: DataFrame, key_col: str, t_col: str,
 
 
 def append_holt_buckets(spark, new_series: DataFrame, key_col: str,
-                        t_col: str, y_col: str, path: str) -> None:
+                        t_col: str, y_col: str, path: str,
+                        skip_stale: bool = False) -> None:
     """Fold new buckets through the recurrence from the stored state.
     Every new bucket must be strictly later than its series' last_t
-    (append-only CDC contract — violations raise)."""
+    (append-only CDC contract — violations raise). With
+    ``skip_stale=True`` stale buckets are DROPPED instead: the replay
+    semantics the streaming maintainer needs — a crash between the
+    state swap and the marker commit replays the whole batch, whose
+    buckets are then all at-or-before last_t and fold to a no-op
+    (without this, the replayed batch would raise forever and the
+    stream could never restart — review finding, pytest-pinned)."""
     import json
     import os
 
@@ -225,29 +239,35 @@ def append_holt_buckets(spark, new_series: DataFrame, key_col: str,
     a, g = params["alpha_pct"], params["beta_pct"]
     data_p = os.path.join(path, "data")
     heal_swapped_dir(data_p)
-    state = spark.read.parquet(data_p)
+    state = spark.read.parquet(data_p).localCheckpoint(eager=True)
 
-    ym = F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-    obs = new_series.select(F.col(key_col).alias("k"),
-                            F.col(t_col).alias("t"), ym.alias("y"))
-    late = (obs.join(state.select("k", "last_t"), "k")
-            .filter(F.col("t") <= F.col("last_t")).count())
-    if late:
-        raise ValueError(
-            f"{late} new bucket(s) at or before their series' last_t — "
-            "the Holt store is append-only in t (SCD2-style CDC "
-            "contract); rebuild with save_holt_state for corrections")
+    # one pass: the staleness probe + both fold reads run off the
+    # checkpointed batch, not re-reads of the input (counter-store rule)
+    obs = _obs_micro(new_series, key_col, t_col, y_col) \
+        .localCheckpoint(eager=True)
+    stale = (obs.join(state.select("k", "last_t"), "k")
+             .filter(F.col("t") <= F.col("last_t")))
+    if skip_stale:
+        obs = (obs.join(state.select("k", "last_t"), "k", "left")
+               .filter(F.col("last_t").isNull()
+                       | (F.col("t") > F.col("last_t")))
+               .select("k", "t", "y"))
+    else:
+        late = stale.count()
+        if late:
+            raise ValueError(
+                f"{late} new bucket(s) at or before their series' "
+                "last_t — the Holt store is append-only in t "
+                "(SCD2-style CDC contract); rebuild with "
+                "save_holt_state for corrections, or pass "
+                "skip_stale=True for replay-tolerant maintenance")
     new = (obs.groupBy("k")
            .agg(F.array_sort(F.collect_list(F.struct("t", "y")))
                 .alias("na"),
                 F.count(F.lit(1)).alias("n_new"),
                 F.max("t").alias("new_last_t")))
     j = state.join(new, "k", "full")
-
-    def step(acc, x):
-        l_new = _floordiv100(a * x["y"] + (100 - a) * (acc["l"] + acc["b"]))
-        b_new = _floordiv100(g * (l_new - acc["l"]) + (100 - g) * acc["b"])
-        return F.struct(l_new.alias("l"), b_new.alias("b"))
+    step = _holt_step(a, g)
 
     # three fold shapes, all replaying the one-shot order exactly:
     # warm state: fold every new bucket from (l, b);

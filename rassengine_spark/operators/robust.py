@@ -46,7 +46,7 @@ def theilsen_trend_micro(series: DataFrame, key_col: str, t_col: str,
     obs = series.select(
         F.col(key_col).alias("k"), F.col(t_col).cast("long").alias("t"),
         F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-        .alias("y"))
+        .alias("y")).filter(F.col("y").isNotNull())
     a, b = obs.alias("a"), obs.alias("b")
     slope = F.floor(
         ((F.col("b.y") - F.col("a.y"))).cast("double")
@@ -58,8 +58,10 @@ def theilsen_trend_micro(series: DataFrame, key_col: str, t_col: str,
               .agg(_lower_median(F.array_sort(F.collect_list("s")))
                    .alias("slope_micro"),
                    F.count(F.lit(1)).alias("_n_pairs")))
-    n_check = series.groupBy(F.col(key_col).alias("k")) \
-                    .agg(F.count(F.lit(1)).alias("n_obs"))
+    # n_obs counts the SCORABLE (non-null) buckets obs kept, so the
+    # medians and the count agree; an all-null series simply vanishes
+    # instead of crashing _lower_median on an empty array
+    n_check = obs.groupBy("k").agg(F.count(F.lit(1)).alias("n_obs"))
     over = n_check.filter(F.col("n_obs") > MAX_BUCKETS).count()
     if over:
         raise ValueError(
@@ -93,7 +95,7 @@ def mad_outliers(series: DataFrame, key_col: str, t_col: str,
     obs = series.select(
         F.col(key_col).alias("k"), F.col(t_col).alias("t"),
         F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-        .alias("y"))
+        .alias("y")).filter(F.col("y").isNotNull())
     med = (obs.groupBy("k")
            .agg(_lower_median(F.array_sort(F.collect_list("y")))
                 .alias("median_micro")))

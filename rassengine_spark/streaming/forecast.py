@@ -39,8 +39,12 @@ def stream_holt_maintenance(spark: SparkSession, input_dir: str,
                         beta_pct=beta_pct)
 
     def append(batch_df, delta_name: str) -> None:
+        # skip_stale: a crash between the state swap and the marker
+        # commit replays this batch — its buckets are then all
+        # at-or-before last_t and must fold to a no-op, not raise
+        # forever (review finding, pinned by the crash-replay test)
         append_holt_buckets(spark, batch_df, key_col, t_col, y_col,
-                            store_dir)
+                            store_dir, skip_stale=True)
 
     return stream_counter_maintenance(
         spark, input_dir, store_dir, checkpoint_dir, schema, init,

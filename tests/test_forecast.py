@@ -62,25 +62,26 @@ def test_backtest_zero_error_on_linear(spark):
     df = spark.createDataFrame(rows, "k string, t int, y double")
     r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
     assert r.sae_micro == 0 and r.mae_micro == 0
-    assert r.n_steps == 5
+    assert r.n_steps == 4                 # errors start at the 3rd obs
     # naive persistence errs by the slope each step; Holt beats it
-    assert r.naive_sae_micro == 5 * 2_000_000
+    assert r.naive_sae_micro == 4 * 2_000_000
     assert r.mase_ppm == 0
 
 
 def test_backtest_hand_computed(spark):
-    """y=[10,12,20]: state after init (10M,2M); step1 on 12M: forecast
-    12M, err 0; step2 on 20M: forecast 14M, err 6M. sae=6M, mae=3M."""
+    """y=[10,12,20]: init at the post-y2 state (12M, 2M) — the y2
+    step's model error is zero by construction and is NOT counted; the
+    only scored step is 20M: model forecast 14M -> err 6M, naive
+    forecast 12M -> err 8M."""
     from rassengine_spark.operators.forecast import holt_backtest_micro
     rows = [("a", 0, 10.0), ("a", 1, 12.0), ("a", 2, 20.0)]
     df = spark.createDataFrame(rows, "k string, t int, y double")
     r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
     assert r.sae_micro == 6_000_000
-    assert r.mae_micro == 3_000_000
-    assert r.n_steps == 2
-    # naive: |12-10| + |20-12| = 10M; MASE = floor(6M*1e6/10M) = 600000
-    assert r.naive_sae_micro == 10_000_000
-    assert r.mase_ppm == 600_000
+    assert r.mae_micro == 6_000_000
+    assert r.n_steps == 1
+    assert r.naive_sae_micro == 8_000_000
+    assert r.mase_ppm == 750_000          # floor(6M * 1e6 / 8M)
 
 
 def test_holt_state_fold_equals_oneshot(spark, tmp_path):
@@ -171,3 +172,48 @@ def test_backtest_constant_series_null_mase(spark):
     r = holt_backtest_micro(df, "k", "t", "y").collect()[0]
     assert r.naive_sae_micro == 0 and r.mase_ppm is None
     assert r.sae_micro == 0
+    assert r.n_steps == 3
+
+
+def test_stream_holt_crash_replay_recovers(spark, tmp_path):
+    """Crash window between the state swap and the marker commit: the
+    replayed batch folds to a no-op instead of raising forever (the
+    failure the strict CDC check would otherwise cause on restart)."""
+    import json as _json
+    import os as _os
+
+    from rassengine_spark.operators.forecast import (append_holt_buckets,
+                                                     forecast_from_state,
+                                                     holt_forecast_micro)
+    from rassengine_spark.streaming.forecast import stream_holt_maintenance
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "st", "ck")}
+    _os.makedirs(dirs["in"])
+    rows = [("a", t, float(10 + 2 * t)) for t in range(6)]
+
+    def write(name, chunk):
+        with open(_os.path.join(dirs["in"], name), "w") as f:
+            for k, t, y in chunk:
+                f.write(_json.dumps({"k": k, "t": t, "y": y}) + "\n")
+
+    def run():
+        q = stream_holt_maintenance(spark, dirs["in"], dirs["st"],
+                                    dirs["ck"])
+        q.awaitTermination(120)
+
+    write("a.json", rows[:3])
+    run()
+    # simulate the crash: batch b1's data was FOLDED (state advanced)
+    # but the marker was not committed — fold the next chunk manually,
+    # leaving LATEST.json at the pre-fold batch id
+    batch = spark.createDataFrame(rows[3:], "k string, t long, y double")
+    append_holt_buckets(spark, batch, "k", "t", "y", dirs["st"])
+    write("b.json", rows[3:])
+    run()                       # replays the folded data: must not raise
+
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = sorted(map(tuple, forecast_from_state(
+        spark, dirs["st"], horizons=2).collect()))
+    want = sorted(map(tuple, holt_forecast_micro(
+        df, "k", "t", "y", horizons=2).collect()))
+    assert got == want

@@ -80,3 +80,16 @@ def test_embedding_centroid_drift_averages(spark):
     assert r.cos_centroid == pytest.approx(1.0, abs=1e-6)
     assert r.l2_shift == pytest.approx(0.0, abs=1e-6)
     assert r.n_base == 2 and r.n_cur == 1
+
+
+def test_extreme_excess_clamped_no_overflow(spark):
+    """Huge eta x excess saturates at the exponent clamp instead of
+    wrapping the normalization sum negative (review finding)."""
+    df = spark.createDataFrame(
+        [("a", 1000.0)] * 3 + [("b", 0.0)] * 3, "dom string, loss double")
+    rows = domain_reweight(df, "dom", "loss", eta=5.0,
+                           smoothing=0.0).collect()
+    ws = {r.domain: r.weight for r in rows}
+    assert all(0.0 <= w <= 1.0 for w in ws.values())
+    assert sum(ws.values()) == pytest.approx(1.0, abs=1e-4)
+    assert ws["a"] > 0.99              # hard domain takes ~all the mass

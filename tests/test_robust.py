@@ -60,3 +60,19 @@ def test_mad_nondegenerate(spark):
     assert sum(1 for r in out.values() if r.is_outlier) == 1
     with pytest.raises(ValueError):
         mad_outliers(df, "k", "t", "y", nmads_pct=0)
+
+
+def test_null_values_dropped_not_crashed(spark):
+    """All-null series vanish; partially-null series score over their
+    non-null buckets with a consistent n_obs (review finding)."""
+    rows = [("dead", 0, None), ("dead", 1, None),
+            ("a", 0, 1.0), ("a", 1, None), ("a", 2, 3.0)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    got = {r.k: r for r in theilsen_trend_micro(
+        df, "k", "t", "y").collect()}
+    assert set(got) == {"a"}
+    assert got["a"].n_obs == 2
+    assert got["a"].slope_micro == 1_000_000    # (3-1)/(2-0)
+    out = mad_outliers(df, "k", "t", "y").collect()
+    assert {r.k for r in out} == {"a"}
+    assert len(out) == 2
