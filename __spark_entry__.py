@@ -6545,8 +6545,7 @@ def _q_events_theilsen_trend(spark: SparkSession,
         .withColumnRenamed("k", "event_type")
 
 
-_SQL_EVENTS_THEILSEN = """
-WITH d AS (
+_SQL_TS_CTES = """d AS (
   SELECT event_type AS k, date_trunc('day', ts) AS day, COUNT(*) AS y
   FROM events GROUP BY 1, 2),
 o AS (SELECT k,
@@ -6567,11 +6566,92 @@ lv AS (SELECT k, r AS level_micro FROM r
        QUALIFY row_number() OVER (PARTITION BY k ORDER BY r)
                = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
                       AS BIGINT)),
-n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k)
+n AS (SELECT k, COUNT(*) AS n_obs FROM o GROUP BY k)"""
+
+_SQL_EVENTS_THEILSEN = f"""
+WITH {_SQL_TS_CTES}
 SELECT n.k AS event_type, n.n_obs, sm.slope_micro, lv.level_micro
 FROM n JOIN sm ON sm.k = n.k JOIN lv ON lv.k = n.k
 WHERE n.n_obs >= 2
 """
+
+_SQL_EVENTS_TREND_OUTLIERS = f"""
+WITH {_SQL_TS_CTES},
+res AS (
+  SELECT o.k, o.t, o.ym,
+         o.ym - (lv.level_micro + sm.slope_micro * o.t) AS rr
+  FROM o JOIN sm ON sm.k = o.k JOIN lv ON lv.k = o.k),
+rmed AS (SELECT k, rr AS resid_median_micro FROM res
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY rr)
+                 = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                        AS BIGINT)),
+rdev AS (SELECT res.k, res.t, res.ym, res.rr, rmed.resid_median_micro,
+                abs(res.rr - rmed.resid_median_micro) AS dd
+         FROM res JOIN rmed ON rmed.k = res.k),
+rmad AS (SELECT k, dd AS resid_mad_micro FROM rdev
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY dd)
+                 = CAST(ceil(COUNT(*) OVER (PARTITION BY k) / 2.0)
+                        AS BIGINT))
+SELECT rdev.k AS event_type, rdev.t, rdev.ym AS y_micro,
+       rdev.rr AS resid_micro, rdev.resid_median_micro,
+       rmad.resid_mad_micro,
+       rdev.dd * 100 > 300 * rmad.resid_mad_micro AS is_outlier
+FROM rdev JOIN rmad ON rmad.k = rdev.k
+"""
+
+_SQL_EVENTS_SEASONALITY = """
+WITH d AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+o AS (SELECT k,
+             date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS t,
+             CAST(round(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT) AS ym
+      FROM d),
+e1 AS (SELECT c.k, CAST(SUM(abs(c.ym - p.ym)) AS BIGINT) AS sae1,
+              COUNT(*) AS n1
+       FROM o c JOIN o p ON c.k = p.k AND c.t - 1 = p.t GROUP BY c.k),
+ep AS (SELECT c.k, CAST(SUM(abs(c.ym - p.ym)) AS BIGINT) AS saep,
+              COUNT(*) AS np
+       FROM o c JOIN o p ON c.k = p.k AND c.t - 7 = p.t GROUP BY c.k),
+m AS (SELECT e1.k, e1.n1, ep.np,
+             CAST(floor(CAST(e1.sae1 AS DOUBLE)
+                        / CAST(e1.n1 AS DOUBLE)) AS BIGINT) AS m1,
+             CAST(floor(CAST(ep.saep AS DOUBLE)
+                        / CAST(ep.np AS DOUBLE)) AS BIGINT) AS mp
+      FROM e1 JOIN ep ON ep.k = e1.k)
+SELECT k AS event_type, n1 AS n_lag1, np AS n_lagp,
+       m1 AS mean_abs_diff1_micro, mp AS mean_abs_diffp_micro,
+       CASE WHEN m1 > 0
+            THEN CAST(floor(CAST(mp * 1000000 AS DOUBLE)
+                            / CAST(m1 AS DOUBLE)) AS BIGINT)
+            END AS strength_ppm
+FROM m
+"""
+
+
+def _q_events_trend_outliers(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Hampel gate on Theil-Sen RESIDUALS (operators/robust.py::
+    trend_residual_outliers): detrending against the robust line first
+    means a trending series' endpoints stop reading as outliers and
+    genuine level-shift days do — the composition of the two robust
+    estimators, BIGINT throughout."""
+    from rassengine_spark.operators.robust import trend_residual_outliers
+    return trend_residual_outliers(_events_daily_micro(spark, sf_dir),
+                                   "k", "t", "y", nmads_pct=300) \
+        .withColumnRenamed("k", "event_type")
+
+
+def _q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality screen (operators/forecast.py::
+    seasonal_strength_micro): mean |lag-7 diff| over mean |lag-1 diff|
+    as exact floor-ppm — under 1e6 says same-weekday volumes are closer
+    than adjacent days and a seasonal model is worth fitting. Two
+    equi-self-joins, no windows."""
+    from rassengine_spark.operators.forecast import seasonal_strength_micro
+    return seasonal_strength_micro(_events_daily_micro(spark, sf_dir),
+                                   "k", "t", "y", period=7) \
+        .withColumnRenamed("k", "event_type")
 
 
 def _q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8753,8 +8833,8 @@ _ROUND6_LATE = [
 # split_weighted_sample, basket_part_communities,
 # events_holt_forecast, events_holt_backtest, dq_k_anonymity,
 # events_holt_fold, basket_part_communities_frac,
-# events_theilsen_trend, events_mad_outliers,
-# decontam_kmv_containment (all
+# events_theilsen_trend, events_mad_outliers, decontam_kmv_containment,
+# events_trend_outliers, events_seasonality_strength (all
 # self-checked
 # green at sf0.001 + sf0.01 via tools/check.py — see NOTES),
 # then sim_hnsw_store_append_recall, dedup_keeper_policy,
@@ -8968,6 +9048,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_fold": _q_events_holt_fold,
         "events_theilsen_trend": _q_events_theilsen_trend,
         "events_mad_outliers": _q_events_mad_outliers,
+        "events_trend_outliers": _q_events_trend_outliers,
+        "events_seasonality_strength": _q_events_seasonality,
         "basket_part_triangles": _q_basket_triangles,
         "basket_part_triangles_frac": _q_basket_triangles_frac,
         "events_value_histogram": _q_events_histogram,
@@ -9198,6 +9280,8 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_fold": _SQL_EVENTS_HOLT_FORECAST,
         "events_theilsen_trend": _SQL_EVENTS_THEILSEN,
         "events_mad_outliers": _SQL_EVENTS_MAD_OUTLIERS,
+        "events_trend_outliers": _SQL_EVENTS_TREND_OUTLIERS,
+        "events_seasonality_strength": _SQL_EVENTS_SEASONALITY,
         "basket_part_triangles": _SQL_BASKET_TRIANGLES,
         "basket_part_triangles_frac": _SQL_BASKET_TRIANGLES_FRAC,
         "events_value_histogram": _SQL_EVENTS_HISTOGRAM,

@@ -329,3 +329,45 @@ def forecast_from_state(spark, path: str, horizons: int = 7,
                      + F.col("h") * F.col("trend_micro"))
                     .alias("forecast_micro"),
                     "level_micro", "trend_micro", "n_obs"))
+
+
+def seasonal_strength_micro(series: DataFrame, key_col: str, t_col: str,
+                            y_col: str, period: int = 7) -> DataFrame:
+    """(key, n_lag1, n_lagp, mean_abs_diff1_micro, mean_abs_diffp_micro,
+    strength_ppm) — weekly-seasonality screen: the mean absolute
+    lag-``period`` difference over the mean absolute lag-1 difference,
+    as exact floor-ppm. Under 1e6 means same-weekday volumes are closer
+    than adjacent-day volumes — seasonal structure worth a seasonal
+    model; NULL when the lag-1 differences vanish (constant series).
+    ``t`` must be a numeric bucket index (epoch day) so the lags are
+    plain equi-joins — two self-joins + one aggregate per series, no
+    windows."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    obs = _obs_micro(series, key_col, t_col, y_col) \
+        .withColumn("t", F.col("t").cast("long"))
+
+    def lag_err(lag: int, nm: str) -> DataFrame:
+        cur, prev = obs.alias("c"), obs.alias("p")
+        return (cur.join(prev, (F.col("c.k") == F.col("p.k"))
+                         & (F.col("c.t") - lag == F.col("p.t")))
+                .groupBy(F.col("c.k").alias("k"))
+                .agg(F.sum(F.abs(F.col("c.y") - F.col("p.y")))
+                     .alias(f"sae{nm}"),
+                     F.count(F.lit(1)).alias(f"n{nm}")))
+    e1 = lag_err(1, "1")
+    ep = lag_err(period, "p")
+    j = e1.join(ep, "k")
+    m1 = F.floor(F.col("sae1").cast("double")
+                 / F.col("n1").cast("double")).cast("long")
+    mp = F.floor(F.col("saep").cast("double")
+                 / F.col("np").cast("double")).cast("long")
+    strength = F.when(m1 > 0,
+                      F.floor((mp * 1_000_000).cast("double")
+                              / m1.cast("double")).cast("long"))
+    return j.select(F.col("k").alias(key_col),
+                    F.col("n1").alias("n_lag1"),
+                    F.col("np").alias("n_lagp"),
+                    m1.alias("mean_abs_diff1_micro"),
+                    mp.alias("mean_abs_diffp_micro"),
+                    strength.alias("strength_ppm"))

@@ -113,3 +113,47 @@ def mad_outliers(series: DataFrame, key_col: str, t_col: str,
                       F.col("y").alias("y_micro"), "median_micro",
                       "mad_micro", "deviation_micro",
                       flag.alias("is_outlier"))
+
+
+def trend_residual_outliers(series: DataFrame, key_col: str, t_col: str,
+                            y_col: str,
+                            nmads_pct: int = 300) -> DataFrame:
+    """(key, t, y_micro, resid_micro, resid_median_micro,
+    resid_mad_micro, is_outlier) — the Hampel gate applied to residuals
+    from the Theil-Sen fit instead of raw values: for a TRENDING series
+    the plain median/MAD gate flags the ramp's endpoints as outliers
+    (they are far from the global median by construction); detrending
+    against the robust line first flags exactly the level-shift days.
+    Composition of the two estimators above, same BIGINT math
+    throughout (resid = y - (level + slope·t) in micro-units)."""
+    if nmads_pct < 1:
+        raise ValueError(f"nmads_pct must be >= 1, got {nmads_pct}")
+    fit = theilsen_trend_micro(series, key_col, t_col, y_col) \
+        .select(F.col(key_col).alias("k"), "slope_micro", "level_micro")
+    obs = series.select(
+        F.col(key_col).alias("k"), F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
+        .alias("y")).filter(F.col("y").isNotNull())
+    r = (obs.join(fit, "k")
+         .select("k", "t", "y",
+                 (F.col("y") - (F.col("level_micro")
+                                + F.col("slope_micro") * F.col("t")))
+                 .alias("r")))
+    med = (r.groupBy("k")
+           .agg(_lower_median(F.array_sort(F.collect_list("r")))
+                .alias("resid_median_micro")))
+    dev = (r.join(med, "k")
+           .select("k", "t", "y", "r", "resid_median_micro",
+                   F.abs(F.col("r") - F.col("resid_median_micro"))
+                   .alias("_d")))
+    mad = (dev.groupBy("k")
+           .agg(_lower_median(F.array_sort(F.collect_list("_d")))
+                .alias("resid_mad_micro")))
+    out = dev.join(mad, "k")
+    flag = (F.col("_d") * 100
+            > F.lit(nmads_pct) * F.col("resid_mad_micro"))
+    return out.select(F.col("k").alias(key_col), "t",
+                      F.col("y").alias("y_micro"),
+                      F.col("r").alias("resid_micro"),
+                      "resid_median_micro", "resid_mad_micro",
+                      flag.alias("is_outlier"))

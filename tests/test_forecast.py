@@ -217,3 +217,29 @@ def test_stream_holt_crash_replay_recovers(spark, tmp_path):
     want = sorted(map(tuple, holt_forecast_micro(
         df, "k", "t", "y", horizons=2).collect()))
     assert got == want
+
+
+def test_seasonal_strength_detects_weekly_pattern(spark):
+    """A strong period-7 pattern: same-weekday diffs are zero, lag-1
+    diffs are large -> strength_ppm == 0; an i.i.d.-ish series has
+    strength near 1e6."""
+    from rassengine_spark.operators.forecast import seasonal_strength_micro
+    weekly = [("w", t, float(10 + 30 * (t % 7))) for t in range(28)]
+    flat = [("f", t, float(10 + (t % 2))) for t in range(28)]
+    df = spark.createDataFrame(weekly + flat, "k string, t int, y double")
+    got = {r.k: r for r in seasonal_strength_micro(
+        df, "k", "t", "y", period=7).collect()}
+    assert got["w"].strength_ppm == 0
+    assert got["w"].n_lagp == 21
+    # alternating series: lag-7 diff == lag-1 diff pattern-wise
+    assert got["f"].strength_ppm is not None
+    with pytest.raises(ValueError):
+        seasonal_strength_micro(df, "k", "t", "y", period=1)
+
+
+def test_seasonal_strength_constant_null(spark):
+    from rassengine_spark.operators.forecast import seasonal_strength_micro
+    df = spark.createDataFrame([("c", t, 5.0) for t in range(10)],
+                               "k string, t int, y double")
+    r = seasonal_strength_micro(df, "k", "t", "y").collect()[0]
+    assert r.mean_abs_diff1_micro == 0 and r.strength_ppm is None

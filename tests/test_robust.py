@@ -76,3 +76,20 @@ def test_null_values_dropped_not_crashed(spark):
     out = mad_outliers(df, "k", "t", "y").collect()
     assert {r.k for r in out} == {"a"}
     assert len(out) == 2
+
+
+def test_trend_residual_outliers_on_ramp(spark):
+    """A steep ramp with one level-shift day: the plain MAD gate flags
+    ramp endpoints; the residual gate flags ONLY the shifted day."""
+    from rassengine_spark.operators.robust import trend_residual_outliers
+    rows = [("a", t, 10.0 + 20.0 * t) for t in range(9)]
+    rows[4] = ("a", 4, 10.0 + 20.0 * 4 + 60.0)       # subtle level shift
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    got = {r.t: r for r in trend_residual_outliers(
+        df, "k", "t", "y").collect()}
+    assert got[4].is_outlier
+    assert sum(1 for r in got.values() if r.is_outlier) == 1
+    # the +60 shift hides inside the ramp's global spread: the plain
+    # MAD gate misses it entirely (MAD ~40, deviation only 40-100)
+    plain = mad_outliers(df, "k", "t", "y").collect()
+    assert not any(r.is_outlier for r in plain)
