@@ -357,7 +357,9 @@ def seasonal_strength_micro(series: DataFrame, key_col: str, t_col: str,
                      F.count(F.lit(1)).alias(f"n{nm}")))
     e1 = lag_err(1, "1")
     ep = lag_err(period, "p")
-    j = e1.join(ep, "k")
+    # both sides are per-series aggregates (|series| rows); broadcasting
+    # one keeps the final combine a hash join instead of a sort-merge
+    j = e1.join(F.broadcast(ep), "k")
     m1 = F.floor(F.col("sae1").cast("double")
                  / F.col("n1").cast("double")).cast("long")
     mp = F.floor(F.col("saep").cast("double")
