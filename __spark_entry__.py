@@ -2757,9 +2757,9 @@ def _q_corpus_overlap_store_fold(spark: SparkSession,
 
     save_kmv_store(sk(F.col("doc_id") % 3 == 0), path, k=_KMV_K,
                    buckets=8)
-    append_kmv_shard(sk(F.col("doc_id") % 3 == 1), path)
+    append_kmv_shard(sk(F.col("doc_id") % 3 == 1), path, k=_KMV_K)
     compact_kmv_store(spark, path)
-    append_kmv_shard(sk(F.col("doc_id") % 3 == 2), path)
+    append_kmv_shard(sk(F.col("doc_id") % 3 == 2), path, k=_KMV_K)
     return kmv_pairwise_overlap(read_kmv_store(spark, path), k=_KMV_K)
 
 

@@ -180,19 +180,30 @@ def save_kmv_store(sketches: DataFrame, path: str, k: int,
 
 
 def append_kmv_shard(shard_sketches: DataFrame, path: str,
-                     delta_name: str | None = None) -> None:
+                     delta_name: str | None = None,
+                     k: int | None = None) -> None:
     """Fold one corpus shard's sketches in as an O(batch) delta —
     history files stay byte-identical. Unlike counters, replaying the
     SAME rows under a fresh name is harmless (min-merge is idempotent
     on values), but the named-delta contract is kept for symmetry.
     Shard sketches must be built with k >= the store's manifest k —
-    a smaller shard k could silently drop members of the global top-k
-    (the streaming maintainer reads the manifest k for exactly this)."""
+    a smaller shard k silently drops members of the global top-k.
+    Pass the shard's build ``k`` to ENFORCE that contract (raises
+    ValueError on a too-small shard instead of biasing estimates); the
+    streaming maintainer sketches at the manifest k for exactly this.
+    The k cannot be inferred from the rows (a sparse group legitimately
+    carries < k hashes), hence the explicit parameter."""
     import os
 
     from .counter_store import (commit_counter_manifest,
                                 load_counter_manifest)
     m = load_counter_manifest(path)
+    if k is not None and int(k) < int(m["k"]):
+        raise ValueError(
+            f"shard sketch k={k} < store manifest k={m['k']} — a "
+            "smaller-k shard drops global top-k members and biases "
+            "distinct/Jaccard estimates; rebuild the shard sketch with "
+            f"k >= {m['k']}")
     if delta_name is None:
         seq = max((int(d[1:]) for d in m["deltas"]
                    if d[:1] == "d" and d[1:].isdigit()), default=0)

@@ -210,10 +210,12 @@ def label_propagation(edges: DataFrame, iters: int = 3,
     neighbors' labels PLUS its own current label (the self-vote damping
     that keeps synchronous updates from oscillating on bridged cliques
     — pinned by the two-clique unit test) and adopts the label with the
-    HIGHEST count, ties broken by SMALLEST label — a pure integer
-    arg-max, bit-exact in any engine, so the SQL oracle unrolls the
-    same rounds verbatim. Isolated nodes are absent from an edge list
-    by construction.
+    HIGHEST count, ties broken by SMALLEST label — a pure arg-max over
+    (count desc, label asc), bit-exact in any engine, so the SQL oracle
+    unrolls the same rounds verbatim. The tiebreak negates the COUNT
+    (always BIGINT), never the label, so non-numeric node-id/label
+    types order correctly instead of silently casting to NULL.
+    Isolated nodes are absent from an edge list by construction.
 
     Plan at 100 TB: per round, one join of the edge list against the
     |nodes|-row label table (labels are the SMALL side once the graph
@@ -234,10 +236,14 @@ def label_propagation(edges: DataFrame, iters: int = 3,
         nbr = (sym.join(labels.withColumnRenamed("node", "d"), "d")
                .select(F.col("s").alias("node"), "lbl"))
         cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # arg-max by (count desc, label asc) as a single struct MIN:
+        # negate the COUNT (always BIGINT — safe), never the label, so
+        # string/any orderable node-id types tie-break correctly
+        # instead of casting to NULL.
         best = (cnt.groupBy("node")
-                .agg(F.max(F.struct(F.col("c"),
-                                    (-F.col("lbl")).alias("nl")))
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("lbl")))
                      .alias("m"))
-                .select("node", (-F.col("m.nl")).alias("lbl")))
+                .select("node", F.col("m.lbl").alias("lbl")))
         labels = best.localCheckpoint(eager=False)
     return labels.select("node", F.col("lbl").alias("label"))

@@ -43,10 +43,18 @@ def theilsen_trend_micro(series: DataFrame, key_col: str, t_col: str,
     ``t`` must be numeric (bucket index / epoch day); series with fewer
     than 2 observations are dropped; more than MAX_BUCKETS raises (the
     pair expansion is quadratic by design — pre-bucket coarser)."""
+    # localCheckpoint both the observation frame and its per-series
+    # count so the MAX_BUCKETS guard action, the pair self-join, the
+    # level join, and the final n_obs output all share ONE scan of the
+    # input instead of four (ADVICE r06). Checkpointing drops size
+    # stats, so the per-series joins plan as SortMergeJoin on k — the
+    # join that survives millions of series at 100 TB (the sf0.001
+    # broadcast was small-data luck, not the scale plan).
     obs = series.select(
         F.col(key_col).alias("k"), F.col(t_col).cast("long").alias("t"),
         F.round(F.col(y_col).cast("double") * MICRO, 0).cast("long")
-        .alias("y")).filter(F.col("y").isNotNull())
+        .alias("y")).filter(F.col("y").isNotNull()) \
+        .localCheckpoint(eager=False)
     a, b = obs.alias("a"), obs.alias("b")
     slope = F.floor(
         ((F.col("b.y") - F.col("a.y"))).cast("double")
@@ -61,7 +69,8 @@ def theilsen_trend_micro(series: DataFrame, key_col: str, t_col: str,
     # n_obs counts the SCORABLE (non-null) buckets obs kept, so the
     # medians and the count agree; an all-null series simply vanishes
     # instead of crashing _lower_median on an empty array
-    n_check = obs.groupBy("k").agg(F.count(F.lit(1)).alias("n_obs"))
+    n_check = (obs.groupBy("k").agg(F.count(F.lit(1)).alias("n_obs"))
+               .localCheckpoint(eager=False))
     over = n_check.filter(F.col("n_obs") > MAX_BUCKETS).count()
     if over:
         raise ValueError(

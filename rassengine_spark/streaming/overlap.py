@@ -50,7 +50,7 @@ def stream_kmv_maintenance(spark: SparkSession, input_dir: str,
         append_kmv_shard(
             kmv_sketch(batch_df, group_col, text_col, k=mk,
                        shingle_n=shingle_n),
-            store_dir, delta_name=delta_name)
+            store_dir, delta_name=delta_name, k=mk)
 
     return stream_counter_maintenance(
         spark, input_dir, store_dir, checkpoint_dir, schema, init,

@@ -162,6 +162,28 @@ def test_lpa_deterministic_tiebreak(spark):
         assert got[1] == 1 and got[2] == 2
 
 
+def test_lpa_string_node_ids(spark):
+    """Non-numeric node ids: the tiebreak negates the COUNT, never the
+    label, so string ids order lexicographically instead of casting to
+    NULL and corrupting the arg-max (ADVICE r06)."""
+    from rassengine_spark.operators.graph import label_propagation
+    cl1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    cl2 = [("x", "y"), ("x", "z"), ("y", "z")]
+    edges = spark.createDataFrame(cl1 + cl2 + [("c", "x")],
+                                  "src string, dst string")
+    got = {r.node: r.label for r in
+           label_propagation(edges, iters=3).collect()}
+    assert None not in got.values()
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    # equal-vote tie adopts the SMALLEST label lexicographically
+    tie = spark.createDataFrame([("m", "a"), ("m", "b")],
+                                "src string, dst string")
+    got2 = {r.node: r.label for r in
+            label_propagation(tie, iters=1).collect()}
+    assert got2["m"] == "a"
+
+
 def test_lpa_labels_are_member_ids(spark):
     from rassengine_spark.operators.graph import label_propagation
     edges = spark.createDataFrame(

@@ -96,10 +96,14 @@ def test_store_fold_equals_oneshot(spark, tmp_path):
                               .filter(F.col("text").like("w1%")),
                               "g", "text", k=k), path, k=k)
     rest = df.filter(~F.col("text").like("w1%"))
-    append_kmv_shard(kmv_sketch(rest.limit(20), "g", "text", k=k), path)
+    # deterministic shard split (crc32 of the text) — an unordered
+    # limit() evaluated in two independent plans is not guaranteed
+    # stable, so limit/subtract-limit could drop rows from both shards
+    half_a = rest.filter(F.crc32("text") % 2 == 0)
+    half_b = rest.filter(F.crc32("text") % 2 == 1)
+    append_kmv_shard(kmv_sketch(half_a, "g", "text", k=k), path, k=k)
     compact_kmv_store(spark, path)
-    append_kmv_shard(kmv_sketch(rest.subtract(rest.limit(20)),
-                                "g", "text", k=k), path)
+    append_kmv_shard(kmv_sketch(half_b, "g", "text", k=k), path, k=k)
     got = kmv_pairwise_overlap(read_kmv_store(spark, path), k=k) \
         .collect()
     want = corpus_overlap(df, "g", "text", k=k, shingle_n=2).collect()
@@ -130,6 +134,23 @@ def test_store_append_leaves_history_untouched(spark, tmp_path):
     append_kmv_shard(kmv_sketch(df.limit(5), "g", "text", k=8), path,
                      delta_name="d1")
     assert load_counter_manifest(path) == m1
+
+
+def test_append_rejects_smaller_shard_k(spark, tmp_path):
+    """A shard sketched with k below the store manifest's k must be
+    refused loudly — folding it would silently drop members of the
+    global top-k and bias every downstream estimate."""
+    from rassengine_spark.llmops.overlap import (append_kmv_shard,
+                                                 save_kmv_store)
+    df = _store_docs(spark)
+    path = str(tmp_path / "kmv")
+    save_kmv_store(kmv_sketch(df, "g", "text", k=16), path, k=16)
+    with pytest.raises(ValueError, match="manifest k"):
+        append_kmv_shard(kmv_sketch(df.limit(5), "g", "text", k=8),
+                         path, k=8)
+    # equal or larger shard k is lossless and accepted
+    append_kmv_shard(kmv_sketch(df.limit(5), "g", "text", k=32),
+                     path, k=32)
 
 
 def test_stream_kmv_maintenance_equals_oneshot(spark, tmp_path):

@@ -23,6 +23,7 @@ Exit code 1 if any non-whitelisted flag fires.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -245,7 +246,12 @@ def main() -> int:
                 ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas")) and name not in PYTHON_OK):
             flags.append("PYTHON")
-        if ("Sort " in plan and "TakeOrdered" not in plan
+        # SortExec prints "Sort [keys], <global>, 0" — only global=true
+        # is a full-data range sort; global=false is a partition-local
+        # sort (SortMergeJoin / SortAggregate / window), which is the
+        # CORRECT shape at scale and must not flag.
+        if (re.search(r"Sort \[[^\]]*\], true,", plan)
+                and "TakeOrdered" not in plan
                 and "Limit" not in plan and name not in SORT_OK):
             flags.append("SORT_ALL")
         # "Window [fns], [part], [order]" prints 3 bracket groups; with 2
