@@ -253,23 +253,68 @@ def _shard_chunks(ids: list[int], raw: list[list[float]],
         yield ids[lo:lo + max_shard_rows], raw[lo:lo + max_shard_rows]
 
 
-def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
-              id_col: str, query_id_col: str, k: int = 5, m: int = 8,
-              ef_construction: int = 64, ef_search: int = 32,
+def _build_and_search_shard(ids: list[int], raw: list[list[float]],
+                            qs: list[tuple[int, list[float]]], k: int,
+                            m: int, ef_construction: int, ef_search: int,
+                            max_shard_rows: int
+                            ) -> tuple[list[int], list[int], list[float]]:
+    """One shard's full live pass (chunk -> build -> search), shared by
+    the collect-free cogroup path and the bounded-list closure path so
+    the two are bit-identical by construction."""
+    out_q: list[int] = []
+    out_i: list[int] = []
+    out_s: list[float] = []
+    if ef_search >= len(ids):
+        chunks = [(ids, raw)]       # exhaustive degenerate mode: one scan
+    else:
+        chunks = _shard_chunks(ids, raw, max_shard_rows)
+    for c_ids, c_raw in chunks:
+        if ef_search >= len(c_ids):
+            g = None                # exact scan of this subshard
+        else:
+            mat = np.asarray(c_raw, dtype=np.float64)
+            normed = mat / (np.linalg.norm(mat, axis=1,
+                                           keepdims=True) + 1e-12)
+            g = _HNSW(m=m, ef_construction=ef_construction)
+            for row, ident in zip(normed, c_ids):
+                g.add(row, str(ident))
+        cq, ci, cs = _shard_topk(c_ids, c_raw, g, qs, k, ef_search)
+        out_q.extend(cq), out_i.extend(ci), out_s.extend(cs)
+    return out_q, out_i, out_s
+
+
+def hnsw_topk(corpus: DataFrame, queries, vec_col: str,
+              id_col: str, query_id_col: str | None = None, k: int = 5,
+              m: int = 8, ef_construction: int = 64, ef_search: int = 32,
               partitions: int | None = None,
               round_to: int | None = 6,
               max_shard_rows: int = MAX_SHARD_ROWS) -> DataFrame:
-    """Sharded-HNSW approximate top-k. ``ef_search >= partition size``
-    degenerates to an exact per-partition scan (same results as
+    """Sharded-HNSW approximate top-k. ``ef_search >= shard size``
+    degenerates to an exact per-shard scan (same results as
     brute_force_topk, bit-exact — the oracle mode); realistic ef_search
-    takes the graph path. Partitions larger than ``max_shard_rows`` are
+    takes the graph path. Shards larger than ``max_shard_rows`` are
     split into id-ordered subshards before the build, so graph-build cost
-    is linear in corpus size at any fixed partition count (each insert
+    is linear in corpus size at any fixed shard count (each insert
     only searches its own bounded subshard); every subshard is searched
     and the global window merge picks the final top-k.
+
+    A query DATAFRAME routes through the collect-free cogroup path
+    (mirroring hnsw_topk_from_store's dispatch): the query table is
+    replicated per shard with a broadcast cross-join and never passes
+    through the driver, so it can be unbounded (a stream's micro-batch,
+    a query log). Pass an explicit bounded list of (query_id, vector)
+    pairs for the closure-broadcast overload — the only form that ships
+    queries through the driver, by construction already driver-sized
+    (the reference's online single-query kNN, app/main.py:1527-1560).
     Returns (query_id, id, score, rank)."""
-    q_rows = (queries.select(F.col(query_id_col), F.col(vec_col)).collect())
-    qs = [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows]
+    if isinstance(queries, DataFrame):
+        return _hnsw_topk_df(corpus, queries, vec_col, id_col,
+                             query_id_col, k=k, m=m,
+                             ef_construction=ef_construction,
+                             ef_search=ef_search, partitions=partitions,
+                             round_to=round_to,
+                             max_shard_rows=max_shard_rows)
+    qs = [(int(q), [float(x) for x in v]) for q, v in queries]
     c = corpus.select(F.col(id_col).cast("long").alias("id"),
                       F.col(vec_col).alias("v"))
     if partitions:
@@ -288,27 +333,66 @@ def hnsw_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
             raw.extend([float(x) for x in v] for v in pdf["v"])
         if not ids:
             return
-        if ef_search >= len(ids):
-            chunks = [(ids, raw)]   # exhaustive degenerate mode: one scan
-        else:
-            chunks = _shard_chunks(ids, raw, max_shard_rows)
-        for c_ids, c_raw in chunks:
-            if ef_search >= len(c_ids):
-                g = None          # exact scan of this subshard
-            else:
-                mat = np.asarray(c_raw, dtype=np.float64)
-                normed = mat / (np.linalg.norm(mat, axis=1,
-                                               keepdims=True) + 1e-12)
-                g = _HNSW(m=m, ef_construction=ef_construction)
-                for row, ident in zip(normed, c_ids):
-                    g.add(row, str(ident))
-            out_q, out_i, out_s = _shard_topk(c_ids, c_raw, g, qs, k,
-                                              ef_search)
-            yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
-                                "id": pd.Series(out_i, dtype="int64"),
-                                "score": pd.Series(out_s, dtype="float64")})
+        out_q, out_i, out_s = _build_and_search_shard(
+            ids, raw, qs, k, m, ef_construction, ef_search,
+            max_shard_rows)
+        yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                            "id": pd.Series(out_i, dtype="int64"),
+                            "score": pd.Series(out_s, dtype="float64")})
 
     res = c.mapInPandas(run, "query_id bigint, id bigint, score double")
+    if round_to is not None:
+        res = res.withColumn("score", F.round("score", round_to))
+    return _per_query_topk(res, k).select("query_id", "id", "score", "rank")
+
+
+def _hnsw_topk_df(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                  id_col: str, query_id_col: str, k: int, m: int,
+                  ef_construction: int, ef_search: int,
+                  partitions: int | None, round_to: int | None,
+                  max_shard_rows: int) -> DataFrame:
+    """Collect-free live path: the shard key is pmod(hash(id), P) — the
+    EXACT assignment `repartition(P, col("id"))` computes (HashPartitioning
+    = pmod(murmur3(id), P), same seed), so shard composition (and hence
+    every graph and every served score) is identical to the closure path
+    and to save_hnsw_index's builds. Queries replicate per shard via a
+    broadcast cross-join with the P-row shard-id range and meet their
+    shard's corpus rows in one cogroup — no driver collect on either
+    side."""
+    spark = corpus.sparkSession
+    P = int(partitions or spark.sparkContext.defaultParallelism)
+    c = (corpus.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).alias("v"))
+         .withColumn("part", F.pmod(F.hash(F.col("id")), F.lit(P))))
+    qrep = (queries.select(F.col(query_id_col).cast("long").alias("qid"),
+                           F.col(vec_col).alias("qv"))
+            .crossJoin(F.broadcast(
+                spark.range(P).select(F.col("id").cast("int")
+                                      .alias("part")))))
+
+    def search(key, c_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if not len(c_pdf) or not len(q_pdf):
+            return empty
+        c_pdf = c_pdf.sort_values("id")     # == sortWithinPartitions("id")
+        ids = [int(i) for i in c_pdf["id"]]
+        raw = [[float(x) for x in v] for v in c_pdf["v"]]
+        qs = [(int(r.qid), [float(x) for x in r.qv])
+              for r in q_pdf.itertuples()]
+        out_q, out_i, out_s = _build_and_search_shard(
+            ids, raw, qs, k, m, ef_construction, ef_search,
+            max_shard_rows)
+        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                             "id": pd.Series(out_i, dtype="int64"),
+                             "score": pd.Series(out_s, dtype="float64")})
+
+    res = (c.groupBy("part")
+           .cogroup(qrep.groupBy("part"))
+           .applyInPandas(search,
+                          "query_id bigint, id bigint, score double"))
     if round_to is not None:
         res = res.withColumn("score", F.round("score", round_to))
     return _per_query_topk(res, k).select("query_id", "id", "score", "rank")

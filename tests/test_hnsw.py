@@ -140,6 +140,33 @@ def test_store_df_query_path_matches_collect_path(spark, tmp_path):
     assert key(b) == key(a) == key(c)
 
 
+def test_live_df_query_path_never_collects(spark, monkeypatch):
+    """A query DATAFRAME passed to the LIVE hnsw_topk routes through the
+    cogroup path and must never ship queries through the driver: any
+    collect() during plan construction OR execution fails the test. The
+    bounded-list overload remains the only driver-side form (VERDICT
+    r06 #3). Also pins cogroup-path == closure-path results (same
+    pmod(hash(id), P) shard composition as repartition(P, id))."""
+    from pyspark.sql import DataFrame as _DF
+    corpus, qs = _clustered(spark), _queries(spark)
+    q_list = [(r.qid, [float(x) for x in r.v]) for r in qs.collect()]
+    orig = _DF.collect
+
+    def no_collect(self):
+        raise AssertionError("driver-side collect in the DF query path")
+
+    monkeypatch.setattr(_DF, "collect", no_collect)
+    out = hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=5, m=8,
+                    ef_construction=48, ef_search=32, partitions=2)
+    got = out.toPandas()            # execute without collect()
+    monkeypatch.setattr(_DF, "collect", orig)
+    via_list = hnsw_topk(corpus, q_list, "v", "vec_id", k=5, m=8,
+                         ef_construction=48, ef_search=32,
+                         partitions=2).collect()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+           sorted((r.query_id, r.id, r.score, r.rank) for r in via_list)
+
+
 def test_subshard_chunking_bounds_build_and_stays_exact(spark, tmp_path):
     """max_shard_rows splits a partition into id-ordered subshard graphs:
     the persisted store carries multiple part_ids per build partition,

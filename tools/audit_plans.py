@@ -244,7 +244,8 @@ def main() -> int:
             flags.append("CARTESIAN")
         if (any(k in plan for k in
                 ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
-                 "FlatMapGroupsInPandas")) and name not in PYTHON_OK):
+                 "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"))
+                and name not in PYTHON_OK):
             flags.append("PYTHON")
         # SortExec prints "Sort [keys], <global>, 0" — only global=true
         # is a full-data range sort; global=false is a partition-local
