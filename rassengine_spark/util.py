@@ -108,6 +108,88 @@ def java_double_sort_key(x: float) -> int:
     return bits if bits >= 0 else bits ^ 0x7FFFFFFFFFFFFFFF
 
 
+FOLD_LEASE_TTL_SEC = 3600
+
+
+def _fold_lease_path(data_p: str) -> str:
+    return data_p + ".__fold_lock"
+
+
+def _fold_lease_is_live(lock_p: str,
+                        ttl_sec: int = FOLD_LEASE_TTL_SEC) -> bool:
+    """A lease is LIVE unless its holder is provably gone: same-host
+    holder whose pid is dead, or any holder whose lease file has aged
+    past the TTL (the cross-host fallback — a healthy fold renews
+    nothing, it just finishes well inside the TTL)."""
+    import json
+    import os
+    import socket
+
+    try:
+        st = os.stat(lock_p)
+        with open(lock_p) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return os.path.exists(lock_p)     # unreadable-but-present: live
+    import time
+    if time.time() - st.st_mtime > ttl_sec:
+        return False
+    if meta.get("host") == socket.gethostname():
+        try:
+            os.kill(int(meta["pid"]), 0)
+        except (ProcessLookupError, ValueError, TypeError):
+            return False                  # same host, holder dead
+        except PermissionError:
+            pass                          # exists under another user: live
+    return True
+
+
+def acquire_fold_lease(data_p: str,
+                       ttl_sec: int = FOLD_LEASE_TTL_SEC) -> str:
+    """Take the single-writer lease for a fold store (O_EXCL marker
+    file). A live concurrent lease raises RuntimeError IMMEDIATELY — a
+    second fold must fail fast, never interleave (its commit could
+    silently drop the first fold's delta). A stale lease (dead same-host
+    pid, or older than the TTL) is broken and re-acquired. Returns the
+    lock path; release with release_fold_lease."""
+    import json
+    import os
+    import socket
+    import time
+
+    lock_p = _fold_lease_path(data_p)
+    os.makedirs(os.path.dirname(os.path.abspath(lock_p)), exist_ok=True)
+    for _ in range(3):
+        try:
+            fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"pid": os.getpid(),
+                           "host": socket.gethostname(),
+                           "ts": time.time()}, f)
+            return lock_p
+        except FileExistsError:
+            if _fold_lease_is_live(lock_p, ttl_sec):
+                raise RuntimeError(
+                    f"concurrent fold in progress on {data_p!r} (live "
+                    f"lease {lock_p!r}); fold stores are single-writer "
+                    "— serialize folds, or remove the lease if its "
+                    "holder is known dead") from None
+            try:
+                os.unlink(lock_p)         # break the stale lease
+            except OSError:
+                pass
+    raise RuntimeError(f"could not acquire fold lease {lock_p!r}")
+
+
+def release_fold_lease(lock_p: str) -> None:
+    import os
+
+    try:
+        os.unlink(lock_p)
+    except OSError:
+        pass
+
+
 def swap_commit_dir(write, data_p: str) -> None:
     """Crash-safe in-place overwrite of a small persisted table dir:
     ``write(tmp_path)`` materializes the NEW contents into a temp
@@ -118,47 +200,53 @@ def swap_commit_dir(write, data_p: str) -> None:
     stores (cluster forest, DSIR gram counts).
 
     Concurrency contract: SINGLE WRITER per store (folds are sequential
-    maintenance jobs), readers may run any time. A reader's
-    heal_swapped_dir can race the window between the two renames: it
-    restores bak -> data (so the commit rename finds data_p occupied)
-    and garbage-collects the writer's tmp sibling. The commit loop
-    tolerates both — it rebuilds tmp if the heal collected it (data_p
-    holds the identical previous committed state again, so the lazy
-    re-read inside ``write`` is consistent) and re-renames data -> bak
-    before retrying the swap. Two concurrent WRITERS remain undefined
-    (last committer wins and may drop the other's fold): serialize
-    folds externally."""
+    maintenance jobs), ENFORCED by an O_EXCL lease marker — a second
+    concurrent fold raises RuntimeError before touching anything
+    instead of silently dropping the first fold's delta (last-committer
+    -wins). A crashed writer's lease is broken when its pid is dead
+    (same host) or the lease outlives FOLD_LEASE_TTL_SEC. Readers may
+    run any time. A reader's heal_swapped_dir no-ops while the lease is
+    live (the writer's tmp/bak siblings are working state, not crash
+    debris), but the commit loop still tolerates a heal that raced in
+    through a stale-lease window: it rebuilds tmp if the heal collected
+    it (data_p holds the identical previous committed state again, so
+    the lazy re-read inside ``write`` is consistent) and re-renames
+    data -> bak before retrying the swap."""
     import os
     import shutil
 
     tmp_p = data_p + ".__fold_tmp"
     bak_p = data_p + ".__fold_bak"
-    # a pre-existing tmp is a previous crash's garbage, never committed
-    shutil.rmtree(tmp_p, ignore_errors=True)
-    for attempt in range(3):
-        try:
-            if not os.path.exists(tmp_p):
-                write(tmp_p)
-            if os.path.exists(data_p):
-                shutil.rmtree(bak_p, ignore_errors=True)
-                os.rename(data_p, bak_p)
-            os.rename(tmp_p, data_p)
-            break
-        except OSError:
-            if attempt == 2:
-                raise
-            # NEVER trust tmp after an error in this attempt: write()
-            # may have failed mid-materialization (ENOSPC) with tmp_p
-            # present but partial, and renaming that over data_p would
-            # commit a corrupt store while the cleanup below deletes
-            # the only good copy. Discard and rebuild from scratch
-            # (also covers a racing reader-heal that collected tmp).
-            shutil.rmtree(tmp_p, ignore_errors=True)
-            if not os.path.exists(data_p) and os.path.exists(bak_p):
-                # the swap itself failed mid-flight: restore the good
-                # copy so the rebuild's lazy reads see a live store
-                os.rename(bak_p, data_p)
-    shutil.rmtree(bak_p, ignore_errors=True)
+    lock_p = acquire_fold_lease(data_p)
+    try:
+        # a pre-existing tmp is a previous crash's garbage, never committed
+        shutil.rmtree(tmp_p, ignore_errors=True)
+        for attempt in range(3):
+            try:
+                if not os.path.exists(tmp_p):
+                    write(tmp_p)
+                if os.path.exists(data_p):
+                    shutil.rmtree(bak_p, ignore_errors=True)
+                    os.rename(data_p, bak_p)
+                os.rename(tmp_p, data_p)
+                break
+            except OSError:
+                if attempt == 2:
+                    raise
+                # NEVER trust tmp after an error in this attempt: write()
+                # may have failed mid-materialization (ENOSPC) with tmp_p
+                # present but partial, and renaming that over data_p would
+                # commit a corrupt store while the cleanup below deletes
+                # the only good copy. Discard and rebuild from scratch
+                # (also covers a racing reader-heal that collected tmp).
+                shutil.rmtree(tmp_p, ignore_errors=True)
+                if not os.path.exists(data_p) and os.path.exists(bak_p):
+                    # the swap itself failed mid-flight: restore the good
+                    # copy so the rebuild's lazy reads see a live store
+                    os.rename(bak_p, data_p)
+        shutil.rmtree(bak_p, ignore_errors=True)
+    finally:
+        release_fold_lease(lock_p)
 
 
 def heal_swapped_dir(data_p: str) -> None:
@@ -166,10 +254,21 @@ def heal_swapped_dir(data_p: str) -> None:
     the two renames: if ``data_p`` is gone but the bak sibling exists,
     the bak IS the previous committed state — restore it. If both exist
     the swap completed and only the cleanup was lost — discard bak. A
-    dangling tmp sibling is always garbage (never committed)."""
+    dangling tmp sibling is always garbage (never committed). While a
+    LIVE writer lease exists this is a no-op — the siblings are the
+    writer's in-flight working state, not crash debris (a stale lease
+    is cleaned up and healing proceeds)."""
     import os
     import shutil
 
+    lock_p = _fold_lease_path(data_p)
+    if os.path.exists(lock_p):
+        if _fold_lease_is_live(lock_p):
+            return
+        try:
+            os.unlink(lock_p)             # crashed writer's stale lease
+        except OSError:
+            pass
     bak_p = data_p + ".__fold_bak"
     if os.path.exists(bak_p):
         if os.path.exists(data_p):

@@ -139,6 +139,91 @@ def test_swap_commit_retries_when_reader_heal_races(tmp_path):
     assert not os.path.exists(data + ".__fold_tmp")
 
 
+def test_concurrent_fold_refused_while_lease_live(tmp_path):
+    """Single-writer ENFORCED (VERDICT r06 #4): a second fold starting
+    mid-window must fail fast with RuntimeError — before touching tmp,
+    bak, or data — and the first fold must still commit cleanly."""
+    import os
+
+    import pytest
+
+    from rassengine_spark.util import swap_commit_dir
+
+    data = str(tmp_path / "data")
+
+    def write_v(path, tag):
+        os.makedirs(path)
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write(tag)
+
+    write_v(data, "old")
+    refused = {}
+
+    def first_fold_write(tmp):
+        # mid-window: the first writer holds the lease; a second fold
+        # arriving now must be refused without touching anything
+        with pytest.raises(RuntimeError, match="concurrent fold"):
+            swap_commit_dir(lambda t: write_v(t, "intruder"), data)
+        with open(os.path.join(data, "v")) as f:
+            refused["data_during"] = f.read()
+        write_v(tmp, "new")
+
+    swap_commit_dir(first_fold_write, data)
+    assert refused["data_during"] == "old"   # intruder touched nothing
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "new"             # first fold committed
+    assert not os.path.exists(data + ".__fold_lock")
+
+
+def test_stale_lease_is_broken_and_heal_respects_live_lease(tmp_path):
+    """A crashed writer's lease (dead pid) must not block the next fold;
+    heal_swapped_dir must no-op while a LIVE lease exists (the bak/tmp
+    siblings are the writer's working state) but heal after it goes
+    stale."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    from rassengine_spark.util import heal_swapped_dir, swap_commit_dir
+
+    data = str(tmp_path / "data")
+
+    def write_v(path, tag):
+        os.makedirs(path)
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write(tag)
+
+    write_v(data, "old")
+    # a pid that has provably exited on this host
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = data + ".__fold_lock"
+    with open(lock, "w") as f:
+        json.dump({"pid": proc.pid, "host": socket.gethostname(),
+                   "ts": 0}, f)
+    # stale lease broken: the fold proceeds
+    swap_commit_dir(lambda t: write_v(t, "new"), data)
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(lock)
+
+    # live lease (this very process): heal must not touch the siblings
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "ts": 0}, f)
+    os.rename(data, data + ".__fold_bak")    # writer mid-window
+    heal_swapped_dir(data)
+    assert os.path.exists(data + ".__fold_bak")   # untouched
+    assert not os.path.exists(data)
+    # lease released (writer crashed): heal restores the committed state
+    os.unlink(lock)
+    heal_swapped_dir(data)
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(data + ".__fold_bak")
+
+
 def test_swap_commit_never_promotes_partial_tmp(tmp_path):
     """A write() that materializes tmp partially and then errors (the
     ENOSPC class) must NOT be committed by the retry loop: the partial
