@@ -1,0 +1,33 @@
+"""CI gate for silent whole-stage-codegen compile failures (VERDICT r06
+#5): execute EVERY contract entry at sf0.001 in a subprocess with stderr
+captured and assert zero "Failed to compile" log lines. Janino failures
+don't affect correctness — Spark falls back to interpreted execution
+with only an ERROR log — but cost ~3-6x per call, so they must fail CI,
+not hide in a manual grep."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_no_codegen_compile_failures():
+    if not os.path.isdir(SF_DIR):
+        import pytest
+        pytest.skip(f"{SF_DIR} not present")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "codegen_sweep.py"),
+         SF_DIR],
+        capture_output=True, text=True, timeout=1200, cwd=REPO)
+    assert "SWEEP_DONE" in p.stdout, (
+        f"sweep did not finish:\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+    entry_errors = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("ENTRY_ERROR")]
+    assert p.returncode == 0 and not entry_errors, entry_errors[:5]
+    compile_fails = [ln for ln in p.stderr.splitlines()
+                     if "Failed to compile" in ln]
+    assert not compile_fails, (
+        f"{len(compile_fails)} codegen compile failure(s); first: "
+        f"{compile_fails[0][:300]}")

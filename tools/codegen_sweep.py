@@ -1,0 +1,50 @@
+"""Codegen-failure sweep: EXECUTE every driver-contract entry at the
+given SF and fail if any plan silently fell back to interpreted mode.
+
+Janino compile failures are invisible to correctness — Spark logs
+"Failed to compile" at ERROR and runs the interpreted path, ~3-6x
+slower per call (NOTES: the ner_corpus case was 6x). This sweep makes
+the manual `2>err; grep -c 'Failed to compile' err` check a CI gate:
+run it as a SUBPROCESS with stderr captured (the JVM writes log4j
+output to the process stderr) and count matches.
+
+Run:  python tools/codegen_sweep.py [sf_dir]   (default sf0.001)
+      -> prints SWEEP_DONE <n_entries> <n_exec_errors>, exit 1 on any
+         execution error (codegen fallback is counted by the CALLER
+         grepping this process's stderr — see tests/test_codegen_sweep.py)
+
+Execution uses the noop sink (`df.write.format("noop")`): the full
+physical plan runs — every WholeStageCodegen span compiles — with no
+driver-side result materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entrymod
+    from rassengine_spark.session import get_spark
+
+    spark = get_spark("codegen-sweep")
+    errors = []
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            errors.append((name, str(e).splitlines()[0][:200]))
+    for name, msg in errors:
+        print(f"ENTRY_ERROR {name}: {msg}")
+    print(f"SWEEP_DONE {len(qs)} {len(errors)}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
