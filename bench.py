@@ -30,6 +30,28 @@ HEADLINE = [
     "s6_chunker",
 ]
 
+# Same-run sentinel normalization (VERDICT r06 #1): a fixed 10-query set
+# whose CODE has been untouched since round 1, with their round-1
+# driver-recorded times at sf0.1 (BENCH_r01.json tail). host_factor =
+# median(t_now / t_r01) over these — a pure measure of the machine, since
+# the plans are identical. Per-query regression judgment divides the raw
+# seconds by this factor, so host CPU contention (measured 1.8x uniform
+# on unchanged entries in round 6) can never masquerade as a plan
+# regression again. Spans plan classes: scan-agg, join, as-of join,
+# window, sessionize, text expr, regex, Arrow pandas path.
+SENTINELS_R01_SF01 = {
+    "s3_markdown_strip": 0.383,
+    "events_funnel": 0.324,
+    "tpch_q12_priority_mix": 0.506,
+    "tpch_q5_region_revenue": 0.746,
+    "j2_content_join": 0.135,
+    "events_asof_join": 0.670,
+    "orders_running_total": 0.182,
+    "events_sessionize": 1.349,
+    "text_pii_redact": 0.490,
+    "mm_resize_meta": 0.311,
+}
+
 # The slowest entries of the last committed bench snapshot, warmed once
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
@@ -117,12 +139,34 @@ def main():
     ok = {k: v for k, v in timings.items() if v is not None}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(ok.values()), 3)
+    # same-run sentinel host factor (only meaningful at the sf the
+    # round-1 baselines were recorded at)
+    host_factor = None
+    sentinels = {}
+    if sf_val == 0.1:
+        ratios = []
+        for s_name, r01 in SENTINELS_R01_SF01.items():
+            now = ok.get(s_name)
+            if now is not None:
+                sentinels[s_name] = {"r01": r01, "now": now,
+                                     "ratio": round(now / r01, 3)}
+                ratios.append(now / r01)
+        if len(ratios) >= 5:
+            ratios.sort()
+            mid = len(ratios) // 2
+            med = (ratios[mid] if len(ratios) % 2
+                   else (ratios[mid - 1] + ratios[mid]) / 2)
+            host_factor = round(med, 3)
     full = json.dumps({
         "metric": "total wall-clock sec across engine queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host_factor": host_factor,
+        "sentinels": sentinels,
+        "norm_value": (round(total / host_factor, 3)
+                       if host_factor else None),
     })
     # Full per-query detail goes to BENCH_local.json (committed; the
     # round-over-round comparison source). The stdout line must fit the
@@ -147,6 +191,12 @@ def main():
         "unit": "sec",
         "queries": qmap,
         "sf": sf_val,
+        # median same-run ratio of 10 untouched-since-round-1 sentinel
+        # queries to their BENCH_r01 times: divide raw seconds by this
+        # to remove host speed from round-over-round comparison
+        "host_factor": host_factor,
+        "norm_tot_s": (round(total / host_factor, 1)
+                       if host_factor else None),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "queries_omitted": len(ok),
