@@ -48,6 +48,27 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "manifest.json")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def counter_store_writer(path: str):
+    """Single-writer lease for one manifest-LSM store (the same O_EXCL
+    lease machinery as util.swap_commit_dir): two concurrent
+    read-manifest -> write-delta -> commit-manifest sequences would both
+    read the same delta list and the second commit would silently drop
+    the first's delta name (manifest last-write-wins). Every mutator
+    here takes this; a live concurrent writer raises RuntimeError
+    immediately, a crashed writer's lease self-breaks (dead pid / TTL —
+    see util.acquire_fold_lease)."""
+    from ..util import acquire_fold_lease, release_fold_lease
+    lock = acquire_fold_lease(path)
+    try:
+        yield
+    finally:
+        release_fold_lease(lock)
+
+
 def load_counter_manifest(path: str) -> dict:
     with open(_manifest_path(path)) as f:
         return json.load(f)
@@ -77,14 +98,15 @@ def save_counters(df: DataFrame, keys: list[str], path: str,
         raise ValueError(f"extra keys collide with reserved manifest "
                          f"fields: {sorted(bad)}")
     os.makedirs(path, exist_ok=True)
-    vdir = os.path.join(path, "versions", "v1")
-    shutil.rmtree(vdir, ignore_errors=True)
-    (df.select(*keys, F.col(cnt_col).cast("bigint").alias(cnt_col))
-     .repartition(buckets, *keys)
-     .write.mode("overwrite").parquet(vdir))
-    commit_counter_manifest(path, {"version": 1, "deltas": [],
-                                   "buckets": buckets, "keys": keys,
-                                   "cnt": cnt_col, **(extra or {})})
+    with counter_store_writer(path):
+        vdir = os.path.join(path, "versions", "v1")
+        shutil.rmtree(vdir, ignore_errors=True)
+        (df.select(*keys, F.col(cnt_col).cast("bigint").alias(cnt_col))
+         .repartition(buckets, *keys)
+         .write.mode("overwrite").parquet(vdir))
+        commit_counter_manifest(path, {"version": 1, "deltas": [],
+                                       "buckets": buckets, "keys": keys,
+                                       "cnt": cnt_col, **(extra or {})})
 
 
 def append_counters(delta_df: DataFrame, path: str,
@@ -92,29 +114,31 @@ def append_counters(delta_df: DataFrame, path: str,
     """Fold one O(batch) counter delta in — history files stay
     byte-identical. See the module docstring for the naming/replay
     contract. Empty deltas are a no-op."""
-    m = load_counter_manifest(path)
-    if delta_name is None:
-        seq = max((int(d[1:]) for d in m["deltas"]
-                   if d[:1] == "d" and d[1:].isdigit()), default=0)
-        delta_name = "d%d" % (seq + 1)
-    if delta_name in m["deltas"]:
-        # replay of an already-committed fold: pure no-op — rewriting a
-        # manifest-listed directory would momentarily empty it under a
-        # concurrent reader
-        return
-    keys, cnt = m["keys"], m["cnt"]
-    delta = (delta_df
-             .select(*keys, F.col(cnt).cast("bigint").alias(cnt))
-             .localCheckpoint(eager=True))   # one pass: count + write
-    n = delta.count()
-    if n == 0:
-        return
-    parts = max(1, min(int(m["buckets"]), math.ceil(n / ROWS_PER_FILE)))
-    (delta.repartition(parts, *keys)
-     .write.mode("overwrite")
-     .parquet(os.path.join(path, "deltas", delta_name)))
-    m["deltas"] = m["deltas"] + [delta_name]
-    commit_counter_manifest(path, m)
+    with counter_store_writer(path):
+        m = load_counter_manifest(path)
+        if delta_name is None:
+            seq = max((int(d[1:]) for d in m["deltas"]
+                       if d[:1] == "d" and d[1:].isdigit()), default=0)
+            delta_name = "d%d" % (seq + 1)
+        if delta_name in m["deltas"]:
+            # replay of an already-committed fold: pure no-op — rewriting
+            # a manifest-listed directory would momentarily empty it
+            # under a concurrent reader
+            return
+        keys, cnt = m["keys"], m["cnt"]
+        delta = (delta_df
+                 .select(*keys, F.col(cnt).cast("bigint").alias(cnt))
+                 .localCheckpoint(eager=True))  # one pass: count + write
+        n = delta.count()
+        if n == 0:
+            return
+        parts = max(1, min(int(m["buckets"]),
+                           math.ceil(n / ROWS_PER_FILE)))
+        (delta.repartition(parts, *keys)
+         .write.mode("overwrite")
+         .parquet(os.path.join(path, "deltas", delta_name)))
+        m["deltas"] = m["deltas"] + [delta_name]
+        commit_counter_manifest(path, m)
 
 
 def read_counters(spark: SparkSession, path: str) -> DataFrame:
@@ -133,22 +157,23 @@ def compact_counters(spark: SparkSession, path: str) -> None:
     the old version and folded deltas are GC'd — a crash leaves either
     snapshot, never a double count. Values unchanged (the read path
     already sums; compaction materializes that sum once)."""
-    m = load_counter_manifest(path)
-    if not m["deltas"]:
-        return
-    merged = read_counters(spark, path).localCheckpoint(eager=True)
-    nv = int(m["version"]) + 1
-    vdir = os.path.join(path, "versions", f"v{nv}")
-    shutil.rmtree(vdir, ignore_errors=True)   # a crashed earlier try
-    (merged.repartition(int(m["buckets"]), *m["keys"])
-     .write.mode("overwrite").parquet(vdir))
-    old_deltas = m["deltas"]
-    commit_counter_manifest(path, {**m, "version": nv, "deltas": []})
-    shutil.rmtree(os.path.join(path, "versions", f"v{m['version']}"),
-                  ignore_errors=True)
-    for d in old_deltas:
-        shutil.rmtree(os.path.join(path, "deltas", d),
+    with counter_store_writer(path):
+        m = load_counter_manifest(path)
+        if not m["deltas"]:
+            return
+        merged = read_counters(spark, path).localCheckpoint(eager=True)
+        nv = int(m["version"]) + 1
+        vdir = os.path.join(path, "versions", f"v{nv}")
+        shutil.rmtree(vdir, ignore_errors=True)   # a crashed earlier try
+        (merged.repartition(int(m["buckets"]), *m["keys"])
+         .write.mode("overwrite").parquet(vdir))
+        old_deltas = m["deltas"]
+        commit_counter_manifest(path, {**m, "version": nv, "deltas": []})
+        shutil.rmtree(os.path.join(path, "versions", f"v{m['version']}"),
                       ignore_errors=True)
+        for d in old_deltas:
+            shutil.rmtree(os.path.join(path, "deltas", d),
+                          ignore_errors=True)
 
 
 def gc_counters(path: str) -> list[str]:
@@ -156,19 +181,22 @@ def gc_counters(path: str) -> list[str]:
     never reached the manifest, and base versions a compaction GC'd
     past. Safe any time in the single-writer window: readers only open
     what the manifest names. Returns the removed paths."""
-    m = load_counter_manifest(path)
-    removed = []
-    vroot = os.path.join(path, "versions")
-    droot = os.path.join(path, "deltas")
-    live_v = f"v{m['version']}"
-    if os.path.isdir(vroot):
-        for d in os.listdir(vroot):
-            if d != live_v:
-                shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
-                removed.append(os.path.join(vroot, d))
-    if os.path.isdir(droot):
-        for d in os.listdir(droot):
-            if d not in m["deltas"]:
-                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
-                removed.append(os.path.join(droot, d))
-    return removed
+    with counter_store_writer(path):
+        m = load_counter_manifest(path)
+        removed = []
+        vroot = os.path.join(path, "versions")
+        droot = os.path.join(path, "deltas")
+        live_v = f"v{m['version']}"
+        if os.path.isdir(vroot):
+            for d in os.listdir(vroot):
+                if d != live_v:
+                    shutil.rmtree(os.path.join(vroot, d),
+                                  ignore_errors=True)
+                    removed.append(os.path.join(vroot, d))
+        if os.path.isdir(droot):
+            for d in os.listdir(droot):
+                if d not in m["deltas"]:
+                    shutil.rmtree(os.path.join(droot, d),
+                                  ignore_errors=True)
+                    removed.append(os.path.join(droot, d))
+        return removed

@@ -168,15 +168,17 @@ def save_kmv_store(sketches: DataFrame, path: str, k: int,
     import os
     import shutil
 
-    from .counter_store import commit_counter_manifest
+    from .counter_store import (commit_counter_manifest,
+                                counter_store_writer)
     os.makedirs(path, exist_ok=True)
-    vdir = os.path.join(path, "versions", "v1")
-    shutil.rmtree(vdir, ignore_errors=True)
-    (_kmv_rows(sketches).repartition(buckets, "g")
-     .write.mode("overwrite").parquet(vdir))
-    commit_counter_manifest(path, {"version": 1, "deltas": [],
-                                   "buckets": buckets, "keys": ["g"],
-                                   "cnt": None, "k": int(k)})
+    with counter_store_writer(path):
+        vdir = os.path.join(path, "versions", "v1")
+        shutil.rmtree(vdir, ignore_errors=True)
+        (_kmv_rows(sketches).repartition(buckets, "g")
+         .write.mode("overwrite").parquet(vdir))
+        commit_counter_manifest(path, {"version": 1, "deltas": [],
+                                       "buckets": buckets, "keys": ["g"],
+                                       "cnt": None, "k": int(k)})
 
 
 def append_kmv_shard(shard_sketches: DataFrame, path: str,
@@ -196,27 +198,29 @@ def append_kmv_shard(shard_sketches: DataFrame, path: str,
     import os
 
     from .counter_store import (commit_counter_manifest,
+                                counter_store_writer,
                                 load_counter_manifest)
-    m = load_counter_manifest(path)
-    if k is not None and int(k) < int(m["k"]):
-        raise ValueError(
-            f"shard sketch k={k} < store manifest k={m['k']} — a "
-            "smaller-k shard drops global top-k members and biases "
-            "distinct/Jaccard estimates; rebuild the shard sketch with "
-            f"k >= {m['k']}")
-    if delta_name is None:
-        seq = max((int(d[1:]) for d in m["deltas"]
-                   if d[:1] == "d" and d[1:].isdigit()), default=0)
-        delta_name = "d%d" % (seq + 1)
-    if delta_name in m["deltas"]:
-        return
-    rows = _kmv_rows(shard_sketches).localCheckpoint(eager=True)
-    if rows.isEmpty():
-        return
-    (rows.repartition(1, "g").write.mode("overwrite")
-     .parquet(os.path.join(path, "deltas", delta_name)))
-    m["deltas"] = m["deltas"] + [delta_name]
-    commit_counter_manifest(path, m)
+    with counter_store_writer(path):
+        m = load_counter_manifest(path)
+        if k is not None and int(k) < int(m["k"]):
+            raise ValueError(
+                f"shard sketch k={k} < store manifest k={m['k']} — a "
+                "smaller-k shard drops global top-k members and biases "
+                "distinct/Jaccard estimates; rebuild the shard sketch "
+                f"with k >= {m['k']}")
+        if delta_name is None:
+            seq = max((int(d[1:]) for d in m["deltas"]
+                       if d[:1] == "d" and d[1:].isdigit()), default=0)
+            delta_name = "d%d" % (seq + 1)
+        if delta_name in m["deltas"]:
+            return
+        rows = _kmv_rows(shard_sketches).localCheckpoint(eager=True)
+        if rows.isEmpty():
+            return
+        (rows.repartition(1, "g").write.mode("overwrite")
+         .parquet(os.path.join(path, "deltas", delta_name)))
+        m["deltas"] = m["deltas"] + [delta_name]
+        commit_counter_manifest(path, m)
 
 
 def read_kmv_store(spark, path: str) -> DataFrame:
@@ -241,21 +245,23 @@ def compact_kmv_store(spark, path: str) -> None:
     import shutil
 
     from .counter_store import (commit_counter_manifest,
+                                counter_store_writer,
                                 load_counter_manifest)
-    m = load_counter_manifest(path)
-    if not m["deltas"]:
-        return
-    merged = read_kmv_store(spark, path)
-    rows = _kmv_rows(merged).localCheckpoint(eager=True)
-    nv = int(m["version"]) + 1
-    vdir = os.path.join(path, "versions", f"v{nv}")
-    shutil.rmtree(vdir, ignore_errors=True)
-    (rows.repartition(int(m["buckets"]), "g")
-     .write.mode("overwrite").parquet(vdir))
-    old_deltas = m["deltas"]
-    commit_counter_manifest(path, {**m, "version": nv, "deltas": []})
-    shutil.rmtree(os.path.join(path, "versions", f"v{m['version']}"),
-                  ignore_errors=True)
-    for d in old_deltas:
-        shutil.rmtree(os.path.join(path, "deltas", d),
+    with counter_store_writer(path):
+        m = load_counter_manifest(path)
+        if not m["deltas"]:
+            return
+        merged = read_kmv_store(spark, path)
+        rows = _kmv_rows(merged).localCheckpoint(eager=True)
+        nv = int(m["version"]) + 1
+        vdir = os.path.join(path, "versions", f"v{nv}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        (rows.repartition(int(m["buckets"]), "g")
+         .write.mode("overwrite").parquet(vdir))
+        old_deltas = m["deltas"]
+        commit_counter_manifest(path, {**m, "version": nv, "deltas": []})
+        shutil.rmtree(os.path.join(path, "versions", f"v{m['version']}"),
                       ignore_errors=True)
+        for d in old_deltas:
+            shutil.rmtree(os.path.join(path, "deltas", d),
+                          ignore_errors=True)

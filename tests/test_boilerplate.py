@@ -151,6 +151,37 @@ def _run_stream(spark, dirs, ckpt="ckpt"):
     q.awaitTermination(120)
 
 
+def test_concurrent_counter_fold_refused(spark, tmp_path):
+    """Manifest-LSM single-writer ENFORCED: a second fold arriving while
+    one is mid-commit must raise RuntimeError before reading the
+    manifest — two interleaved read-manifest -> commit sequences would
+    drop a delta name (last-write-wins). Same lease as
+    util.swap_commit_dir."""
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from rassengine_spark.llmops.counter_store import (append_counters,
+                                                       load_counter_manifest,
+                                                       save_counters)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, cnt long")
+    path = str(tmp_path / "ctr")
+    save_counters(df, ["k"], path, buckets=2)
+    m_before = load_counter_manifest(path)
+    # simulate a live concurrent writer (this very pid)
+    with open(path + ".__fold_lock", "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "ts": 0}, f)
+    with pytest.raises(RuntimeError, match="concurrent fold"):
+        append_counters(df, path)
+    assert load_counter_manifest(path) == m_before   # store untouched
+    os.unlink(path + ".__fold_lock")
+    append_counters(df, path)                        # lease freed: folds
+    assert load_counter_manifest(path)["deltas"] == ["d1"]
+
+
 def test_stream_matches_one_shot_replay_noop_foreign_rejected(
         spark, tmp_path):
     dirs = {k: str(tmp_path / k) for k in ("in", "st", "ckpt", "ckpt2")}
