@@ -55,22 +55,25 @@ SENTINELS_R01_SF01 = {
 # The slowest entries of the last committed bench snapshot, warmed once
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
+    # refreshed round 7 from the clean-host BENCH_local top-18
     "bm25_store_compacted_ranked",
-    "sim_ivfpq_residual_topk",
-    "s1_fhir_parse",
-    "basket_part_pagerank",
-    "sim_hnsw_compacted_recall",
+    "decontam_report_fold",
     "dedup_cluster_store_merge",
-    "bm25_store_append_ranked",
-    "bm25_store_ranked",
-    "rag_chunk_known_item_eval",
-    "split_dsir_weights_fold",
-    "mm_media_dedup_prep",
-    "prep_training_corpus",
-    "sim_hnsw_store_append_recall",
     "text_kn_fold",
-    "corpus_overlap_store_fold",
+    "sim_hnsw_recall",
+    "basket_part_pagerank",
+    "decontam_from_store",
+    "sim_hnsw_compacted_recall",
+    "split_dsir_weights_fold",
+    "prep_training_corpus",
+    "m_quality_classifier_eval",
+    "mm_ahash_incremental",
+    "sim_ivfpq_residual_topk",
+    "bm25_store_append_ranked",
+    "sim_ivf_store_compacted_topk",
     "basket_part_communities",
+    "decontam_neardup_leakage",
+    "basket_part_communities_frac",
 ]
 
 
