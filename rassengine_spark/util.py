@@ -124,16 +124,22 @@ def _fold_lease_is_live(lock_p: str,
     import json
     import os
     import socket
+    import time
 
     try:
         st = os.stat(lock_p)
+    except OSError:
+        return os.path.exists(lock_p)     # racing delete: resolved live
+    # TTL first, from the stat alone: a corrupt / partially-written
+    # lease (crash between create and write) must still expire — the
+    # parse below can never veto staleness
+    if time.time() - st.st_mtime > ttl_sec:
+        return False
+    try:
         with open(lock_p) as f:
             meta = json.load(f)
     except (OSError, ValueError):
-        return os.path.exists(lock_p)     # unreadable-but-present: live
-    import time
-    if time.time() - st.st_mtime > ttl_sec:
-        return False
+        return True               # fresh but unreadable (mid-write): live
     if meta.get("host") == socket.gethostname():
         try:
             os.kill(int(meta["pid"]), 0)

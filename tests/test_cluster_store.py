@@ -224,6 +224,63 @@ def test_stale_lease_is_broken_and_heal_respects_live_lease(tmp_path):
     assert not os.path.exists(data + ".__fold_bak")
 
 
+def test_lease_refused_across_real_processes(tmp_path):
+    """Cross-PROCESS enforcement (not just a simulated lock file): while
+    this process holds the lease, a genuinely separate Python process
+    must get the RuntimeError refusal; after release it must acquire."""
+    import subprocess
+    import sys
+
+    from rassengine_spark.util import acquire_fold_lease, release_fold_lease
+
+    data = str(tmp_path / "data")
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from rassengine_spark.util import acquire_fold_lease, "
+        "release_fold_lease\n"
+        "try:\n"
+        "    lock = acquire_fold_lease(%r)\n"
+        "except RuntimeError:\n"
+        "    print('REFUSED'); sys.exit(0)\n"
+        "release_fold_lease(lock)\n"
+        "print('ACQUIRED')\n"
+    ) % (str(__import__('pathlib').Path(__file__).parent.parent), data)
+    lock = acquire_fold_lease(data)
+    try:
+        out = subprocess.run([sys.executable, "-c", prog],
+                             capture_output=True, text=True, timeout=60)
+        assert out.stdout.strip() == "REFUSED", out.stdout + out.stderr
+    finally:
+        release_fold_lease(lock)
+    out = subprocess.run([sys.executable, "-c", prog],
+                         capture_output=True, text=True, timeout=60)
+    assert out.stdout.strip() == "ACQUIRED", out.stdout + out.stderr
+
+
+def test_corrupt_lease_expires_by_ttl(tmp_path):
+    """A partially-written lease file (crash between O_EXCL create and
+    the json write) must still expire by TTL — unreadable content can
+    never veto staleness — while a FRESH unreadable lease stays live
+    (another writer may be mid-create)."""
+    import os
+
+    import pytest
+
+    from rassengine_spark.util import acquire_fold_lease, release_fold_lease
+
+    data = str(tmp_path / "data")
+    lock_p = data + ".__fold_lock"
+    with open(lock_p, "w") as f:
+        f.write("")                       # corrupt: no json
+    # fresh + unreadable => live => refused
+    with pytest.raises(RuntimeError, match="concurrent fold"):
+        acquire_fold_lease(data)
+    # aged past the TTL => stale => broken and re-acquired
+    os.utime(lock_p, (0, 0))
+    lock = acquire_fold_lease(data)
+    release_fold_lease(lock)
+
+
 def test_swap_commit_never_promotes_partial_tmp(tmp_path):
     """A write() that materializes tmp partially and then errors (the
     ENOSPC class) must NOT be committed by the retry loop: the partial
