@@ -302,12 +302,29 @@ def hnsw_topk(corpus: DataFrame, queries, vec_col: str,
     (mirroring hnsw_topk_from_store's dispatch): the query table is
     replicated per shard with a broadcast cross-join and never passes
     through the driver, so it can be unbounded (a stream's micro-batch,
-    a query log). Pass an explicit bounded list of (query_id, vector)
-    pairs for the closure-broadcast overload — the only form that ships
-    queries through the driver, by construction already driver-sized
-    (the reference's online single-query kNN, app/main.py:1527-1560).
+    a query log). The DataFrame overload REQUIRES explicit
+    ``query_id_col`` and ``partitions``: with partitions left to
+    default, the closure path would shard by the scan's natural layout
+    while the cogroup path buckets by pmod(hash(id), defaultParallelism)
+    — different graphs, so the two overloads only score identically
+    when the shard count is pinned by the caller. Pass an explicit
+    bounded list of (query_id, vector) pairs for the closure-broadcast
+    overload — the only form that ships queries through the driver, by
+    construction already driver-sized (the reference's online
+    single-query kNN, app/main.py:1527-1560).
     Returns (query_id, id, score, rank)."""
     if isinstance(queries, DataFrame):
+        if query_id_col is None:
+            raise ValueError(
+                "hnsw_topk: a query DataFrame requires query_id_col "
+                "(the column naming each query)")
+        if not partitions:
+            raise ValueError(
+                "hnsw_topk: a query DataFrame requires an explicit "
+                "partitions count — shard composition (and therefore "
+                "approximate scores) must be pinned by the caller, not "
+                "inherited from defaultParallelism, for parity with the "
+                "list overload and with save_hnsw_index builds")
         return _hnsw_topk_df(corpus, queries, vec_col, id_col,
                              query_id_col, k=k, m=m,
                              ef_construction=ef_construction,

@@ -118,8 +118,10 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
     meta_p = _meta_dir(path, "upsert_meta")
     data_p = os.path.join(path, "data")
     if os.path.exists(meta_p):
-        n_buckets = int(spark.read.parquet(meta_p)
-                        .collect()[0]["n_buckets"])
+        from ..operators.index_store import cached_store_meta
+        n_buckets = cached_store_meta(
+            meta_p, lambda: int(spark.read.parquet(meta_p)
+                                .collect()[0]["n_buckets"]))
     else:
         # meta commits BEFORE the first data write: a crash between the
         # two must never leave data whose bucket count a retry (possibly
@@ -161,10 +163,12 @@ def bucketed_lookup(spark: SparkSession, path: str, keys: list,
     PartitionFilters on kb and scans |distinct buckets| directories out of
     n_buckets — the whole-file-fetch / GET-by-_id analog
     (app/main.py:1178-1190) at table scale."""
-    from ..operators.index_store import term_bucket_py
+    from ..operators.index_store import cached_store_meta, term_bucket_py
 
-    n_buckets = int(spark.read.parquet(_meta_dir(path, "upsert_meta"))
-                    .collect()[0]["n_buckets"])
+    meta_p = _meta_dir(path, "upsert_meta")
+    n_buckets = cached_store_meta(
+        meta_p, lambda: int(spark.read.parquet(meta_p)
+                            .collect()[0]["n_buckets"]))
     kbs = sorted({term_bucket_py(str(k), n_buckets) for k in keys})
     return (spark.read.parquet(os.path.join(path, "data"))
             .filter(F.col("kb").isin(kbs))
@@ -182,11 +186,13 @@ def bucketed_delete(spark: SparkSession, path: str, keys: list,
     buckets are never read or rewritten — same |touched|/n_buckets write
     amplification as the upsert. Deleting keys that don't exist is a
     no-op rewrite of their buckets (idempotent)."""
-    from ..operators.index_store import term_bucket_py
+    from ..operators.index_store import cached_store_meta, term_bucket_py
 
     data_p = os.path.join(path, "data")
-    n_buckets = int(spark.read.parquet(_meta_dir(path, "upsert_meta"))
-                    .collect()[0]["n_buckets"])
+    meta_p = _meta_dir(path, "upsert_meta")
+    n_buckets = cached_store_meta(
+        meta_p, lambda: int(spark.read.parquet(meta_p)
+                            .collect()[0]["n_buckets"]))
     kbs = sorted({term_bucket_py(str(k), n_buckets) for k in keys})
     keep = (spark.read.parquet(data_p)
             .filter(F.col("kb").isin(kbs))

@@ -110,6 +110,11 @@ def java_double_sort_key(x: float) -> int:
 
 FOLD_LEASE_TTL_SEC = 3600
 
+# token of every lease THIS process holds, keyed by lock path — lets the
+# commit step prove the lease on disk is still its own (not a fresh lease
+# taken by another writer after ours was broken as stale)
+_FOLD_LEASE_TOKENS: dict[str, str] = {}
+
 
 def _fold_lease_path(data_p: str) -> str:
     return data_p + ".__fold_lock"
@@ -163,15 +168,20 @@ def acquire_fold_lease(data_p: str,
     import socket
     import time
 
+    import uuid
+
     lock_p = _fold_lease_path(data_p)
     os.makedirs(os.path.dirname(os.path.abspath(lock_p)), exist_ok=True)
     for _ in range(3):
         try:
             fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            token = uuid.uuid4().hex
             with os.fdopen(fd, "w") as f:
                 json.dump({"pid": os.getpid(),
                            "host": socket.gethostname(),
-                           "ts": time.time()}, f)
+                           "ts": time.time(),
+                           "token": token}, f)
+            _FOLD_LEASE_TOKENS[lock_p] = token
             return lock_p
         except FileExistsError:
             if _fold_lease_is_live(lock_p, ttl_sec):
@@ -188,12 +198,62 @@ def acquire_fold_lease(data_p: str,
 
 
 def release_fold_lease(lock_p: str) -> None:
+    import json
     import os
 
+    own = _FOLD_LEASE_TOKENS.pop(lock_p, None)
+    if own is not None:
+        try:
+            with open(lock_p) as f:
+                if json.load(f).get("token") != own:
+                    return    # stolen: the file is the NEW writer's lease
+        except (OSError, ValueError):
+            pass
     try:
         os.unlink(lock_p)
     except OSError:
         pass
+
+
+def renew_fold_lease(lock_p: str) -> None:
+    """Push the lease's TTL clock forward (mtime touch). Called between
+    the long materialization step and the commit renames so a fold whose
+    Spark job ran close to FOLD_LEASE_TTL_SEC is not declared stale at
+    the exact moment it starts committing."""
+    import os
+
+    try:
+        os.utime(lock_p, None)
+    except OSError:
+        pass                      # verified separately by ownership check
+
+
+def assert_fold_lease_owned(lock_p: str) -> None:
+    """Prove the lease on disk is still the one THIS process wrote —
+    raise if it was broken as stale and re-acquired by another writer
+    while our materialization ran past the TTL. Committing under a
+    stolen lease is exactly the silent delta-drop/interleave the lease
+    exists to prevent, so the losing writer must fail loudly here, NOT
+    rename its (now-conflicting) tmp over the winner's commit."""
+    import json
+
+    own = _FOLD_LEASE_TOKENS.get(lock_p)
+    try:
+        with open(lock_p) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise RuntimeError(
+            f"fold lease {lock_p!r} vanished or is unreadable mid-fold "
+            "— it was broken as stale (fold exceeded FOLD_LEASE_TTL_SEC?)"
+            "; aborting commit to avoid clobbering a newer writer"
+        ) from e
+    if own is None or meta.get("token") != own:
+        raise RuntimeError(
+            f"fold lease {lock_p!r} is held by another writer "
+            f"(pid {meta.get('pid')} on {meta.get('host')}) — this "
+            "fold's lease was broken as stale while its materialization "
+            "ran; aborting commit (the store still holds the other "
+            "writer's consistent state)")
 
 
 def swap_commit_dir(write, data_p: str) -> None:
@@ -220,10 +280,23 @@ def swap_commit_dir(write, data_p: str) -> None:
     data -> bak before retrying the swap."""
     import os
     import shutil
+    import threading
 
     tmp_p = data_p + ".__fold_tmp"
     bak_p = data_p + ".__fold_bak"
     lock_p = acquire_fold_lease(data_p)
+    # renew the lease while the materialization runs: a fold whose Spark
+    # job outlives FOLD_LEASE_TTL_SEC must not be declared stale mid-write
+    # (a second writer breaking in, or a reader's heal, would reintroduce
+    # the silent interleave the lease prevents). Daemon thread: dies with
+    # the process, which is exactly when the lease SHOULD go stale.
+    stop_renew = threading.Event()
+
+    def _renew_loop() -> None:
+        while not stop_renew.wait(FOLD_LEASE_TTL_SEC / 4):
+            renew_fold_lease(lock_p)
+
+    threading.Thread(target=_renew_loop, daemon=True).start()
     try:
         # a pre-existing tmp is a previous crash's garbage, never committed
         shutil.rmtree(tmp_p, ignore_errors=True)
@@ -231,6 +304,12 @@ def swap_commit_dir(write, data_p: str) -> None:
             try:
                 if not os.path.exists(tmp_p):
                     write(tmp_p)
+                # commit gate: prove the lease is still OURS before any
+                # rename touches the committed dir — if it was broken as
+                # stale and re-acquired while write() ran, fail loudly
+                # instead of clobbering the new writer's commit
+                renew_fold_lease(lock_p)
+                assert_fold_lease_owned(lock_p)
                 if os.path.exists(data_p):
                     shutil.rmtree(bak_p, ignore_errors=True)
                     os.rename(data_p, bak_p)
@@ -252,6 +331,7 @@ def swap_commit_dir(write, data_p: str) -> None:
                     os.rename(bak_p, data_p)
         shutil.rmtree(bak_p, ignore_errors=True)
     finally:
+        stop_renew.set()
         release_fold_lease(lock_p)
 
 

@@ -257,6 +257,87 @@ def test_lease_refused_across_real_processes(tmp_path):
     assert out.stdout.strip() == "ACQUIRED", out.stdout + out.stderr
 
 
+def test_lease_pid_reuse_expires_by_ttl_not_liveness(tmp_path):
+    """Pid reuse is real at scale: a lease whose recorded pid now names
+    a LIVE but UNRELATED process (here: pid 1) must still expire by TTL
+    — TTL, not pid-liveness, is the cross-crash contract (VERDICT r07
+    #7). Fresh, the foreign-pid lease is honored (can't distinguish it
+    from the true holder); aged past the TTL it must break even though
+    os.kill(pid, 0) says someone is alive at that pid."""
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from rassengine_spark.util import acquire_fold_lease, release_fold_lease
+
+    data = str(tmp_path / "data")
+    lock_p = data + ".__fold_lock"
+    # pid 1 is always alive (init) and never this test's fold process —
+    # the exact shape a recycled pid produces after a holder crash
+    with open(lock_p, "w") as f:
+        json.dump({"pid": 1, "host": socket.gethostname(),
+                   "ts": 0, "token": "ghost"}, f)
+    with pytest.raises(RuntimeError, match="concurrent fold"):
+        acquire_fold_lease(data)          # fresh: live-by-assumption
+    os.utime(lock_p, (0, 0))              # aged past FOLD_LEASE_TTL_SEC
+    lock = acquire_fold_lease(data)       # TTL wins over pid-liveness
+    release_fold_lease(lock)
+    assert not os.path.exists(lock_p)
+
+
+def test_stolen_lease_aborts_commit(tmp_path):
+    """A fold whose lease is broken (stale) and re-acquired by another
+    writer while its materialization runs must ABORT at the commit gate
+    (ADVICE r07): renaming its tmp over the new writer's state would be
+    the silent interleave the lease exists to prevent. The loser must
+    also NOT release the winner's lease on its way out."""
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from rassengine_spark.util import swap_commit_dir
+
+    data = str(tmp_path / "data")
+    lock_p = data + ".__fold_lock"
+
+    def write_v(path, tag):
+        os.makedirs(path)
+        with open(os.path.join(path, "v"), "w") as f:
+            f.write(tag)
+
+    write_v(data, "old")
+
+    def slow_write(tmp):
+        # while this writer materializes, its lease is stolen: a second
+        # writer broke it as stale (TTL) and wrote its own
+        with open(lock_p, "w") as f:
+            json.dump({"pid": 1, "host": socket.gethostname(),
+                       "ts": 0, "token": "thief"}, f)
+        write_v(tmp, "loser")
+
+    with pytest.raises(RuntimeError, match="another writer"):
+        swap_commit_dir(slow_write, data)
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "old"          # loser never committed
+    with open(lock_p) as f:
+        assert json.load(f)["token"] == "thief"   # winner's lease intact
+    os.unlink(lock_p)
+
+    # and a vanished lease (broken, not yet re-acquired) also aborts
+    def vanish_write(tmp):
+        os.unlink(lock_p)
+        write_v(tmp, "loser2")
+
+    with pytest.raises(RuntimeError, match="vanished"):
+        swap_commit_dir(vanish_write, data)
+    with open(os.path.join(data, "v")) as f:
+        assert f.read() == "old"
+
+
 def test_corrupt_lease_expires_by_ttl(tmp_path):
     """A partially-written lease file (crash between O_EXCL create and
     the json write) must still expire by TTL — unreadable content can

@@ -26,6 +26,12 @@ def test_no_codegen_compile_failures():
     entry_errors = [ln for ln in p.stdout.splitlines()
                     if ln.startswith("ENTRY_ERROR")]
     assert p.returncode == 0 and not entry_errors, entry_errors[:5]
+    # the sweep logs one ERROR through the same log4j2 sink the codegen
+    # fallback uses; requiring it here proves the grep below is looking
+    # at a live log stream, not a misrouted/levelled-out one
+    assert "CODEGEN_SWEEP_STDERR_SENTINEL" in p.stderr, (
+        "JVM ERROR logs did not reach captured stderr — the compile-"
+        "failure grep below would be vacuous")
     compile_fails = [ln for ln in p.stderr.splitlines()
                      if "Failed to compile" in ln]
     assert not compile_fails, (

@@ -277,3 +277,19 @@ def test_compact_hnsw_store_preserves_serving(spark, tmp_path):
     assert max(parts_after) < 1 << 16      # namespace reset
     assert not os.path.exists(path + ".__fold_bak")
     assert not os.path.exists(path + ".__fold_tmp")
+
+
+def test_df_overload_requires_explicit_partitions_and_qid(spark):
+    """The DataFrame overload must refuse defaulted partitions /
+    query_id_col with a clear ValueError (ADVICE r07): with partitions
+    unset the closure path shards by scan layout while the cogroup path
+    buckets by pmod(hash, defaultParallelism) — silently different
+    graphs; and a None query_id_col used to die deep inside F.col(None)."""
+    import pytest
+
+    corpus, qs = _clustered(spark), _queries(spark)
+    with pytest.raises(ValueError, match="partitions"):
+        hnsw_topk(corpus, qs, "v", "vec_id", "qid", k=3, ef_search=8)
+    with pytest.raises(ValueError, match="query_id_col"):
+        hnsw_topk(corpus, qs, "v", "vec_id", k=3, ef_search=8,
+                  partitions=2)

@@ -255,3 +255,61 @@ def test_compaction_retry_heals_its_own_mid_swap_crash(spark, tmp_path):
     assert [(r.id, r.score)
             for r in bm25_topk_from_store(spark, path, "spark join",
                                           k=5).collect()] == scan
+
+
+def test_store_metadata_cached_across_serve_calls(spark, tmp_path,
+                                                  monkeypatch):
+    """Serving metadata (term store n_buckets, IVF centroids) must be a
+    load-ONCE per process (VERDICT r07 #3): the second serve call against
+    an unchanged store issues ZERO parquet reads of the meta/centroids
+    dirs — the reference's open-once index handle (app/main.py:350-352).
+    A store REWRITE (new file mtimes) must invalidate the cache."""
+    import pyspark.sql.readwriter as rw
+
+    from rassengine_spark.llmops.similarity import hyperplanes  # noqa: F401
+
+    df = corpus(spark)
+    tpath = str(tmp_path / "term")
+    save_term_index(*build_term_index(df, "text", "id"), tpath,
+                    n_buckets=16)
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(4)])
+         for i in range(20)], "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    vpath = str(tmp_path / "ivf")
+    save_ivf_index(emb, "embedding", "vec_id", vpath, n_cells=4)
+
+    reads: list[str] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        reads.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+
+    def meta_reads():
+        return [p for p in reads
+                if p.rstrip("/").endswith(("meta", "centroids"))]
+
+    # cold call: loads (and caches) the metadata
+    bm25_topk_from_store(spark, tpath, "spark join", k=3).collect()
+    ivf_topk_from_store(spark, vpath, qs, "embedding", "qid",
+                        k=2, n_probe=2).collect()
+    reads.clear()
+    # warm calls: zero metadata reads
+    bm25_topk_from_store(spark, tpath, "spark join", k=3).collect()
+    ivf_topk_from_store(spark, vpath, qs, "embedding", "qid",
+                        k=2, n_probe=2).collect()
+    assert meta_reads() == [], meta_reads()
+
+    # a rewrite (new mtimes/sizes) must be picked up, not served stale
+    save_term_index(*build_term_index(df, "text", "id"), tpath,
+                    n_buckets=8)
+    reads.clear()
+    out = bm25_topk_from_store(spark, tpath, "spark join", k=3)
+    out.collect()
+    assert any(p.rstrip("/").endswith("meta") for p in reads)
+    plan = _physical(out)
+    assert "PartitionFilters" in plan     # still pruned after reload

@@ -250,8 +250,12 @@ def main() -> int:
         # SortExec prints "Sort [keys], <global>, 0" — only global=true
         # is a full-data range sort; global=false is a partition-local
         # sort (SortMergeJoin / SortAggregate / window), which is the
-        # CORRECT shape at scale and must not flag.
-        if (re.search(r"Sort \[[^\]]*\], true,", plan)
+        # CORRECT shape at scale and must not flag. Matched per LINE and
+        # anchored to the trailing ", true, <n>" so a sort key that
+        # itself contains brackets (e.g. "v#5[0] ASC") cannot end the
+        # key-group match early and hide a global sort (ADVICE r07).
+        if (any(re.search(r"Sort \[.*\], true, \d+\s*$", ln)
+                for ln in plan.splitlines())
                 and "TakeOrdered" not in plan
                 and "Limit" not in plan and name not in SORT_OK):
             flags.append("SORT_ALL")

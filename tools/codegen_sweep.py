@@ -33,6 +33,15 @@ def main() -> int:
     from rassengine_spark.session import get_spark
 
     spark = get_spark("codegen-sweep")
+    # Positive proof the JVM's ERROR log stream reaches THIS process's
+    # stderr (ADVICE r07): emit one ERROR through the same log4j2 sink
+    # Spark's "Failed to compile" codegen fallback uses. The caller
+    # (tests/test_codegen_sweep.py) requires this sentinel in captured
+    # stderr — without it, an empty grep could mean "no fallbacks" OR
+    # "logs routed elsewhere / level raised", a silently vacuous gate.
+    (spark._jvm.org.apache.logging.log4j.LogManager
+     .getLogger("codegen-sweep")
+     .error("CODEGEN_SWEEP_STDERR_SENTINEL"))
     errors = []
     qs = entrymod.queries()
     for name, fn in qs.items():
