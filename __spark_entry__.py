@@ -216,6 +216,56 @@ WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def _q_ask_two_tenants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant dispatch (VERDICT r07 #8): ONE AskPipeline serves two
+    tenants' KEYWORD queries, each isolated by the spec partition key —
+    the engine analog of the reference's index-per-user multi-tenancy
+    (get_index_name(user_id), app/main.py:346-347; _routing=patientId
+    app/main.py:1230). The tenant key rides the same non-scoring filter
+    path as P1 (operators/search.py::_apply_filters), so on a
+    user-partitioned store the scan prunes to the tenant's partition
+    (asserted in tests/test_plans.py::
+    test_ask_dispatch_prunes_tenant_partition); here `source` plays the
+    tenant column on the flat testdata table. One pipeline object, two
+    dispatches, one union — no cross-tenant leakage by construction
+    (each branch's filter is conjunctive with every score clause)."""
+    import dataclasses
+
+    from rassengine_spark.pipeline.ask import AskPipeline
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    spec = dataclasses.replace(DOCS_SPEC, partition_col="source")
+    pipe = AskPipeline(docs, docs.limit(0), spec=spec)
+    parts = []
+    for tenant in ("src3", "src7"):
+        hits = pipe.dispatch("KEYWORD", "hash join", qvec=[], k=5,
+                             filter_expr=None, patient_id=tenant)
+        parts.append(hits.select(F.lit(tenant).alias("tenant"), "doc_id",
+                                 F.round("score", 6).alias("score")))
+    return parts[0].unionByName(parts[1])
+
+
+_SQL_ASK_TWO_TENANTS = """
+WITH scored AS (
+  SELECT doc_id, source,
+         2.0 * (CASE WHEN contains(lower(text), 'hash join') THEN 1.0 ELSE 0.0 END)
+       + 1.0 * GREATEST(
+           CASE WHEN lower(lang) IN ('hash','join') OR contains(lower(lang), 'hash join') THEN 1.0 ELSE 0.0 END,
+           CASE WHEN lower(source) IN ('hash','join') OR contains(lower(source), 'hash join') THEN 1.0 ELSE 0.0 END)
+         AS score
+  FROM documents),
+t1 AS (
+  SELECT 'src3' AS tenant, doc_id, round(score, 6) AS score FROM scored
+  WHERE source = 'src3' AND score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 5),
+t2 AS (
+  SELECT 'src7' AS tenant, doc_id, round(score, 6) AS score FROM scored
+  WHERE source = 'src7' AND score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT * FROM t1 UNION ALL SELECT * FROM t2
+"""
+
+
 def _q_q2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 SEMANTIC exact kNN (app/main.py:1527-1560)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -8793,6 +8843,149 @@ def _q_drift_psi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DQ.psi_report_from_counters(spark, path)
 
 
+def _build_pipeline_health_stores(spark: SparkSession, sf_dir: str) -> str:
+    """Prepare the three persisted counter stores the pipeline-health
+    rollup serves from — each built exactly the way its own lifecycle
+    entry builds it (fold in halves, so the incremental path is what the
+    dashboard actually reads):
+      dq/      row-level DQ check counters over orders (save + append)
+      psi/     PSI drift histogram counters over events (baseline +
+               two current folds with a compact between)
+      contam/  decontamination counters: persisted 5-gram train vocab
+               probed by the eval split, folded in two batches
+    """
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+
+    root = _store_tmp_path("rass_health", sf_dir)
+    orders = load_tables(spark, sf_dir)["orders"]
+    events = load_tables(spark, sf_dir)["events"]
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    dq_p = os.path.join(root, "dq")
+    checks = _dq_base_checks()
+    DQ.save_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 0),
+                        checks, dq_p)
+    DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 1),
+                          checks, dq_p)
+
+    psi_p = os.path.join(root, "psi")
+    cutoff = F.to_timestamp(F.lit(_PSI_CUTOFF))
+    DQ.save_psi_counters(events.filter(F.col("ts") < cutoff),
+                         "event_type", "value", psi_p, lo=0.0, hi=500.0)
+    cur = events.filter(F.col("ts") >= cutoff)
+    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 0), psi_p)
+    DQ.compact_dq_counters(spark, psi_p)
+    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 1), psi_p)
+
+    vocab_p = os.path.join(root, "contam_vocab")
+    counters_p = os.path.join(root, "contam")
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    DC.save_gram_vocab(lab.filter(F.col("split") == "train"), "text",
+                       vocab_p, n=5)
+    ev = lab.filter(F.col("split") == "eval").withColumn(
+        "suite", F.concat(F.lit("suite"),
+                          (F.col("doc_id") % 3).cast("string")))
+    for half in (ev.filter(F.col("doc_id") % 2 == 0),
+                 ev.filter(F.col("doc_id") % 2 == 1)):
+        c = DC.contamination_counters(spark, half, "text", "doc_id",
+                                      ["suite", "lang"], vocab_p,
+                                      threshold=0.8)
+        DC.merge_contamination_counters(spark, counters_p, c,
+                                        ["suite", "lang"])
+    return root
+
+
+def _q_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed PIPELINE-HEALTH dashboard (VERDICT r07 #4): one
+    (metric, value, flagged) row per curation gate, served from THREE
+    persisted counter stores plus one corpus scan — the single view a
+    100 TB curation run is operated by. Serving reads counters only
+    (DQ check counters, PSI drift histograms, contamination counters —
+    each O(groups), never the history), so the dashboard costs the same
+    at any corpus size; only the dup-rate branch scans the corpus, and
+    it is one hash-aggregate. Every value is an exact integer (counts),
+    so the oracle is engine-portable with no FP surface. The reference
+    has no such composed view — it is the operational layer its
+    OpenSearch cluster dashboards provide out of band; here it is a
+    first-class query over the engine's own stores."""
+    from rassengine_spark.llmops import decontam as DC
+
+    root = _prepared_store("pipeline_health_rollup", spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    dq_row = (DQ.dq_report_from_counters(spark, os.path.join(root, "dq"))
+              .agg(F.sum(F.when(~F.col("passed"), 1).otherwise(0))
+                   .cast("long").alias("value"))
+              .select(F.lit("dq_row_checks_failed").alias("metric"),
+                      "value", (F.col("value") > 0).alias("flagged")))
+    psi_row = (DQ.psi_report_from_counters(spark, os.path.join(root, "psi"))
+               .agg(F.sum(F.col("drifted").cast("int"))
+                    .cast("long").alias("value"))
+               .select(F.lit("drifted_event_types").alias("metric"),
+                       "value", (F.col("value") > 0).alias("flagged")))
+    contam_rows = (
+        DC.read_contamination_counters(spark, os.path.join(root, "contam"))
+        .agg(F.sum("n_contaminated").cast("long").alias("c"),
+             F.sum("n_docs").cast("long").alias("n"))
+        .selectExpr("stack(2, 'contaminated_eval_docs', c, c > 0, "
+                    "'eval_docs_checked', n, false) "
+                    "AS (metric, value, flagged)"))
+    dup_rows = (docs.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                         F.countDistinct("text").cast("long").alias("u"))
+                .selectExpr("stack(2, 'duplicate_docs', n - u, n > u, "
+                            "'total_docs', n, false) "
+                            "AS (metric, value, flagged)"))
+    return (dq_row.unionByName(psi_row).unionByName(contam_rows)
+            .unionByName(dup_rows))
+
+
+def _sql_pipeline_health() -> str:
+    u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
+    words = _SQL_WORDS.format(col="text")
+    return f"""
+WITH lab AS (
+  SELECT doc_id, {words} AS words,
+         CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+evg AS (
+  SELECT doc_id, unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'eval'),
+vocab AS (
+  SELECT DISTINCT unnest({_sql_shingles(5)}) AS gram
+  FROM lab WHERE split = 'train'),
+per_doc AS (
+  SELECT e.doc_id,
+         round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+  FROM evg e LEFT JOIN vocab v ON e.gram = v.gram
+  GROUP BY e.doc_id)
+SELECT 'dq_row_checks_failed' AS metric, CAST(v AS BIGINT) AS value,
+       v > 0 AS flagged
+FROM (SELECT COUNT(*) AS v FROM ({_sql_dq_report_fold()}) WHERE NOT passed)
+UNION ALL
+SELECT 'drifted_event_types', CAST(v AS BIGINT), v > 0
+FROM (SELECT COUNT(*) AS v FROM ({_sql_drift_psi()}) WHERE drifted)
+UNION ALL
+SELECT 'contaminated_eval_docs',
+       CAST(SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS value,
+       SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END) > 0
+FROM per_doc
+UNION ALL
+SELECT 'eval_docs_checked', CAST(COUNT(*) AS BIGINT), FALSE FROM per_doc
+UNION ALL
+SELECT 'duplicate_docs',
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT),
+       COUNT(*) > COUNT(DISTINCT text)
+FROM documents
+UNION ALL
+SELECT 'total_docs', CAST(COUNT(*) AS BIGINT), FALSE FROM documents
+"""
+
+
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT trigram-set Jaccard >= 0.5 pairs via prefix filtering
     (AllPairs/PPJoin candidate generation, dedup.py::
@@ -8898,6 +9091,7 @@ _BENCH_BUILDERS: dict[str, Callable[[SparkSession, str], str]] = {
     "sim_hnsw_recall": _build_hnsw_operating_point,
     "sim_hnsw_store_recall": _build_hnsw_store_m16,
     "sim_hnsw_store_append_recall": _build_hnsw_store_appended,
+    "pipeline_health_rollup": _build_pipeline_health_stores,
     # retired contract twins (RETIRED_FOLD_TWINS) — builders kept for
     # the fold/compaction parity pytest, not benched:
     "bm25_store_compacted_ranked": _build_term_store_compacted,
@@ -8954,6 +9148,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _q_tpch_q1,
         "tpch_q3_shipping": _q_tpch_q3,
         "q1_keyword_phrase": _q_q1_keyword,
+        "ask_two_tenants_pruned": _q_ask_two_tenants,
         "q2_semantic_knn": _q_q2_knn,
         "q6_terms_agg": _q_q6_terms_agg,
         "q8_temporal": _q_q8_temporal,
@@ -9021,6 +9216,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report_fold": _q_dq_report_fold,
         "profile_orders_columns": _q_profile_orders,
         "drift_psi_events": _q_drift_psi,
+        "pipeline_health_rollup": _q_pipeline_health,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "text_lm_score": _q_text_lm_score,
         "text_kn_lm_score": _q_text_kn_lm_score,
@@ -9168,6 +9364,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": _SQL_TPCH_Q1,
         "tpch_q3_shipping": _SQL_TPCH_Q3,
         "q1_keyword_phrase": _SQL_Q1_KEYWORD,
+        "ask_two_tenants_pruned": _SQL_ASK_TWO_TENANTS,
         "q2_semantic_knn": _SQL_Q2_KNN,
         "q6_terms_agg": _SQL_Q6_TERMS,
         "q8_temporal": _SQL_Q8_TEMPORAL,
@@ -9236,6 +9433,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_report_fold": _sql_dq_report_fold(),
         "profile_orders_columns": _sql_profile_orders(),
         "drift_psi_events": _sql_drift_psi(),
+        "pipeline_health_rollup": _sql_pipeline_health(),
         "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),
         "text_lm_score": _sql_text_lm_score(),
         "text_kn_lm_score": _sql_text_kn_lm_score(),

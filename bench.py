@@ -55,25 +55,24 @@ SENTINELS_R01_SF01 = {
 # The slowest entries of the last committed bench snapshot, warmed once
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
-    # refreshed round 7 from the clean-host BENCH_local top-18
-    "bm25_store_compacted_ranked",
-    "decontam_report_fold",
-    "dedup_cluster_store_merge",
-    "text_kn_fold",
+    # refreshed round 8: r07 top-18 minus the 12 consolidated twins
+    # (RETIRED_FOLD_TWINS), which are no longer contract entries
     "sim_hnsw_recall",
     "basket_part_pagerank",
-    "decontam_from_store",
-    "sim_hnsw_compacted_recall",
-    "split_dsir_weights_fold",
     "prep_training_corpus",
     "m_quality_classifier_eval",
     "mm_ahash_incremental",
     "sim_ivfpq_residual_topk",
     "bm25_store_append_ranked",
-    "sim_ivf_store_compacted_topk",
     "basket_part_communities",
     "decontam_neardup_leakage",
     "basket_part_communities_frac",
+    "decontam_report",
+    "decontam_ngram_overlap",
+    "text_kn_lm_score",
+    "dedup_cc_clusters",
+    "split_dsir_weights",
+    "pipeline_health_rollup",
 ]
 
 

@@ -38,8 +38,19 @@ QUERIES = [
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine_cells",
     "split_dsir_weights",
+    # spanning-forest fold sequence — consolidated out of the contract
+    # in r08 (RETIRED_FOLD_TWINS), still invariance-pinned here through
+    # its retained callable:
     "dedup_cluster_store_merge",
 ]
+
+
+def _query_fn(name):
+    qs = entry.queries()
+    if name in qs:
+        return qs[name]
+    from tests.test_fold_twin_parity import RETIRED_CALLABLES
+    return RETIRED_CALLABLES[name]
 
 
 def _rows(df):
@@ -49,7 +60,7 @@ def _rows(df):
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_set_invariant_under_shuffle_partitions(spark, name):
-    q = entry.queries()[name]
+    q = _query_fn(name)
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     try:
