@@ -8933,8 +8933,12 @@ def _q_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("stack(2, 'contaminated_eval_docs', c, c > 0, "
                     "'eval_docs_checked', n, false) "
                     "AS (metric, value, flagged)"))
+    # dup rate over md5(text), not raw text: the distinct-aggregate then
+    # shuffles 32-byte digests instead of full documents (the 100 TB
+    # shape); same count as distinct-text up to md5 collision
     dup_rows = (docs.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                         F.countDistinct("text").cast("long").alias("u"))
+                         F.countDistinct(F.md5(F.col("text")))
+                          .cast("long").alias("u"))
                 .selectExpr("stack(2, 'duplicate_docs', n - u, n > u, "
                             "'total_docs', n, false) "
                             "AS (metric, value, flagged)"))
@@ -8978,8 +8982,8 @@ UNION ALL
 SELECT 'eval_docs_checked', CAST(COUNT(*) AS BIGINT), FALSE FROM per_doc
 UNION ALL
 SELECT 'duplicate_docs',
-       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT),
-       COUNT(*) > COUNT(DISTINCT text)
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT),
+       COUNT(*) > COUNT(DISTINCT md5(text))
 FROM documents
 UNION ALL
 SELECT 'total_docs', CAST(COUNT(*) AS BIGINT), FALSE FROM documents

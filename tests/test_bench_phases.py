@@ -1,0 +1,49 @@
+"""The build/serve bench seam (__spark_entry__.bench_phases /
+_prepared_store): registry consistency, per-process build caching, and
+cold-call equivalence — the properties bench.py and the driver rely on.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_builder_registry_consistent():
+    """Every builder either backs a live contract entry or a retired
+    twin kept for the parity suite; every phased entry resolves."""
+    qs = entry.queries()
+    for name in entry._BENCH_BUILDERS:
+        assert name in qs or name in entry.RETIRED_FOLD_TWINS, name
+    for name, prepare in entry.bench_phases().items():
+        assert callable(prepare)
+
+
+def test_prepared_store_builds_once_per_process(spark):
+    """A second query call must reuse the prepared store: same path,
+    store files byte-untouched (no rebuild). The serving result is
+    identical across the cold and warm calls."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+
+    def snapshot(root):
+        out = {}
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    q = entry.queries()["bm25_store_ranked"]
+    cold = [(r.id, r.score) for r in q(spark, SF_DIR).collect()]
+    path1 = entry._prepared_store("bm25_store_ranked", spark, SF_DIR)
+    snap1 = snapshot(path1)
+    warm = [(r.id, r.score) for r in q(spark, SF_DIR).collect()]
+    path2 = entry._prepared_store("bm25_store_ranked", spark, SF_DIR)
+    assert path1 == path2
+    assert snapshot(path1) == snap1          # no rebuild on the warm call
+    assert warm == cold
