@@ -3902,11 +3902,16 @@ def _q_decontam_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.report_from_counters(counters, ["suite", "lang"])
 
 
-def _sql_decontam_report() -> str:
+def _sql_decontam_perdoc_ctes() -> str:
+    """The lab/evg/vocab/per_doc CTE chain of the decontamination family
+    (90/10 hash split, 5-gram train vocabulary, per-eval-doc overlap) —
+    ONE text shared by _sql_decontam_report and _sql_pipeline_health so
+    the two oracles can never drift from the single Python
+    implementation they both mirror (contamination_counters /
+    ngram_overlap_from_store)."""
     u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
     words = _SQL_WORDS.format(col="text")
-    return f"""
-WITH lab AS (
+    return f"""lab AS (
   SELECT doc_id, lang, {words} AS words,
          CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9
               THEN 'train' ELSE 'eval' END AS split
@@ -3921,7 +3926,12 @@ per_doc AS (
   SELECT e.doc_id, COUNT(*) AS n_grams, COUNT(v.gram) AS n_matched,
          round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
   FROM evg e LEFT JOIN vocab v ON e.gram = v.gram
-  GROUP BY e.doc_id),
+  GROUP BY e.doc_id)"""
+
+
+def _sql_decontam_report() -> str:
+    return f"""
+WITH {_sql_decontam_perdoc_ctes()},
 j AS (
   SELECT 'suite' || CAST(l.doc_id % 3 AS VARCHAR) AS suite, l.lang,
          p.n_grams, p.n_matched, p.overlap_frac,
@@ -8947,25 +8957,8 @@ def _q_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pipeline_health() -> str:
-    u = _sql_hash60("('decon/' || CAST(doc_id AS VARCHAR))")
-    words = _SQL_WORDS.format(col="text")
     return f"""
-WITH lab AS (
-  SELECT doc_id, {words} AS words,
-         CASE WHEN CAST({u} AS DOUBLE) / {_HASH_SPACE_SQL} < 0.9
-              THEN 'train' ELSE 'eval' END AS split
-  FROM documents),
-evg AS (
-  SELECT doc_id, unnest({_sql_shingles(5)}) AS gram
-  FROM lab WHERE split = 'eval'),
-vocab AS (
-  SELECT DISTINCT unnest({_sql_shingles(5)}) AS gram
-  FROM lab WHERE split = 'train'),
-per_doc AS (
-  SELECT e.doc_id,
-         round(CAST(COUNT(v.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
-  FROM evg e LEFT JOIN vocab v ON e.gram = v.gram
-  GROUP BY e.doc_id)
+WITH {_sql_decontam_perdoc_ctes()}
 SELECT 'dq_row_checks_failed' AS metric, CAST(v AS BIGINT) AS value,
        v > 0 AS flagged
 FROM (SELECT COUNT(*) AS v FROM ({_sql_dq_report_fold()}) WHERE NOT passed)

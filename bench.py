@@ -149,6 +149,21 @@ def main():
                 pass                       # the timed run reports it
     timings = {}
     for name in names:
+        if name in phases and builds.get(name) is None:
+            # the build phase failed earlier: retry it HERE (still timed
+            # as build) so the query call below never silently pays a
+            # rebuild inside its serve number — the exact conflation the
+            # phase split exists to prevent. A second failure marks the
+            # entry failed rather than mismeasured.
+            t0 = time.perf_counter()
+            try:
+                phases[name](spark, sf_dir)
+                builds[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(f"bench build retry failed for {name}: {e}",
+                      file=sys.stderr)
+                timings[name] = None
+                continue
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).collect()

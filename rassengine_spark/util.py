@@ -207,8 +207,14 @@ def release_fold_lease(lock_p: str) -> None:
             with open(lock_p) as f:
                 if json.load(f).get("token") != own:
                     return    # stolen: the file is the NEW writer's lease
+        except FileNotFoundError:
+            return            # already broken + not re-acquired: nothing
         except (OSError, ValueError):
-            pass
+            # unreadable: could be a successor mid-create (crash window
+            # between its O_EXCL open and json write) — deleting it would
+            # hand a third writer a live fold's store. Leave it; a truly
+            # orphaned corrupt lease expires by TTL.
+            return
     try:
         os.unlink(lock_p)
     except OSError:
@@ -216,15 +222,24 @@ def release_fold_lease(lock_p: str) -> None:
 
 
 def renew_fold_lease(lock_p: str) -> None:
-    """Push the lease's TTL clock forward (mtime touch). Called between
-    the long materialization step and the commit renames so a fold whose
-    Spark job ran close to FOLD_LEASE_TTL_SEC is not declared stale at
-    the exact moment it starts committing."""
+    """Push the lease's TTL clock forward (mtime touch) — ONLY while the
+    lease on disk is still this process's own. Called by the renewal
+    thread during the materialization and again before the commit
+    renames, so a fold running close to FOLD_LEASE_TTL_SEC is not
+    declared stale mid-commit. The ownership check matters: after a TTL
+    break + steal, blindly touching the file would keep the THIEF's
+    lease (possibly a crashed writer's) artificially fresh and lock the
+    store until our write finished."""
+    import json
     import os
 
+    own = _FOLD_LEASE_TOKENS.get(lock_p)
     try:
+        with open(lock_p) as f:
+            if own is None or json.load(f).get("token") != own:
+                return            # not ours (stolen / vanished): hands off
         os.utime(lock_p, None)
-    except OSError:
+    except (OSError, ValueError):
         pass                      # verified separately by ownership check
 
 

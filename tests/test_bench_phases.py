@@ -29,21 +29,16 @@ def test_prepared_store_builds_once_per_process(spark):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"{SF_DIR} not present")
 
-    def snapshot(root):
-        out = {}
-        for r, _, fs in os.walk(root):
-            for f in fs:
-                p = os.path.join(r, f)
-                st = os.stat(p)
-                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
-        return out
+    # the production definition of "unchanged" — the same fingerprint
+    # the metadata cache keys on, so this test tracks it if it evolves
+    from rassengine_spark.operators.index_store import _dir_fingerprint
 
     q = entry.queries()["bm25_store_ranked"]
     cold = [(r.id, r.score) for r in q(spark, SF_DIR).collect()]
     path1 = entry._prepared_store("bm25_store_ranked", spark, SF_DIR)
-    snap1 = snapshot(path1)
+    snap1 = _dir_fingerprint(path1)
     warm = [(r.id, r.score) for r in q(spark, SF_DIR).collect()]
     path2 = entry._prepared_store("bm25_store_ranked", spark, SF_DIR)
     assert path1 == path2
-    assert snapshot(path1) == snap1          # no rebuild on the warm call
+    assert _dir_fingerprint(path1) == snap1  # no rebuild on the warm call
     assert warm == cold

@@ -48,7 +48,7 @@ PYTHON_OK = {
     # graphs for real, plus the exact brute-force comparison arm; the
     # store variant serves persisted graphs through the cogroup pass):
     "sim_hnsw_topk", "sim_hnsw_recall", "sim_hnsw_store_recall",
-    "sim_hnsw_store_append_recall", "sim_hnsw_compacted_recall",
+    "sim_hnsw_store_append_recall",
     # stub decode kernels over mapInPandas — the plumbing under audit:
     "mm_resize_meta", "mm_frame_sample",
     # int64 DCT kernel over mapInPandas (BIGINT-exact, oracle recomputes
@@ -60,8 +60,6 @@ PYTHON_OK = {
     "text_repetition", "decontam_ngram_overlap", "text_quality",
     # rollup view over the same Arrow gram-hash pass as decontam above:
     "decontam_report",
-    # store lifecycle entries: the eval probes run the same gram-hash pass:
-    "decontam_from_store", "decontam_report_fold",
     # same Arrow minhash pass as dedup_minhash_lsh + CC resolution:
     "decontam_neardup_leakage",
     "text_langid", "text_lm_score",
@@ -77,7 +75,7 @@ PYTHON_OK = {
     # same Arrow _doc_bigrams pass as text_lm_score (KN smoothing, the
     # DoReMi reweight step, and the folded-store KN entry all score
     # through it):
-    "text_kn_lm_score", "split_domain_reweight", "text_kn_fold",
+    "text_kn_lm_score", "split_domain_reweight",
     # Arrow tf-index pass (vectorized twin of the interpreted per-term
     # expressions; batch==solo parity-tested); the known-item eval runs
     # the same batch scorer:
@@ -163,7 +161,7 @@ SORT_OK = {
     # per-group window over the (group x <=10-bin) PRE-AGGREGATE — the
     # windowed frame is <= groups*bins rows at any corpus size (the
     # fold variant serves the same window from the counter store):
-    "drift_psi_events", "drift_psi_fold",
+    "drift_psi_events",
     # per-doc row_number window sort (partition key = doc id, frame =
     # that doc's token set) + SMJ sorts on the prefix-token and pair-id
     # join keys — all partition-local, never a corpus-wide order-by:
@@ -178,8 +176,6 @@ SORT_OK = {
     "dedup_keeper_policy",
     "events_asof_forward_tol",
     "orders_running_total",
-    # store read-back display sort (|clustered nodes| rows, reduced table):
-    "dedup_cluster_store_merge",
     # bounded few-group aggregates with display order:
     "tpch_q5_region_revenue", "j1_semi_join_resolved",
     "sketch_daily_rollup",
