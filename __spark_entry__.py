@@ -8920,40 +8920,15 @@ def _q_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is engine-portable with no FP surface. The reference
     has no such composed view — it is the operational layer its
     OpenSearch cluster dashboards provide out of band; here it is a
-    first-class query over the engine's own stores."""
-    from rassengine_spark.llmops import decontam as DC
+    first-class operator (llmops/health.py::health_report) over the
+    engine's own stores."""
+    from rassengine_spark.llmops.health import (health_report,
+                                                health_store_paths)
 
     root = _prepared_store("pipeline_health_rollup", spark, sf_dir)
+    p = health_store_paths(root)
     docs = load_tables(spark, sf_dir)["documents"]
-
-    dq_row = (DQ.dq_report_from_counters(spark, os.path.join(root, "dq"))
-              .agg(F.sum(F.when(~F.col("passed"), 1).otherwise(0))
-                   .cast("long").alias("value"))
-              .select(F.lit("dq_row_checks_failed").alias("metric"),
-                      "value", (F.col("value") > 0).alias("flagged")))
-    psi_row = (DQ.psi_report_from_counters(spark, os.path.join(root, "psi"))
-               .agg(F.sum(F.col("drifted").cast("int"))
-                    .cast("long").alias("value"))
-               .select(F.lit("drifted_event_types").alias("metric"),
-                       "value", (F.col("value") > 0).alias("flagged")))
-    contam_rows = (
-        DC.read_contamination_counters(spark, os.path.join(root, "contam"))
-        .agg(F.sum("n_contaminated").cast("long").alias("c"),
-             F.sum("n_docs").cast("long").alias("n"))
-        .selectExpr("stack(2, 'contaminated_eval_docs', c, c > 0, "
-                    "'eval_docs_checked', n, false) "
-                    "AS (metric, value, flagged)"))
-    # dup rate over md5(text), not raw text: the distinct-aggregate then
-    # shuffles 32-byte digests instead of full documents (the 100 TB
-    # shape); same count as distinct-text up to md5 collision
-    dup_rows = (docs.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                         F.countDistinct(F.md5(F.col("text")))
-                          .cast("long").alias("u"))
-                .selectExpr("stack(2, 'duplicate_docs', n - u, n > u, "
-                            "'total_docs', n, false) "
-                            "AS (metric, value, flagged)"))
-    return (dq_row.unionByName(psi_row).unionByName(contam_rows)
-            .unionByName(dup_rows))
+    return health_report(spark, p["dq"], p["psi"], p["contam"], docs=docs)
 
 
 def _sql_pipeline_health() -> str:
