@@ -24,6 +24,11 @@ of the reference's REST endpoints has a direct equivalent for each flow.
         store), `bpe` (tokenizer merges + vocab), and — when --vec-col is
         present — `ivf` / `hnsw` vector tiers.
 
+    python -m rassengine_spark health --dq DIR --psi DIR --contam DIR
+        the pipeline-health dashboard (llmops/health.py): one JSON line
+        per curation gate, read from the persisted counter stores alone
+        (add --docs PARQUET for the corpus dup-rate rows).
+
     python -m rassengine_spark table --path DIR ACTION
         dataset maintenance: --publish [NAME] / --list / --drop NAME
         snapshots, --compact MB small-file compaction, --prune retention.
@@ -79,6 +84,26 @@ def _cmd_ask(args) -> int:
         for r in res.hits.select("doc_id").collect():
             print(f"hit: {r['doc_id']}")
     print(f"answer: {res.answer}")
+    return 0
+
+
+def _cmd_health(args) -> int:
+    """Print the pipeline-health dashboard (llmops/health.py) from the
+    persisted counter stores the maintenance jobs keep fresh — one JSON
+    line per (metric, value, flagged) gate, store-only unless --docs
+    points at a corpus parquet for the dup-rate rows."""
+    import json as _json
+
+    from .llmops.health import health_report
+    from .session import get_spark
+
+    spark = get_spark("cli-health")
+    docs = spark.read.parquet(args.docs) if args.docs else None
+    rows = health_report(spark, args.dq, args.psi, args.contam,
+                         docs=docs, text_col=args.text_col).collect()
+    for r in rows:
+        print(_json.dumps({"metric": r.metric, "value": r.value,
+                           "flagged": r.flagged}))
     return 0
 
 
@@ -409,6 +434,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the full prep pipeline (unicode + line "
                          "dedup + dedup/quality/PII/split)")
     pc.set_defaults(fn=_cmd_crawl)
+
+    ph = sub.add_parser(
+        "health",
+        help="pipeline-health dashboard from persisted counter stores")
+    ph.add_argument("--dq", required=True,
+                    help="DQ counter store dir (save_dq_counters layout)")
+    ph.add_argument("--psi", required=True,
+                    help="PSI drift store dir (save_psi_counters layout)")
+    ph.add_argument("--contam", required=True,
+                    help="contamination counter store dir "
+                         "(merge_contamination_counters layout)")
+    ph.add_argument("--docs", default=None,
+                    help="corpus parquet for the dup-rate rows "
+                         "(omit for store-only online mode)")
+    ph.add_argument("--text-col", default="text")
+    ph.set_defaults(fn=_cmd_health)
 
     pt = sub.add_parser("table", help="snapshots / compaction / retention")
     pt.add_argument("--path", required=True)

@@ -272,3 +272,53 @@ def test_cli_stream_kmv_and_lm(spark, tmp_path, capsys):
     assert (m_after[3], m_after[4]) == (m_before[3], m_before[4])
     assert sorted(map(tuple, m_after[0].collect())) == bc_before
     capsys.readouterr()
+
+
+def test_cli_health(spark, tmp_path, capsys):
+    """`health` prints one JSON gate row per metric from the persisted
+    counter stores (store-only mode; --docs adds the dup-rate rows)."""
+    from pyspark.sql import functions as F
+
+    from rassengine_spark.llmops import dataquality as DQ
+    from rassengine_spark.llmops import decontam as DC
+
+    dq_p, psi_p = str(tmp_path / "dq"), str(tmp_path / "psi")
+    contam_p, vocab_p = str(tmp_path / "ct"), str(tmp_path / "vb")
+    docs_p = str(tmp_path / "docs")
+
+    DQ.save_dq_counters(
+        spark.createDataFrame([(i, i % 3) for i in range(30)],
+                              "id long, v long"),
+        [DQ.completeness("v")], dq_p)
+    ev = spark.createDataFrame(
+        [(f"t{i % 2}", float(i % 10)) for i in range(80)],
+        "g string, value double")
+    DQ.save_psi_counters(ev, "g", "value", psi_p, lo=0.0, hi=10.0)
+    DQ.append_psi_current(ev, psi_p)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta common words") for i in range(12)],
+        "doc_id long, text string")
+    docs.write.parquet(docs_p)
+    DC.save_gram_vocab(docs.filter("doc_id % 2 = 0"), "text", vocab_p, n=3)
+    evd = (docs.filter("doc_id % 2 = 1")
+           .withColumn("suite", F.lit("s0")).withColumn("lang", F.lit("en")))
+    c = DC.contamination_counters(spark, evd, "text", "doc_id",
+                                  ["suite", "lang"], vocab_p)
+    DC.merge_contamination_counters(spark, contam_p, c, ["suite", "lang"])
+
+    assert main(["health", "--dq", dq_p, "--psi", psi_p,
+                 "--contam", contam_p]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    metrics = {r["metric"] for r in rows}
+    assert metrics == {"dq_row_checks_failed", "drifted_event_types",
+                       "contaminated_eval_docs", "eval_docs_checked"}
+
+    assert main(["health", "--dq", dq_p, "--psi", psi_p,
+                 "--contam", contam_p, "--docs", docs_p]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    by = {r["metric"]: r for r in rows}
+    assert by["total_docs"]["value"] == 12
+    assert by["duplicate_docs"]["value"] == 0
+    assert by["drifted_event_types"]["value"] == 0   # cur == baseline
