@@ -41,20 +41,27 @@ def health_report(spark: SparkSession, dq_path: str, psi_path: str,
     from . import decontam as DC
     from . import dataquality as DQ
 
+    # every gate coalesces its sum to 0: a store that exists but has
+    # folded no rows yet (a maintainer's empty init, a fresh baseline)
+    # must read as "0 failures", not a null row in the dashboard
     dq_row = (DQ.dq_report_from_counters(spark, dq_path)
-              .agg(F.sum(F.when(~F.col("passed"), 1).otherwise(0))
+              .agg(F.coalesce(F.sum(F.when(~F.col("passed"), 1)
+                                    .otherwise(0)), F.lit(0))
                    .cast("long").alias("value"))
               .select(F.lit("dq_row_checks_failed").alias("metric"),
                       "value", (F.col("value") > 0).alias("flagged")))
     psi_row = (DQ.psi_report_from_counters(spark, psi_path)
-               .agg(F.sum(F.col("drifted").cast("int"))
+               .agg(F.coalesce(F.sum(F.col("drifted").cast("int")),
+                               F.lit(0))
                     .cast("long").alias("value"))
                .select(F.lit("drifted_event_types").alias("metric"),
                        "value", (F.col("value") > 0).alias("flagged")))
     contam_rows = (
         DC.read_contamination_counters(spark, contam_path)
-        .agg(F.sum("n_contaminated").cast("long").alias("c"),
-             F.sum("n_docs").cast("long").alias("n"))
+        .agg(F.coalesce(F.sum("n_contaminated"), F.lit(0))
+             .cast("long").alias("c"),
+             F.coalesce(F.sum("n_docs"), F.lit(0))
+             .cast("long").alias("n"))
         .selectExpr("stack(2, 'contaminated_eval_docs', c, c > 0, "
                     "'eval_docs_checked', n, false) "
                     "AS (metric, value, flagged)"))

@@ -156,3 +156,30 @@ def test_health_report_streamed_equals_batch(spark, tmp_path):
     streamed = health_report(spark, d["dq_st"], d["psi_st"],
                              streamed_contam, docs=None)
     assert _health_rows(streamed) == _health_rows(batch)
+
+
+def test_health_report_empty_stores_read_as_zero(spark, tmp_path):
+    """Stores that exist but have folded nothing yet (a maintainer's
+    empty init) must read as zero-valued unflagged gates, never null
+    rows — the dashboard is valid from the first moment of a run."""
+    dq_p, psi_p = str(tmp_path / "dq"), str(tmp_path / "psi")
+    contam_p = str(tmp_path / "ct")
+
+    DQ.save_dq_counters(spark.createDataFrame([], "id long, v long"),
+                        _orders_checks(), dq_p)
+    DQ.save_psi_counters(
+        spark.createDataFrame([("t0", 1.0)], "g string, value double"),
+        "g", "value", psi_p, lo=0.0, hi=10.0)   # baseline, no current
+    # contamination store with a zero-row committed counters table
+    empty = spark.createDataFrame(
+        [], "suite string, lang string, n_docs long, n_contaminated long,"
+            " tot_grams long, tot_matched long, sum_micro long")
+    DC.merge_contamination_counters(spark, contam_p, empty,
+                                    ["suite", "lang"])
+
+    got = {r.metric: (r.value, r.flagged) for r in
+           health_report(spark, dq_p, psi_p, contam_p).collect()}
+    assert got["contaminated_eval_docs"] == (0, False)
+    assert got["eval_docs_checked"] == (0, False)
+    assert got["drifted_event_types"][1] in (False, None) or \
+        got["drifted_event_types"][0] == 0
