@@ -238,7 +238,10 @@ def _q_ask_two_tenants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = AskPipeline(docs, docs.limit(0), spec=spec)
     parts = []
     for tenant in ("src3", "src7"):
-        hits = pipe.dispatch("KEYWORD", "hash join", qvec=[], k=5,
+        # query word chosen to have hits in BOTH tenants at every sf dir
+        # (sf0.001: 20/21 docs — review r08 found "hash join" matched
+        # nothing below sf0.1, making the isolation check vacuous there)
+        hits = pipe.dispatch("KEYWORD", "query", qvec=[], k=5,
                              filter_expr=None, patient_id=tenant)
         parts.append(hits.select(F.lit(tenant).alias("tenant"), "doc_id",
                                  F.round("score", 6).alias("score")))
@@ -248,10 +251,10 @@ def _q_ask_two_tenants(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ASK_TWO_TENANTS = """
 WITH scored AS (
   SELECT doc_id, source,
-         2.0 * (CASE WHEN contains(lower(text), 'hash join') THEN 1.0 ELSE 0.0 END)
+         2.0 * (CASE WHEN contains(lower(text), 'query') THEN 1.0 ELSE 0.0 END)
        + 1.0 * GREATEST(
-           CASE WHEN lower(lang) IN ('hash','join') OR contains(lower(lang), 'hash join') THEN 1.0 ELSE 0.0 END,
-           CASE WHEN lower(source) IN ('hash','join') OR contains(lower(source), 'hash join') THEN 1.0 ELSE 0.0 END)
+           CASE WHEN lower(lang) = 'query' OR contains(lower(lang), 'query') THEN 1.0 ELSE 0.0 END,
+           CASE WHEN lower(source) = 'query' OR contains(lower(source), 'query') THEN 1.0 ELSE 0.0 END)
          AS score
   FROM documents),
 t1 AS (
@@ -1296,6 +1299,37 @@ def _q_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SIM_HNSW = _SQL_SIM_BRUTEFORCE
 
 
+def _serve_hnsw_recall(spark: SparkSession, sf_dir: str,
+                       path: str) -> DataFrame:
+    """Shared serve body of the four HNSW recall entries: walk the
+    persisted graphs (cogroup path, ef_search=48), exact brute-force
+    comparison arm, recall@5 floor as a boolean."""
+    from rassengine_spark.llmops.hnsw import hnsw_topk_from_store_df
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
+                                     "qid", k=5, ef_search=48)
+    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
+                                 "qid", k=5)
+    rec = SIM.recall_at_k(approx, exact)
+    return rec.select("query_id", "n_exact",
+                      (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
+def _serve_ivf_store_topk(spark: SparkSession, sf_dir: str,
+                          path: str) -> DataFrame:
+    """Shared serve body of the three IVF store entries: top-k from the
+    persisted cell-partitioned tier for the fixed query batch."""
+    from rassengine_spark.operators.index_store import ivf_topk_from_store
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_topk_from_store(spark, path, queries_df, "embedding",
+                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+
+
 def _q_sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality eval for the GRAPH path: per-query recall@k of sharded
     HNSW at a realistic beam width against exact brute force — the
@@ -1311,19 +1345,8 @@ def _q_sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both assign by pmod(hash(id), partitions) and insert in id order,
     pinned by tests/test_hnsw.py store-roundtrip parity); this callable
     walks the persisted graphs."""
-    from rassengine_spark.llmops.hnsw import hnsw_topk_from_store_df
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    corpus = emb.filter(F.col("vec_id") >= 5)
-    path = _prepared_store("sim_hnsw_recall", spark, sf_dir)
-    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
-                                     "qid", k=5, ef_search=48)
-    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
-                                 "qid", k=5)
-    rec = SIM.recall_at_k(approx, exact)
-    return rec.select("query_id", "n_exact",
-                      (F.col("recall") >= 0.8).alias("recall_ok"))
+    return _serve_hnsw_recall(
+        spark, sf_dir, _prepared_store("sim_hnsw_recall", spark, sf_dir))
 
 
 def _build_hnsw_operating_point(spark: SparkSession, sf_dir: str) -> str:
@@ -1354,20 +1377,8 @@ def _q_sim_hnsw_store_append_recall(spark: SparkSession,
     pattern), and the cogroup serving path must still clear recall@5 >=
     0.8 against exact brute force over the FULL corpus. Build+append run
     in the prepare phase; this callable serves."""
-    from rassengine_spark.llmops.hnsw import hnsw_topk_from_store_df
-
-    path = _prepared_store("sim_hnsw_store_append_recall", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    corpus = emb.filter(F.col("vec_id") >= 5)
-    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
-                                     "qid", k=5, ef_search=48)
-    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
-                                 "qid", k=5)
-    rec = SIM.recall_at_k(approx, exact)
-    return rec.select("query_id", "n_exact",
-                      (F.col("recall") >= 0.8).alias("recall_ok"))
+    return _serve_hnsw_recall(
+        spark, sf_dir, _prepared_store("sim_hnsw_store_append_recall", spark, sf_dir))
 
 
 def _build_hnsw_store_appended(spark: SparkSession, sf_dir: str) -> str:
@@ -1398,20 +1409,8 @@ def _q_sim_hnsw_compacted_recall(spark: SparkSession,
     force over the full corpus — compaction is a rebuild, not a drop.
     Build+append+compact run in the prepare phase; this callable
     serves."""
-    from rassengine_spark.llmops.hnsw import hnsw_topk_from_store_df
-
-    path = _prepared_store("sim_hnsw_compacted_recall", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    corpus = emb.filter(F.col("vec_id") >= 5)
-    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
-                                     "qid", k=5, ef_search=48)
-    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
-                                 "qid", k=5)
-    rec = SIM.recall_at_k(approx, exact)
-    return rec.select("query_id", "n_exact",
-                      (F.col("recall") >= 0.8).alias("recall_ok"))
+    return _serve_hnsw_recall(
+        spark, sf_dir, _prepared_store("sim_hnsw_compacted_recall", spark, sf_dir))
 
 
 def _build_hnsw_store_compacted(spark: SparkSession, sf_dir: str) -> str:
@@ -1443,20 +1442,8 @@ def _q_sim_hnsw_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     index reopened at serving time (app/main.py:563-572). Same recall-
     floor oracle as sim_hnsw_recall; the store is built deterministically
     in the prepare phase (once per process); this callable serves."""
-    from rassengine_spark.llmops.hnsw import hnsw_topk_from_store_df
-
-    path = _prepared_store("sim_hnsw_store_recall", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    corpus = emb.filter(F.col("vec_id") >= 5)
-    approx = hnsw_topk_from_store_df(spark, path, queries_df, "embedding",
-                                     "qid", k=5, ef_search=48)
-    exact = SIM.brute_force_topk(corpus, queries_df, "embedding", "vec_id",
-                                 "qid", k=5)
-    rec = SIM.recall_at_k(approx, exact)
-    return rec.select("query_id", "n_exact",
-                      (F.col("recall") >= 0.8).alias("recall_ok"))
+    return _serve_hnsw_recall(
+        spark, sf_dir, _prepared_store("sim_hnsw_store_recall", spark, sf_dir))
 
 
 def _build_hnsw_store_m16(spark: SparkSession, sf_dir: str) -> str:
@@ -1529,14 +1516,8 @@ def _q_sim_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax as the live ivf_topk, so this is bit-identical to
     sim_ivf_topk and shares its oracle. The index is written in the
     prepare phase; this callable serves."""
-    from rassengine_spark.operators.index_store import ivf_topk_from_store
-
-    path = _prepared_store("sim_ivf_store_topk", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    return ivf_topk_from_store(spark, path, queries_df, "embedding",
-                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+    return _serve_ivf_store_topk(
+        spark, sf_dir, _prepared_store("sim_ivf_store_topk", spark, sf_dir))
 
 
 def _build_ivf_store(spark: SparkSession, sf_dir: str) -> str:
@@ -1558,14 +1539,8 @@ def _q_sim_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples centroids from the initially-indexed half only and scores
     the full corpus. Build+append run in the prepare phase; this
     callable serves."""
-    from rassengine_spark.operators.index_store import ivf_topk_from_store
-
-    path = _prepared_store("sim_ivf_store_append_topk", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    return ivf_topk_from_store(spark, path, queries_df, "embedding",
-                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+    return _serve_ivf_store_topk(
+        spark, sf_dir, _prepared_store("sim_ivf_store_append_topk", spark, sf_dir))
 
 
 def _build_ivf_store_appended(spark: SparkSession, sf_dir: str) -> str:
@@ -1593,14 +1568,8 @@ def _q_sim_ivf_store_compacted(spark: SparkSession, sf_dir: str
     only, so the served top-k shares the append path's oracle verbatim
     — compaction invisibility for the vector tier. Build+append+compact
     run in the prepare phase; this callable serves."""
-    from rassengine_spark.operators.index_store import ivf_topk_from_store
-
-    path = _prepared_store("sim_ivf_store_compacted_topk", spark, sf_dir)
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    queries_df = emb.filter(F.col("vec_id") < 5) \
-                    .select(F.col("vec_id").alias("qid"), "embedding")
-    return ivf_topk_from_store(spark, path, queries_df, "embedding",
-                               "qid", k=_IVF_K, n_probe=_IVF_PROBE)
+    return _serve_ivf_store_topk(
+        spark, sf_dir, _prepared_store("sim_ivf_store_compacted_topk", spark, sf_dir))
 
 
 def _build_ivf_store_compacted(spark: SparkSession, sf_dir: str) -> str:
@@ -8942,9 +8911,10 @@ SELECT 'drifted_event_types', CAST(v AS BIGINT), v > 0
 FROM (SELECT COUNT(*) AS v FROM ({_sql_drift_psi()}) WHERE drifted)
 UNION ALL
 SELECT 'contaminated_eval_docs',
-       CAST(SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END)
-            AS BIGINT) AS value,
-       SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END) > 0
+       CAST(COALESCE(SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS value,
+       COALESCE(SUM(CASE WHEN overlap_frac >= 0.8 THEN 1 ELSE 0 END),
+                0) > 0
 FROM per_doc
 UNION ALL
 SELECT 'eval_docs_checked', CAST(COUNT(*) AS BIGINT), FALSE FROM per_doc

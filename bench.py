@@ -143,6 +143,10 @@ def main():
     # exercises the serve path only.
     for name in WARM_FIRST:
         if name in qs:
+            if name in phases and builds.get(name) is None:
+                continue   # build failed: warming would rebuild UNTIMED
+                #            and the timed-loop retry would then record a
+                #            near-zero (cache-hit) build_s for it
             try:
                 qs[name](spark, sf_dir).collect()
             except Exception:

@@ -201,20 +201,30 @@ def release_fold_lease(lock_p: str) -> None:
     import json
     import os
 
+    import time
+
     own = _FOLD_LEASE_TOKENS.pop(lock_p, None)
     if own is not None:
-        try:
-            with open(lock_p) as f:
-                if json.load(f).get("token") != own:
-                    return    # stolen: the file is the NEW writer's lease
-        except FileNotFoundError:
-            return            # already broken + not re-acquired: nothing
-        except (OSError, ValueError):
-            # unreadable: could be a successor mid-create (crash window
-            # between its O_EXCL open and json write) — deleting it would
-            # hand a third writer a live fold's store. Leave it; a truly
-            # orphaned corrupt lease expires by TTL.
-            return
+        # retry transient read errors: a healthy process wedging its OWN
+        # store for the TTL because of one EIO blip would be far worse
+        # than a 150 ms release
+        for attempt in range(3):
+            try:
+                with open(lock_p) as f:
+                    if json.load(f).get("token") != own:
+                        return  # stolen: the file is the NEW writer's
+                break
+            except FileNotFoundError:
+                return          # already broken + not re-acquired
+            except (OSError, ValueError):
+                if attempt == 2:
+                    # persistently unreadable: could be a successor
+                    # mid-create (crash window between its O_EXCL open
+                    # and json write) — deleting it would hand a third
+                    # writer a live fold's store. Leave it; a truly
+                    # orphaned corrupt lease expires by TTL.
+                    return
+                time.sleep(0.05)
     try:
         os.unlink(lock_p)
     except OSError:

@@ -256,8 +256,15 @@ def main() -> int:
                 try:
                     prepare(spark, d)
                     row["serve_only"] = True
-                except Exception:
-                    pass          # the timed call reports the failure
+                except Exception as e:  # noqa: BLE001
+                    # a failed prepare must NOT fall through to the timed
+                    # call: _prepared_store would rebuild inside it, so
+                    # one tag would time build+serve while the other
+                    # timed serve alone — a corrupt ratio that can mask
+                    # (or fabricate) a serve regression
+                    row["serve_only"] = False
+                    row["err"] = f"prepare {tag}: {e}"
+                    break
             t0 = time.perf_counter()
             try:
                 rows = qs[name](spark, d).collect()
