@@ -8833,6 +8833,8 @@ def _build_pipeline_health_stores(spark: SparkSession, sf_dir: str) -> str:
       contam/  decontamination counters: persisted 5-gram train vocab
                probed by the eval split, folded in two batches
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from rassengine_spark.llmops import decontam as DC
     from rassengine_spark.llmops import splits as SP
 
@@ -8841,39 +8843,55 @@ def _build_pipeline_health_stores(spark: SparkSession, sf_dir: str) -> str:
     events = load_tables(spark, sf_dir)["events"]
     docs = load_tables(spark, sf_dir)["documents"]
 
-    dq_p = os.path.join(root, "dq")
-    checks = _dq_base_checks()
-    DQ.save_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 0),
-                        checks, dq_p)
-    DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 1),
-                          checks, dq_p)
+    # The three stores live under DIFFERENT paths (independent leases)
+    # and none reads another's output, so their fold chains are
+    # independent job sequences — run them from a small thread pool so
+    # each chain's stage tail back-fills the others' idle executors
+    # (guide §2.6). WITHIN a chain order is unchanged: every fold store
+    # is single-writer by contract.
+    def build_dq() -> None:
+        dq_p = os.path.join(root, "dq")
+        checks = _dq_base_checks()
+        DQ.save_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 0),
+                            checks, dq_p)
+        DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 1),
+                              checks, dq_p)
 
-    psi_p = os.path.join(root, "psi")
-    cutoff = F.to_timestamp(F.lit(_PSI_CUTOFF))
-    DQ.save_psi_counters(events.filter(F.col("ts") < cutoff),
-                         "event_type", "value", psi_p, lo=0.0, hi=500.0)
-    cur = events.filter(F.col("ts") >= cutoff)
-    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 0), psi_p)
-    DQ.compact_dq_counters(spark, psi_p)
-    DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 1), psi_p)
+    def build_psi() -> None:
+        psi_p = os.path.join(root, "psi")
+        cutoff = F.to_timestamp(F.lit(_PSI_CUTOFF))
+        DQ.save_psi_counters(events.filter(F.col("ts") < cutoff),
+                             "event_type", "value", psi_p, lo=0.0, hi=500.0)
+        cur = events.filter(F.col("ts") >= cutoff)
+        DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 0), psi_p)
+        DQ.compact_dq_counters(spark, psi_p)
+        DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 1), psi_p)
 
-    vocab_p = os.path.join(root, "contam_vocab")
-    counters_p = os.path.join(root, "contam")
-    lab = docs.withColumn(
-        "split", SP.split_assign(F.col("doc_id"),
-                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
-    DC.save_gram_vocab(lab.filter(F.col("split") == "train"), "text",
-                       vocab_p, n=5)
-    ev = lab.filter(F.col("split") == "eval").withColumn(
-        "suite", F.concat(F.lit("suite"),
-                          (F.col("doc_id") % 3).cast("string")))
-    for half in (ev.filter(F.col("doc_id") % 2 == 0),
-                 ev.filter(F.col("doc_id") % 2 == 1)):
-        c = DC.contamination_counters(spark, half, "text", "doc_id",
-                                      ["suite", "lang"], vocab_p,
-                                      threshold=0.8)
-        DC.merge_contamination_counters(spark, counters_p, c,
-                                        ["suite", "lang"])
+    def build_contam() -> None:
+        vocab_p = os.path.join(root, "contam_vocab")
+        counters_p = os.path.join(root, "contam")
+        lab = docs.withColumn(
+            "split", SP.split_assign(F.col("doc_id"),
+                                     {"train": 0.9, "eval": 0.1},
+                                     seed="decon"))
+        DC.save_gram_vocab(lab.filter(F.col("split") == "train"), "text",
+                           vocab_p, n=5)
+        ev = lab.filter(F.col("split") == "eval").withColumn(
+            "suite", F.concat(F.lit("suite"),
+                              (F.col("doc_id") % 3).cast("string")))
+        for half in (ev.filter(F.col("doc_id") % 2 == 0),
+                     ev.filter(F.col("doc_id") % 2 == 1)):
+            c = DC.contamination_counters(spark, half, "text", "doc_id",
+                                          ["suite", "lang"], vocab_p,
+                                          threshold=0.8)
+            DC.merge_contamination_counters(spark, counters_p, c,
+                                            ["suite", "lang"])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(fn)
+                   for fn in (build_contam, build_psi, build_dq)]
+        for f in futures:
+            f.result()   # re-raise the first chain failure
     return root
 
 

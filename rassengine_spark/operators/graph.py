@@ -62,33 +62,51 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def _group_pair_rows(df: DataFrame, group_col: str, item_col: str,
+                     max_group_size: int | None = None) -> DataFrame:
+    """One (src, dst) row per (group, unordered DISTINCT item pair) with
+    src < dst — the shared candidate generator of cooccurrence_edges and
+    basket_edges. Pairs are generated IN-GROUP: collect_set per group
+    (map-side partial aggregation dedups (group, item) rows before the
+    exchange), then two codegen generators expand each sorted item array
+    into its ordered pairs. One shuffle of (g, i) total — the classic
+    distinct + self-join formulation this replaces cost a second
+    distinct exchange plus a join whose build side was the corpus itself
+    (at bench scale the planner broadcast 600k rows; at real scale it
+    degrades to shuffling the corpus twice). A group of g distinct items
+    still emits g·(g−1)/2 rows; `max_group_size` caps that g² skew by
+    dropping larger groups right after the aggregate (a 10^6-item
+    pathological group is 10^12 pairs, and such groups are boilerplate,
+    not signal). NULL items never pair (collect_set drops them), NULL
+    groups aggregate into one group exactly as a shuffle key would."""
+    grp = (df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+             .groupBy("g")
+             .agg(F.array_sort(F.collect_set("i")).alias("items")))
+    if max_group_size is not None:
+        grp = grp.filter(F.size("items") <= max_group_size)
+    return (grp.select(F.posexplode("items").alias("k", "src"), "items")
+               .select("src",
+                       F.explode(F.expr(
+                           "slice(items, k + 2, size(items) - k - 1)"))
+                       .alias("dst")))
+
+
 def cooccurrence_edges(df: DataFrame, group_col: str,
                        item_col: str,
                        max_group_size: int | None = None) -> DataFrame:
     """Distinct directed (src, dst) pairs of items sharing a group —
     the symmetric co-occurrence graph (both directions materialize, so
     every node with any edge has out-degree >= 1, as pagerank_micro
-    requires). Scale: the self-join shuffles on the group key; a group
-    of g items emits g·(g−1) pairs. `max_group_size` caps that g² skew:
-    groups with more than the cap's DISTINCT items are dropped BEFORE
-    the self-join (one count-distinct aggregate + semi-join — the LSH
-    max_bucket_size trade: a 10^6-item pathological group is 10^12
-    pairs, and such groups are boilerplate, not signal). Distinct items,
-    not raw rows: pair blowup is driven by distinct items (the self-join
-    half distincts its output), so duplicated (group, item) rows must
-    not evict a small group. None = exact graph (oracle-checkable)."""
-    a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src"))
-    if max_group_size is not None:
-        ok = (a.groupBy("g").agg(F.countDistinct("src").alias("_gs"))
-               .filter(F.col("_gs") <= max_group_size).select("g"))
-        a = a.join(ok, "g", "left_semi")
-    b = a.select("g", F.col("src").alias("dst"))
+    requires). Pair generation is in-group (_group_pair_rows: one
+    (g, i) shuffle + generators, no self-join); `max_group_size` drops
+    groups with more than that many DISTINCT items before expansion.
+    Distinct items, not raw rows, drive both the cap and the pair set,
+    so duplicated (group, item) rows never evict a small group.
+    None = exact graph (oracle-checkable)."""
     # distinct the src<dst half then mirror: the dedup shuffle carries
     # half the pairs and the union is shuffle-free
-    half = (a.join(b, "g")
-             .filter(F.col("src") < F.col("dst"))
-             .select("src", "dst")
-             .distinct())
+    half = _group_pair_rows(df, group_col, item_col, max_group_size) \
+        .distinct()
     return half.union(half.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
 
@@ -108,24 +126,18 @@ def basket_edges(df: DataFrame, group_col: str, item_col: str,
     the bar to n_groups keeps prune selectivity stable: a pair must
     appear in a fixed FRACTION of baskets, which noise does not do at
     any scale. n_groups rides in as a 1-row broadcast cross-join (no
-    eager count at plan-build); the pair self-join keys on the group, so
-    blowup is items-per-group², never corpus².
+    eager count at plan-build); pairs are generated in-group
+    (_group_pair_rows), so blowup is items-per-group², never corpus².
 
     support_frac=None keeps the absolute threshold (exact,
     oracle-checkable at fixed scale; the basket_part_lift /
     basket_part_triangles entries)."""
-    li = (df.select(F.col(group_col).alias("g"),
-                    F.col(item_col).alias("i"))
-            .distinct())
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                    & (F.col("a.i") < F.col("b.i")))
-              .groupBy(F.col("a.i").alias("src"),
-                       F.col("b.i").alias("dst"))
-              .agg(F.count(F.lit(1)).alias("support")))
+    pairs = (_group_pair_rows(df, group_col, item_col)
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("support")))
     if support_frac is None:
         return pairs.filter(F.col("support") >= min_support)
-    ng = li.agg(F.countDistinct("g").alias("_ng"))
+    ng = df.agg(F.countDistinct(F.col(group_col)).alias("_ng"))
     thr = F.greatest(F.lit(min_support).cast("long"),
                      F.ceil(F.lit(float(support_frac)) * F.col("_ng")))
     return (pairs.crossJoin(F.broadcast(ng))

@@ -92,16 +92,33 @@ def save_term_index(postings: DataFrame, doclens: DataFrame,
     """Write (postings, doclens, stats) under `path`, postings partitioned
     by term bucket. One repartition on tb so each partition is written by
     one task (no tiny-file explosion: files = n_buckets, not
-    n_buckets x tasks)."""
-    (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
-             .repartition("tb")
-             .write.partitionBy("tb").mode("overwrite")
-             .parquet(f"{path}/postings"))
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
-    (postings.sparkSession
-     .createDataFrame([(n_buckets,)], "n_buckets int")
-     .write.mode("overwrite").parquet(f"{path}/meta"))
+    n_buckets x tasks). The four tables are independent outputs (nothing
+    reads another's files), so the writes run as concurrent jobs — the
+    small jobs back-fill the postings job's task tail instead of queueing
+    behind it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def w_postings() -> None:
+        (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
+                 .repartition("tb")
+                 .write.partitionBy("tb").mode("overwrite")
+                 .parquet(f"{path}/postings"))
+
+    def w_doclens() -> None:
+        doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+
+    def w_stats() -> None:
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+    def w_meta() -> None:
+        (postings.sparkSession
+         .createDataFrame([(n_buckets,)], "n_buckets int")
+         .write.mode("overwrite").parquet(f"{path}/meta"))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(fn)
+                  for fn in (w_postings, w_doclens, w_stats, w_meta)]:
+            f.result()
 
 
 def append_term_index(new_df: DataFrame, text_col: str, id_col: str,
@@ -124,15 +141,28 @@ def append_term_index(new_df: DataFrame, text_col: str, id_col: str,
         lambda: int(spark.read.parquet(f"{path}/meta")
                     .collect()[0]["n_buckets"]))
     postings, doclens, _ = build_term_index(new_df, text_col, id_col)
-    (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
-             .repartition("tb")
-             .write.partitionBy("tb").mode("append")
-             .parquet(f"{path}/postings"))
-    doclens.write.mode("append").parquet(f"{path}/doclens")
-    (spark.read.parquet(f"{path}/doclens")
-          .agg(F.count(F.lit(1)).alias("n_docs"),
-               F.avg("dl").alias("avgdl"))
-          .write.mode("overwrite").parquet(f"{path}/stats"))
+
+    # postings append is independent of the doclens append -> stats
+    # recompute chain (stats reads the WRITTEN doclens files, so that
+    # pair stays ordered); run the two branches as concurrent jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    def w_postings() -> None:
+        (postings.withColumn("tb", term_bucket_expr("term", n_buckets))
+                 .repartition("tb")
+                 .write.partitionBy("tb").mode("append")
+                 .parquet(f"{path}/postings"))
+
+    def w_doclens_stats() -> None:
+        doclens.write.mode("append").parquet(f"{path}/doclens")
+        (spark.read.parquet(f"{path}/doclens")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+              .write.mode("overwrite").parquet(f"{path}/stats"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(w_postings), pool.submit(w_doclens_stats)]:
+            f.result()
 
 
 def compact_term_index(spark: SparkSession, path: str,
@@ -215,15 +245,28 @@ def save_ivf_index(corpus: DataFrame, vec_col: str, id_col: str, path: str,
 
     cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
     spark = corpus.sparkSession
-    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
-                           "cell int, cvec array<double>")
-     .repartition(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   _best_cell(F.col(vec_col), cents, round_to)
-                   .alias("cell"))
-           .repartition("cell")
-           .write.partitionBy("cell").mode("overwrite")
-           .parquet(f"{path}/assignments"))
+
+    # centroids and assignments are independent outputs: concurrent jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    def w_centroids() -> None:
+        (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                               "cell int, cvec array<double>")
+         .repartition(1).write.mode("overwrite")
+         .parquet(f"{path}/centroids"))
+
+    def w_assignments() -> None:
+        (corpus.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"),
+                       _best_cell(F.col(vec_col), cents, round_to)
+                       .alias("cell"))
+               .repartition("cell")
+               .write.partitionBy("cell").mode("overwrite")
+               .parquet(f"{path}/assignments"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(w_centroids), pool.submit(w_assignments)]:
+            f.result()
 
 
 def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
