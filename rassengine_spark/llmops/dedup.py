@@ -578,19 +578,25 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     candidate join gains the block equality.
     """
     bcols = [block_col] if block_col else []
-    toks = (df.select(F.col(id_col).alias("id"),
+    # ONE tokenize pass: the distinct n-gram set frame is pinned and
+    # feeds the posting explode, the size column (F.size — the old
+    # count-over-(id) window recomputed it per posting row), and both
+    # verification joins (which previously re-tokenized the corpus)
+    sets = (df.select(F.col(id_col).alias("id"),
                       *[F.col(c).alias("blk") for c in bcols],
-                      F.explode(F.array_distinct(
-                          word_ngram_array(words_of(F.col(text_col)), n)))
-                      .alias("tok")))
+                      F.array_distinct(
+                          word_ngram_array(words_of(F.col(text_col)), n))
+                      .alias("_set"))
+              .localCheckpoint(eager=False))
+    toks = sets.select("id", *(["blk"] if block_col else []),
+                       F.size("_set").alias("sz"),
+                       F.explode("_set").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = toks.join(freq, "tok")
-    w = Window.partitionBy("id")
-    wo = w.orderBy(F.col("_df").asc(), F.col("tok").asc())
-    ranked = ranked.select(
-        "id", "tok", *(["blk"] if block_col else []),
-        F.row_number().over(wo).alias("_pos"),
-        F.count(F.lit(1)).over(w).alias("sz"))
+    wo = Window.partitionBy("id").orderBy(F.col("_df").asc(),
+                                          F.col("tok").asc())
+    ranked = (toks.join(freq, "tok")
+                  .select("id", "tok", *(["blk"] if block_col else []),
+                          F.row_number().over(wo).alias("_pos"), "sz"))
     # floor-based prefix: >= the theoretical L - ceil(t*L) + 1, so float
     # noise in t*L widens the prefix instead of breaking losslessness.
     prefix = ranked.filter(
@@ -606,13 +612,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              .select(F.col("a.id").alias("id_a"), F.col("a.sz").alias("sz_a"),
                      F.col("b.id").alias("id_b"), F.col("b.sz").alias("sz_b"))
              .distinct())
-    sets = (df.select(F.col(id_col).alias("_sid"),
-                      F.array_distinct(word_ngram_array(words_of(F.col(text_col)), n))
-                      .alias("_set")))
+    vsets = sets.select(F.col("id").alias("_sid"), "_set")
     verified = (cand
-                .join(sets.select(F.col("_sid"), F.col("_set").alias("_sa")),
+                .join(vsets.select(F.col("_sid"), F.col("_set").alias("_sa")),
                       F.col("id_a") == F.col("_sid")).drop("_sid")
-                .join(sets.select(F.col("_sid"), F.col("_set").alias("_sb")),
+                .join(vsets.select(F.col("_sid"), F.col("_set").alias("_sb")),
                       F.col("id_b") == F.col("_sid")).drop("_sid")
                 .withColumn("inter",
                             F.size(F.array_intersect("_sa", "_sb"))))

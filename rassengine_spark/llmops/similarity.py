@@ -505,20 +505,26 @@ def ndcg_at_k(approx: DataFrame, exact: DataFrame,
     as NULL (never a silent 0 or a div-by-zero) — pass a bigger
     max_rank instead. Same tiny per-query join shape as recall_at_k."""
     rel = exact.select("query_id", "id").withColumn("_rel", F.lit(1))
-    gain = F.lit(0)
-    for r in range(max_rank, 0, -1):
-        gain = F.when(F.col("rank") == r,
-                      F.lit(ndcg_gain_micro(r))).otherwise(gain)
+    # rank -> gain and n_exact -> ideal as ONE parsed map literal each
+    # (try_element_at): a max_rank-deep WHEN chain costs max_rank py4j
+    # round-trips at plan build and a max_rank-branch comparison per row;
+    # the map lookup is one expression. try_element_at yields NULL
+    # off-map even under ANSI, matching the WHEN chains' defaults (0 via
+    # the coalesce below for gain, NULL for ideal).
+    gain_map = F.expr("map(" + ", ".join(
+        f"{r}, {ndcg_gain_micro(r)}L" for r in range(1, max_rank + 1))
+        + ")")
+    gain = F.coalesce(F.try_element_at(gain_map, F.col("rank")), F.lit(0))
     hits = (approx.select("query_id", "id", "rank")
             .join(rel, ["query_id", "id"], "left")
             .groupBy("query_id")
             .agg(F.sum(F.when(F.col("_rel") == 1, gain).otherwise(0))
                  .cast("long").alias("_dcg"),
                  F.max("rank").alias("_maxr")))
-    ideal = F.lit(None).cast("long")
-    for n in range(max_rank, 0, -1):
-        ideal = F.when(F.col("n_exact") == n,
-                       F.lit(ndcg_ideal_micro(n))).otherwise(ideal)
+    ideal_map = F.expr("map(" + ", ".join(
+        f"{n}, {ndcg_ideal_micro(n)}L" for n in range(1, max_rank + 1))
+        + ")")
+    ideal = F.try_element_at(ideal_map, F.col("n_exact").cast("int"))
     per = (exact.select("query_id", "id")
            .groupBy("query_id")
            .agg(F.count(F.lit(1)).alias("n_exact")))

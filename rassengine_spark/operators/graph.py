@@ -43,14 +43,16 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
     edges = edges.select(F.col("src").cast("long"),
                          F.col("dst").cast("long")) \
                  .localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
-               .localCheckpoint(eager=False)
-    ranks = deg.select(F.col("src").alias("node"),
-                       F.lit(1000000).cast("long").alias("r"))
+    # deg rides ON the rank frame (it never changes), so each round is
+    # two joins (edges x contrib, ranks x sums) instead of three — the
+    # ranks x deg re-join per round was pure overhead
+    ranks = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                  .select(F.col("src").alias("node"),
+                          F.lit(1000000).cast("long").alias("r"), "deg")
+                  .localCheckpoint(eager=False))
     for _ in range(iters):
-        contrib = (ranks.join(deg, ranks.node == deg.src)
-                        .select(F.col("src"),
-                                F.expr("r div deg").alias("c")))
+        contrib = ranks.select(F.col("node").alias("src"),
+                               F.expr("r div deg").alias("c"))
         sums = (edges.join(contrib, "src")
                      .groupBy("dst")
                      .agg(F.sum("c").alias("s")))
@@ -58,7 +60,8 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
                       .select(F.col("node"),
                               (F.lit(150000).cast("long")
                                + F.expr(f"{damping_pct} * coalesce(s, 0)"
-                                        " div 100")).alias("r")))
+                                        " div 100")).alias("r"),
+                              "deg"))
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
