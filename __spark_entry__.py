@@ -3632,27 +3632,31 @@ def _q_split_quantile_threshold_fold(spark: SparkSession, sf_dir: str
     (llmops/counter_store.py) — build on half the corpus, fold one
     quarter, COMPACT, fold the last quarter, then serve each language's
     exact drop-25% threshold from counters alone. Fold ≡ one-shot: the
-    oracle recomputes the thresholds from the full table directly."""
-    import shutil
-    import tempfile
+    oracle recomputes the thresholds from the full table directly.
+    The fold lifecycle runs in the prepare phase (_prepared_store);
+    this callable serves the thresholds from counters."""
+    from rassengine_spark.llmops.splits import quantile_thresholds_from_store
 
+    path = _prepared_store("split_quantile_threshold_fold", spark, sf_dir)
+    return quantile_thresholds_from_store(spark, path, drop_ppm=250_000)
+
+
+def _build_score_hist_store(spark: SparkSession, sf_dir: str) -> str:
+    """split_quantile_threshold_fold's histogram counter store (bench
+    BUILD phase): save on half, fold a quarter, compact, fold the last
+    quarter."""
     from rassengine_spark.llmops.counter_store import compact_counters
-    from rassengine_spark.llmops.splits import (
-        append_score_hist, quantile_thresholds_from_store,
-        save_score_hist)
+    from rassengine_spark.llmops.splits import (append_score_hist,
+                                                save_score_hist)
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_scorehist_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-
+    path = _store_tmp_path("rass_scorehist", sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     save_score_hist(docs.filter(F.col("doc_id") % 2 == 0),
                     "n_chars", "lang", path, buckets=8)
     append_score_hist(docs.filter(F.col("doc_id") % 4 == 1), path)
     compact_counters(spark, path)
     append_score_hist(docs.filter(F.col("doc_id") % 4 == 3), path)
-    return quantile_thresholds_from_store(spark, path, drop_ppm=250_000)
+    return path
 
 
 _SQL_SPLIT_QUANTILE_THRESHOLDS = """
@@ -4019,26 +4023,32 @@ def _q_mm_ahash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     through parquet in this entry); the batch re-crawls every 5th doc
     verbatim under a fresh id (max+1 offset — the mm_ahash collision
     discipline), the situation incremental dedup exists to catch;
-    oracle recomputes both sides' bands and the banded join."""
-    import os
-    import shutil
-    import tempfile
-
+    oracle recomputes both sides' bands and the banded join. The
+    history store persists in the prepare phase (_prepared_store);
+    this callable hashes the new batch and serves the banded join —
+    the actual incremental-serving cost."""
     from rassengine_spark.llmops import multimodal as MM
     docs = load_tables(spark, sf_dir)["documents"] \
         .select(F.col("doc_id").alias("id"), "text")
     off = docs.agg(F.max("id")).first()[0] + 1
-    old = docs
     new = (docs.filter(F.col("id") % 5 == 0)
                .select((F.col("id") + F.lit(off)).alias("id"), "text"))
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_ahash_store_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-    MM.save_ahash_store(MM.with_ahash_bands(old, "text"), "id", path)
+    path = _prepared_store("mm_ahash_incremental", spark, sf_dir)
     store = spark.read.parquet(path)
     return MM.incremental_ahash_pairs(
         store, MM.with_ahash_bands(new, "text"), "id", max_hamming=3)
+
+
+def _build_ahash_history_store(spark: SparkSession, sf_dir: str) -> str:
+    """mm_ahash_incremental's persisted band store over the corpus
+    history (bench BUILD phase)."""
+    from rassengine_spark.llmops import multimodal as MM
+
+    path = _store_tmp_path("rass_ahash_store", sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select(F.col("doc_id").alias("id"), "text")
+    MM.save_ahash_store(MM.with_ahash_bands(docs, "text"), "id", path)
+    return path
 
 
 _SQL_MM_AHASH_INCR = """
@@ -6309,27 +6319,17 @@ def _q_events_mg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must satisfy est <= true and (true − est)·(k+1) <= N — the
     mergeable-summaries guarantee holds for ANY fold sequence and
     partitioning, so the boolean never flakes even though est itself
-    isn't SQL-reproducible."""
-    import shutil
-    import tempfile
-
+    isn't SQL-reproducible. The two-batch fold runs in the prepare
+    phase (_prepared_store); this callable serves the bound check."""
     from pyspark.sql.window import Window
 
-    from rassengine_spark.pipeline.ingest import (merge_mg_rollup,
-                                                  read_mg_rollup)
+    from rassengine_spark.pipeline.ingest import read_mg_rollup
+
     k = 32
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_mg_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _prepared_store("events_mg_rollup_bounds", spark, sf_dir)
     ev = load_tables(spark, sf_dir)["events"] \
         .select("event_id", "event_type",
                 F.col("user_id").cast("string").alias("u"))
-    for par in (0, 1):
-        merge_mg_rollup(spark, path,
-                        ev.filter(F.col("event_id") % 2 == par)
-                          .select("event_type", "u"),
-                        ["event_type"], "u", k=k)
     mg = read_mg_rollup(spark, path) \
         .withColumnRenamed("est", "_est")
     exact = (ev.groupBy("event_type", "u")
@@ -6348,6 +6348,23 @@ def _q_events_mg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
           & ((F.col("n_exact") - F.col("_e")) * (k + 1) <= F.col("_N")))
     return (j.select("event_type", "u", "n_exact", ok.alias("mg_ok"))
              .orderBy("event_type", F.desc("n_exact"), F.asc("u")))
+
+
+def _build_mg_rollup_store(spark: SparkSession, sf_dir: str) -> str:
+    """events_mg_rollup_bounds' two-batch Misra-Gries fold (bench BUILD
+    phase)."""
+    from rassengine_spark.pipeline.ingest import merge_mg_rollup
+
+    path = _store_tmp_path("rass_mg", sf_dir)
+    ev = load_tables(spark, sf_dir)["events"] \
+        .select("event_id", "event_type",
+                F.col("user_id").cast("string").alias("u"))
+    for par in (0, 1):
+        merge_mg_rollup(spark, path,
+                        ev.filter(F.col("event_id") % 2 == par)
+                          .select("event_type", "u"),
+                        ["event_type"], "u", k=32)
+    return path
 
 
 _SQL_EVENTS_MG_ROLLUP = """
@@ -7846,20 +7863,23 @@ def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_id=doc_id`` index write, app/main.py:1211-1282, without Delta).
     Builds the table from documents, then upserts a batch that UPDATES
     every 7th doc (n_chars+1000) and APPENDS shifted copies; the oracle
-    states the MERGE semantics directly. The table lands in /tmp and is
-    rebuilt from scratch each call, so the result is deterministic."""
-    import shutil
-    import tempfile
+    states the MERGE semantics directly. The table lands in /tmp (pid-
+    suffixed — a concurrent harness run must not rmtree a table the
+    other process is mid-read on) and is rebuilt once per process in
+    the prepare phase (_prepared_store); this callable reads the
+    upserted table — the serving contract of an index store."""
+    path = _prepared_store("s9_bucketed_upsert", spark, sf_dir)
+    return (spark.read.parquet(os.path.join(path, "data"))
+            .select("doc_id", "lang", "n_chars"))
 
+
+def _build_s9_upsert_table(spark: SparkSession, sf_dir: str) -> str:
+    """s9_bucketed_upsert's build + upsert lifecycle (bench BUILD
+    phase): base table from documents, then one batch that updates
+    every 7th doc and appends shifted copies."""
     from rassengine_spark.pipeline.ingest import bucketed_upsert
 
-    # pid suffix: a concurrent harness run (bench + check on the same sf)
-    # must not rmtree a table the other process is mid-read on
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_s9_upsert_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-
+    path = _store_tmp_path("rass_s9_upsert", sf_dir)
     docs = load_tables(spark, sf_dir)["documents"] \
         .select("doc_id", "lang", "n_chars")
     bucketed_upsert(docs, path, key_col="doc_id", n_buckets=16)
@@ -7870,8 +7890,7 @@ def _q_s9_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") + 500000).alias("doc_id"),
                  "lang", "n_chars")))
     bucketed_upsert(batch, path, key_col="doc_id")
-    return (spark.read.parquet(os.path.join(path, "data"))
-            .select("doc_id", "lang", "n_chars"))
+    return path
 
 
 _SQL_S9_BUCKETED_UPSERT = """
@@ -8653,14 +8672,18 @@ def _q_dq_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter, serve from counters alone. Fold ≡ one-shot: the oracle is
     the row-level slice of the one-shot suite SQL verbatim. Non-additive
     checks (uniqueness, referential, consistency) stay one-shot by
-    design — see llmops/dataquality.py."""
-    import shutil
-    import tempfile
+    design — see llmops/dataquality.py. The fold lifecycle runs in the
+    prepare phase (_prepared_store — the r08 build/serve seam); this
+    callable SERVES from the counters."""
+    path = _prepared_store("dq_report_fold", spark, sf_dir)
+    return DQ.dq_report_from_counters(spark, path)
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_dqstore_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+
+def _build_dq_fold_store(spark: SparkSession, sf_dir: str) -> str:
+    """dq_report_fold's counter store: save on half of orders, fold one
+    quarter, compact, fold the last quarter — the entry's documented
+    lifecycle, now timed as the bench BUILD phase."""
+    path = _store_tmp_path("rass_dqstore", sf_dir)
     orders = load_tables(spark, sf_dir)["orders"]
     checks = _dq_base_checks()
     DQ.save_dq_counters(orders.filter(F.col("o_orderkey") % 2 == 0),
@@ -8670,7 +8693,7 @@ def _q_dq_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     DQ.compact_dq_counters(spark, path)
     DQ.append_dq_counters(orders.filter(F.col("o_orderkey") % 4 == 3),
                           checks, path)
-    return DQ.dq_report_from_counters(spark, path)
+    return path
 
 
 def _sql_dq_report_fold() -> str:
@@ -9052,6 +9075,15 @@ _BENCH_BUILDERS: dict[str, Callable[[SparkSession, str], str]] = {
     "sim_hnsw_store_recall": _build_hnsw_store_m16,
     "sim_hnsw_store_append_recall": _build_hnsw_store_appended,
     "pipeline_health_rollup": _build_pipeline_health_stores,
+    # r08 optimization round: the remaining inline-store entries join
+    # the same seam (fold lifecycle = build phase, counters/table read =
+    # serve phase) — the same measurement fix VERDICT r07 #1 prescribed
+    # for the index-lifecycle entries:
+    "dq_report_fold": _build_dq_fold_store,
+    "events_mg_rollup_bounds": _build_mg_rollup_store,
+    "split_quantile_threshold_fold": _build_score_hist_store,
+    "s9_bucketed_upsert": _build_s9_upsert_table,
+    "mm_ahash_incremental": _build_ahash_history_store,
     # retired contract twins (RETIRED_FOLD_TWINS) — builders kept for
     # the fold/compaction parity pytest, not benched:
     "bm25_store_compacted_ranked": _build_term_store_compacted,
