@@ -2296,19 +2296,24 @@ def _q_boilerplate_store_fold(spark: SparkSession, sf_dir: str
     O(batch) delta, COMPACT (new base version committed before GC —
     crash-safe by manifest ordering), fold the last quarter, then serve
     the report from counters alone. Fold ≡ one-shot: shares the
-    scan-based oracle verbatim."""
-    import shutil
-    import tempfile
+    scan-based oracle verbatim. The fold lifecycle runs in the prepare
+    phase (_prepared_store — the r08 build/serve seam); this callable
+    serves the report from counters alone."""
+    from rassengine_spark.llmops.boilerplate import boilerplate_from_store
 
+    path = _prepared_store("boilerplate_store_fold", spark, sf_dir)
+    return boilerplate_from_store(spark, path, min_docs=3,
+                                  min_frac_ppm=400_000)
+
+
+def _build_boilerplate_fold_store(spark: SparkSession, sf_dir: str) -> str:
+    """boilerplate_store_fold's line-stats store: build on half the
+    corpus, fold one quarter, COMPACT, fold the last quarter — the
+    entry's documented lifecycle, timed as the bench BUILD phase."""
     from rassengine_spark.llmops.boilerplate import (
-        append_line_stats, boilerplate_from_store, compact_line_stats,
-        save_line_stats)
+        append_line_stats, compact_line_stats, save_line_stats)
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_linestats_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-
+    path = _store_tmp_path("rass_linestats", sf_dir)
     docs = _wrapped_crawl_docs(load_tables(spark, sf_dir)["documents"])
     save_line_stats(docs.filter(F.col("doc_id") % 2 == 0),
                     "text", "doc_id", "source", path, buckets=8)
@@ -2317,8 +2322,7 @@ def _q_boilerplate_store_fold(spark: SparkSession, sf_dir: str
     compact_line_stats(spark, path)
     append_line_stats(docs.filter(F.col("doc_id") % 4 == 3),
                       "text", "doc_id", "source", path)
-    return boilerplate_from_store(spark, path, min_docs=3,
-                                  min_frac_ppm=400_000)
+    return path
 
 
 def _q_text_boilerplate_strip(spark: SparkSession, sf_dir: str
@@ -2777,20 +2781,26 @@ def _q_corpus_overlap_store_fold(spark: SparkSession,
     before GC), fold the last third, then serve pairwise overlap from
     store state alone. Min-merge folding is lossless for k-min sketches,
     so fold ≡ one-shot and the oracle is corpus_overlap_kmv's SQL
-    verbatim."""
-    import shutil
-    import tempfile
+    verbatim. The fold lifecycle runs in the prepare phase
+    (_prepared_store — the r08 build/serve seam); this callable serves
+    pairwise overlap from store state alone."""
+    from rassengine_spark.llmops.overlap import (kmv_pairwise_overlap,
+                                                 read_kmv_store)
 
+    path = _prepared_store("corpus_overlap_store_fold", spark, sf_dir)
+    return kmv_pairwise_overlap(read_kmv_store(spark, path), k=_KMV_K)
+
+
+def _build_kmv_fold_store(spark: SparkSession, sf_dir: str) -> str:
+    """corpus_overlap_store_fold's KMV sketch store: sketch a third of
+    the corpus, fold a third, COMPACT, fold the last third — the entry's
+    documented lifecycle, timed as the bench BUILD phase."""
     from rassengine_spark.llmops.overlap import (append_kmv_shard,
                                                  compact_kmv_store,
-                                                 kmv_pairwise_overlap,
                                                  kmv_sketch,
-                                                 read_kmv_store,
                                                  save_kmv_store)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_kmv_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+
+    path = _store_tmp_path("rass_kmv", sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
 
     def sk(pred):
@@ -2802,7 +2812,7 @@ def _q_corpus_overlap_store_fold(spark: SparkSession,
     append_kmv_shard(sk(F.col("doc_id") % 3 == 1), path, k=_KMV_K)
     compact_kmv_store(spark, path)
     append_kmv_shard(sk(F.col("doc_id") % 3 == 2), path, k=_KMV_K)
-    return kmv_pairwise_overlap(read_kmv_store(spark, path), k=_KMV_K)
+    return path
 
 
 def _q_text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,22 +2838,32 @@ def _q_text_kn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest-LSM counter store — build on a third of the train split,
     fold a third, COMPACT, fold the last third, then re-derive every KN
     quantity from the folded counts and score. Fold ≡ one-shot: the
-    oracle is text_kn_lm_score's SQL verbatim."""
-    import shutil
-    import tempfile
+    oracle is text_kn_lm_score's SQL verbatim. The fold lifecycle runs
+    in the prepare phase (_prepared_store — the r08 build/serve seam);
+    this callable re-derives the KN model from the folded counts and
+    scores."""
+    from rassengine_spark.llmops.lm_score import (kn_bigram_score,
+                                                  kn_model_from_store)
 
+    path = _prepared_store("text_kn_fold", spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    bigrams, hist, cont, n_types, vocab = kn_model_from_store(spark, path)
+    return kn_bigram_score(score, bigrams, hist, cont, n_types, vocab,
+                           "text", "doc_id")
+
+
+def _build_kn_lm_store(spark: SparkSession, sf_dir: str) -> str:
+    """text_kn_fold's bigram/vocab count store: build on a third of the
+    train split, fold a third, COMPACT, fold the last third — the
+    entry's documented lifecycle, timed as the bench BUILD phase."""
     from rassengine_spark.llmops.lm_score import (append_lm_shard,
                                                   compact_lm_store,
-                                                  kn_bigram_score,
-                                                  kn_model_from_store,
                                                   save_lm_store)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_lmstore_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+
+    path = _store_tmp_path("rass_lmstore", sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     train = docs.filter(F.col("doc_id") % 5 != 0)
-    score = docs.filter(F.col("doc_id") % 5 == 0)
     save_lm_store(train.filter(F.col("doc_id") % 3 == 0),
                   "text", "doc_id", path, buckets=4)
     append_lm_shard(train.filter(F.col("doc_id") % 3 == 1),
@@ -2851,9 +2871,7 @@ def _q_text_kn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_lm_store(spark, path)
     append_lm_shard(train.filter(F.col("doc_id") % 3 == 2),
                     "text", "doc_id", path)
-    bigrams, hist, cont, n_types, vocab = kn_model_from_store(spark, path)
-    return kn_bigram_score(score, bigrams, hist, cont, n_types, vocab,
-                           "text", "doc_id")
+    return path
 
 
 def _sql_text_kn_lm_score() -> str:
@@ -3446,22 +3464,27 @@ def _q_dedup_cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     only TOUCHED components over |forest|+|batch| edges, never the
     historical pair set. Read-back must equal the one-shot batch
     clustering exactly, so the oracle is dedup_cc_clusters' recursive-CTE
-    CC verbatim — the fold sequence is provably invisible."""
-    import shutil
-    import tempfile
+    CC verbatim — the fold sequence is provably invisible. The fold
+    lifecycle runs in the prepare phase (_prepared_store — the r08
+    build/serve seam); this callable reads the persisted forest."""
+    path = _prepared_store("dedup_cluster_store_merge", spark, sf_dir)
+    return DD.read_cluster_store(spark, path).orderBy("root", "node")
+
+
+def _build_cluster_store(spark: SparkSession, sf_dir: str) -> str:
+    """dedup_cluster_store_merge's spanning forest: the LSH pairs fold
+    in two parity batches — the entry's documented lifecycle, timed as
+    the bench BUILD phase."""
     pairs = DD.minhash_lsh_pairs(_minhash_input(spark, sf_dir), "text",
                                  "doc_id", shingle_n=3, num_hashes=16,
                                  bands=4, threshold=0.5) \
               .localCheckpoint(eager=False)   # feeds two parity folds
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_ccstore_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _store_tmp_path("rass_ccstore", sf_dir)
     for par in (0, 1):
         DD.merge_cluster_store(
             spark, path,
             pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == par))
-    return DD.read_cluster_store(spark, path).orderBy("root", "node")
+    return path
 
 
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3780,18 +3803,35 @@ def _q_decontam_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     train docs APPEND (only novel grams land; history files untouched),
     eval docs probe the store. Output is bit-identical to the one-shot
     decontam_ngram_overlap — same split, same n/threshold — so it shares
-    that oracle: the store IS the train corpus's distinct-gram set."""
-    import shutil
-    import tempfile
-
+    that oracle: the store IS the train corpus's distinct-gram set. The
+    vocabulary build+append run in the prepare phase (_prepared_store —
+    the r08 build/serve seam); this callable probes the store with the
+    eval split."""
     from rassengine_spark.llmops import decontam as DC
     from rassengine_spark.llmops import splits as SP
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_gram_vocab_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _prepared_store("decontam_from_store", spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    lab = docs.withColumn(
+        "split", SP.split_assign(F.col("doc_id"),
+                                 {"train": 0.9, "eval": 0.1}, seed="decon"))
+    out = DC.ngram_overlap_from_store(
+        spark, lab.filter(F.col("split") == "eval"), "text", "doc_id",
+        path)
+    return (out.withColumn("contaminated",
+                           F.col("overlap_frac") >= F.lit(0.8))
+            .select("doc_id", "n_grams", "n_matched", "overlap_frac",
+                    "contaminated"))
 
+
+def _build_gram_vocab_store(spark: SparkSession, sf_dir: str) -> str:
+    """decontam_from_store's gram vocabulary: even-id train docs build,
+    odd-id train docs append — the entry's documented lifecycle, timed
+    as the bench BUILD phase."""
+    from rassengine_spark.llmops import decontam as DC
+    from rassengine_spark.llmops import splits as SP
+
+    path = _store_tmp_path("rass_gram_vocab", sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     lab = docs.withColumn(
         "split", SP.split_assign(F.col("doc_id"),
@@ -3801,13 +3841,7 @@ def _q_decontam_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "text", path, n=5)
     DC.append_gram_vocab(train.filter(F.col("doc_id") % 2 == 1),
                          "text", path)
-    out = DC.ngram_overlap_from_store(
-        spark, lab.filter(F.col("split") == "eval"), "text", "doc_id",
-        path)
-    return (out.withColumn("contaminated",
-                           F.col("overlap_frac") >= F.lit(0.8))
-            .select("doc_id", "n_grams", "n_matched", "overlap_frac",
-                    "contaminated"))
+    return path
 
 
 def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3841,17 +3875,25 @@ def _q_decontam_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     report from the folded store must equal the one-shot report — all
     aggregates are exact integer sums, so the fold is invisible (the
     split_dsir_weights_fold property). Shares decontam_report's oracle
-    verbatim."""
-    import shutil
-    import tempfile
+    verbatim. The vocabulary build and the two counter folds run in the
+    prepare phase (_prepared_store — the r08 build/serve seam); this
+    callable rolls the report up from counters alone."""
+    from rassengine_spark.llmops import decontam as DC
 
+    root = _prepared_store("decontam_report_fold", spark, sf_dir)
+    counters = DC.read_contamination_counters(
+        spark, os.path.join(root, "counters"))
+    return DC.report_from_counters(counters, ["suite", "lang"])
+
+
+def _build_decontam_counter_store(spark: SparkSession, sf_dir: str) -> str:
+    """decontam_report_fold's stores: persisted 5-gram train vocabulary
+    plus contamination counters folded from two eval batches — the
+    entry's documented lifecycle, timed as the bench BUILD phase."""
     from rassengine_spark.llmops import decontam as DC
     from rassengine_spark.llmops import splits as SP
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(),
-                        f"rass_decontam_fold_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _store_tmp_path("rass_decontam_fold", sf_dir)
     vocab_p = os.path.join(root, "vocab")
     counters_p = os.path.join(root, "counters")
 
@@ -3871,8 +3913,7 @@ def _q_decontam_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.8)
         DC.merge_contamination_counters(spark, counters_p, c,
                                         ["suite", "lang"])
-    counters = DC.read_contamination_counters(spark, counters_p)
-    return DC.report_from_counters(counters, ["suite", "lang"])
+    return root
 
 
 def _sql_decontam_perdoc_ctes() -> str:
@@ -6606,17 +6647,24 @@ def _q_events_holt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash-safe swap store; day batches fold through the identical
     integer recurrence (append-only-in-t CDC contract, out-of-order is
     a loud error), so fold ≡ one-shot and the oracle is
-    events_holt_forecast's recursive CTE verbatim."""
-    import shutil
-    import tempfile
+    events_holt_forecast's recursive CTE verbatim. The save + two day-
+    batch folds run in the prepare phase (_prepared_store — the r08
+    build/serve seam); this callable forecasts from persisted state."""
+    from rassengine_spark.operators.forecast import forecast_from_state
 
+    path = _prepared_store("events_holt_fold", spark, sf_dir)
+    return forecast_from_state(spark, path, horizons=7) \
+        .withColumnRenamed("k", "event_type")
+
+
+def _build_holt_state_store(spark: SparkSession, sf_dir: str) -> str:
+    """events_holt_fold's per-series state store: save the first window,
+    fold two later day batches — the entry's documented lifecycle, timed
+    as the bench BUILD phase."""
     from rassengine_spark.operators.forecast import (append_holt_buckets,
-                                                     forecast_from_state,
                                                      save_holt_state)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_holt_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+
+    path = _store_tmp_path("rass_holt", sf_dir)
     ev = load_tables(spark, sf_dir)["events"]
     daily = (ev.groupBy(F.col("event_type").alias("k"),
                         F.date_trunc("day", "ts").alias("t"))
@@ -6628,8 +6676,7 @@ def _q_events_holt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "k", "t", "y", path)
     append_holt_buckets(spark, daily.filter(F.col("t") >= c2),
                         "k", "t", "y", path)
-    return forecast_from_state(spark, path, horizons=7) \
-        .withColumnRenamed("k", "event_type")
+    return path
 
 
 def _events_daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8394,33 +8441,40 @@ def _q_split_dsir_weights_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamped property (the dedup_cluster_store_merge pattern). At scale
     this is how DSIR runs: target densities maintained by the stream as
     curators bless domains, raw densities by the ingest — scoring never
-    re-shingles history."""
-    import os
-    import shutil
-    import tempfile
-
+    re-shingles history. The four density folds run in the prepare phase
+    (_prepared_store — the r08 build/serve seam); this callable scores
+    the raw corpus off the stores."""
     from rassengine_spark.llmops.dsir import (importance_weights_from_counts,
-                                              merge_gram_counts,
                                               read_gram_counts)
+
+    root = _prepared_store("split_dsir_weights_fold", spark, sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     raw = docs.filter(F.col("doc_id") % 97 != 0)
-    target = docs.filter(F.col("doc_id") % 97 == 0)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(),
-                        f"rass_dsir_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
-    for side, frame in (("t", target), ("r", raw)):
-        for par in (0, 1):
-            merge_gram_counts(spark, os.path.join(root, side),
-                              frame.filter(F.col("doc_id") % 2 == par),
-                              "text", "doc_id", n=2,
-                              n_buckets=_DSIR_BUCKETS)
     out = importance_weights_from_counts(
         raw, "text", "doc_id",
         read_gram_counts(spark, os.path.join(root, "r")),
         read_gram_counts(spark, os.path.join(root, "t")),
         n=2, n_buckets=_DSIR_BUCKETS)
     return out.select(F.col("id").alias("doc_id"), "n_grams", "imp_micro")
+
+
+def _build_dsir_count_stores(spark: SparkSession, sf_dir: str) -> str:
+    """split_dsir_weights_fold's density stores: target and raw gram
+    counts each folded in two parity batches — the entry's documented
+    lifecycle, timed as the bench BUILD phase."""
+    from rassengine_spark.llmops.dsir import merge_gram_counts
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.filter(F.col("doc_id") % 97 != 0)
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    root = _store_tmp_path("rass_dsir", sf_dir)
+    for side, frame in (("t", target), ("r", raw)):
+        for par in (0, 1):
+            merge_gram_counts(spark, os.path.join(root, side),
+                              frame.filter(F.col("doc_id") % 2 == par),
+                              "text", "doc_id", n=2,
+                              n_buckets=_DSIR_BUCKETS)
+    return root
 
 
 def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8826,14 +8880,18 @@ def _q_drift_psi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (ts < cutoff), fold the current window in two halves with
     a COMPACT between, serve. Fold ≡ one-shot: shares drift_psi_events'
     oracle verbatim (bin grid and flag threshold pinned in the
-    manifest)."""
-    import shutil
-    import tempfile
+    manifest). The baseline save and current-window folds run in the
+    prepare phase (_prepared_store — the r08 build/serve seam); this
+    callable reads the PSI gate from counters alone."""
+    path = _prepared_store("drift_psi_fold", spark, sf_dir)
+    return DQ.psi_report_from_counters(spark, path)
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"rass_psistore_{sf_tag}_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+
+def _build_psi_counter_store(spark: SparkSession, sf_dir: str) -> str:
+    """drift_psi_fold's counter store: baseline histogram save, then
+    the current window folded in two halves with a COMPACT between —
+    the entry's documented lifecycle, timed as the bench BUILD phase."""
+    path = _store_tmp_path("rass_psistore", sf_dir)
     events = load_tables(spark, sf_dir)["events"]
     cutoff = F.to_timestamp(F.lit(_PSI_CUTOFF))
     DQ.save_psi_counters(events.filter(F.col("ts") < cutoff),
@@ -8842,7 +8900,7 @@ def _q_drift_psi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 0), path)
     DQ.compact_dq_counters(spark, path)
     DQ.append_psi_current(cur.filter(F.col("event_id") % 2 == 1), path)
-    return DQ.psi_report_from_counters(spark, path)
+    return path
 
 
 def _build_pipeline_health_stores(spark: SparkSession, sf_dir: str) -> str:
@@ -9047,17 +9105,23 @@ _CHANGED_R8 = [
     "sim_hnsw_topk",
     # new composed entries this round:
     "pipeline_health_rollup", "ask_two_tenants_pruned",
+    # the 12 fold/compaction twins re-registered by the optimization
+    # round (their dispatch changed: builds moved behind the seam) —
+    # restamp in the round their registration returns:
+    "boilerplate_store_fold", "drift_psi_fold", "text_kn_fold",
+    "corpus_overlap_store_fold", "dedup_cluster_store_merge",
+    "decontam_from_store", "decontam_report_fold",
+    "split_dsir_weights_fold", "events_holt_fold",
+    "bm25_store_compacted_ranked", "sim_ivf_store_compacted_topk",
+    "sim_hnsw_compacted_recall",
 ]
 
 _STALE_R4_FILL = [
+    # trimmed to keep the window at exactly 50 after the 12 restored
+    # twins joined the changed block (22 + 22 + 6):
     "basket_part_pagerank", "basket_part_triangles",
     "bm25_known_item_eval", "d1_context_concat", "d2_capped_item_set",
-    "dedup_embedding_cosine_cells", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "dedup_substring_pairs", "events_asof_forward_tol",
-    "events_countmin_est", "events_distinct_sketch_bounds",
-    "events_mg_rollup_bounds", "events_quantile_sketch_bounds",
-    "hybrid_rrf_fusion",
+    "dedup_embedding_cosine_cells",
 ]
 
 _DRIVER_CHECK_PRIORITY = _STALE_R3 + _CHANGED_R8 + _STALE_R4_FILL
@@ -9084,21 +9148,34 @@ _BENCH_BUILDERS: dict[str, Callable[[SparkSession, str], str]] = {
     "split_quantile_threshold_fold": _build_score_hist_store,
     "s9_bucketed_upsert": _build_s9_upsert_table,
     "mm_ahash_incremental": _build_ahash_history_store,
-    # retired contract twins (RETIRED_FOLD_TWINS) — builders kept for
-    # the fold/compaction parity pytest, not benched:
+    # the 9 re-registered fold twins (r08 optimization round) join the
+    # same seam — fold lifecycle = build phase, store read = serve:
+    "boilerplate_store_fold": _build_boilerplate_fold_store,
+    "corpus_overlap_store_fold": _build_kmv_fold_store,
+    "text_kn_fold": _build_kn_lm_store,
+    "dedup_cluster_store_merge": _build_cluster_store,
+    "decontam_from_store": _build_gram_vocab_store,
+    "decontam_report_fold": _build_decontam_counter_store,
+    "events_holt_fold": _build_holt_state_store,
+    "split_dsir_weights_fold": _build_dsir_count_stores,
+    "drift_psi_fold": _build_psi_counter_store,
+    # compaction twins (FOLD_TWINS) — re-registered contract entries
+    # (r08 optimization round), served via the same seam:
     "bm25_store_compacted_ranked": _build_term_store_compacted,
     "sim_ivf_store_compacted_topk": _build_ivf_store_compacted,
     "sim_hnsw_compacted_recall": _build_hnsw_store_compacted,
 }
 
-# Contract consolidation (VERDICT r07 #5): lifecycle twins whose oracle
-# SQL was VERBATIM their batch twin's hold one contract row per family
-# now. The retired callables stay importable (tests/
-# test_fold_twin_parity.py asserts fold/compacted output == the
-# surviving twin's output value-for-value at sf0.001 — a STRONGER check
-# than two independent oracle rows), so coverage is unchanged while the
-# driver rotation period shrinks. retired name -> surviving twin.
-RETIRED_FOLD_TWINS: dict[str, str] = {
+# Fold/compaction twins: lifecycle entries whose oracle SQL is VERBATIM
+# their batch twin's (fold invisibility is the stamped property). An
+# inherited build-session commit (76742c2) retired these 12 from the
+# contract per VERDICT r07 #5; the r08 OPTIMIZATION round re-registered
+# all of them — the optimization protocol forbids a declared query
+# disappearing, regardless of the consolidation rationale. The map now
+# drives tests/test_fold_twin_parity.py, which additionally pins fold
+# output == batch-twin output value-for-value at sf0.001 (stronger than
+# the two identical oracle rows). fold name -> batch twin.
+FOLD_TWINS: dict[str, str] = {
     "boilerplate_store_fold": "text_boilerplate_by_source",
     "drift_psi_fold": "drift_psi_events",
     "text_kn_fold": "text_kn_lm_score",
@@ -9183,6 +9260,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_store_topk": _q_sim_ivf_store,
         "sim_ivf_store_append_topk": _q_sim_ivf_store_append,
+        "sim_ivf_store_compacted_topk": _q_sim_ivf_store_compacted,
         "sim_hnsw_topk": _q_sim_hnsw,
         "sim_quantized_topk": _q_sim_quantized,
         "sim_pq_adc_topk": _q_sim_pq,
@@ -9194,6 +9272,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hnsw_recall": _q_sim_hnsw_recall,
         "sim_hnsw_store_recall": _q_sim_hnsw_store_recall,
         "sim_hnsw_store_append_recall": _q_sim_hnsw_store_append_recall,
+        "sim_hnsw_compacted_recall": _q_sim_hnsw_compacted_recall,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -9203,16 +9282,20 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_quality_classifier_eval": _q_m_quality_eval,
         "text_datacard": _q_text_datacard,
         "text_boilerplate_by_source": _q_text_boilerplate,
+        "boilerplate_store_fold": _q_boilerplate_store_fold,
         "text_boilerplate_strip": _q_text_boilerplate_strip,
         "dq_constraint_report": _q_dq_constraint_report,
         "dq_report_fold": _q_dq_report_fold,
         "profile_orders_columns": _q_profile_orders,
         "drift_psi_events": _q_drift_psi,
+        "drift_psi_fold": _q_drift_psi_fold,
         "pipeline_health_rollup": _q_pipeline_health,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "text_lm_score": _q_text_lm_score,
         "text_kn_lm_score": _q_text_kn_lm_score,
+        "text_kn_fold": _q_text_kn_fold,
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
+        "corpus_overlap_store_fold": _q_corpus_overlap_store_fold,
         "decontam_kmv_containment": _q_decontam_kmv_containment,
         "split_domain_reweight": _q_split_domain_reweight,
         "drift_embedding_centroid": _q_drift_embedding_centroid,
@@ -9224,9 +9307,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_compression_eval": _q_tokenizer_compression,
         "prep_training_corpus": _q_prep_corpus,
         "dedup_cc_clusters": _q_dedup_cc_clusters,
+        "dedup_cluster_store_merge": _q_dedup_cluster_store,
         "dedup_keeper_policy": _q_dedup_keeper_policy,
         "decontam_ngram_overlap": _q_decontam_overlap,
+        "decontam_from_store": _q_decontam_from_store,
         "decontam_report": _q_decontam_report,
+        "decontam_report_fold": _q_decontam_report_fold,
         "decontam_neardup_leakage": _q_decontam_neardup_leakage,
         "split_hash_assign": _q_split_assign,
         "split_leakage_safe": _q_split_leakage_safe,
@@ -9241,6 +9327,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_curriculum_order": _q_split_curriculum,
         "split_length_buckets": _q_split_length_buckets,
         "split_dsir_weights": _q_split_dsir_weights,
+        "split_dsir_weights_fold": _q_split_dsir_weights_fold,
         "pack_sequences": _q_pack_sequences,
         "mine_hard_negatives": _q_mine_hard_negatives,
         "mine_triplets": _q_mine_triplets,
@@ -9285,6 +9372,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_ranked": _q_bm25_index,
         "bm25_store_ranked": _q_bm25_store,
         "bm25_store_append_ranked": _q_bm25_store_append,
+        "bm25_store_compacted_ranked": _q_bm25_store_compacted,
         "tpch_q4_late_orders": _q_tpch_q4,
         "tpch_q18_big_orders": _q_tpch_q18,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -9317,6 +9405,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_communities": _q_basket_communities,
         "basket_part_communities_frac": _q_basket_communities_frac,
         "events_holt_forecast": _q_events_holt_forecast,
+        "events_holt_fold": _q_events_holt_fold,
         "events_holt_backtest": _q_events_holt_backtest,
         "dq_k_anonymity": _q_dq_k_anonymity,
         "events_theilsen_trend": _q_events_theilsen_trend,
@@ -9400,6 +9489,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_store_topk": _sql_sim_ivf(),
         "sim_ivf_store_append_topk": _sql_sim_ivf(
             "vec_id >= 5 AND vec_id % 2 = 0"),
+        "sim_ivf_store_compacted_topk": _sql_sim_ivf(
+            "vec_id >= 5 AND vec_id % 2 = 0"),
         "sim_hnsw_topk": _SQL_SIM_HNSW,
         "sim_quantized_topk": _SQL_SIM_QUANTIZED,
         "sim_pq_adc_topk": _sql_sim_pq(),
@@ -9411,6 +9502,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_hnsw_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_recall": _SQL_SIM_HNSW_RECALL,
         "sim_hnsw_store_append_recall": _SQL_SIM_HNSW_RECALL,
+        "sim_hnsw_compacted_recall": _SQL_SIM_HNSW_RECALL,
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKENS,
@@ -9420,16 +9512,20 @@ def oracle_sql() -> dict[str, str]:
         "m_quality_classifier_eval": _sql_m_quality_eval(),
         "text_datacard": _SQL_TEXT_DATACARD,
         "text_boilerplate_by_source": _SQL_BOILERPLATE,
+        "boilerplate_store_fold": _SQL_BOILERPLATE,
         "text_boilerplate_strip": _SQL_BOILERPLATE_STRIP,
         "dq_constraint_report": _sql_dq_constraint_report(),
         "dq_report_fold": _sql_dq_report_fold(),
         "profile_orders_columns": _sql_profile_orders(),
         "drift_psi_events": _sql_drift_psi(),
+        "drift_psi_fold": _sql_drift_psi(),
         "pipeline_health_rollup": _sql_pipeline_health(),
         "dedup_prefix_jaccard": _sql_dedup_prefix_jaccard(),
         "text_lm_score": _sql_text_lm_score(),
         "text_kn_lm_score": _sql_text_kn_lm_score(),
+        "text_kn_fold": _sql_text_kn_lm_score(),
         "corpus_overlap_kmv": _sql_corpus_overlap_kmv(),
+        "corpus_overlap_store_fold": _sql_corpus_overlap_kmv(),
         "decontam_kmv_containment": _sql_corpus_overlap_kmv(
             group_sql="CASE WHEN doc_id % 5 = 0 THEN 'eval' "
                       "ELSE 'train' END",
@@ -9444,9 +9540,12 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_compression_eval": _sql_tokenizer_compression(),
         "prep_training_corpus": _sql_prep_corpus(),
         "dedup_cc_clusters": _sql_dedup_cc(),
+        "dedup_cluster_store_merge": _sql_dedup_cc(),
         "dedup_keeper_policy": _sql_dedup_keeper_policy(),
         "decontam_ngram_overlap": _sql_decontam_overlap(),
+        "decontam_from_store": _sql_decontam_overlap(),
         "decontam_report": _sql_decontam_report(),
+        "decontam_report_fold": _sql_decontam_report(),
         "decontam_neardup_leakage": _sql_decontam_neardup_leakage(),
         "split_hash_assign": _sql_split_assign(),
         "split_leakage_safe": _sql_split_leakage_safe(),
@@ -9461,6 +9560,7 @@ def oracle_sql() -> dict[str, str]:
         "split_curriculum_order": _sql_split_curriculum(),
         "split_length_buckets": _SQL_SPLIT_LENGTH_BUCKETS,
         "split_dsir_weights": _sql_split_dsir_weights(),
+        "split_dsir_weights_fold": _sql_split_dsir_weights(),
         # fold invisibility IS the stamped property: same oracle verbatim
         "pack_sequences": _sql_pack_sequences(),
         "mine_hard_negatives": _SQL_MINE_HARD_NEGATIVES,
@@ -9506,6 +9606,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_ranked": _sql_bm25_ranked(),
         "bm25_store_ranked": _sql_bm25_ranked(),
         "bm25_store_append_ranked": _sql_bm25_ranked(),
+        "bm25_store_compacted_ranked": _sql_bm25_ranked(),
         "tpch_q4_late_orders": _SQL_TPCH_Q4,
         "tpch_q18_big_orders": _SQL_TPCH_Q18,
         "tpch_q19_disjunctive_revenue": _SQL_TPCH_Q19,
@@ -9538,6 +9639,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_communities": _sql_basket_communities(),
         "basket_part_communities_frac": _sql_basket_communities_frac(),
         "events_holt_forecast": _SQL_EVENTS_HOLT_FORECAST,
+        "events_holt_fold": _SQL_EVENTS_HOLT_FORECAST,
         "events_holt_backtest": _SQL_EVENTS_HOLT_BACKTEST,
         "dq_k_anonymity": _SQL_DQ_K_ANONYMITY,
         "events_theilsen_trend": _SQL_EVENTS_THEILSEN,

@@ -56,7 +56,7 @@ SENTINELS_R01_SF01 = {
 # untimed before the measured loop (first-call plan+codegen amortization)
 WARM_FIRST = [
     # refreshed round 8: r07 top-18 minus the 12 consolidated twins
-    # (RETIRED_FOLD_TWINS), which are no longer contract entries
+    # (FOLD_TWINS; re-registered later in r08)
     "sim_hnsw_recall",
     "basket_part_pagerank",
     "prep_training_corpus",

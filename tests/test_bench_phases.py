@@ -17,7 +17,7 @@ def test_builder_registry_consistent():
     twin kept for the parity suite; every phased entry resolves."""
     qs = entry.queries()
     for name in entry._BENCH_BUILDERS:
-        assert name in qs or name in entry.RETIRED_FOLD_TWINS, name
+        assert name in qs or name in entry.FOLD_TWINS, name
     for name, prepare in entry.bench_phases().items():
         assert callable(prepare)
 

@@ -1,15 +1,11 @@
-"""Fold-twin parity (VERDICT r07 #5 consolidation): the 12 lifecycle
-contract entries retired from the driver surface — incremental folds and
-layout-only compactions whose DuckDB oracle SQL was VERBATIM their batch
-twin's — are pinned HERE instead, by direct value equality against the
-surviving twin. This is a strictly stronger check than two independent
-oracle rows (fold output must equal batch output row-for-row, not merely
-both match the same SQL), so contract consolidation loses no coverage.
-
-Each retired callable still lives in __spark_entry__ (the code paths —
-manifest-LSM folds, store compactions — are the production shapes); only
-the contract registration moved. RETIRED_FOLD_TWINS maps retired name ->
-surviving twin name.
+"""Fold-twin parity: the 12 fold/compaction lifecycle entries whose
+DuckDB oracle SQL is VERBATIM their batch twin's are pinned here by
+direct value equality against that twin — fold output must equal batch
+output row-for-row, a strictly stronger check than two identical oracle
+rows. (An inherited r08 build commit retired these from the contract;
+the optimization round re-registered all 12 — the optimization protocol
+forbids declared queries disappearing — and kept this parity test as
+extra coverage.) FOLD_TWINS maps fold name -> batch twin name.
 """
 
 import math
@@ -21,7 +17,7 @@ import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# retired contract name -> its callable (kept in __spark_entry__)
+# fold entry name -> its callable
 RETIRED_CALLABLES = {
     "boilerplate_store_fold": entry._q_boilerplate_store_fold,
     "drift_psi_fold": entry._q_drift_psi_fold,
@@ -57,12 +53,12 @@ def _canon_rows(df):
 
 
 def test_retired_map_is_consistent():
-    """Every retired name has a callable here and a surviving twin still
-    in the contract; no retired name leaked back into the contract."""
+    """Every fold name is a registered contract entry whose callable is
+    the one pinned here, and its batch twin is registered too."""
     qs = entry.queries()
-    assert set(RETIRED_CALLABLES) == set(entry.RETIRED_FOLD_TWINS)
-    for retired, survivor in entry.RETIRED_FOLD_TWINS.items():
-        assert retired not in qs, retired
+    assert set(RETIRED_CALLABLES) == set(entry.FOLD_TWINS)
+    for fold, survivor in entry.FOLD_TWINS.items():
+        assert qs[fold] is RETIRED_CALLABLES[fold], fold
         assert survivor in qs, survivor
 
 
@@ -70,7 +66,7 @@ def test_retired_map_is_consistent():
 def test_fold_twin_matches_batch_twin(spark, retired):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"{SF_DIR} not present")
-    survivor = entry.RETIRED_FOLD_TWINS[retired]
+    survivor = entry.FOLD_TWINS[retired]
     fold_df = RETIRED_CALLABLES[retired](spark, SF_DIR)
     batch_df = entry.queries()[survivor](spark, SF_DIR)
     assert sorted(fold_df.columns) == sorted(batch_df.columns)

@@ -38,9 +38,8 @@ QUERIES = [
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine_cells",
     "split_dsir_weights",
-    # spanning-forest fold sequence — consolidated out of the contract
-    # in r08 (RETIRED_FOLD_TWINS), still invariance-pinned here through
-    # its retained callable:
+    # spanning-forest fold sequence (FOLD_TWINS), invariance-pinned
+    # through its callable:
     "dedup_cluster_store_merge",
 ]
 

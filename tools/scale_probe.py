@@ -212,15 +212,13 @@ def main() -> int:
              else DEFAULT_ENTRIES[: args.top])
     qs = entry.queries()
     if not args.entries:
-        # a consolidated-away default entry must not abort the whole run
-        # (it has no contract row to probe); explicit --entries still
-        # fails loudly below
-        retired = [n for n in names
-                   if n in getattr(entry, "RETIRED_FOLD_TWINS", {})]
-        if retired:
-            print(f"skipping retired default entries: {retired}",
+        # a default entry absent from the contract must not abort the
+        # whole run; explicit --entries still fails loudly below
+        absent = [n for n in names if n not in qs]
+        if absent:
+            print(f"skipping non-contract default entries: {absent}",
                   file=sys.stderr)
-            names = [n for n in names if n not in retired]
+            names = [n for n in names if n not in absent]
     missing = [n for n in names if n not in qs]
     if missing:
         print(f"unknown entries: {missing}", file=sys.stderr)
