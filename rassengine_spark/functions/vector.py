@@ -25,6 +25,33 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ------------------------------------------------------------ SQL-text twins
+# Each Column-builder above costs ~25 ms of py4j round-trips (every
+# higher-order function materializes its Python lambda through the JVM);
+# entries that build dozens of them spend seconds constructing plans.
+# These twins emit the SAME expressions as SQL text — parsed in one call,
+# bit-identical semantics (zip_with/aggregate fold order, double casts,
+# 0.0D seed, eps placement all unchanged).
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of dot(a, b) for already-rendered operand expressions."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+            f" * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)")
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL text of l2_norm(a)."""
+    return (f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+
+def cosine_sql(a: str, b: str, eps: float = 1e-9) -> str:
+    """SQL text of cosine(a, b) — same fold order and eps placement."""
+    return (f"({dot_sql(a, b)} / (({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+            f" + {float(eps)!r}D))")
+
+
 def dot_literal(col: Column, vec: list[float]) -> Column:
     """Dot product against a constant query vector (broadcast as a literal).
 

@@ -6,6 +6,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def double_array_sql(vals: list[float]) -> str:
+    """array<double> literal as SQL text (see double_array_lit). repr()
+    round-trips every finite double exactly, so the parsed literal is
+    bit-identical."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
 def double_array_lit(vals: list[float]) -> Column:
     """array<double> literal built from ONE parsed SQL string.
 
@@ -13,7 +20,7 @@ def double_array_lit(vals: list[float]) -> Column:
     element — ~100x slower to build for embedding-sized vectors. repr()
     round-trips every finite double exactly, so the parsed literal is
     bit-identical."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+    return F.expr(double_array_sql(vals))
 
 
 def string_array_lit(vals: list[str]) -> Column:
@@ -25,6 +32,13 @@ def string_array_lit(vals: list[str]) -> Column:
     return F.expr("array(" + ",".join(f"'{esc(v)}'" for v in vals) + ")")
 
 
+def double_matrix_sql(rows: list[list[float]]) -> str:
+    """array<array<double>> literal as SQL text (see double_matrix_lit)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+        for r in rows) + ")"
+
+
 def double_matrix_lit(rows: list[list[float]]) -> Column:
     """array<array<double>> literal from ONE parsed SQL string.
 
@@ -33,9 +47,7 @@ def double_matrix_lit(rows: list[list[float]]) -> Column:
     node, so plan size and analysis cost are O(1) in the row count (one
     subtree per row dies around a few thousand rows — Catalyst spends
     minutes analyzing before any data moves)."""
-    return F.expr("array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
-        for r in rows) + ")")
+    return F.expr(double_matrix_sql(rows))
 
 
 def micros(col: str | Column) -> Column:
