@@ -8169,7 +8169,7 @@ def _q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
     blk = F.concat_ws(
         "#", F.col("label").cast("string"),
-        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
+        SIM._best_cell("embedding", cents, 6).cast("string"))
     blocked = emb.withColumn("_lc", blk)
     return SIM.knn_graph_blocks(blocked, "embedding", "vec_id", "_lc",
                                 k=3, mutual=True)
@@ -8217,7 +8217,7 @@ def _q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = SIM.ivf_centroids(emb, "embedding", "vec_id", _PROFILE_CELLS)
     blk = F.concat_ws(
         "#", F.col("label").cast("string"),
-        SIM._best_cell(F.col("embedding"), cents, 6).cast("string"))
+        SIM._best_cell("embedding", cents, 6).cast("string"))
     blocked = emb.withColumn("_lc", blk)
     edges = SIM.knn_graph_blocks(blocked, "embedding", "vec_id", "_lc",
                                  k=3, mutual=True)

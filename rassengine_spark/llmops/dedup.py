@@ -706,10 +706,11 @@ def _cell_refined_block(df: DataFrame, vec_col: str, id_col: str,
         if sub_cells == 1:
             return F.col(block_col)
     from .similarity import _best_cell, ivf_centroids
+    from ..util import qident
     cents = ivf_centroids(df, vec_col, id_col, sub_cells)
     return F.concat_ws(
         "#", F.col(block_col).cast("string"),
-        _best_cell(F.col(vec_col), cents, round_to).cast("string"))
+        _best_cell(qident(vec_col), cents, round_to).cast("string"))
 
 
 def embedding_near_pairs_topn(df: DataFrame, vec_col: str, id_col: str,

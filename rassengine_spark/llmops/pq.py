@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot
-from ..util import double_matrix_lit
+from ..functions.vector import dot_sql
+from ..util import double_array_sql, double_matrix_sql, qident
 from .similarity import _per_query_topk
 
 
@@ -65,23 +65,38 @@ def split_codebooks(sample: list[list[float]], m: int
             for j in range(m)]
 
 
-def pq_code_expr(vec: Column, codebooks: list[list[list[float]]],
-                 round_to: int = 6) -> Column:
-    """array<int> of m codewords for `vec` — a pure projection (one matrix
-    literal + transform per subspace, O(1) plan nodes in n_codes)."""
-    def _aff_fn(s):
-        return lambda c, i: F.struct(
-            (-F.round(dot(s, c) - F.lit(0.5) * dot(c, c), round_to))
-            .alias("ns"),
-            i.alias("c"))
+def pq_code_expr_sql(vec_sql: str, codebooks: list[list[list[float]]],
+                     round_to: int = 6) -> str:
+    """SQL text of the array<int> of m codewords for the vector operand
+    `vec_sql` — a pure projection (one matrix literal + transform per
+    subspace, O(1) plan nodes in n_codes). Two round-8 cost cuts, both
+    value-exact:
 
+    - emitted as ONE SQL string (a single F.expr parse) instead of ~3
+      py4j higher-order-function builds per subspace (guide §1.2 applied
+      to the driver — each lambda costs ~25 ms of round-trips);
+    - each codeword's constant self-term 0.5·c·c is hoisted to a
+      driver-side literal (_dot_py folds left exactly like the JVM
+      aggregate, and 0.5*x is one IEEE multiply in either engine), so
+      the per-row affinity drops from two sub-dim folds per codeword to
+      one (guide §2.3, narrower per-row compute)."""
     codes = []
     for j, cb in enumerate(codebooks):
         sub = len(cb[0])
-        s = F.slice(vec, j * sub + 1, sub)
-        aff = F.transform(double_matrix_lit(cb), _aff_fn(s))
-        codes.append(F.array_min(aff)["c"])
-    return F.array(*codes)
+        s = f"slice({vec_sql}, {j * sub + 1}, {sub})"
+        half = double_array_sql([0.5 * _dot_py(c, c) for c in cb])
+        aff = (f"transform({double_matrix_sql(cb)}, (c, i) -> named_struct("
+               f"'ns', -round({dot_sql(s, 'c')}"
+               f" - element_at({half}, i + 1), {round_to}), "
+               f"'c', i))")
+        codes.append(f"array_min({aff}).c")
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_code_expr(vec_sql: str, codebooks: list[list[list[float]]],
+                 round_to: int = 6) -> Column:
+    """Column form of pq_code_expr_sql (same single-parse build)."""
+    return F.expr(pq_code_expr_sql(vec_sql, codebooks, round_to))
 
 
 def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
@@ -91,7 +106,7 @@ def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
     per row) and drop the vectors from the serving path."""
     return corpus.select(
         F.col(id_col).alias("id"),
-        pq_code_expr(F.col(vec_col), codebooks, round_to).alias("codes"))
+        pq_code_expr(qident(vec_col), codebooks, round_to).alias("codes"))
 
 
 def _collect_query_rows(queries: DataFrame, vec_col: str,
@@ -130,19 +145,19 @@ def _adc_query_tables(queries: DataFrame, vec_col: str, query_id_col: str,
         _collect_query_rows(queries, vec_col, query_id_col), cbs)
 
 
-def _adc_score(round_to: int, base: Column | None = None):
+def _adc_score(round_to: int, base_sql: str | None = None) -> Column:
     """score = [base +] sum_j tab[j][codes[j]]; the sum folds in subspace
-    order and the optional base term (residual IVFADC's centroid dot) is
-    added AFTER the fold — FP addition is commutative, so sum+base
-    matches an oracle's base+sum bit-for-bit."""
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, j: F.element_at(F.element_at(F.col("tab"), j + 1),
-                                  c + 1))
-    total = F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x)
-    if base is not None:
-        total = total + base
-    return F.round(total, round_to)
+    order and the optional base term (residual IVFADC's centroid dot,
+    rendered as SQL text) is added AFTER the fold — FP addition is
+    commutative, so sum+base matches an oracle's base+sum bit-for-bit.
+    Emitted as one parsed SQL string (round 8, guide §1.2): same
+    transform/aggregate tree as the old per-lambda py4j build."""
+    contribs = ("transform(codes, (c, j) -> "
+                "element_at(element_at(tab, j + 1), c + 1))")
+    total = f"aggregate({contribs}, 0.0D, (a, x) -> a + x)"
+    if base_sql is not None:
+        total = f"({total} + {base_sql})"
+    return F.expr(f"round({total}, {round_to})")
 
 
 def _probe_pairs_local(q_rows: list[tuple[int, list[float]]],
@@ -200,10 +215,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     # delivers O(N * n_probe / n_cells) encode work
     enc = (corpus.select(
                F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-               _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
+               _best_cell(qident(vec_col), cents, round_to).alias("cell"))
            .filter(F.col("cell").isin(probe_cells))
            .select("id", "cell",
-                   pq_code_expr(F.col("v"), cbs, round_to).alias("codes")))
+                   pq_code_expr("v", cbs, round_to).alias("codes")))
     qdf = _adc_tables_from_rows(spark, q_rows, cbs)
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
     return (_per_query_topk(
@@ -276,7 +291,7 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
         cents = centroids
         rcbs = residual_codebooks(corpus, vec_col, id_col, cents, m,
                                   n_codes, round_to)
-    cent = double_matrix_lit(cents)
+    cent_sql = double_matrix_sql(cents)
 
     # same one-collect serve shape as ivfpq_topk; probe pairs keep the
     # query vector because the residual score's base term needs it
@@ -292,17 +307,17 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
     probe_cells = sorted({c for _, c in pairs})
     with_cell = (corpus.select(
                      F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     _best_cell(F.col(vec_col), cents, round_to)
+                     _best_cell(qident(vec_col), cents, round_to)
                      .alias("cell"))
                  .filter(F.col("cell").isin(probe_cells)))
-    resid = F.zip_with(F.col("v"), F.element_at(cent, F.col("cell") + 1),
-                       lambda x, c: x.cast("double") - c)
+    resid = (f"zip_with(v, element_at({cent_sql}, cell + 1), "
+             f"(x, c) -> CAST(x AS DOUBLE) - c)")
     enc = with_cell.select(
         "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
     qdf = _adc_tables_from_rows(spark, q_rows, rcbs)
 
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
-    base = dot(F.col("qv"), F.element_at(cent, F.col("cell") + 1))
+    base = dot_sql("qv", f"element_at({cent_sql}, cell + 1)")
     return (_per_query_topk(
                 joined.withColumn("score", _adc_score(round_to, base)), k)
             .select("query_id", "id", "score", "rank"))

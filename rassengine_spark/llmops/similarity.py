@@ -26,8 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine, dot
-from ..util import double_array_lit, double_matrix_lit
+from ..functions.vector import cosine, cosine_sql, dot, dot_sql
+from ..util import (double_array_sql, double_matrix_lit, double_matrix_sql,
+                    qident)
 
 
 def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -47,8 +48,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     joined = c.crossJoin(F.broadcast(q))
-    score: Column = (cosine(F.col("v"), F.col("qv")) if metric == "cosine"
-                     else dot(F.col("v"), F.col("qv")))
+    score: Column = F.expr(cosine_sql("v", "qv") if metric == "cosine"
+                           else dot_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
@@ -61,14 +62,19 @@ def hyperplanes(dim: int, bits: int) -> list[list[float]]:
             for i in range(bits)]
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from the hyperplane projections."""
-    out = F.lit(0)
+def lsh_bucket_expr(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from the hyperplane projections. `vec_sql` is
+    the vector operand rendered as SQL text (usually a quoted column
+    name); the whole chain of per-plane CASEs is parsed in ONE F.expr
+    call instead of ~2 py4j higher-order-function builds per plane
+    (guide §1.2 applied to the driver). Value-identical: same dot fold,
+    same 0/2^i integer sum (int addition, order-free)."""
+    from ..functions.vector import dot_sql
+    terms = ["0"]
     for i, p in enumerate(planes):
-        lit_p = double_array_lit(p)
-        out = out + F.when(dot(vec, lit_p) > 0,
-                           F.lit(1 << i)).otherwise(F.lit(0))
-    return out
+        d = dot_sql(vec_sql, double_array_sql(p))
+        terms.append(f"(CASE WHEN {d} > 0.0D THEN {1 << i} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
@@ -81,12 +87,14 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     equi-join on bucket id."""
     planes = hyperplanes(dim, bits)
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+                      lsh_bucket_expr(qident(vec_col), planes)
+                      .alias("bucket"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+                       lsh_bucket_expr(qident(vec_col), planes)
+                       .alias("bucket"))
     joined = c.join(F.broadcast(q), "bucket")
-    score = cosine(F.col("v"), F.col("qv"))
+    score = F.expr(cosine_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
@@ -116,35 +124,61 @@ def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     return md5_sample(corpus, vec_col, id_col, n_cells)
 
 
-def _cell_affinities(vec: Column, centroids: list[list[float]],
-                     round_to: int) -> Column:
-    """array<struct<ns,c>> of (negated rounded cosine, cell idx) per
-    centroid. The centroid matrix is ONE array<array<double>> literal and
-    the per-cell score a `transform` higher-order function, so plan size is
-    O(1) in n_cells — one expression subtree per centroid dies around a few
-    thousand cells (plan construction + analysis, long before data).
-    Scores are rounded BEFORE any argmax so cell choice is engine-exact;
-    the element-wise cosine fold is identical to the unrolled form."""
-    cent = double_matrix_lit(centroids)
-    return F.transform(
-        cent,
-        lambda c, i: F.struct((-F.round(cosine(vec, c), round_to))
-                              .alias("ns"),
-                              i.alias("c")))
+def _l2_norm_py(v: list[float]) -> float:
+    """Driver-side twin of functions.vector.l2_norm — same left-fold order;
+    Python float ops ARE IEEE doubles, so the result is bit-identical to
+    the JVM fold on equal inputs."""
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
 
 
-def _cells_by_affinity(vec: Column, centroids: list[list[float]],
+def _cell_affinities_sql(vec_sql: str, centroids: list[list[float]],
+                         round_to: int) -> str:
+    """SQL text of array<struct<ns,c>> of (negated rounded cosine, cell
+    idx) per centroid. The centroid matrix is ONE array<array<double>>
+    literal and the per-cell score a `transform` higher-order function, so
+    plan size is O(1) in n_cells — one expression subtree per centroid dies
+    around a few thousand cells (plan construction + analysis, long before
+    data). Scores are rounded BEFORE any argmax so cell choice is
+    engine-exact; the element-wise cosine fold is identical to the
+    unrolled form. Two round-8 cost cuts, both value-exact:
+
+    - built as SQL text (one parse) instead of py4j lambda assembly
+      (~25 ms per higher-order function — guide §1.2 "per-task work"
+      applied to the driver);
+    - each centroid's l2 norm is a hoisted driver-side constant
+      (_l2_norm_py == the JVM fold bit-for-bit), so the per-row work per
+      centroid drops from three d-element folds to two (guide §2.3
+      narrower per-row compute; the corpus-row norm still evaluates
+      per centroid — hoisting it would need a projection barrier that
+      CollapseProject undoes)."""
+    from ..functions.vector import dot_sql, l2_norm_sql
+    cent = double_matrix_sql(centroids)
+    cnorms = double_array_sql([_l2_norm_py(c) for c in centroids])
+    return (f"transform({cent}, (c, i) -> named_struct("
+            f"'ns', -round({dot_sql(vec_sql, 'c')} / "
+            f"(({l2_norm_sql(vec_sql)} * element_at({cnorms}, i + 1))"
+            f" + 1e-09D), {round_to}), "
+            f"'c', i))")
+
+
+def _cells_by_affinity(vec_sql: str, centroids: list[list[float]],
                        round_to: int) -> Column:
     """array<struct<ns,c>> sorted by (cosine desc, cell asc): element 0 is
-    the assignment cell; a prefix slice is the probe list."""
-    return F.array_sort(_cell_affinities(vec, centroids, round_to))
+    the assignment cell; a prefix slice is the probe list. `vec_sql` is the
+    vector operand rendered as SQL text (usually a quoted column name)."""
+    return F.expr(
+        f"array_sort({_cell_affinities_sql(vec_sql, centroids, round_to)})")
 
 
-def _best_cell(vec: Column, centroids: list[list[float]],
+def _best_cell(vec_sql: str, centroids: list[list[float]],
                round_to: int) -> Column:
     """Assignment cell only — array_min (O(C)) instead of a full sort
     (O(C log C)); same (cosine desc, cell asc) choice."""
-    return F.array_min(_cell_affinities(vec, centroids, round_to))["c"]
+    return F.expr(
+        f"array_min({_cell_affinities_sql(vec_sql, centroids, round_to)}).c")
 
 
 def _cosine_py(a: list[float], b: list[float], eps: float = 1e-9) -> float:
@@ -191,14 +225,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _best_cell(F.col(vec_col), cents, round_to).alias("cell"))
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
+        _best_cell(qident(vec_col), cents, round_to).alias("cell"))
+    probe_cells = (
+        f"transform(slice(array_sort("
+        f"{_cell_affinities_sql(qident(vec_col), cents, round_to)}"
+        f"), 1, {n_probe}), x -> x.c)")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+        F.explode(F.expr(probe_cells)).alias("cell"))
     joined = c.join(F.broadcast(q), "cell")
-    score = F.round(cosine(F.col("v"), F.col("qv")), round_to)
+    score = F.round(F.expr(cosine_sql("v", "qv")), round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
             .select("query_id", "id", "score", "rank"))
 
@@ -231,7 +267,7 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     joined = c.crossJoin(F.broadcast(q))
-    score: Column = cosine(F.col("v"), F.col("qv"))
+    score: Column = F.expr(cosine_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
@@ -260,7 +296,7 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                        F.col(vec_col).alias("qv"),
                        F.col(label_col).alias("_ql"))
     joined = c.join(F.broadcast(q), on=F.col("_cl") != F.col("_ql"))
-    score: Column = cosine(F.col("v"), F.col("qv"))
+    score: Column = F.expr(cosine_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     return (_per_query_topk(joined.withColumn("score", score), k)
@@ -288,7 +324,7 @@ def mine_triplets(corpus: DataFrame, queries: DataFrame, vec_col: str,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        F.col(label_col).alias("_ql"))
-    score: Column = cosine(F.col("v"), F.col("qv"))
+    score: Column = F.expr(cosine_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
@@ -334,7 +370,7 @@ def maxsim_topk(doc_vecs: DataFrame, query_vecs: DataFrame, vec_col: str,
                           F.col(qtok_col).alias("qtok"),
                           F.col(vec_col).alias("qv"))
     pairs = d.crossJoin(F.broadcast(q))
-    s = F.round(cosine(F.col("v"), F.col("qv")), round_to)
+    s = F.round(F.expr(cosine_sql("v", "qv")), round_to)
     mx = (pairs.withColumn("s", s)
                .groupBy("query_id", "qtok", "id")
                .agg(F.max("s").alias("m")))
@@ -411,7 +447,8 @@ def cluster_profile(corpus: DataFrame, vec_col: str, id_col: str,
     order). One codegen projection + one hash aggregate; no joins, no
     windows — the profile costs a scan at any corpus size."""
     cents = centroids or ivf_centroids(corpus, vec_col, id_col, n_cells)
-    best = F.array_min(_cell_affinities(F.col(vec_col), cents, round_to))
+    best = F.expr(f"array_min("
+                  f"{_cell_affinities_sql(qident(vec_col), cents, round_to)})")
     aff = -best["ns"]
     scale = 10 ** round_to
     aff_i = F.round(aff * scale, 0).cast("bigint")
@@ -618,8 +655,8 @@ def range_search(corpus: DataFrame, queries: DataFrame, vec_col: str,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     joined = c.crossJoin(F.broadcast(q))
-    score: Column = (cosine(F.col("v"), F.col("qv")) if metric == "cosine"
-                     else dot(F.col("v"), F.col("qv")))
+    score: Column = F.expr(cosine_sql("v", "qv") if metric == "cosine"
+                           else dot_sql("v", "qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     return (joined.withColumn("score", score)

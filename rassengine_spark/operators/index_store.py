@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util import qident
+
 from ..functions.bm25 import B, K1
 from ..functions.text import terms_of
 
@@ -258,7 +260,7 @@ def save_ivf_index(corpus: DataFrame, vec_col: str, id_col: str, path: str,
     def w_assignments() -> None:
         (corpus.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("v"),
-                       _best_cell(F.col(vec_col), cents, round_to)
+                       _best_cell(qident(vec_col), cents, round_to)
                        .alias("cell"))
                .repartition("cell")
                .write.partitionBy("cell").mode("overwrite")
@@ -285,7 +287,7 @@ def append_ivf_index(new_df: DataFrame, vec_col: str, id_col: str,
     heal_swapped_dir(f"{path}/assignments")   # compaction crashed mid-swap
     cents = read_ivf_centroids(spark, path)
     (new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   _best_cell(F.col(vec_col), cents, round_to)
+                   _best_cell(qident(vec_col), cents, round_to)
                    .alias("cell"))
            .repartition("cell")
            .write.partitionBy("cell").mode("append")
@@ -334,13 +336,15 @@ def ivf_probe_frame(queries: DataFrame, vec_col: str, query_id_col: str,
     the streaming segment tier so probe semantics cannot drift. The
     frame is pinned (localCheckpoint): the collect AND the scoring join
     reuse it, so the affinity expressions evaluate once per call."""
-    from ..llmops.similarity import _cells_by_affinity
+    from ..llmops.similarity import _cell_affinities_sql
 
-    probes = F.slice(_cells_by_affinity(F.col(vec_col), cents, round_to),
-                     1, n_probe)
+    probe_cells = (
+        f"transform(slice(array_sort("
+        f"{_cell_affinities_sql(qident(vec_col), cents, round_to)}"
+        f"), 1, {n_probe}), x -> x.c)")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("cell"))
+        F.explode(F.expr(probe_cells)).alias("cell"))
     q = q.localCheckpoint()
     cells = sorted({r.cell for r in q.select("cell").collect()})
     return q, cells

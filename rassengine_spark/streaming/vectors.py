@@ -50,6 +50,7 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
     array<double>) into IVF segment form. Returns the StreamingQuery;
     serve with ``ivf_topk_from_segments``."""
     from ..llmops.similarity import _best_cell, ivf_centroids
+    from ..util import qident
 
     sid = stream_id(checkpoint_dir, "_vector_stream_id")
     raw = (spark.readStream.format("json")
@@ -100,7 +101,7 @@ def stream_vector_ingest(spark: SparkSession, input_dir: str,
             cents = _read_centroids(sp, index_dir)
         (batch_df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"),
-                         _best_cell(F.col(vec_col), cents, round_to)
+                         _best_cell(qident(vec_col), cents, round_to)
                          .alias("cell"))
          .withColumn("seg", F.lit(batch_id))
          .repartition("cell")

@@ -6,6 +6,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def qident(name: str) -> str:
+    """Backtick-quoted SQL identifier for a column name, for splicing
+    into SQL-text expression builders."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def double_array_sql(vals: list[float]) -> str:
     """array<double> literal as SQL text (see double_array_lit). repr()
     round-trips every finite double exactly, so the parsed literal is

@@ -387,7 +387,7 @@ def test_cells_by_affinity_py_matches_jvm(spark, data):
     round_to = data.draw(st.integers(min_value=0, max_value=8))
 
     df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
-    expr = F.transform(_cells_by_affinity(F.col("v"), cents, round_to),
+    expr = F.transform(_cells_by_affinity("v", cents, round_to),
                        lambda s: s["c"])
     got = [list(r.o) for r in df.select(expr.alias("o")).collect()]
     want = [cells_by_affinity_py(v, cents, round_to) for v in vecs]
