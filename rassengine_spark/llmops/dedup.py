@@ -652,7 +652,14 @@ def substring_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     distribute; winnowing is the shuffle-friendly equivalent with a
     tunable k+w-1 match-length floor."""
     from .text_analysis import winnow_fingerprints
-    inv = winnow_fingerprints(df, text_col, id_col, k, w)
+    # pin the index: it feeds the hot-fp aggregate AND both self-join
+    # sides — unpinned, Catalyst re-runs the Arrow winnowing pass (the
+    # per-char md5 sweep, the entry's dominant cost) once per consumer
+    # (4 parquet scans in the measured plan). The materialized (id, fp)
+    # frame is ~2/(w+1) rows per shingle of 16 bytes — far cheaper to
+    # spill locally than to recompute 4x at any scale.
+    inv = winnow_fingerprints(df, text_col, id_col, k, w) \
+        .localCheckpoint(eager=False)
     if max_postings is not None:
         # the hot list is tiny by construction (only boilerplate fps
         # exceed the cap), so it broadcasts — a stopword-list anti-join

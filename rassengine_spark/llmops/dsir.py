@@ -98,8 +98,15 @@ def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
     ``weight_fn(tgt_c, raw_c) -> Column`` overrides the per-bucket weight
     (e.g. the paper's log-ratio) when exact cross-engine reproducibility
     is not required."""
-    rb = hashed_gram_buckets(raw, text_col, id_col, n, n_buckets)
-    raw_c = gram_bucket_counts(raw, text_col, id_col, n, n_buckets)
+    # ONE raw gram scan: rb feeds both the scoring join and the raw
+    # density counts — unpinned, the explode+md5 pass over the raw
+    # corpus (the big side) ran twice, once per consumer. The pinned
+    # (id, b) frame is 16 bytes/gram locally spilled vs a second full
+    # shingle pass; counts derived FROM rb are the same aggregate
+    # gram_bucket_counts computes (it is hashed_gram_buckets + groupBy).
+    rb = hashed_gram_buckets(raw, text_col, id_col, n, n_buckets) \
+        .localCheckpoint(eager=False)
+    raw_c = rb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
     tgt_c = gram_bucket_counts(target, text_col, id_col, n, n_buckets)
     return _weights_from_counts(rb, raw_c, tgt_c, weight_fn)
 

@@ -69,7 +69,13 @@ def fit_bigram_lm(train: DataFrame, text_col: str,
     reference corpus. Unigram counts use the w1 positions (each bigram's
     history), which is exactly the denominator the conditional needs."""
     bg = _doc_bigrams(train, text_col, id_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # pin the aggregated count table: it feeds the unigram marginal AND
+    # the caller's score join — unpinned, each consumer re-runs the
+    # Arrow bigram explode over the train corpus (the dominant fit
+    # cost). The pinned frame is the vocab-bounded model itself, the
+    # thing production persists and reuses (the store tier below).
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")) \
+        .localCheckpoint(eager=False)
     # history counts are a marginal of the bigram table (c1 = sum of c2
     # over w2) — derived from the aggregated counts, NOT a second explode
     # pass over the corpus
@@ -98,7 +104,13 @@ def fit_kn_bigram_lm(train: DataFrame, text_col: str, id_col: str,
     `fit_bigram_lm`; at 100 TB the model stays vocab-bounded and is
     persisted/reused like any materialized view."""
     bg = _doc_bigrams(train, text_col, id_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # pin the count table (same rationale as fit_bigram_lm): histories,
+    # continuations, the eager n_types count, and the caller's score
+    # join are four consumers — unpinned, each re-ran the Arrow bigram
+    # explode over the train corpus. The n_types count below
+    # materializes the checkpoint, so the explode runs exactly once.
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")) \
+        .localCheckpoint(eager=False)
     histories = bigrams.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw"))
     continuations = bigrams.groupBy("w2").agg(
