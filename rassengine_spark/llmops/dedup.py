@@ -510,10 +510,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # (8 bytes/row) so the pair aggregation below emits both set sizes
     # directly — NO join of the multi-million-row pair table back to a
     # per-doc sizes table (that per-doc table scales with the corpus, so it
-    # is not broadcastable at 100 TB either). Deliberately NOT cached:
-    # recomputing the pandas shingle pass on both join branches is cheaper
-    # than a memory-store round-trip, and at 100 TB the index wouldn't fit
-    # in cache anyway.
+    # is not broadcastable at 100 TB either). The FINAL index (after any
+    # posting cap) is pinned to local disk, NOT memory-cached: both
+    # self-join sides consume it, and unpinned each side re-ran the
+    # pandas shingle pass plus the cap window (A/B noop probes, round 8);
+    # disk blocks spill fine at 100 TB where a memory cache would not.
     inv = _shingle_index_pandas(df, text_col, id_col, block_col, n)
     if max_postings is not None:
         # posting-list length per key; keys over the cap leave the index.
@@ -524,6 +525,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         inv = (inv.withColumn("_pl", F.count(F.lit(1)).over(w))
                   .filter(F.col("_pl") <= max_postings)
                   .drop("_pl"))
+    inv = inv.localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (a.join(b, F.col("a.k") == F.col("b.k"))
               .filter(F.col("a.id") < F.col("b.id"))

@@ -185,9 +185,13 @@ def prepare_training_corpus(
     if eval_df is not None:
         overlap = ngram_overlap_fast(df, eval_df, text_col, id_col,
                                      n=decontam_n)
-        tainted = (overlap
-                   .filter(F.col("overlap_frac") >= decontam_threshold)
-                   .select(id_col))
+        # pin the tainted-id frame (tiny): the post-decontam df feeds
+        # both the quality Arrow pass and its own semi-join left side,
+        # and each consumer otherwise re-runs the whole overlap gram
+        # pass living in tainted's lineage
+        tainted = pin(overlap
+                      .filter(F.col("overlap_frac") >= decontam_threshold)
+                      .select(id_col))
         df = mark("decontam", df.join(tainted, id_col, "left_anti"))
 
     # 4. quality filter — composite heuristic score threshold (Arrow
