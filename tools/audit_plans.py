@@ -93,6 +93,13 @@ PYTHON_OK = {
     # applyInPandas group never exceeds the prior top-N (same bounded-
     # group shape as the per-block gram passes):
     "sim_mmr_rerank",
+    # the 12 restored fold/compaction twins (round 8) serve through the
+    # SAME deliberate Arrow passes as their whitelisted batch twins:
+    # text_kn_fold scores via _doc_bigrams like text_kn_lm_score;
+    # decontam_from_store probes via the gram-hash pass like
+    # decontam_kmv_containment; the compacted HNSW recall walks
+    # per-partition graphs like sim_hnsw_store_recall:
+    "text_kn_fold", "decontam_from_store", "sim_hnsw_compacted_recall",
 }
 # bounded driver-side collect feeding a literal/broadcast is fine:
 SORT_OK = {
@@ -169,6 +176,10 @@ SORT_OK = {
     "skew_salted_agg", "events_sessionize", "events_tumbling_counts",
     "m_synth_intent_corpus", "s1_fhir_parse", "s3_markdown_strip",
     "dedup_cc_clusters", "decontam_neardup_leakage", "events_asof_join",
+    # the restored fold twin reads the persisted forest and displays it
+    # through the SAME bounded orderBy(root, node) as dedup_cc_clusters
+    # above (contract display order over cluster-scale rows):
+    "dedup_cluster_store_merge",
     # SMJ per-partition sorts on the root re-join of the two-pass hash
     # argmax (member rows x cluster rows — both dedup-graph-scale at
     # 100 TB, broadcast is wrong) + the CC lineage's own SMJ sorts;
