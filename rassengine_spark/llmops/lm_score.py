@@ -288,7 +288,11 @@ def kn_model_from_store(spark, path: str
     import os
 
     from .counter_store import read_counters
-    bigrams = read_counters(spark, os.path.join(path, "bigrams"))
+    # pin the summed count table (fit_kn_bigram_lm's rationale): the
+    # marginals, the eager n_types count, and the caller's score join
+    # would otherwise each re-run the LSM base+delta union-aggregate
+    bigrams = read_counters(spark, os.path.join(path, "bigrams")) \
+        .localCheckpoint(eager=False)
     histories = bigrams.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw"))
     continuations = bigrams.groupBy("w2").agg(
