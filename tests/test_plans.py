@@ -203,3 +203,38 @@ def test_ask_dispatch_prunes_tenant_partition(corpus):
         "KEYWORD", "spark", qvec=[], k=50, filter_expr=None,
         patient_id="u2").collect()}
     assert rows1 and rows2 and not (rows1 & rows2)
+
+
+def test_substring_pairs_single_winnow_pass(spark):
+    """Round-8 pin: the Arrow winnowing index is materialized ONCE (lazy
+    localCheckpoint) — the serve plan must reference the checkpointed RDD
+    on both self-join sides instead of re-running the Python sweep per
+    consumer (the before-plan had 4 scans + 4 MapInPandas nodes)."""
+    from rassengine_spark.llmops.dedup import substring_dup_pairs
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3 + str(i))
+         for i in range(12)], "id long, text string")
+    plan = _plan(substring_dup_pairs(df, "text", "id", k=8, w=4,
+                                     min_shared=1))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, \
+        "winnow pass leaked into the serve plan (pin lost)"
+    assert plan.count("Scan ExistingRDD") >= 2, \
+        "self-join sides no longer share the checkpointed index"
+
+
+def test_bigram_fit_single_arrow_pass(spark):
+    """Round-8 pin: fit_bigram_lm's count table is checkpointed, so the
+    score-side plan must not re-run the train-side Arrow bigram explode
+    per consumer (the before-plan carried 3 copies of it)."""
+    from rassengine_spark.llmops.lm_score import (bigram_lm_score,
+                                                  fit_bigram_lm)
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)],
+        "id long, text string")
+    bigrams, unigrams, vocab = fit_bigram_lm(df, "text", "id")
+    plan = _plan(bigram_lm_score(df, bigrams, unigrams, vocab,
+                                 "text", "id"))
+    # exactly ONE Python pass may remain: the SCORE side's own bigram
+    # explode over `df`; the train-side fit passes must be gone
+    assert plan.count("MapInPandas") <= 1, \
+        f"fit-side Arrow passes leaked into the score plan:\n{plan[:2000]}"
