@@ -209,23 +209,30 @@ def main():
         "norm_value": (round(total / host_factor, 3)
                        if host_factor else None),
         # lifecycle entries: queries[name] above is the SERVE phase;
-        # index construction (build+append+compact) is timed here once
+        # index construction (build+append+compact) is timed here once.
+        # These entries' serve_s are NOT comparable to pre-r08
+        # full-lifecycle numbers (they were re-seamed in r08) — compare
+        # serve+build_s to old numbers (ADVICE r08 #4).
         "build_s": builds,
         "build_tot_s": build_tot,
+        "lifecycle_entries": sorted(builds),
     })
-    # Full per-query detail goes to BENCH_local.json (committed; the
-    # round-over-round comparison source). The stdout line must fit the
-    # driver's tail window: the driver keeps only the LAST ~1.9 KB of
-    # bench output (BENCH_r02's ~3.5 KB full-queries line lost its start,
-    # parsed=null; BENCH_r03's compact line inside the window parsed).
-    # So emit the SLOWEST queries' timings — the ones a judge compares —
-    # until the line reaches ~1.4 KB, and say how many were omitted.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as f:
-            f.write(full + "\n")
-    except OSError:
-        pass
+    # Full per-query detail is written to a PER-RUN file keyed by core
+    # count and sf (VERDICT r08 #2: the driver re-runs the bench at a
+    # lower core count, and a single BENCH_local.json got overwritten —
+    # the 32-core detail was lost and PERF could compare only 5 queries).
+    # BENCH_local.json additionally keeps the LATEST run for tools that
+    # read the old name; "full" on the stdout line names the per-run file
+    # this run actually produced.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "all")
+    detail_name = f"BENCH_local_c{cpus_tag}_sf{sf}.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in (detail_name, "BENCH_local.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(full + "\n")
+        except OSError:
+            pass
     qmap: dict[str, float] = {}
     # failed queries (timings[name] is None) are reported separately from
     # budget-truncated ones — a run with bench errors must not read as
@@ -238,10 +245,12 @@ def main():
         "sf": sf_val,
         # build/serve split (VERDICT r07 #1): queries[...] times are
         # SERVE-only for lifecycle entries; their one-time index builds
-        # sum to build_tot_s, with [build_s, serve_s] per entry in
-        # "phases" (full detail in BENCH_local.json)
+        # sum to build_tot_s. Per-entry [build_s, serve_s] detail lives
+        # in the per-run full file named by "full" — it was moved off
+        # this line in r09 so ~40 per-query serve times fit the driver's
+        # 2000-byte tail window instead of ~7 (VERDICT r08 #2; the
+        # round-over-round PERF set had shrunk to 5 comparable entries).
         "build_tot_s": round(build_tot, 1),
-        "phases": {n: [b, ok.get(n)] for n, b in sorted(builds.items())},
         # median same-run ratio of 10 untouched-since-round-1 sentinel
         # queries to their BENCH_r01 times: divide raw seconds by this
         # to remove host speed from round-over-round comparison
@@ -251,9 +260,12 @@ def main():
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "queries_omitted": len(ok),
-        "full": "BENCH_local.json",
+        "full": detail_name,
     }
-    line_budget = 1400
+    # the driver's tail window is exactly 2000 bytes (BENCH_r02's 3.5 KB
+    # line lost its start and parsed as null; every kept tail since is
+    # len 2000) — budget the WHOLE line comfortably under it
+    line_budget = 1850
     for name, t in sorted(ok.items(), key=lambda kv: -kv[1]):
         qmap[name] = round(t, 2)
         payload["queries_omitted"] = len(ok) - len(qmap)
