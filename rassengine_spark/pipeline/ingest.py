@@ -146,14 +146,13 @@ def bucketed_upsert(df: DataFrame, path: str, key_col: str = "doc_id",
                                allowMissingColumns=True).localCheckpoint()
     else:
         out = batch
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
-    try:
-        (out.repartition("kb").write.mode("overwrite")
-            .partitionBy("kb").parquet(data_p))
-    finally:
-        spark.conf.set(conf, prev)
+    # writer-level option, not a session-conf toggle: the option overrides
+    # spark.sql.sources.partitionOverwriteMode for THIS write only, so
+    # concurrent driver threads (guide §2.6 job overlap) never observe a
+    # transiently-dynamic session (the hnsw append writer's pattern)
+    (out.repartition("kb").write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb").parquet(data_p))
 
 
 def bucketed_lookup(spark: SparkSession, path: str, keys: list,
@@ -212,14 +211,11 @@ def bucketed_delete(spark: SparkSession, path: str, keys: list,
         d = os.path.join(data_p, f"kb={kb}")
         if os.path.exists(d):
             shutil.rmtree(d)
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
-    try:
-        (keep.repartition("kb").write.mode("overwrite")
-             .partitionBy("kb").parquet(data_p))
-    finally:
-        spark.conf.set(conf, prev)
+    # writer-level dynamic overwrite (see bucketed_upsert): per-write
+    # scope, no session-conf race window for concurrent driver threads
+    (keep.repartition("kb").write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("kb").parquet(data_p))
 
 
 def run_ingest(spark: SparkSession, root: str, user_id: str, out_dir: str,

@@ -20,7 +20,11 @@ def test_no_codegen_compile_failures():
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "codegen_sweep.py"),
          SF_DIR],
-        capture_output=True, text=True, timeout=1200, cwd=REPO)
+        # 2400 s: the sequential sweep measured 651 s solo on a slow
+        # 32-core VM and timed out at 1200 s when run under suite load —
+        # the sweep is now 4-way concurrent (~3x), but keep hang-guard
+        # headroom for slower/contended hosts
+        capture_output=True, text=True, timeout=2400, cwd=REPO)
     assert "SWEEP_DONE" in p.stdout, (
         f"sweep did not finish:\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
     entry_errors = [ln for ln in p.stdout.splitlines()

@@ -42,13 +42,28 @@ def main() -> int:
     (spark._jvm.org.apache.logging.log4j.LogManager
      .getLogger("codegen-sweep")
      .error("CODEGEN_SWEEP_STDERR_SENTINEL"))
-    errors = []
     qs = entrymod.queries()
-    for name, fn in qs.items():
+
+    # The 223 noop executions are independent, and at sf0.001 each is a
+    # string of small driver-bound jobs — run a few concurrently so one
+    # entry's stage tail back-fills another's scheduling gaps (guide
+    # §2.6). Measured on a 32-core host: 651 s sequential -> ~3x faster
+    # with 4 workers. Same process, same stderr, so the caller's
+    # "Failed to compile" grep is unaffected; lifecycle builders are
+    # per-entry-keyed (_prepared_store) and every store write is
+    # per-writer-scoped, so entries share no mutable session state.
+    def run_one(item: tuple) -> tuple | None:
+        name, fn = item
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return None
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
-            errors.append((name, str(e).splitlines()[0][:200]))
+            return (name, str(e).splitlines()[0][:200])
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        errors = [r for r in pool.map(run_one, list(qs.items()))
+                  if r is not None]
     for name, msg in errors:
         print(f"ENTRY_ERROR {name}: {msg}")
     print(f"SWEEP_DONE {len(qs)} {len(errors)}")
