@@ -867,7 +867,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # otherwise re-execute it on every round's join AND convergence check
     sym = sym.localCheckpoint(eager=True)
 
-    if sym.count() <= 2 * driver_threshold:  # sym holds both directions
+    # ONE probe job replaces the old count-then-collect pair (r09, guide
+    # §1.2 — each small driver job costs real fixed overhead): collect at
+    # most driver_threshold+1 distinct half-edges; fewer than that back
+    # means the whole (u < v) edge list is in hand, so union-find runs on
+    # exactly the rows the old collect returned (in some order — the
+    # min-id union's roots are order-independent). One more row means the
+    # graph exceeds the driver tier and the distributed loop below takes
+    # over, same as the old count branch. (Boundary nuance: the old test
+    # counted self-loops the u < v filter drops; both tiers compute the
+    # identical (node, root) result, so tier choice is value-invisible.)
+    half = (sym.filter(F.col("u") < F.col("v"))
+               .limit(driver_threshold + 1).collect())
+    if len(half) <= driver_threshold:
         spark = edges.sparkSession
         parent: dict = {}
 
@@ -879,7 +891,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 parent[x], x = r, parent[x]
             return r
 
-        for u, v in sym.filter(F.col("u") < F.col("v")).collect():
+        for u, v in half:
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
@@ -951,6 +963,13 @@ def cluster_keepers(clusters: DataFrame, scores: DataFrame,
     would fall back to SortAggregate, and a window over the corpus is
     never needed. The re-join keys on root so it reuses the first
     aggregate's clustering."""
+    # the scored-member frame feeds both the argmax aggregate and the
+    # re-join — the duplicated subtree LOOKS like the r08 pin family
+    # (guide §2.4), but an r09 warm interleaved A/B measured the pin
+    # NEUTRAL (0.94/0.89/0.97 s unpinned vs 1.00/0.88/0.96 pinned at
+    # sf0.1/32c): the duplicated lineage here is a local CC frame plus a
+    # cheap hash-projection scan, and the lazy pin just moves the same
+    # work to construction time. Left unpinned.
     joined = clusters.select("node", "root").join(
         scores.select(F.col(id_col).alias("node"),
                       F.col(score_col).alias("_s")), "node")

@@ -66,6 +66,30 @@ def _cos_exact(a: list[float], b: list[float]) -> float:
     return d / (math.sqrt(na) * math.sqrt(nb) + 1e-9)
 
 
+def _cos_exact_rows(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-batched twin of _cos_exact: out[i] == _cos_exact(mat[i], q)
+    BIT-FOR-BIT. The j-loop walks elements in the same left-to-right
+    order as the scalar fold, accumulating element j into every row's
+    accumulator at once — each numpy element-wise op is one IEEE double
+    op per row, so the per-row operation sequence is identical to the
+    scalar loop's. (A gemv `mat @ q` would re-associate the sum and can
+    drift in the last ulp — that is why this steps columns instead of
+    calling BLAS; the serve-path exactness suites in tests/test_hnsw.py
+    pin the equality.) Vectorizing ACROSS rows is the r09 kernel fix:
+    the scalar rescore loop was O(rows·dim) interpreted Python per
+    query."""
+    dot = np.zeros(len(mat))
+    na = np.zeros(len(mat))
+    nb = 0.0
+    for j in range(mat.shape[1]):
+        col = mat[:, j]
+        qj = q[j]
+        dot += col * qj
+        na += col * col
+        nb += qj * qj
+    return dot / (np.sqrt(na) * math.sqrt(nb) + 1e-9)
+
+
 class _HNSW:
     """Compact in-memory HNSW over normalized vectors (cosine == dot).
 
@@ -206,32 +230,40 @@ class _HNSW:
         return [n for _, n in self._search_layer(q, cur, ef, 0)]
 
 
-def _shard_topk(ids: list[int], raw: list[list[float]], g: "_HNSW | None",
+def _shard_topk(ids, mat: np.ndarray, g: "_HNSW | None",
                 qs: list[tuple[int, list[float]]], k: int,
                 ef_search: int) -> tuple[list[int], list[int], list[float]]:
     """Per-shard scoring shared by the live and persisted paths:
     g=None => exact local scan (the degenerate/oracle mode); else beam
     search over the graph, candidates rescored with the engine-exact
-    cosine on the RAW vectors. One implementation keeps the two paths
-    bit-identical by construction."""
+    cosine on the RAW vectors (`mat`, row-major float64). One
+    implementation keeps the two paths bit-identical by construction.
+    r09: rescoring is _cos_exact_rows (same fold, batched across rows)
+    and the top-k cut is one lexsort on (-score, id) — the exact
+    (score desc, id asc) order the old per-row sorted((s, -i)) computed:
+    bit-equal doubles compare equal under both, so ties still break on
+    the ascending id."""
     out_q: list[int] = []
     out_i: list[int] = []
     out_s: list[float] = []
-    if g is None:
-        for qid, qv in qs:
-            top = sorted(((_cos_exact(v, qv), -i)
-                          for i, v in zip(ids, raw)), reverse=True)[:k]
-            for s, neg_i in top:
-                out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
-    else:
-        for qid, qv in qs:
-            qn = np.asarray(qv, dtype=np.float64)
-            qn = qn / (np.linalg.norm(qn) + 1e-12)
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(mat, dtype=np.float64)
+    for qid, qv in qs:
+        qarr = np.asarray(qv, dtype=np.float64)
+        if g is None:
+            c_ids, c_mat = ids, mat
+        else:
+            qn = qarr / (np.linalg.norm(qarr) + 1e-12)
             cand = g.search(qn, max(ef_search, k))
-            top = sorted(((_cos_exact(raw[j], qv), -ids[j])
-                          for j in cand), reverse=True)[:k]
-            for s, neg_i in top:
-                out_q.append(qid), out_i.append(-neg_i), out_s.append(s)
+            c_ids = ids[cand]
+            c_mat = mat[cand]
+        if not len(c_ids):
+            continue
+        sims = _cos_exact_rows(c_mat, qarr)
+        top = np.lexsort((c_ids, -sims))[:k]
+        out_q.extend([qid] * len(top))
+        out_i.extend(int(i) for i in c_ids[top])
+        out_s.extend(float(s) for s in sims[top])
     return out_q, out_i, out_s
 
 
@@ -244,41 +276,43 @@ def _shard_topk(ids: list[int], raw: list[list[float]], g: "_HNSW | None",
 MAX_SHARD_ROWS = 4096
 
 
-def _shard_chunks(ids: list[int], raw: list[list[float]],
-                  max_shard_rows: int):
+def _shard_chunks(ids, mat, max_shard_rows: int):
     """Deterministic subshards: consecutive id-order slices of at most
     max_shard_rows rows (callers sort by id first, so composition depends
-    only on the ids in the partition)."""
+    only on the ids in the partition). Works on ndarrays (views) and
+    lists alike."""
     for lo in range(0, len(ids), max_shard_rows):
-        yield ids[lo:lo + max_shard_rows], raw[lo:lo + max_shard_rows]
+        yield ids[lo:lo + max_shard_rows], mat[lo:lo + max_shard_rows]
 
 
-def _build_and_search_shard(ids: list[int], raw: list[list[float]],
+def _build_and_search_shard(ids: np.ndarray, mat: np.ndarray,
                             qs: list[tuple[int, list[float]]], k: int,
                             m: int, ef_construction: int, ef_search: int,
                             max_shard_rows: int
                             ) -> tuple[list[int], list[int], list[float]]:
     """One shard's full live pass (chunk -> build -> search), shared by
     the collect-free cogroup path and the bounded-list closure path so
-    the two are bit-identical by construction."""
+    the two are bit-identical by construction. `mat` is the shard's raw
+    vectors as one row-major float64 matrix (r09: the per-row
+    list-of-floats conversions were pure interpreted-Python overhead;
+    the double values are identical either way)."""
     out_q: list[int] = []
     out_i: list[int] = []
     out_s: list[float] = []
     if ef_search >= len(ids):
-        chunks = [(ids, raw)]       # exhaustive degenerate mode: one scan
+        chunks = [(ids, mat)]       # exhaustive degenerate mode: one scan
     else:
-        chunks = _shard_chunks(ids, raw, max_shard_rows)
-    for c_ids, c_raw in chunks:
+        chunks = _shard_chunks(ids, mat, max_shard_rows)
+    for c_ids, c_mat in chunks:
         if ef_search >= len(c_ids):
             g = None                # exact scan of this subshard
         else:
-            mat = np.asarray(c_raw, dtype=np.float64)
-            normed = mat / (np.linalg.norm(mat, axis=1,
-                                           keepdims=True) + 1e-12)
+            normed = c_mat / (np.linalg.norm(c_mat, axis=1,
+                                             keepdims=True) + 1e-12)
             g = _HNSW(m=m, ef_construction=ef_construction)
             for row, ident in zip(normed, c_ids):
                 g.add(row, str(ident))
-        cq, ci, cs = _shard_topk(c_ids, c_raw, g, qs, k, ef_search)
+        cq, ci, cs = _shard_topk(c_ids, c_mat, g, qs, k, ef_search)
         out_q.extend(cq), out_i.extend(ci), out_s.extend(cs)
     return out_q, out_i, out_s
 
@@ -343,16 +377,17 @@ def hnsw_topk(corpus: DataFrame, queries, vec_col: str,
              .sortWithinPartitions("id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids: list[int] = []
-        raw: list[list[float]] = []
+        id_parts: list[np.ndarray] = []
+        mats: list[np.ndarray] = []
         for pdf in batches:
-            ids.extend(int(i) for i in pdf["id"])
-            raw.extend([float(x) for x in v] for v in pdf["v"])
-        if not ids:
+            if len(pdf):
+                id_parts.append(pdf["id"].to_numpy(dtype=np.int64))
+                mats.append(np.array(pdf["v"].tolist(), dtype=np.float64))
+        if not id_parts:
             return
         out_q, out_i, out_s = _build_and_search_shard(
-            ids, raw, qs, k, m, ef_construction, ef_search,
-            max_shard_rows)
+            np.concatenate(id_parts), np.vstack(mats), qs, k, m,
+            ef_construction, ef_search, max_shard_rows)
         yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                             "id": pd.Series(out_i, dtype="int64"),
                             "score": pd.Series(out_s, dtype="float64")})
@@ -395,12 +430,12 @@ def _hnsw_topk_df(corpus: DataFrame, queries: DataFrame, vec_col: str,
         if not len(c_pdf) or not len(q_pdf):
             return empty
         c_pdf = c_pdf.sort_values("id")     # == sortWithinPartitions("id")
-        ids = [int(i) for i in c_pdf["id"]]
-        raw = [[float(x) for x in v] for v in c_pdf["v"]]
+        ids = c_pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(c_pdf["v"].tolist(), dtype=np.float64)
         qs = [(int(r.qid), [float(x) for x in r.qv])
               for r in q_pdf.itertuples()]
         out_q, out_i, out_s = _build_and_search_shard(
-            ids, raw, qs, k, m, ef_construction, ef_search,
+            ids, mat, qs, k, m, ef_construction, ef_search,
             max_shard_rows)
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "id": pd.Series(out_i, dtype="int64"),
@@ -536,22 +571,24 @@ def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
     c = c.withColumn("base_part", F.spark_partition_id())
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids: list[int] = []
-        raw: list[list[float]] = []
+        id_parts: list[np.ndarray] = []
+        mats: list[np.ndarray] = []
         base = -1
         for pdf in batches:
-            if len(pdf) and base < 0:
-                base = int(pdf["base_part"].iloc[0])
-            ids.extend(int(i) for i in pdf["id"])
-            raw.extend([float(x) for x in v] for v in pdf["v"])
-        if not ids:
+            if len(pdf):
+                if base < 0:
+                    base = int(pdf["base_part"].iloc[0])
+                id_parts.append(pdf["id"].to_numpy(dtype=np.int64))
+                mats.append(np.array(pdf["v"].tolist(), dtype=np.float64))
+        if not id_parts:
             return
-        for chunk, (c_ids, c_raw) in enumerate(
-                _shard_chunks(ids, raw, max_shard_rows)):
+        ids = np.concatenate(id_parts)
+        mat_all = np.vstack(mats)
+        for chunk, (c_ids, c_mat) in enumerate(
+                _shard_chunks(ids, mat_all, max_shard_rows)):
             part = part_offset + base * _SUBSHARD_STRIDE + chunk
-            mat = np.asarray(c_raw, dtype=np.float64)
-            normed = mat / (np.linalg.norm(mat, axis=1,
-                                           keepdims=True) + 1e-12)
+            normed = c_mat / (np.linalg.norm(c_mat, axis=1,
+                                             keepdims=True) + 1e-12)
             g = _HNSW(m=m, ef_construction=ef_construction)
             for row, ident in zip(normed, c_ids):
                 g.add(row, str(ident))
@@ -559,7 +596,9 @@ def _build_and_write_graphs(corpus: DataFrame, vec_col: str, id_col: str,
                 "part_id": pd.Series([part] * len(c_ids), dtype="int64"),
                 "node": pd.Series(range(len(c_ids)), dtype="int64"),
                 "id": pd.Series(c_ids, dtype="int64"),
-                "v": pd.Series(c_raw, dtype="object"),
+                # rows of the float64 matrix serialize through Arrow as
+                # the same list<double> values the old list-of-lists did
+                "v": pd.Series(list(c_mat), dtype="object"),
                 "adj": pd.Series(
                     [json.dumps({str(l): nbrs
                                  for l, nbrs in sorted(g.adj[i].items())})
@@ -627,22 +666,21 @@ def hnsw_topk_from_store_df(spark, path: str, queries: DataFrame,
 
 
 def _reconstruct(pdf: pd.DataFrame, ef_search: int):
-    """(ids, raw, graph-or-None) from one shard's persisted rows."""
+    """(ids, raw-matrix, graph-or-None) from one shard's persisted rows."""
     import json
 
     pdf = pdf.sort_values("node")
-    ids = [int(i) for i in pdf["id"]]
-    raw = [[float(x) for x in v] for v in pdf["v"]]
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["v"].tolist(), dtype=np.float64)
     if ef_search >= len(ids):
-        return ids, raw, None
-    mat = np.asarray(raw, dtype=np.float64)
+        return ids, mat, None
     g = _HNSW()
     g.set_vectors(mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12))
     g.adj = [{int(l): list(nbrs) for l, nbrs in json.loads(a).items()}
              for a in pdf["adj"]]
     g.entry = int(pdf["entry"].iloc[0])
     g.max_level = int(pdf["max_level"].iloc[0])
-    return ids, raw, g
+    return ids, mat, g
 
 
 def hnsw_topk_from_store(spark, path: str, queries,

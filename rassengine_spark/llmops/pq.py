@@ -79,7 +79,17 @@ def pq_code_expr_sql(vec_sql: str, codebooks: list[list[list[float]]],
       driver-side literal (_dot_py folds left exactly like the JVM
       aggregate, and 0.5*x is one IEEE multiply in either engine), so
       the per-row affinity drops from two sub-dim folds per codeword to
-      one (guide §2.3, narrower per-row compute)."""
+      one (guide §2.3, narrower per-row compute).
+
+    r09 note: an UNROLLED scalar variant (element_at multiply-add chains
+    with the identical 0.0-start fold) was measured SLOWER in place
+    (0.6 -> 1.5-2.0 s per encode pass — the ~1k-node trees defeat JIT of
+    the generated code); the HOF form stays. What DID land (r09): pass a
+    CHEAP operand — a bare column name — as `vec_sql`; a derived operand
+    (the residual zip_with) must be projected into its own column first
+    or each of the m subspace slices re-evaluates it per row (that
+    projection fix alone was 1.08 -> 0.60 s on the residual encode; see
+    ivfpq_residual_topk)."""
     codes = []
     for j, cb in enumerate(codebooks):
         sub = len(cb[0])
@@ -145,6 +155,38 @@ def _adc_query_tables(queries: DataFrame, vec_col: str, query_id_col: str,
         _collect_query_rows(queries, vec_col, query_id_col), cbs)
 
 
+def _sample_and_query_rows(corpus: DataFrame, queries: DataFrame,
+                           vec_col: str, id_col: str, query_id_col: str,
+                           n_sample: int
+                           ) -> tuple[list[list[float]],
+                                      list[tuple[int, list[float]]]]:
+    """Both bounded driver-side artifacts in ONE Spark action (r09,
+    guide §1.2: at serving scale these entries' cost is a handful of
+    small driver jobs, and the md5-ordered quantizer sample and the
+    query batch were two of them). The sample subtree rides a tagged
+    union with the query rows; its md5 key comes along so the sample's
+    order is re-derived DRIVER-side and the result is independent of
+    union/collect row order — value-identical to
+    md5_sample + _collect_query_rows (query-row order never affects
+    results downstream: tables/pairs join by query_id)."""
+    mk = F.md5(F.col(id_col).cast("string"))
+    s = (corpus.orderBy(mk).limit(n_sample)
+         .select(F.lit(0).alias("_t"), mk.alias("_k"),
+                 F.lit(None).cast("long").alias("_q"),
+                 F.col(vec_col).alias("_v")))
+    q = queries.select(F.lit(1).alias("_t"),
+                       F.lit(None).cast("string").alias("_k"),
+                       F.col(query_id_col).cast("long").alias("_q"),
+                       F.col(vec_col).alias("_v"))
+    rows = s.unionAll(q).collect()
+    sample = [[float(x) for x in r["_v"]]
+              for r in sorted((r for r in rows if r["_t"] == 0),
+                              key=lambda r: r["_k"])]
+    q_rows = [(int(r["_q"]), [float(x) for x in r["_v"]])
+              for r in rows if r["_t"] == 1]
+    return sample, q_rows
+
+
 def _adc_score(round_to: int, base_sql: str | None = None) -> Column:
     """score = [base +] sum_j tab[j][codes[j]]; the sum folds in subspace
     order and the optional base term (residual IVFADC's centroid dot,
@@ -191,21 +233,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     rows of m bytes each — both axes of the 100 TB cost cut at once.
     Cell choice reuses the IVF rounded-cosine argmax; codes and ADC
     tables reuse the PQ machinery. Engine-exact end to end."""
-    from .similarity import _best_cell, md5_sample
+    from .similarity import _best_cell
 
+    spark = corpus.sparkSession
     if centroids is None or codebooks is None:
-        # centroids are a PREFIX of the codebook sample (same md5 order)
-        # — one collect seeds both quantizers
-        sample = md5_sample(corpus, vec_col, id_col,
-                            max(n_cells, n_codes))
+        # centroids are a PREFIX of the codebook sample (same md5 order),
+        # and the sample + query batch collect in ONE job (r09) — a
+        # serve call pays a single driver action for all its bounded
+        # artifacts (probe pairs and ADC tables are then local evals)
+        sample, q_rows = _sample_and_query_rows(
+            corpus, queries, vec_col, id_col, query_id_col,
+            max(n_cells, n_codes))
         cents = centroids or sample[:n_cells]
         cbs = codebooks or split_codebooks(sample[:n_codes], m)
     else:
         cents, cbs = centroids, codebooks
-    # ONE collect of the query batch seeds probe pairs (local-frame JVM
-    # eval, no job) and ADC tables; the queries frame is scanned once
-    spark = corpus.sparkSession
-    q_rows = _collect_query_rows(queries, vec_col, query_id_col)
+        q_rows = _collect_query_rows(queries, vec_col, query_id_col)
     pairs = _probe_pairs_local(q_rows, cents, n_probe, round_to)
     probe_cells = sorted({c for _, c in pairs})
     qprobe = spark.createDataFrame(pairs, "query_id long, cell int")
@@ -276,14 +319,17 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
     Engine-exact: the base is added to the ADC sum AFTER the j-ordered
     fold (FP addition is commutative, so `sum + base` == the oracle's
     `base + sum` bit-for-bit)."""
-    from .similarity import _best_cell, md5_sample
+    from .similarity import _best_cell
 
+    spark = corpus.sparkSession
     if centroids is None:
-        # ONE TakeOrdered scan seeds both quantizers: centroids are a
-        # prefix of the same md5-ordered sample the residual codebooks
-        # train on (residuals computed on the collected rows locally)
-        sample = md5_sample(corpus, vec_col, id_col,
-                            max(n_cells, n_codes))
+        # ONE action seeds both quantizers AND the query batch (r09):
+        # centroids are a prefix of the same md5-ordered sample the
+        # residual codebooks train on (residuals computed on the
+        # collected rows locally), and the query rows ride the union
+        sample, q_rows = _sample_and_query_rows(
+            corpus, queries, vec_col, id_col, query_id_col,
+            max(n_cells, n_codes))
         cents = sample[:n_cells]
         rcbs = residual_codebooks_local(sample[:n_codes], cents, m,
                                         round_to)
@@ -291,12 +337,8 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
         cents = centroids
         rcbs = residual_codebooks(corpus, vec_col, id_col, cents, m,
                                   n_codes, round_to)
+        q_rows = _collect_query_rows(queries, vec_col, query_id_col)
     cent_sql = double_matrix_sql(cents)
-
-    # same one-collect serve shape as ivfpq_topk; probe pairs keep the
-    # query vector because the residual score's base term needs it
-    spark = corpus.sparkSession
-    q_rows = _collect_query_rows(queries, vec_col, query_id_col)
     pairs = _probe_pairs_local(q_rows, cents, n_probe, round_to)
     qv_by_id = dict(q_rows)
     qprobe = spark.createDataFrame(
@@ -310,10 +352,16 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame,
                      _best_cell(qident(vec_col), cents, round_to)
                      .alias("cell"))
                  .filter(F.col("cell").isin(probe_cells)))
+    # the residual rides as ITS OWN projected column: pq_code_expr's
+    # unrolled form (r09) references its operand once per element, and a
+    # multi-referenced non-cheap projection survives CollapseProject —
+    # inlining the zip_with per term would re-evaluate it m*n_codes*sub
+    # times per row
     resid = (f"zip_with(v, element_at({cent_sql}, cell + 1), "
              f"(x, c) -> CAST(x AS DOUBLE) - c)")
-    enc = with_cell.select(
-        "id", "cell", pq_code_expr(resid, rcbs, round_to).alias("codes"))
+    enc = (with_cell.withColumn("_resid", F.expr(resid))
+           .select("id", "cell",
+                   pq_code_expr("_resid", rcbs, round_to).alias("codes")))
     qdf = _adc_tables_from_rows(spark, q_rows, rcbs)
 
     joined = enc.join(F.broadcast(qprobe.join(qdf, "query_id")), "cell")
@@ -332,9 +380,16 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     lookup table (query-subvector · codeword, built driver-side with the
     engine-exact fold) rides the broadcast; each corpus row costs m
     array lookups + m-1 adds. Returns (query_id, id, score, rank)."""
-    cbs = codebooks or pq_codebooks(corpus, vec_col, id_col, m, n_codes)
+    if codebooks is None:
+        # sample + query batch in ONE driver action (r09, guide §1.2)
+        sample, q_rows = _sample_and_query_rows(
+            corpus, queries, vec_col, id_col, query_id_col, n_codes)
+        cbs = split_codebooks(sample, m)
+    else:
+        cbs = codebooks
+        q_rows = _collect_query_rows(queries, vec_col, query_id_col)
     enc = pq_encode(corpus, vec_col, id_col, cbs, round_to)
-    qdf = _adc_query_tables(queries, vec_col, query_id_col, cbs)
+    qdf = _adc_tables_from_rows(corpus.sparkSession, q_rows, cbs)
     joined = enc.crossJoin(F.broadcast(qdf))
     return (_per_query_topk(
                 joined.withColumn("score", _adc_score(round_to)), k)

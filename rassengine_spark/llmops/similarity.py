@@ -153,7 +153,15 @@ def _cell_affinities_sql(vec_sql: str, centroids: list[list[float]],
       centroid drops from three d-element folds to two (guide §2.3
       narrower per-row compute; the corpus-row norm still evaluates
       per centroid — hoisting it would need a projection barrier that
-      CollapseProject undoes)."""
+      CollapseProject undoes).
+
+    r09 note: an UNROLLED scalar-arithmetic variant (one multiply-add
+    chain per centroid, bit-identical fold) was built and measured
+    SLOWER in place — best_cell 0.24 -> 0.47 s, pq encode 0.6 -> 1.5-2.0
+    s per 2k-row pass at sf0.1 — the ~1-1.5k-node expression trees
+    defeat JIT compilation of the generated methods, while the HOF
+    form's small lambda loops stay warm. Reverted; the HOF form stays
+    deliberately (plan size O(1) in n_cells, the round-5 decision)."""
     from ..functions.vector import dot_sql, l2_norm_sql
     cent = double_matrix_sql(centroids)
     cnorms = double_array_sql([_l2_norm_py(c) for c in centroids])

@@ -47,15 +47,53 @@ def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
-              checkpoint_every: int = 2
+              checkpoint_every: int = 2, batch_probe: int = 16
               ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn `n_merges` BPE merge rules; returns (merges, final_seqs)
     where merges = [(step, lhs, rhs, pair_count)] (step 1-based) and
-    final_seqs = (w, seq, n) the vocab in its post-merge segmentation."""
+    final_seqs = (w, seq, n) the vocab in its post-merge segmentation.
+
+    Merge rounds are inherently sequential (each argmax depends on the
+    previous replace), but one pair-count aggregate can SAFELY yield TWO
+    merges — halving the dominant per-round cost (one aggregate + one
+    TakeOrdered collect job each) — when the head of the collected
+    ranking proves the second pick is what a fresh round-2 aggregate
+    would have chosen. With top1 = (a, b), count c1 and top2 = (c, d),
+    count c2, the batch is taken only when ALL of:
+
+      (A) {c, d} ∩ {a, b} = ∅ — then merging (a,b) cannot change
+          count(c,d): old pairs never gain occurrences from a merge
+          (neighbors become adjacent to the merged token, never to each
+          other), and (c,d) loses none (its symbols are untouched);
+      (B) every OTHER collected pair sharing a symbol with (a,b) has
+          count strictly < c2, and the collected head is provably
+          complete down to counts < c2 (fewer than `batch_probe` rows
+          came back, or the last row's count < c2) — then every pair the
+          merge creates is strictly beaten: count(x,ab) <= count(x,a) <
+          c2 and count(ab,y) <= count(b,y) < c2, while decreased old
+          pairs either drop below c2 or keep the count AND the round-1
+          tie-break that already ranked them after (c,d);
+      (C) a != b — a self-merge can chain ("a a a a"), making
+          count(ab,ab) bound via (b,a) = (a,b) itself, which (B) cannot
+          cover;
+      (E) the merged token string a+b equals no EXISTING symbol — else
+          new ab-adjacencies would INCREMENT that symbol's old pair
+          counts past what (B) bounds. Checkable driver-side with no
+          extra job: the symbol alphabet is exactly {single chars} ∪
+          {previously merged token strings}, and len(a+b) >= 2 rules
+          out the former.
+
+    Under (A)(B)(C)(E) the round-2 argmax equals (c,d) with count c2,
+    and applying the two replaces in order is literally what two
+    sequential rounds do — merges, counts, and final segmentation are
+    value-identical to the one-merge-per-round loop (pinned by
+    tests/test_tokenizer.py::test_bpe_batched_rounds_match_sequential);
+    when any guard fails the round falls back to a single merge."""
     seqs = (word_freqs(df, text_col)
             .select("w", _encode(F.col("w")).alias("seq"), "n"))
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, n_merges + 1):
+    step = 1
+    while step <= n_merges:
         if checkpoint_every and (step - 1) % checkpoint_every == 0:
             seqs = seqs.localCheckpoint(eager=False)
         syms = _syms("seq")
@@ -68,17 +106,40 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
                      .alias("p"), "n")
                  .groupBy("p.lhs", "p.rhs")
                  .agg(F.sum("n").alias("cnt")))
-        best = (pairs.orderBy(F.col("cnt").desc(), F.col("lhs").asc(),
+        head = (pairs.orderBy(F.col("cnt").desc(), F.col("lhs").asc(),
                               F.col("rhs").asc())
-                .limit(1).collect())
-        if not best:
+                .limit(batch_probe).collect())
+        if not head:
             break
-        a, b, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        a, b, cnt = head[0]["lhs"], head[0]["rhs"], int(head[0]["cnt"])
         merges.append((step, a, b, cnt))
         seqs = seqs.select(
             "w",
             F.replace(F.col("seq"), F.lit(f"_{a}__{b}_"),
                       F.lit(f"_{a}{b}_")).alias("seq"), "n")
+        step += 1
+        if step > n_merges or len(head) < 2:
+            continue
+        c, d, c2 = head[1]["lhs"], head[1]["rhs"], int(head[1]["cnt"])
+        complete = (len(head) < batch_probe
+                    or int(head[-1]["cnt"]) < c2)
+        disjoint = not ({c, d} & {a, b})
+        no_strong_shared = not any(
+            (r["lhs"] in (a, b) or r["rhs"] in (a, b))
+            and int(r["cnt"]) >= c2
+            for r in head[1:])
+        # guard (E): symbols existing BEFORE this round's first merge are
+        # exactly {single chars} ∪ {tokens made by merges before it};
+        # len(a+b) >= 2 rules out single chars
+        fresh_token = (a + b) not in {m[1] + m[2] for m in merges[:-1]}
+        if (disjoint and a != b and complete and no_strong_shared
+                and fresh_token):
+            merges.append((step, c, d, c2))
+            seqs = seqs.select(
+                "w",
+                F.replace(F.col("seq"), F.lit(f"_{c}__{d}_"),
+                          F.lit(f"_{c}{d}_")).alias("seq"), "n")
+            step += 1
     return merges, seqs
 
 

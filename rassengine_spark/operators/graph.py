@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank_micro(edges: DataFrame, iters: int = 3,
-                   damping_pct: int = 85) -> DataFrame:
+                   damping_pct: int = 85,
+                   checkpoint_every: int = 0) -> DataFrame:
     """(node, rank_micro) after `iters` synchronous PageRank rounds over
     a directed edge list (src, dst) in which every node has at least one
     out-edge (symmetric co-occurrence graphs satisfy this by
@@ -33,8 +34,21 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
     on the same key, so AQE reuses the layout) and one hash-aggregate on
     dst — the standard distributed PageRank shape; no sorts, no
     collects, no per-node windows. Hot destinations (celebrity nodes)
-    are plain aggregate skew — map-side combine absorbs them. A fixed
-    small `iters` keeps lineage linear; checkpointing is unnecessary."""
+    are plain aggregate skew — map-side combine absorbs them.
+
+    `checkpoint_every` (r09): the rank frame feeds each round TWICE
+    (contrib + the left join), so an unpinned loop doubles the logical
+    tree per round — the hypothesis was that a lazy localCheckpoint of
+    the rank frame every k rounds would cut the 2^iters analysis cost.
+    MEASURED OTHERWISE and left DISABLED (0): under AQE a lazy
+    localCheckpoint still executes the plan's shuffle stages when the
+    RDD is materialized at construction, so each pin converts deferred,
+    well-pipelined execution into extra up-front driver jobs. Warm
+    interleaved 3-rep A/B at sf0.1/32c (plan+exec seconds):
+    ck=0 5.44/4.67/5.92, ck=1 6.39/6.63/7.68, ck=2 6.09/6.47/6.14 —
+    the pre-r09 shape wins at iters=3. Values are identical under any
+    setting (pins change plans, never data); the knob stays for larger
+    iteration counts where tree doubling eventually dominates."""
     # the edge list feeds every round plus the degree pass (iters + 2
     # consumers); without pinning, an upstream co-occurrence self-join
     # re-executes per consumer. Lazy localCheckpoint over cache(): blocks
@@ -50,7 +64,7 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
                   .select(F.col("src").alias("node"),
                           F.lit(1000000).cast("long").alias("r"), "deg")
                   .localCheckpoint(eager=False))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = ranks.select(F.col("node").alias("src"),
                                F.expr("r div deg").alias("c"))
         sums = (edges.join(contrib, "src")
@@ -62,6 +76,9 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
                                + F.expr(f"{damping_pct} * coalesce(s, 0)"
                                         " div 100")).alias("r"),
                               "deg"))
+        if (checkpoint_every and (i + 1) % checkpoint_every == 0
+                and i + 1 < iters):
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
@@ -80,9 +97,15 @@ def _group_pair_rows(df: DataFrame, group_col: str, item_col: str,
     still emits g·(g−1)/2 rows; `max_group_size` caps that g² skew by
     dropping larger groups right after the aggregate (a 10^6-item
     pathological group is 10^12 pairs, and such groups are boilerplate,
-    not signal). NULL items never pair (collect_set drops them), NULL
-    groups aggregate into one group exactly as a shuffle key would."""
+    not signal). NULL items never pair (collect_set drops them), and NULL
+    group rows are filtered out BEFORE the aggregate: the classic
+    distinct+self-join formulation this generator replaced (and the
+    DuckDB oracles' JOIN ... ON a.key = b.key) drop NULL join keys, so
+    pairing NULL-group rows would silently diverge from the oracle the
+    first time a nullable group column arrives (ADVICE r08; TPC-H keys
+    are non-null, so current entries are value-identical either way)."""
     grp = (df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+             .filter(F.col("g").isNotNull())
              .groupBy("g")
              .agg(F.array_sort(F.collect_set("i")).alias("items")))
     if max_group_size is not None:

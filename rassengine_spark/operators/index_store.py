@@ -117,10 +117,16 @@ def save_term_index(postings: DataFrame, doclens: DataFrame,
          .createDataFrame([(n_buckets,)], "n_buckets int")
          .write.mode("overwrite").parquet(f"{path}/meta"))
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # meta is written AFTER the pool joins (ADVICE r08): it used to be the
+    # implicit completeness marker (existed only once the other three
+    # tables had landed), and writing it concurrently would let a reader
+    # observe meta over a partial postings write. It is a 1-row frame, so
+    # serializing it costs nothing next to the postings job.
+    with ThreadPoolExecutor(max_workers=3) as pool:
         for f in [pool.submit(fn)
-                  for fn in (w_postings, w_doclens, w_stats, w_meta)]:
+                  for fn in (w_postings, w_doclens, w_stats)]:
             f.result()
+    w_meta()
 
 
 def append_term_index(new_df: DataFrame, text_col: str, id_col: str,

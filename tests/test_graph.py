@@ -59,6 +59,17 @@ def test_cooccurrence_edges_symmetric(spark):
     assert {a for a, _ in got} == {b for _, b in got}
 
 
+def test_cooccurrence_edges_null_group_rows_never_pair(spark):
+    """NULL group keys must behave like the join formulation (and the
+    DuckDB oracles): dropped, not aggregated into one mega-group
+    (ADVICE r08 — _group_pair_rows filters them before the groupBy)."""
+    rows = [(1, 10), (1, 11), (None, 20), (None, 21), (None, 22)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {(r.src, r.dst)
+           for r in cooccurrence_edges(df, "g", "item").collect()}
+    assert got == {(10, 11), (11, 10)}
+
+
 def test_triangle_counts_reference(spark):
     """Degree-oriented count == brute-force enumeration on a known graph:
     K4 on {1,2,3,4} (4 triangles, 3 per node) + a pendant edge + an

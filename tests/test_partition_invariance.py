@@ -57,6 +57,17 @@ def _rows(df):
         tuple("" if v is None else str(v) for v in r) for r in df.collect())
 
 
+def _evict_prepared_store(name):
+    """Force lifecycle entries to REBUILD their store on the next call:
+    _prepared_store caches per (name, sf_dir, pid), so without eviction
+    the second invocation below would read the store built under the
+    FIRST partition setting and the build-side fold sequence would never
+    re-execute under the alternate partitioning (ADVICE r08) — the test
+    would largely compare a parquet read to itself."""
+    for k in [k for k in entry._PREPARED_STORES if k[0] == name]:
+        del entry._PREPARED_STORES[k]
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_set_invariant_under_shuffle_partitions(spark, name):
     q = _query_fn(name)
@@ -64,8 +75,10 @@ def test_result_set_invariant_under_shuffle_partitions(spark, name):
     old = spark.conf.get(key)
     try:
         spark.conf.set(key, "32")
+        _evict_prepared_store(name)
         base = _rows(q(spark, SF))
         spark.conf.set(key, "5")
+        _evict_prepared_store(name)
         alt = _rows(q(spark, SF))
     finally:
         spark.conf.set(key, old)

@@ -57,6 +57,25 @@ def test_bpe_merges_match_reference(spark):
     assert got == expect, (got, expect)
 
 
+def test_bpe_batched_rounds_match_sequential(spark):
+    """The guarded two-merges-per-aggregate batching (bpe_train's
+    (A)(B)(C)(E) guards) must be invisible in the output: batch_probe=1
+    reproduces the old one-merge-per-round loop exactly (head of length
+    1 can never batch), and the default batched run must equal it AND
+    the reference BPE merge-for-merge, count-for-count, at a depth where
+    batching actually fires on this corpus."""
+    df = corpus(spark)
+    freqs = {r.w: r.n for r in word_freqs(df, "text").collect()}
+    expect = _ref_bpe(freqs, 16)
+    sequential, seq_seqs = bpe_train(df, "text", n_merges=16,
+                                     batch_probe=1)
+    batched, bat_seqs = bpe_train(df, "text", n_merges=16)
+    assert batched == sequential == expect
+    # final segmentations identical row-for-row as well
+    key = lambda rows: sorted((r.w, r.seq, r.n) for r in rows)
+    assert key(bat_seqs.collect()) == key(seq_seqs.collect())
+
+
 def test_bpe_segmentation_applies_merges(spark):
     df = corpus(spark)
     merges, _ = bpe_train(df, "text", n_merges=6)
