@@ -5373,9 +5373,16 @@ def _q_rag_chunk_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize_corpus)
     from rassengine_spark.sources.chunker import chunk_table
     docs = load_tables(spark, sf_dir)["documents"]
-    dtoks = tokenize_corpus(docs, "text", "doc_id")
-    sample = (dtoks.orderBy(F.md5(F.col("id").cast("string")))
-              .limit(_KNOWN_ITEM_Q)
+    # r09 (guide §2.3, project/filter early): the doc-level tokenize fed
+    # ONLY this 50-row sample (the index tokenizes CHUNKS), yet ran over
+    # the whole corpus before the TakeOrdered cut. The sample key is
+    # md5(doc_id) — independent of the tokens — and tokenize_corpus is a
+    # pure per-row projection, so cutting to 50 docs first picks the
+    # same ids and the same token arrays (probe: 3-rep A/B, outputs
+    # equal row-for-row). At 100 TB this removes a full corpus scan.
+    sdocs = (docs.orderBy(F.md5(F.col("doc_id").cast("string")))
+             .limit(_KNOWN_ITEM_Q))
+    sample = (tokenize_corpus(sdocs, "text", "doc_id")
               .select("id",
                       F.array_join(F.slice(F.col("_toks"), 1, 4),
                                    " ").alias("q"))

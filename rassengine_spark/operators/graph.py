@@ -54,8 +54,19 @@ def pagerank_micro(edges: DataFrame, iters: int = 3,
     # re-executes per consumer. Lazy localCheckpoint over cache(): blocks
     # release on GC instead of pinning until unpersist (NOTES pattern);
     # the executor-loss caveat is acceptable for a short fixed loop.
+    # r09 (guide §2.4): pre-partition the pinned edges by the round join
+    # key — localCheckpoint preserves outputPartitioning in the
+    # LogicalRDD, so the degree aggregate and EVERY round's edges-side
+    # join exchange vanish (only the |V|-row contrib frame shuffles per
+    # round). Partition count from the session conf, not the local core
+    # count. Warm interleaved 3-rep A/B at sf0.1/32c (exec seconds):
+    # unpartitioned 2.40/2.29/2.31, pre-partitioned 1.67/1.60/1.59 —
+    # values identical (integer ops are partitioning-independent; the
+    # probe compared full sorted outputs).
+    npart = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.select(F.col("src").cast("long"),
                          F.col("dst").cast("long")) \
+                 .repartition(npart, "src") \
                  .localCheckpoint(eager=False)
     # deg rides ON the rank frame (it never changes), so each round is
     # two joins (edges x contrib, ranks x sums) instead of three — the
@@ -258,9 +269,20 @@ def label_propagation(edges: DataFrame, iters: int = 3,
     Plan at 100 TB: per round, one join of the edge list against the
     |nodes|-row label table (labels are the SMALL side once the graph
     outgrows memory — shuffle keys on the node id) + one (node, label)
-    hash-aggregate + one arg-max aggregate; loop state is
-    localCheckpointed each round to cut the growing lineage (the
-    pagerank/CC convention)."""
+    hash-aggregate + one arg-max aggregate.
+
+    r09: NO per-round localCheckpoint of the label frame. Unlike
+    pagerank's rank frame (2 consumers per round, tree doubling), labels
+    feed exactly ONE consumer per round — lineage is LINEAR in iters, so
+    the pin bought nothing and cost plenty: under AQE each pin executes
+    its round's stages at plan-construction time as sequential driver
+    jobs. Warm interleaved 3-rep A/B at sf0.1/32c (plan+exec seconds):
+    per-round pins 2.46/2.30/2.23, unpinned 2.18/2.17/2.17 — identical
+    outputs (full sorted compare). Pre-partitioning sym by `d` (the
+    pagerank edges fix) was ALSO probed and measured WORSE here
+    (2.44/2.74/2.52): sym is consumed by round joins AND the label-seed
+    distinct, and the extra up-front exchange outweighs the per-round
+    saving on a 3-round loop — so sym keeps its natural partitioning."""
     both = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
             .union(edges.select(F.col(dst).alias("s"),
                                 F.col(src).alias("d"))))
@@ -278,10 +300,9 @@ def label_propagation(edges: DataFrame, iters: int = 3,
         # negate the COUNT (always BIGINT — safe), never the label, so
         # string/any orderable node-id types tie-break correctly
         # instead of casting to NULL.
-        best = (cnt.groupBy("node")
-                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                    F.col("lbl")))
-                     .alias("m"))
-                .select("node", F.col("m.lbl").alias("lbl")))
-        labels = best.localCheckpoint(eager=False)
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("lbl")))
+                       .alias("m"))
+                  .select("node", F.col("m.lbl").alias("lbl")))
     return labels.select("node", F.col("lbl").alias("label"))
