@@ -366,12 +366,80 @@ def maxsim_topk(doc_vecs: DataFrame, query_vecs: DataFrame, vec_col: str,
     order-free, and the token sum folds as DECIMAL then casts to double
     (the money-sum rule), so no ordered-fold machinery is needed.
 
-    Plan shape at 100 TB: one corpus-vector scan against the BROADCAST
-    query-token batch (bounded — the serving contract), a codegen cosine
-    per pair, then two hash aggregates keyed on (query, token, doc) and
-    (query, doc); the per-query k-heap is the only other shuffle. Doc
-    token-bag size is the per-row cost knob, corpus size never enters a
-    join key."""
+    Plan shape at 100 TB: one corpus-vector scan against the query-token
+    batch (bounded — the serving contract, so collecting it to the
+    driver is one small job), the token×vector cosines and a PARTIAL
+    per-(doc, token) max inside one Arrow pass, then one hash aggregate
+    merging batch-partial maxes and one (query, doc) sum; the per-query
+    k-heap is the only other shuffle. Doc token-bag size is the per-row
+    cost knob, corpus size never enters a join key.
+
+    r09: the per-pair cosine moved from the interpreted HOF expression
+    into the per-block numpy pass the kNN-graph/gram entries already use
+    (guide §4.2; NOTES: interpreted higher-order expressions are the
+    slow path — their numpy twins are bit-identical on this md5-derived
+    data after the round-6 cut, pinned by the oracle and by
+    tests/test_training_ops.py's reference compare plus the expr parity
+    test). The expression form stays exported as maxsim_topk_expr."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (query_vecs.select(F.col(query_id_col).alias("query_id"),
+                                F.col(qtok_col).alias("qtok"),
+                                F.col(vec_col).alias("qv"))
+              .collect())
+    spark = doc_vecs.sparkSession
+    id_t = doc_vecs.schema[doc_col].dataType.simpleString()
+    qid_t = query_vecs.schema[query_id_col].dataType.simpleString()
+    tok_t = query_vecs.schema[qtok_col].dataType.simpleString()
+    out_t = f"query_id {qid_t}, id {id_t}, score double, rank int"
+    if not q_rows:
+        return spark.createDataFrame([], out_t)
+    qmeta = [(r["query_id"], r["qtok"]) for r in q_rows]
+    qmat = np.asarray([[float(x) for x in r["qv"]] for r in q_rows],
+                      dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    mx_t = f"query_id {qid_t}, qtok {tok_t}, id {id_t}, m double"
+
+    def per_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            cos = np.round(
+                (m @ qmat.T)
+                / (np.outer(np.linalg.norm(m, axis=1), qnorm) + 1e-9),
+                round_to)
+            part = pd.DataFrame(cos)
+            part["id"] = pdf["id"].to_numpy()
+            g = part.groupby("id", sort=False).max()
+            n_ids, n_q = len(g), len(qmeta)
+            yield pd.DataFrame({
+                "query_id": [qm[0] for qm in qmeta] * n_ids,
+                "qtok": [qm[1] for qm in qmeta] * n_ids,
+                "id": np.repeat(g.index.to_numpy(), n_q),
+                "m": g.to_numpy().ravel()})
+
+    d = doc_vecs.select(F.col(doc_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    mx = (d.mapInPandas(per_batch, mx_t)
+           .groupBy("query_id", "qtok", "id")
+           .agg(F.max("m").alias("m")))
+    score = (F.sum(F.col("m").cast("decimal(16,6)"))
+              .cast("double").alias("score"))
+    sm = mx.groupBy("query_id", "id").agg(score)
+    return (_per_query_topk(sm, k)
+            .select("query_id", "id", "score", "rank"))
+
+
+def maxsim_topk_expr(doc_vecs: DataFrame, query_vecs: DataFrame,
+                     vec_col: str, doc_col: str, qtok_col: str,
+                     query_id_col: str, k: int = 5,
+                     round_to: int = 6) -> DataFrame:
+    """Expression-form twin of maxsim_topk (the pre-r09 implementation):
+    corpus × broadcast(query tokens), HOF cosine per pair, max/sum
+    aggregates. Kept exported for parity testing (the NOTES convention
+    for every numpy twin) and as the no-Arrow fallback."""
     d = doc_vecs.select(F.col(doc_col).alias("id"),
                         F.col(vec_col).alias("v"))
     q = query_vecs.select(F.col(query_id_col).alias("query_id"),

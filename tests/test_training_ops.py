@@ -320,3 +320,30 @@ def test_range_search_returns_all_above_threshold(spark):
                                  min_score=0.5).collect()}
     assert set(got) == {1, 2}            # 3 orthogonal, 4 opposite
     assert got[1] == 1.0 and got[2] > 0.99
+
+
+def test_maxsim_topk_arrow_matches_expr(spark):
+    """r09 parity pin: the numpy max-cosine pass must reproduce the
+    expression form VALUE-FOR-VALUE (the NOTES convention for every
+    Arrow twin of an interpreted HOF expression)."""
+    from rassengine_spark.llmops.similarity import (maxsim_topk,
+                                                    maxsim_topk_expr)
+
+    docs = [(d, [float((d * 13 + i * 5 + j * j) % 17 - 8) / 3.0
+                 for j in range(8)])
+            for d in range(20) for i in range(4)]
+    qs = [(q, q * 100 + t,
+           [float((q * 7 + t * 11 + j) % 13 - 6) / 5.0 for j in range(8)])
+          for q in range(3) for t in range(5)]
+    ddf = spark.createDataFrame(docs, "doc long, v array<double>")
+    qdf = spark.createDataFrame(qs, "qid long, tok long, v array<double>")
+    a = sorted(map(tuple, maxsim_topk(
+        ddf, qdf, "v", "doc", "tok", "qid", k=4).collect()))
+    b = sorted(map(tuple, maxsim_topk_expr(
+        ddf, qdf, "v", "doc", "tok", "qid", k=4).collect()))
+    assert a == b
+    # empty query batch: schema-stable empty result
+    empty = maxsim_topk(ddf, qdf.filter("qid < 0"), "v", "doc", "tok",
+                        "qid", k=4)
+    assert empty.columns == ["query_id", "id", "score", "rank"]
+    assert empty.count() == 0

@@ -38,6 +38,9 @@ PYTHON_OK = {
     "sim_knn_graph_mutual",
     # same kNN-edge Arrow pass feeding component resolution:
     "sim_semantic_clusters",
+    # late-interaction max-cosine runs the same per-block numpy pass
+    # (r09 twin of the HOF expression form, parity-tested):
+    "sim_maxsim_topk",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
