@@ -42,8 +42,103 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                      id_col: str, query_id_col: str, k: int = 5,
                      metric: str = "cosine",
                      round_to: int | None = 6) -> DataFrame:
-    """Exact top-k: corpus x broadcast(queries), score, per-query rank<=k.
-    Returns (query_id, id, score, rank)."""
+    """Exact top-k: corpus scored against the bounded query batch,
+    per-query rank<=k. Returns (query_id, id, score, rank).
+
+    r09 (guide §4.2): the per-pair score runs as ONE numpy pass per
+    Arrow batch instead of an interpreted HOF expression per pair (this
+    function is the exact arm of every recall eval — 9 call sites).
+    PROVABLY bit-exact, not just data-class exact: the fold steps
+    elements left-to-right accumulating across rows (the hnsw
+    _cos_exact_rows convention — each numpy op is one IEEE double op
+    per row, so the per-pair operation sequence equals the scalar/HOF
+    fold's), rounding is util.round_half_up (parity-tested against
+    F.round), and the per-batch k-cut orders by util.java_double_sort_key
+    bits (parity with the JVM window comparator, -0.0/0.0 included) with
+    id ascending — a per-batch prefilter of the SAME total order the
+    final window ranks by, so the global top-k is unchanged. Non-numeric
+    id/query-id types fall back to the expression form."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    numeric = {"tinyint", "smallint", "int", "bigint"}
+    if id_t not in numeric or qid_t not in numeric:
+        return brute_force_topk_expr(corpus, queries, vec_col, id_col,
+                                     query_id_col, k, metric, round_to)
+    q_rows = (queries.select(F.col(query_id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+              .collect())
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, id {id_t}, score double, rank int")
+    qids = [r["query_id"] for r in q_rows]
+    qmat = np.asarray([[float(x) for x in r["qv"]] for r in q_rows],
+                      dtype=np.float64)
+    nq = len(qids)
+    use_cos = metric == "cosine"
+
+    def scores(m: np.ndarray) -> np.ndarray:
+        # stepped fold, vectorized ACROSS (row, query) pairs: step t does
+        # exactly acc + x*y per pair, in element order — never a gemv,
+        # which would re-associate the sum (the hnsw kernel rule)
+        dot = np.zeros((len(m), nq))
+        na = np.zeros(len(m))
+        nb = np.zeros(nq)
+        for t in range(m.shape[1]):
+            col = m[:, t]
+            qc = qmat[:, t]
+            dot += col[:, None] * qc[None, :]
+            if use_cos:
+                na += col * col
+                nb += qc * qc
+        if not use_cos:
+            return dot
+        return dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :] + 1e-9)
+
+    def per_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            s = scores(m)
+            if round_to is not None:
+                s = np.asarray(
+                    [[round_half_up(x, round_to) for x in row]
+                     for row in s])
+            bits = np.ascontiguousarray(s.T).view(np.int64)
+            keys = np.where(bits >= 0, bits,
+                            bits ^ 0x7FFFFFFFFFFFFFFF)
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for j in range(nq):
+                order = np.lexsort((ids, -keys[j]))[:kk]
+                out_q.extend([qids[j]] * len(order))
+                out_i.extend(ids[order])
+                out_s.extend(s[order, j])
+            yield pd.DataFrame({"query_id": out_q, "id": out_i,
+                                "score": out_s})
+
+    cand = (corpus.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+            .mapInPandas(per_batch,
+                         f"query_id {qid_t}, id {id_t}, score double"))
+    return _per_query_topk(cand, k).select("query_id", "id", "score",
+                                           "rank")
+
+
+def brute_force_topk_expr(corpus: DataFrame, queries: DataFrame,
+                          vec_col: str, id_col: str, query_id_col: str,
+                          k: int = 5, metric: str = "cosine",
+                          round_to: int | None = 6) -> DataFrame:
+    """Expression-form twin of brute_force_topk (pre-r09): corpus x
+    broadcast(queries), HOF score per pair, window rank. Kept exported
+    for parity testing and as the fallback for non-numeric id types."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))

@@ -347,3 +347,29 @@ def test_maxsim_topk_arrow_matches_expr(spark):
                         "qid", k=4)
     assert empty.columns == ["query_id", "id", "score", "rank"]
     assert empty.count() == 0
+
+
+def test_brute_force_topk_arrow_matches_expr(spark):
+    """r09 parity pin: the numpy brute-force scorer must reproduce the
+    expression form VALUE-FOR-VALUE across metrics and roundings —
+    including score ties (rounded equal scores must break on id asc
+    exactly as the JVM window does)."""
+    from rassengine_spark.llmops.similarity import (brute_force_topk,
+                                                    brute_force_topk_expr)
+
+    # duplicate vectors force exact score ties across ids
+    docs = [(d, [float((d % 4) * 3 + j) / 7.0 for j in range(6)])
+            for d in range(24)]
+    qs = [(q, [float((q + j * 2) % 5 - 2) / 3.0 for j in range(6)])
+          for q in range(4)]
+    ddf = spark.createDataFrame(docs, "vid long, v array<double>")
+    qdf = spark.createDataFrame(qs, "qid long, v array<double>")
+    for metric in ("cosine", "dot"):
+        for rt in (6, 2, None):
+            a = sorted(map(tuple, brute_force_topk(
+                ddf, qdf, "v", "vid", "qid", k=5, metric=metric,
+                round_to=rt).collect()))
+            b = sorted(map(tuple, brute_force_topk_expr(
+                ddf, qdf, "v", "vid", "qid", k=5, metric=metric,
+                round_to=rt).collect()))
+            assert a == b, (metric, rt)

@@ -41,6 +41,12 @@ PYTHON_OK = {
     # late-interaction max-cosine runs the same per-block numpy pass
     # (r09 twin of the HOF expression form, parity-tested):
     "sim_maxsim_topk",
+    # brute_force_topk's scorer is the same r09 numpy pass (provably
+    # exact fold + java-order k-cut; expression twin parity-tested) —
+    # it is the exact arm of every recall eval:
+    "sim_bruteforce_topk", "sim_mmr_rerank", "sim_ivf_recall",
+    "sim_ivf_ndcg_eval", "sim_matryoshka_recall", "sim_pq_recall",
+    "sim_quantized_recall",
     "s7_embed_hash_ngram", "mm_binary_metadata",
     # Arrow-batched shingle/minhash index passes (vectorized twins of the
     # interpreted expression forms — deliberate, see llmops/dedup.py);
